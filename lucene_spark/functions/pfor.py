@@ -25,7 +25,65 @@ import numpy as np
 BLOCK_SIZE = 128
 MAX_EXCEPTIONS = 7
 
-__all__ = ["BLOCK_SIZE", "MAX_EXCEPTIONS", "encode_stream", "decode_stream"]
+__all__ = [
+    "BLOCK_SIZE",
+    "MAX_EXCEPTIONS",
+    "encode_stream",
+    "decode_stream",
+    "encode_vlongs_np",
+    "decode_vlongs_np",
+    "batch_encode_streams",
+]
+
+
+def encode_vlongs_np(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 varint encode of a uint64 array.
+
+    Returns (bytes_array uint8, nbytes_per_value int64). No Python loop over
+    values — 10 vectorized passes (one per possible byte position).
+    """
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    nb = np.ones(n, dtype=np.int64)
+    for j in range(1, 10):
+        nb[vals >= (np.uint64(1) << np.uint64(7 * j))] = j + 1
+    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for j in range(10):
+        mask = nb > j
+        if not mask.any():
+            break
+        idx = starts[mask] + j
+        byte = ((vals[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nb[mask] > j + 1).astype(np.uint8)) << 7
+        out[idx] = byte | cont
+    return out, nb
+
+
+def decode_vlongs_np(buf: np.ndarray, count: int) -> tuple[np.ndarray, int]:
+    """Vectorized LEB128 decode of the first `count` varints in `buf`.
+
+    Returns (values uint64, bytes_consumed).
+    """
+    if count == 0:
+        return np.empty(0, dtype=np.uint64), 0
+    buf = np.asarray(buf, dtype=np.uint8)
+    is_last = (buf & 0x80) == 0
+    # value index of each byte: 0-based running count of completed varints
+    ends = np.cumsum(is_last)
+    # bytes consumed: position of the count-th terminator + 1
+    last_pos = int(np.searchsorted(ends, count)) + 1
+    buf = buf[:last_pos]
+    is_last = is_last[:last_pos]
+    value_id = np.concatenate(([0], np.cumsum(is_last)[:-1]))
+    starts = np.concatenate(([0], np.nonzero(is_last)[0][:-1] + 1))
+    pos_in_value = np.arange(last_pos, dtype=np.int64) - starts[value_id]
+    out = np.zeros(count, dtype=np.uint64)
+    contrib = (buf & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in_value.astype(np.uint64))
+    np.add.at(out, value_id, contrib)
+    return out, last_pos
 
 
 def _write_vlong(out: bytearray, v: int) -> None:
@@ -164,8 +222,10 @@ def encode_stream(values: np.ndarray) -> bytes:
     nblocks = n // BLOCK_SIZE
     for i in range(nblocks):
         _encode_block(values[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE], out)
-    for v in values[nblocks * BLOCK_SIZE :]:
-        _write_vlong(out, int(v))
+    tail = values[nblocks * BLOCK_SIZE :]
+    if len(tail):
+        tail_bytes, _ = encode_vlongs_np(tail)
+        out.extend(tail_bytes.tobytes())
     return bytes(out)
 
 
@@ -177,7 +237,59 @@ def decode_stream(data: bytes) -> np.ndarray:
     for i in range(nblocks):
         block, pos = _decode_block(buf, pos)
         out[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE] = block
-    for j in range(nblocks * BLOCK_SIZE, n):
-        v, pos = _read_vlong(buf, pos)
-        out[j] = v
+    n_tail = n - nblocks * BLOCK_SIZE
+    if n_tail:
+        tail, _ = decode_vlongs_np(np.frombuffer(buf[pos:], dtype=np.uint8), n_tail)
+        out[nblocks * BLOCK_SIZE :] = tail
     return out
+
+
+def batch_encode_streams(values: np.ndarray, row_lengths: np.ndarray) -> list[bytes]:
+    """Encode many streams at once; `values` is the concatenation of all
+    rows' values, `row_lengths` their lengths.
+
+    Rows shorter than BLOCK_SIZE (the vast majority of posting lists) are
+    varint-encoded in ONE vectorized pass over all rows; longer rows fall
+    back to per-row `encode_stream` (full PFOR blocks + tail).
+    """
+    values = np.asarray(values, dtype=np.uint64)
+    row_lengths = np.asarray(row_lengths, dtype=np.int64)
+    n_rows = len(row_lengths)
+    row_starts = np.concatenate(([0], np.cumsum(row_lengths)[:-1]))
+    small = row_lengths < BLOCK_SIZE
+    out: list[bytes] = [b""] * n_rows
+
+    small_idx = np.nonzero(small)[0]
+    if len(small_idx):
+        lens = row_lengths[small_idx]
+        # interleave per-row [count, v0, v1, ...] into one array
+        tot = int((lens + 1).sum())
+        arr = np.empty(tot, dtype=np.uint64)
+        out_starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+        arr[out_starts] = lens.astype(np.uint64)
+        # scatter the values: target positions = out_start + 1 + offset_in_row
+        src_index = np.repeat(row_starts[small_idx], lens) + _ranges(lens)
+        dst_index = np.repeat(out_starts + 1, lens) + _ranges(lens)
+        arr[dst_index] = values[src_index]
+        enc, nb = encode_vlongs_np(arr)
+        # per-row byte extents
+        nb_row = np.add.reduceat(nb, out_starts) if tot else np.zeros(0, dtype=np.int64)
+        byte_starts = np.concatenate(([0], np.cumsum(nb_row)[:-1]))
+        enc_bytes = enc.tobytes()
+        for i, (bs, nbr) in enumerate(zip(byte_starts, nb_row)):
+            out[small_idx[i]] = enc_bytes[bs : bs + nbr]
+
+    for i in np.nonzero(~small)[0]:
+        s = row_starts[i]
+        out[i] = encode_stream(values[s : s + row_lengths[i]])
+    return out
+
+
+def _ranges(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated (vectorized arange per group)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    idx = np.arange(total, dtype=np.int64)
+    return idx - np.repeat(starts, lengths)

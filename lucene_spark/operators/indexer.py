@@ -1,0 +1,433 @@
+"""Segment-based inverted index build.
+
+Spark-first shape of Lucene's indexing dataflow (SURVEY.md §3a):
+
+  - A *segment* is the unit of checkpoint/commit: one ``applyInPandas``
+    group builds one segment (Spark tasks are the DocumentsWriterPerThreads;
+    ``core/index/DocumentsWriterPerThreadPool.java:85-125``).
+  - Per segment we emit, as one union-schema DataFrame written
+    ``partitionBy("row_type")``:
+      * ``post`` rows — one per (term, 128-doc block): PFOR-compressed doc
+        gaps / freqs / norms / position deltas + the block's competitive
+        (freq, norm) impact frontier (mirrors ``Lucene90PostingsWriter`` +
+        ``CompetitiveImpactAccumulator``; norms ride along per block so
+        query-time scoring needs no join).
+      * ``term`` rows — per-segment term stats (doc_freq, total_term_freq),
+        the term-dictionary analog (blocktree+FST replaced by a sorted
+        Parquet table with min/max stats).
+      * ``doc`` rows — (gid, key, doc_len, norm_b), the docs/norms tables.
+  - A JSONL *manifest* (``core/index/SegmentInfos.java`` analog) commits one
+    line per build batch with per-segment lineage + metrics; a killed build
+    resumes from the last committed line.
+
+Global docIDs (``gid``) are dense int64s. When the corpus has no natural id,
+segment assignment is ``xxhash64(key) % n_segments`` and gids are
+``segment_base + rank_within_segment(key)`` — deterministic, and the
+in-segment sort by key mirrors Lucene's index-time docID assignment
+(FIXTURES.md pins doc order = url order).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..functions.analysis import analyze_batch
+from ..functions.bm25 import BM25Scorer  # noqa: F401 (re-export convenience)
+from ..functions.impacts import competitive_impacts
+from ..functions.pfor import BLOCK_SIZE, batch_encode_streams
+from ..functions.smallfloat import int_to_byte4_np
+
+STAGING_SCHEMA = T.StructType(
+    [
+        T.StructField("row_type", T.StringType()),
+        T.StructField("seg", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("block_ord", T.IntegerType()),
+        T.StructField("doc_count", T.IntegerType()),
+        T.StructField("first_gid", T.LongType()),
+        T.StructField("last_gid", T.LongType()),
+        T.StructField("gids", T.BinaryType()),
+        T.StructField("freqs", T.BinaryType()),
+        T.StructField("norms", T.BinaryType()),
+        T.StructField("positions", T.BinaryType()),
+        T.StructField("imp_freqs", T.ArrayType(T.LongType())),
+        T.StructField("imp_norms", T.ArrayType(T.IntegerType())),
+        T.StructField("gid", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("doc_len", T.IntegerType()),
+        T.StructField("norm_b", T.IntegerType()),
+        T.StructField("doc_freq", T.LongType()),
+        T.StructField("total_term_freq", T.LongType()),
+    ]
+)
+
+
+def invert_segment(
+    seg_id: int,
+    gids: np.ndarray,
+    keys: np.ndarray,
+    texts: pd.Series,
+    with_positions: bool = True,
+) -> pd.DataFrame:
+    """Analyze + invert one segment's docs into union-schema staging rows.
+
+    Pure pandas/numpy — runs inside applyInPandas but unit-testable without
+    Spark. ``gids`` must be sorted ascending (docID order within segment).
+    """
+    gids = np.asarray(gids, dtype=np.int64)
+    assert len(gids) == 0 or (np.diff(gids) > 0).all(), "gids must be strictly increasing"
+    batch = analyze_batch(texts)
+    doc_lens = batch.doc_lens.astype(np.int64)
+    norms_by_doc = int_to_byte4_np(doc_lens)
+
+    # ---- token -> (term, gid) pair aggregation, fully vectorized
+    tc, uniq_terms = pd.factorize(batch.tok_terms, sort=True)
+    tok_gid = gids[batch.tok_doc_idx]
+    tok_doc = batch.tok_doc_idx
+    # tokens arrive in (doc asc, position asc) order; stable sort by term
+    order = np.argsort(tc, kind="stable")
+    tc_s = tc[order]
+    gid_s = tok_gid[order]
+    doc_s = tok_doc[order]
+    pos_s = batch.tok_positions[order].astype(np.int64)
+
+    n_tok = len(tc_s)
+    rows: list[pd.DataFrame] = []
+    if n_tok:
+        new_pair = np.empty(n_tok, dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (tc_s[1:] != tc_s[:-1]) | (gid_s[1:] != gid_s[:-1])
+        pair_start = np.nonzero(new_pair)[0]
+        n_pairs = len(pair_start)
+        pair_id = np.cumsum(new_pair) - 1
+        freq_p = np.bincount(pair_id, minlength=n_pairs).astype(np.int64)
+        tc_p = tc_s[pair_start]
+        gid_p = gid_s[pair_start]
+        norm_p = norms_by_doc[doc_s[pair_start]].astype(np.int64)
+
+        # position deltas (first = absolute position, then gaps)
+        pos_delta = pos_s.copy()
+        pos_delta[1:] -= pos_s[:-1]
+        pos_delta[pair_start] = pos_s[pair_start]
+
+        # ---- per-term stats
+        new_term = np.empty(n_pairs, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = tc_p[1:] != tc_p[:-1]
+        term_start = np.nonzero(new_term)[0]
+        term_id_of_pair = np.cumsum(new_term) - 1
+        doc_freq_t = np.bincount(term_id_of_pair).astype(np.int64)
+        ttf_t = np.bincount(term_id_of_pair, weights=freq_p).astype(np.int64)
+        term_codes_present = tc_p[term_start]
+
+        # ---- block assignment: 128 docs per (term) block
+        idx_in_term = np.arange(n_pairs) - term_start[term_id_of_pair]
+        block_ord_p = (idx_in_term // BLOCK_SIZE).astype(np.int64)
+        new_block = new_term | (block_ord_p != np.concatenate(([0], block_ord_p[:-1])))
+        new_block[0] = True
+        block_start = np.nonzero(new_block)[0]
+        n_blocks = len(block_start)
+        block_id_of_pair = np.cumsum(new_block) - 1
+        docs_per_block = np.bincount(block_id_of_pair, minlength=n_blocks).astype(np.int64)
+        block_term = tc_p[block_start]
+        block_ord = block_ord_p[block_start]
+        first_gid_b = gid_p[block_start]
+        block_end = np.concatenate((block_start[1:], [n_pairs])) - 1
+        last_gid_b = gid_p[block_end]
+
+        # ---- payloads (batch-encoded streams)
+        # doc gaps: within-block diffs (first doc stored in first_gid column)
+        gaps_all = np.empty(n_pairs, dtype=np.int64)
+        gaps_all[0] = 0
+        gaps_all[1:] = gid_p[1:] - gid_p[:-1]
+        keep = ~new_block
+        gids_payload = batch_encode_streams(gaps_all[keep].astype(np.uint64), docs_per_block - 1)
+        freqs_payload = batch_encode_streams(freq_p.astype(np.uint64), docs_per_block)
+        norms_payload = batch_encode_streams(norm_p.astype(np.uint64), docs_per_block)
+        if with_positions:
+            # positions are token-aligned: block of a token = block of its pair
+            pos_rl = np.bincount(block_id_of_pair[pair_id], minlength=n_blocks).astype(np.int64)
+            positions_payload = batch_encode_streams(pos_delta.astype(np.uint64), pos_rl)
+        else:
+            positions_payload = [None] * n_blocks
+
+        # ---- impacts per block (small python loop over blocks)
+        imp_freqs: list[list[int]] = []
+        imp_norms: list[list[int]] = []
+        for bs, be in zip(block_start, block_end):
+            f, n = competitive_impacts(freq_p[bs : be + 1], norm_p[bs : be + 1])
+            imp_freqs.append(f.tolist())
+            imp_norms.append(n.tolist())
+
+        post = pd.DataFrame(
+            {
+                "row_type": "post",
+                "seg": np.int64(seg_id),
+                "term": pd.Series(uniq_terms[block_term], dtype="string"),
+                "block_ord": block_ord.astype(np.int32),
+                "doc_count": docs_per_block.astype(np.int32),
+                "first_gid": first_gid_b,
+                "last_gid": last_gid_b,
+                "gids": gids_payload,
+                "freqs": freqs_payload,
+                "norms": norms_payload,
+                "positions": positions_payload,
+                "imp_freqs": imp_freqs,
+                "imp_norms": imp_norms,
+            }
+        )
+        term_rows = pd.DataFrame(
+            {
+                "row_type": "term",
+                "seg": np.int64(seg_id),
+                "term": pd.Series(uniq_terms[term_codes_present], dtype="string"),
+                "doc_freq": doc_freq_t,
+                "total_term_freq": ttf_t,
+            }
+        )
+        rows.extend([post, term_rows])
+
+    doc_rows = pd.DataFrame(
+        {
+            "row_type": "doc",
+            "seg": np.int64(seg_id),
+            "gid": gids,
+            "key": pd.Series(np.asarray(keys, dtype=object), dtype="string"),
+            "doc_len": doc_lens.astype(np.int32),
+            "norm_b": norms_by_doc.astype(np.int32),
+        }
+    )
+    rows.append(doc_rows)
+    # pad each sub-frame to the full union schema with explicit Nones
+    # (concat-introduced NaN would break Arrow conversion of int/array cols)
+    padded = []
+    names = STAGING_SCHEMA.fieldNames()
+    for frame in rows:
+        for f in names:
+            if f not in frame.columns:
+                frame[f] = None
+        padded.append(frame[names])
+    return pd.concat(padded, ignore_index=True)
+
+
+# --------------------------------------------------------------------- build
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.jsonl")
+
+
+def read_manifest(index_dir: str) -> list[dict]:
+    path = _manifest_path(index_dir)
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _append_manifest(index_dir: str, record: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_manifest_path(index_dir), "a") as f:
+        f.write(json.dumps(record) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def prepare_corpus(
+    corpus: DataFrame,
+    *,
+    key_col: str,
+    text_col: str,
+    gid_col: str | None = None,
+    n_segments: int = 8,
+) -> tuple[DataFrame, dict]:
+    """Attach deterministic (seg, gid) columns to a corpus.
+
+    With ``gid_col``: segments are contiguous gid ranges (Parquet min/max
+    stats prune resumed batches). Without: seg = xxhash64(key) % n_segments
+    and gid = segment_base + rank(key within segment); bases come from one
+    count pass (driver-side cumulative offsets) — Lucene's merge-time docID
+    remap (DocIDMerger offset add) done at build time.
+    """
+    if gid_col is not None:
+        bounds = corpus.agg(
+            F.min(gid_col).alias("lo"), F.max(gid_col).alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        span = hi - lo + 1
+        per = max(1, -(-span // n_segments))  # ceil
+        df = corpus.select(
+            ((F.col(gid_col) - F.lit(lo)) / F.lit(per)).cast("long").alias("seg"),
+            F.col(gid_col).cast("long").alias("gid"),
+            F.col(key_col).cast("string").alias("key"),
+            F.col(text_col).alias("text"),
+        )
+        meta = {"mode": "gid", "lo": lo, "hi": hi, "n_docs": int(bounds["n"])}
+        return df, meta
+
+    with_seg = corpus.select(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_segments)).cast("long").alias("seg"),
+        F.col(key_col).cast("string").alias("key"),
+        F.col(text_col).alias("text"),
+    )
+    counts = {int(r["seg"]): int(r["n"]) for r in with_seg.groupBy("seg").agg(F.count("*").alias("n")).collect()}
+    bases, acc = {}, 0
+    for s in range(n_segments):
+        bases[s] = acc
+        acc += counts.get(s, 0)
+    base_expr = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
+    df = with_seg.withColumn("base", base_expr[F.col("seg")])
+    meta = {"mode": "hash", "counts": counts, "bases": bases, "n_docs": acc}
+    return df, meta
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    key_col: str,
+    text_col: str,
+    gid_col: str | None = None,
+    n_segments: int = 8,
+    batch_segments: int | None = None,
+    with_positions: bool = True,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Build (or resume) the index. Returns summary metrics.
+
+    ``fail_after_batches`` injects a crash after N committed batches — the
+    kill/resume test hook (FIXTURES.md §6).
+    """
+    t_start = time.time()
+    df, meta = prepare_corpus(
+        corpus, key_col=key_col, text_col=text_col, gid_col=gid_col, n_segments=n_segments
+    )
+    mode = meta["mode"]
+    if batch_segments is None:
+        batch_segments = n_segments
+
+    committed = {rec["batch"] for rec in read_manifest(index_dir) if rec.get("status") == "committed"}
+    seg_batches = [
+        list(range(b, min(b + batch_segments, n_segments)))
+        for b in range(0, n_segments, batch_segments)
+    ]
+
+    def make_builder(with_positions: bool, mode: str):
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pdf["seg"].iloc[0])
+            pdf = pdf.sort_values("key" if mode == "hash" else "gid", kind="mergesort")
+            if mode == "hash":
+                gids = (np.arange(len(pdf), dtype=np.int64) + int(pdf["base"].iloc[0]))
+            else:
+                gids = pdf["gid"].to_numpy(dtype=np.int64)
+            return invert_segment(
+                seg, gids, pdf["key"].to_numpy(), pdf["text"], with_positions=with_positions
+            )
+
+        return fn
+
+    builder = make_builder(with_positions, mode)
+    total_new = 0
+    for bi, segs in enumerate(seg_batches):
+        if bi in committed:
+            continue
+        t0 = time.time()
+        sub = df.filter(F.col("seg").isin([int(s) for s in segs]))
+        staged = sub.groupBy("seg").applyInPandas(builder, schema=STAGING_SCHEMA)
+        out_path = os.path.join(index_dir, "segments", f"batch={bi}")
+        staged.write.mode("overwrite").partitionBy("row_type").parquet(out_path)
+        wall = time.time() - t0
+        # lineage + metrics from the written batch (cheap metadata-ish aggs)
+        written = spark.read.parquet(out_path)
+        seg_stats = {
+            int(r["seg"]): {
+                "n_docs": int(r["n_docs"] or 0),
+                "n_terms": int(r["n_terms"] or 0),
+                "n_postings": int(r["n_postings"] or 0),
+            }
+            for r in written.groupBy("seg")
+            .agg(
+                F.sum(F.when(F.col("row_type") == "doc", 1).otherwise(0)).alias("n_docs"),
+                F.sum(F.when(F.col("row_type") == "term", 1).otherwise(0)).alias("n_terms"),
+                F.sum(F.when(F.col("row_type") == "term", F.col("doc_freq")).otherwise(0)).alias(
+                    "n_postings"
+                ),
+            )
+            .collect()
+        }
+        n_docs_batch = sum(s["n_docs"] for s in seg_stats.values())
+        _append_manifest(
+            index_dir,
+            {
+                "batch": bi,
+                "status": "committed",
+                "segments": segs,
+                "per_segment": seg_stats,
+                "n_docs": n_docs_batch,
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(n_docs_batch / wall, 1) if wall > 0 else None,
+                "lineage": {"mode": mode, "n_segments": n_segments, "batch_segments": batch_segments},
+                "ts": time.time(),
+            },
+        )
+        total_new += n_docs_batch
+        if fail_after_batches is not None and bi + 1 >= fail_after_batches:
+            raise RuntimeError(f"injected failure after batch {bi}")
+
+    finalize_index(spark, index_dir)
+    return {
+        "n_docs_new": total_new,
+        "n_batches": len(seg_batches),
+        "wall_sec": time.time() - t_start,
+        "meta": meta,
+    }
+
+
+def finalize_index(spark: SparkSession, index_dir: str) -> None:
+    """Global term stats + collection stats (idf/avgdl inputs are GLOBAL)."""
+    seg_glob = os.path.join(index_dir, "segments", "batch=*")
+    staged = spark.read.option("basePath", os.path.join(index_dir, "segments")).parquet(seg_glob)
+    terms = (
+        staged.filter(F.col("row_type") == "term")
+        .groupBy("term")
+        .agg(
+            F.sum("doc_freq").alias("doc_freq"),
+            F.sum("total_term_freq").alias("total_term_freq"),
+        )
+    )
+    # sorted by term -> Parquet min/max stats act as the term index (FST analog)
+    terms.repartitionByRange(max(1, terms.rdd.getNumPartitions() // 4), "term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+    row = (
+        staged.filter(F.col("row_type") == "doc")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("doc_len") > 0, 1).otherwise(0)).alias("doc_count"),
+            F.sum("doc_len").alias("sum_ttf"),
+            F.max("gid").alias("max_gid"),
+        )
+        .collect()[0]
+    )
+    stats = {
+        "n_rows": int(row["n_rows"]),
+        "doc_count": int(row["doc_count"] or 0),
+        "sum_total_term_freq": int(row["sum_ttf"] or 0),
+        "max_gid": int(row["max_gid"]) if row["max_gid"] is not None else -1,
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)

@@ -1,0 +1,139 @@
+"""Brute-force reference engine for correctness tests.
+
+Deliberately naive and independent of the Spark engine's kernels: a dict
+inverted index + per-doc loop scoring with Lucene's BM25 float32 expression.
+The distributed engine (pruned or exhaustive) must match it rank- and
+float32-score-identically — the CheckHits contract (tf/search/CheckHits.java)
+and the WAND-vs-bruteforce test shape (ct/search/TestWANDScorer.java).
+
+Only the analysis chain is shared (its parity is pinned by its own goldens).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+
+from ..functions.analysis import analyze_batch
+from ..functions.smallfloat import LENGTH_TABLE, int_to_byte4
+from ..plans.query import BoolQ, PhraseQ, TermQ
+
+
+def _f32(x: float) -> np.float32:
+    return np.float32(x)
+
+
+class BruteForceIndex:
+    def __init__(self, gids, keys, texts):
+        self.gids = [int(g) for g in gids]
+        self.keys = list(keys)
+        batch = analyze_batch(list(texts))
+        self.doc_len = {}
+        self.norm = {}
+        for i, g in enumerate(self.gids):
+            dl = int(batch.doc_lens[i])
+            self.doc_len[g] = dl
+            self.norm[g] = int_to_byte4(dl)
+        # postings: term -> {gid: freq}; positions: (term, gid) -> [pos...]
+        self.postings: dict[str, dict[int, int]] = defaultdict(dict)
+        self.positions: dict[tuple[str, int], list[int]] = defaultdict(list)
+        for d, t, p in zip(batch.tok_doc_idx, batch.tok_terms, batch.tok_positions):
+            g = self.gids[int(d)]
+            self.postings[t][g] = self.postings[t].get(g, 0) + 1
+            self.positions[(t, g)].append(int(p))
+        self.doc_count = sum(1 for g in self.gids if self.doc_len[g] > 0)
+        self.sum_ttf = sum(self.doc_len.values())
+
+    # ---- scoring ---------------------------------------------------------
+    def _idf(self, term: str) -> np.float32:
+        n = len(self.postings.get(term, {}))
+        N = self.doc_count
+        return _f32(math.log(1.0 + (N - n + 0.5) / (n + 0.5)))
+
+    def _cache(self) -> np.ndarray:
+        avgdl = _f32(self.sum_ttf / float(self.doc_count))
+        one, k1, b = _f32(1.0), _f32(1.2), _f32(0.75)
+        out = np.empty(256, dtype=np.float32)
+        for i in range(256):
+            dl = _f32(float(LENGTH_TABLE[i]))
+            out[i] = one / (k1 * ((one - b) + (b * dl) / avgdl))
+        return out
+
+    def _score_tf(self, weight: np.float32, freq: int, norm: int, cache) -> np.float32:
+        one = _f32(1.0)
+        return weight - weight / (one + _f32(float(freq)) * cache[norm])
+
+    def _doc_score(self, node, g: int, cache) -> "np.float32 | None":
+        """Score of doc g for node, or None if not a match."""
+        if isinstance(node, TermQ):
+            f = self.postings.get(node.term, {}).get(g)
+            if f is None:
+                return None
+            return self._score_tf(self._idf(node.term), f, self.norm[g], cache)
+        if isinstance(node, PhraseQ):
+            freq = self._phrase_freq(node, g)
+            if freq == 0:
+                return None
+            w = _f32(sum(float(self._idf(t)) for t in node.terms))
+            return self._score_tf(w, freq, self.norm[g], cache)
+        if isinstance(node, BoolQ):
+            total = 0.0  # double accumulation, float32 cast at the end
+            if node.must:
+                for c in node.must:
+                    s = self._doc_score(c, g, cache)
+                    if s is None:
+                        return None
+                    total += float(s)
+                for c in node.should:
+                    s = self._doc_score(c, g, cache)
+                    if s is not None:
+                        total += float(s)
+            else:
+                matched = False
+                for c in node.should:
+                    s = self._doc_score(c, g, cache)
+                    if s is not None:
+                        matched = True
+                        total += float(s)
+                if not matched:
+                    return None
+            for c in node.must_not:
+                if self._matches(c, g):
+                    return None
+            return _f32(total)
+        raise TypeError(node)
+
+    def _matches(self, node, g: int) -> bool:
+        if isinstance(node, TermQ):
+            return g in self.postings.get(node.term, {})
+        if isinstance(node, PhraseQ):
+            return self._phrase_freq(node, g) > 0
+        if isinstance(node, BoolQ):
+            return self._doc_score(node, g, self._cache()) is not None
+        raise TypeError(node)
+
+    def _phrase_freq(self, node: PhraseQ, g: int) -> int:
+        sets = []
+        for t, off in zip(node.terms, node.offsets):
+            ps = self.positions.get((t, g))
+            if not ps:
+                return 0
+            sets.append({p - off for p in ps})
+        inter = set.intersection(*sets)
+        return len(inter)
+
+    # ---- API -------------------------------------------------------------
+    def search(self, node, k: int = 10) -> list[tuple[int, str, np.float32]]:
+        cache = self._cache()
+        hits = []
+        for g in self.gids:
+            s = self._doc_score(node, g, cache)
+            if s is not None:
+                hits.append((g, s))
+        hits.sort(key=lambda x: (-float(x[1]), x[0]))
+        return [(g, self.keys[self.gids.index(g)], s) for g, s in hits[:k]]
+
+    def count(self, node) -> int:
+        return sum(1 for g in self.gids if self._matches(node, g))

@@ -1,0 +1,470 @@
+"""Top-k BM25 search over the segment index.
+
+Spark shape of Lucene's search lifecycle (SURVEY.md §3b):
+
+  1. Driver plans the query (parse + rewrite, ``plans/query.py``) and pins
+     GLOBAL stats — docCount/avgdl from ``stats.json``, per-term docFreq from
+     the ``terms`` table (TermStates.build analog). idf/avgdl therefore match
+     a single-index Lucene search exactly.
+  2. The postings scan is a plain DataFrame filter ``term IN (...)`` over the
+     block-row Parquet — predicate pushdown + column pruning do the term-
+     dictionary seek (positions column only read for phrase queries).
+  3. Scoring runs in vectorized Arrow kernels:
+       - single-term: ``mapInPandas`` straight over block rows (no shuffle);
+       - boolean/phrase: blocks are exploded onto gid-range *buckets* and
+         ``applyInPandas`` aligns all query terms' postings per bucket —
+         the conjunction/disjunction/exclusion set ops are numpy sorted-array
+         ops (ConjunctionDISI / DisjunctionSumScorer / ReqExclScorer).
+     Score composition is float32-exact: each scorer node returns float32,
+     parents sum children in double and cast to float32 once — the same cast
+     points as ConjunctionScorer/DisjunctionSumScorer/ReqOptSumScorer.
+  4. Block-max pruning (WANDScorer / ImpactsDISI analog): per-block impact
+     frontiers give max scores; a worker-local top-k heap provides θ, and
+     blocks/buckets whose upper bound < θ are skipped *before decoding*.
+     θ from any subset of docs is ≤ the true kth score, so pruning never
+     changes results (CheckHits contract, tested pruned == exhaustive).
+  5. Global top-k = orderBy(score desc, gid asc).limit(k) — Spark's
+     TakeOrdered is exactly TopDocs.merge with Lucene's tie-break
+     (HitQueue.java:78-84: score desc, docID asc).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..functions.bm25 import BM25Scorer, avgdl as _avgdl, idf as _idf, norm_cache
+from ..functions.pfor import decode_stream
+from ..plans.query import BoolQ, PhraseQ, TermQ, parse_query, query_terms
+
+__all__ = ["Searcher", "TermPostings", "eval_plan", "decode_term_blocks"]
+
+
+@dataclass
+class TermPostings:
+    gids: np.ndarray  # int64, sorted asc
+    freqs: np.ndarray  # int64
+    norms: np.ndarray  # uint8
+    positions: "list[np.ndarray] | None" = None  # per-doc absolute positions
+
+
+def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False) -> TermPostings:
+    """Decode all block rows of ONE term into flat posting arrays.
+
+    Rows may span segments; segment gid ranges are disjoint, so sorting
+    blocks by first_gid and concatenating yields globally sorted postings.
+    """
+    block_rows = block_rows.sort_values("first_gid", kind="mergesort")
+    gids_l, freqs_l, norms_l, pos_l = [], [], [], []
+    for row in block_rows.itertuples(index=False):
+        gaps = decode_stream(row.gids).astype(np.int64)
+        g = np.empty(len(gaps) + 1, dtype=np.int64)
+        g[0] = row.first_gid
+        if len(gaps):
+            g[1:] = row.first_gid + np.cumsum(gaps)
+        f = decode_stream(row.freqs).astype(np.int64)
+        n = decode_stream(row.norms).astype(np.uint8)
+        gids_l.append(g)
+        freqs_l.append(f)
+        norms_l.append(n)
+        if need_positions:
+            deltas = decode_stream(row.positions).astype(np.int64)
+            cs = np.cumsum(deltas)
+            starts = np.concatenate(([0], np.cumsum(f)[:-1]))
+            base = np.where(starts > 0, cs[starts - 1], 0)
+            abs_pos = cs - np.repeat(base, f)
+            pos_l.extend(np.split(abs_pos, np.cumsum(f)[:-1]))
+    if not gids_l:
+        return TermPostings(
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8),
+            [] if need_positions else None,
+        )
+    return TermPostings(
+        np.concatenate(gids_l),
+        np.concatenate(freqs_l),
+        np.concatenate(norms_l),
+        pos_l if need_positions else None,
+    )
+
+
+# ------------------------------------------------------------ plan evaluation
+
+
+@dataclass
+class ScoreCtx:
+    weights: dict  # term -> np.float32 weight (boost * idf)
+    cache: np.ndarray  # float32[256] shared norm-inverse cache
+    phrase_weights: dict  # PhraseQ -> np.float32
+
+
+def _score_term(tp: TermPostings, weight: np.float32, cache: np.ndarray) -> np.ndarray:
+    one = np.float32(1.0)
+    return weight - weight / (one + tp.freqs.astype(np.float32) * cache[tp.norms])
+
+
+def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate a query node -> (sorted gids, float32 scores).
+
+    ``postings`` maps term -> TermPostings restricted to the current range.
+    """
+    if node is None:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    if isinstance(node, TermQ):
+        tp = postings.get(node.term)
+        if tp is None or not len(tp.gids):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        return tp.gids, _score_term(tp, ctx.weights[node.term], ctx.cache)
+    if isinstance(node, PhraseQ):
+        return _eval_phrase(node, postings, ctx)
+    if isinstance(node, BoolQ):
+        return _eval_bool(node, postings, ctx)
+    raise TypeError(f"unknown node {node!r}")
+
+
+def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    # evaluate children
+    musts = [eval_plan(c, postings, ctx) for c in node.must]
+    shoulds = [eval_plan(c, postings, ctx) for c in node.should]
+    nots = [eval_plan(c, postings, ctx) for c in node.must_not]
+
+    if node.must:
+        gids = musts[0][0]
+        for g, _ in musts[1:]:
+            gids = np.intersect1d(gids, g, assume_unique=True)
+        if not len(gids):
+            return gids, np.empty(0, np.float32)
+        total = np.zeros(len(gids), dtype=np.float64)
+        for g, s in musts:
+            idx = np.searchsorted(g, gids)
+            total += s[idx].astype(np.float64)
+        for g, s in shoulds:
+            if not len(g):
+                continue
+            idx = np.searchsorted(g, gids)
+            idx_c = np.minimum(idx, len(g) - 1)
+            hit = g[idx_c] == gids
+            total[hit] += s[idx_c[hit]].astype(np.float64)
+    else:
+        if not shoulds:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        all_g = np.concatenate([g for g, _ in shoulds])
+        all_s = np.concatenate([s for _, s in shoulds]).astype(np.float64)
+        if not len(all_g):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        gids, inv = np.unique(all_g, return_inverse=True)
+        total = np.zeros(len(gids), dtype=np.float64)
+        np.add.at(total, inv, all_s)
+
+    for g, _ in nots:
+        if len(g):
+            keep = ~np.isin(gids, g, assume_unique=True)
+            gids, total = gids[keep], total[keep]
+    return gids, total.astype(np.float32)
+
+
+def _eval_phrase(node: PhraseQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase: leapfrog on positions (ExactPhraseMatcher analog).
+
+    Candidate docs = conjunction of the phrase terms; per candidate, phrase
+    freq = |∩_i (positions_i - offset_i)|; scored like a term with the
+    summed idf weight (PhraseWeight/BM25 semantics).
+    """
+    tps = [postings.get(t) for t in node.terms]
+    if any(tp is None or not len(tp.gids) for tp in tps):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    gids = tps[0].gids
+    for tp in tps[1:]:
+        gids = np.intersect1d(gids, tp.gids, assume_unique=True)
+    if not len(gids):
+        return gids, np.empty(0, np.float32)
+    idxs = [np.searchsorted(tp.gids, gids) for tp in tps]
+    freqs = np.zeros(len(gids), dtype=np.int64)
+    norms = tps[0].norms[idxs[0]]
+    for j in range(len(gids)):
+        cand = tps[0].positions[idxs[0][j]] - node.offsets[0]
+        for i in range(1, len(tps)):
+            cand = np.intersect1d(cand, tps[i].positions[idxs[i][j]] - node.offsets[i], assume_unique=True)
+            if not len(cand):
+                break
+        freqs[j] = len(cand)
+    hit = freqs > 0
+    gids, freqs, norms = gids[hit], freqs[hit], norms[hit]
+    w = ctx.phrase_weights[node]
+    one = np.float32(1.0)
+    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache[norms])
+    return gids, scores
+
+
+def _max_score_of_impacts(imp_freqs, imp_norms, weight, cache) -> float:
+    f = np.asarray(imp_freqs, dtype=np.int64)
+    n = np.asarray(imp_norms, dtype=np.int64).astype(np.uint8)
+    if not len(f):
+        return float("inf")
+    one = np.float32(1.0)
+    s = weight - weight / (one + f.astype(np.float32) * cache[n])
+    return float(s.max())
+
+
+def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
+    """Conservative max score of a node given per-term max scores in range.
+
+    A missing must term makes the node impossible (-inf).
+    """
+    if node is None:
+        return float("-inf")
+    if isinstance(node, TermQ):
+        return term_maxes.get(node.term, float("-inf"))
+    if isinstance(node, PhraseQ):
+        if any(t not in term_maxes for t in node.terms):
+            return float("-inf")
+        return float("inf")  # no cheap bound for phrase freq
+    if isinstance(node, BoolQ):
+        ub = 0.0
+        if node.must:
+            for c in node.must:
+                b = _plan_upper_bound(c, term_maxes, ctx)
+                if b == float("-inf"):
+                    return float("-inf")
+                ub += b
+            for c in node.should:
+                b = _plan_upper_bound(c, term_maxes, ctx)
+                if b > 0:
+                    ub += b
+            return ub
+        any_present = False
+        for c in node.should:
+            b = _plan_upper_bound(c, term_maxes, ctx)
+            if b != float("-inf"):
+                any_present = True
+                ub += max(b, 0.0)
+        return ub if any_present else float("-inf")
+    return float("inf")
+
+
+# ------------------------------------------------------------------ searcher
+
+# worker-local top-k heaps: query id -> (k, min-heap of scores)
+_LOCAL_HEAPS: dict = {}
+
+
+def _theta(qid: str, k: int) -> float:
+    heap = _LOCAL_HEAPS.get(qid)
+    if heap is None or len(heap) < k:
+        return float("-inf")
+    return heap[0]
+
+
+def _offer(qid: str, k: int, scores: np.ndarray) -> None:
+    heap = _LOCAL_HEAPS.setdefault(qid, [])
+    scores = np.asarray(scores)
+    if len(scores) > k:  # only the batch's top-k can matter
+        scores = scores[np.argpartition(-scores, k - 1)[:k]]
+    for s in scores:
+        s = float(s)
+        if len(heap) < k:
+            heapq.heappush(heap, s)
+        elif s > heap[0]:
+            heapq.heapreplace(heap, s)
+
+
+RESULT_SCHEMA = T.StructType(
+    [T.StructField("gid", T.LongType()), T.StructField("score", T.FloatType())]
+)
+
+
+class Searcher:
+    """Searches one finalized index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self._terms_df = None
+
+    # ---- planning -----------------------------------------------------
+    def _postings_df(self) -> DataFrame:
+        path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=post")
+        return self.spark.read.parquet(path)
+
+    def term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
+        if not terms:
+            return {}
+        tdf = self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+        rows = tdf.filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"])) for r in rows}
+
+    def make_ctx(self, node) -> ScoreCtx:
+        terms = query_terms(node)
+        tstats = self.term_stats(terms)
+        doc_count = self.stats["doc_count"]
+        cache = norm_cache(_avgdl(self.stats["sum_total_term_freq"], doc_count))
+        weights = {
+            t: _idf(tstats[t][0], doc_count) for t in terms if t in tstats
+        }
+        phrase_weights = {}
+
+        def walk(n):
+            if isinstance(n, PhraseQ):
+                # idf summed as double over float per-term idfs, cast to float
+                s = sum(float(_idf(tstats[t][0], doc_count)) for t in n.terms if t in tstats)
+                phrase_weights[n] = np.float32(s)
+            elif isinstance(n, BoolQ):
+                for c in n.must + n.should + n.must_not:
+                    walk(c)
+
+        walk(node)
+        return ScoreCtx(weights=weights, cache=cache, phrase_weights=phrase_weights)
+
+    # ---- execution ------------------------------------------------------
+    def search(self, query, k: int = 10, prune: bool = True) -> pd.DataFrame:
+        """Top-k. Returns pandas (gid, key, score) ordered score desc, gid asc."""
+        node = parse_query(query) if isinstance(query, str) else query
+        candidates = self.candidates(node, k=k, prune=prune)
+        top = (
+            candidates.orderBy(F.desc("score"), F.asc("gid")).limit(k).toPandas()
+        )
+        if top.empty:
+            return pd.DataFrame({"gid": [], "key": [], "score": []})
+        docs_path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=doc")
+        keys = (
+            self.spark.read.parquet(docs_path)
+            .filter(F.col("gid").isin([int(g) for g in top["gid"]]))
+            .select("gid", "key")
+            .toPandas()
+        )
+        out = top.merge(keys, on="gid", how="left")
+        return out[["gid", "key", "score"]]
+
+    def candidates(self, node, k: int = 10, prune: bool = True) -> DataFrame:
+        """DataFrame (gid, score) of all scored candidates (per-bucket top-k)."""
+        if node is None:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        ctx = self.make_ctx(node)
+        terms = {t for t in query_terms(node) if t in ctx.weights}
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        need_positions = _has_phrase(node)
+        cols = ["seg", "term", "first_gid", "last_gid", "doc_count", "gids", "freqs", "norms",
+                "imp_freqs", "imp_norms"] + (["positions"] if need_positions else [])
+        scan = self._postings_df().select(*cols).filter(F.col("term").isin(list(terms)))
+
+        qid = uuid.uuid4().hex
+        if isinstance(node, TermQ):
+            return self._single_term(scan, node, ctx, k, prune, qid)
+        return self._bucketed(scan, node, ctx, k, prune, qid, need_positions)
+
+    def _single_term(self, scan, node, ctx, k, prune, qid) -> DataFrame:
+        weight = ctx.weights[node.term]
+        cache = ctx.cache
+
+        def kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                if prune:
+                    maxes = [
+                        _max_score_of_impacts(f, n, weight, cache)
+                        for f, n in zip(pdf["imp_freqs"], pdf["imp_norms"])
+                    ]
+                    theta = _theta(qid, k)
+                    keep = [m >= theta for m in maxes]
+                    pdf = pdf[np.array(keep, dtype=bool)]
+                    if pdf.empty:
+                        continue
+                tp = decode_term_blocks(pdf)
+                scores = _score_term(tp, weight, cache)
+                if prune:
+                    _offer(qid, k, scores)
+                yield pd.DataFrame({"gid": tp.gids, "score": scores.astype(np.float32)})
+
+        return scan.mapInPandas(kernel, schema=RESULT_SCHEMA)
+
+    def _bucketed(self, scan, node, ctx, k, prune, qid, need_positions) -> DataFrame:
+        max_gid = max(self.stats.get("max_gid", 0), 0)
+        # bucket width: aim for ~256 buckets, at least one 128-block span
+        width = max(128, (max_gid + 256) // 256)
+        with_bucket = scan.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("first_gid") / width).cast("long"),
+                    (F.col("last_gid") / width).cast("long"),
+                )
+            ),
+        )
+        cache = ctx.cache
+        weights = ctx.weights
+
+        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(key[0])
+            lo, hi = bucket * width, (bucket + 1) * width
+            theta = _theta(qid, k) if prune else float("-inf")
+            if prune:
+                term_maxes: dict[str, float] = {}
+                for t, grp in pdf.groupby("term", sort=False):
+                    m = max(
+                        _max_score_of_impacts(f, n, weights[t], cache)
+                        for f, n in zip(grp["imp_freqs"], grp["imp_norms"])
+                    )
+                    term_maxes[t] = m
+                if _plan_upper_bound(node, term_maxes, ctx) < theta:
+                    return pd.DataFrame({"gid": [], "score": []}).astype(
+                        {"gid": np.int64, "score": np.float32}
+                    )
+            postings: dict[str, TermPostings] = {}
+            for t, grp in pdf.groupby("term", sort=False):
+                tp = decode_term_blocks(grp, need_positions=need_positions)
+                mask = (tp.gids >= lo) & (tp.gids < hi)
+                postings[t] = TermPostings(
+                    tp.gids[mask],
+                    tp.freqs[mask],
+                    tp.norms[mask],
+                    [p for p, m in zip(tp.positions, mask) if m] if need_positions else None,
+                )
+            gids, scores = eval_plan(node, postings, ctx)
+            if len(gids) > k:
+                part = np.argpartition(-scores.astype(np.float64), k - 1)[:k]
+                # keep exact tie-break: sort kept candidates by (-score, gid)
+                # but argpartition may split ties arbitrarily — include ties at kth
+                kth = scores[part].min()
+                keep = scores >= kth
+                gids, scores = gids[keep], scores[keep]
+            if prune and len(scores):
+                _offer(qid, k, scores)
+            return pd.DataFrame({"gid": gids, "score": scores.astype(np.float32)})
+
+        return with_bucket.groupBy("bucket").applyInPandas(kernel, schema=RESULT_SCHEMA)
+
+    def count(self, query) -> int:
+        """TotalHitCountCollector analog."""
+        node = parse_query(query) if isinstance(query, str) else query
+        if node is None:
+            return 0
+        if isinstance(node, TermQ):
+            # no decode needed: block doc counts sum exactly
+            row = (
+                self._postings_df()
+                .filter(F.col("term") == node.term)
+                .agg(F.sum("doc_count").alias("n"))
+                .collect()[0]
+            )
+            return int(row["n"] or 0)
+        df = self.candidates(node, k=1 << 62, prune=False)
+        return df.count()
+
+
+def _has_phrase(node) -> bool:
+    if isinstance(node, PhraseQ):
+        return True
+    if isinstance(node, BoolQ):
+        return any(_has_phrase(c) for c in node.must + node.should + node.must_not)
+    return False

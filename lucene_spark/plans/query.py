@@ -1,0 +1,214 @@
+"""Query model + parser.
+
+Query trees mirror Lucene's (TermQuery / BooleanQuery / PhraseQuery,
+``core/search/BooleanQuery.java``) with the rewrite rules our planner needs
+(``BooleanQuery.java:249-569``): single-clause boolean collapses to the
+clause, duplicate clauses dedupe, empty query matches nothing.
+
+The parser covers the reference benchmark query shapes
+(``lucene/benchmark/conf/query-terms.txt``): bare terms (implicit OR),
+AND/OR/NOT, parentheses, and "quoted phrases". Query text runs through the
+same analysis chain as indexing (SearchFiles.java:108-146 uses the same
+analyzer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..functions.analysis import analyze_batch
+
+__all__ = ["TermQ", "PhraseQ", "BoolQ", "parse_query", "query_terms"]
+
+
+@dataclass(frozen=True)
+class TermQ:
+    term: str
+
+
+@dataclass(frozen=True)
+class PhraseQ:
+    terms: tuple[str, ...]
+    # relative positions of each term in the phrase (stopword holes kept)
+    offsets: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class BoolQ:
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+
+    def simplified(self):
+        """1-clause collapse + dedupe (BooleanQuery.rewrite subset)."""
+        must = tuple(dict.fromkeys(self.must))
+        should = tuple(dict.fromkeys(self.should))
+        must_not = tuple(dict.fromkeys(self.must_not))
+        if len(must) == 1 and not should and not must_not:
+            return must[0]
+        if len(should) == 1 and not must and not must_not:
+            return should[0]
+        return BoolQ(must, should, must_not)
+
+
+def _analyze_word(word: str) -> list[tuple[str, int]]:
+    b = analyze_batch([word])
+    return list(zip(b.tok_terms.tolist(), b.tok_positions.tolist()))
+
+
+def _tokenize_query(q: str) -> list[str]:
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                j = n
+            out.append(q[i : j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            out.append(q[i:j])
+            i = j
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    # grammar: or_expr := and_expr (OR and_expr)*
+    #          and_expr := unary ((AND|NOT) unary)*   -- "a NOT b" == AND NOT
+    #          unary := NOT unary | atom
+    #          atom := '(' or_expr ')' | phrase | term
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens at {self.pos}: {self.toks[self.pos:]}")
+        return node
+
+    def or_expr(self):
+        clauses = [self.and_expr()]
+        while True:
+            t = self.peek()
+            if t == "OR":
+                self.next()
+                clauses.append(self.and_expr())
+            elif t is not None and t != ")":
+                # implicit OR: bare adjacent clauses (Lucene default operator)
+                before = self.pos
+                clauses.append(self.and_expr())
+                if self.pos == before:  # safety: always make progress
+                    self.next()
+            else:
+                break
+        clauses = [c for c in clauses if c is not None]
+        if not clauses:
+            return None
+        if len(clauses) == 1:
+            return clauses[0]
+        return BoolQ(should=tuple(clauses)).simplified()
+
+    def and_expr(self):
+        must: list = []
+        must_not: list = []
+        first = self.unary()
+        if isinstance(first, tuple) and first and first[0] == "NOT":
+            must_not.append(first[1])
+        elif first is not None:
+            must.append(first)
+        while self.peek() in ("AND", "NOT"):
+            op = self.next()
+            if op == "NOT":
+                c = self.unary_atom()
+                if c is not None:
+                    must_not.append(c)
+            else:
+                c = self.unary()
+                if isinstance(c, tuple) and c and c[0] == "NOT":
+                    must_not.append(c[1])
+                elif c is not None:
+                    must.append(c)
+        if not must_not:
+            if len(must) == 1:
+                return must[0]
+            if not must:
+                return None
+        return BoolQ(must=tuple(must), must_not=tuple(must_not)).simplified()
+
+    def unary(self):
+        if self.peek() == "NOT":
+            self.next()
+            c = self.unary_atom()
+            return ("NOT", c) if c is not None else None
+        return self.unary_atom()
+
+    def unary_atom(self):
+        t = self.peek()
+        if t == "(":
+            self.next()
+            node = self.or_expr()
+            if self.peek() == ")":
+                self.next()
+            return node
+        if t is None or t in (")", "AND", "OR"):
+            return None
+        self.next()
+        if t.startswith('"'):
+            body = t.strip('"')
+            toks = _analyze_word(body)
+            if not toks:
+                return None
+            if len(toks) == 1:
+                return TermQ(toks[0][0])
+            return PhraseQ(
+                terms=tuple(w for w, _ in toks), offsets=tuple(p for _, p in toks)
+            )
+        toks = _analyze_word(t)
+        if not toks:
+            return None  # stopword-only / punctuation-only token
+        if len(toks) == 1:
+            return TermQ(toks[0][0])
+        # a single query word that analyzes to multiple tokens (e.g. "foo-bar")
+        return PhraseQ(terms=tuple(w for w, _ in toks), offsets=tuple(p for _, p in toks))
+
+
+def parse_query(q: str):
+    """Parse a query string; returns a TermQ/PhraseQ/BoolQ or None (no-op)."""
+    toks = _tokenize_query(q)
+    if not toks:
+        return None
+    return _Parser(toks).parse()
+
+
+def query_terms(node) -> set[str]:
+    """All index terms a query touches (for the postings scan filter)."""
+    if node is None:
+        return set()
+    if isinstance(node, TermQ):
+        return {node.term}
+    if isinstance(node, PhraseQ):
+        return set(node.terms)
+    if isinstance(node, BoolQ):
+        out: set[str] = set()
+        for c in node.must + node.should + node.must_not:
+            out |= query_terms(c)
+        return out
+    raise TypeError(f"unknown node {node!r}")
