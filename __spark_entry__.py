@@ -1,38 +1,203 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: ``lucene_spark`` — a PySpark-native Lucene-style inverted-index +
+BM25 top-k engine (see SURVEY.md). Each ``queries()`` entry exercises one
+operator family from SURVEY.md §2 over the ``documents`` corpus; the paired
+``oracle_sql()`` reproduces it in DuckDB — including Lucene's float32 BM25
+arithmetic via per-op CAST(... AS FLOAT) emulation (see
+lucene_spark/plans/oracle_sql.py).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+INDEX_FORMAT_VERSION = "v1"
+
+# query terms chosen from the documents corpus vocabulary
+T_HOT = "merge"
+T_MID = "window"
+T_B = "scan"
+PHRASE = ("table", "scan")
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and cache the inverted index for a testdata dir."""
+    from lucene_spark.operators.indexer import build_index
+
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    n_segments = max(2, min(16, n // 250))
+    build_index(
+        spark,
+        docs,
+        index_dir,
+        key_col="doc_id",
+        text_col="text",
+        gid_col="doc_id",
+        n_segments=n_segments,
+    )
+    _INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _searcher(spark: SparkSession, sf_dir: str):
+    from lucene_spark.operators.search import Searcher
+
+    return Searcher(spark, _index_for(spark, sf_dir))
+
+
+def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    pdf = _searcher(spark, sf_dir).search(query, k=k)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")  # exact float32 -> double widen
+    return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a boolean query on sf0.001."""
+    return _topk_df(spark, "/root/testdata/sf0.001", f"{T_HOT} AND {T_MID}")
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_topk_single(spark, sf_dir):
+    return _topk_df(spark, sf_dir, T_HOT)
+
+
+def _q_topk_or(spark, sf_dir):
+    return _topk_df(spark, sf_dir, f"{T_HOT} OR {T_MID}")
+
+
+def _q_topk_and(spark, sf_dir):
+    return _topk_df(spark, sf_dir, f"{T_HOT} AND {T_MID}")
+
+
+def _q_topk_not(spark, sf_dir):
+    return _topk_df(spark, sf_dir, f"{T_B} NOT {T_HOT}")
+
+
+def _q_term_postings(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return s.postings(T_MID).select(
+        F.col("gid").alias("doc_id"), F.col("freq").cast("long").alias("freq")
+    )
+
+
+def _q_term_stats(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return spark.read.parquet(os.path.join(idx, "terms")).select(
+        "term", "doc_freq", "total_term_freq"
+    )
+
+
+def _q_doc_norms(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(idx, "segments", "batch=*", "row_type=doc"))
+    return docs.select(
+        F.col("gid").alias("doc_id"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.col("norm_b").cast("long").alias("norm_b"),
+    )
+
+
+def _q_phrase_match(spark, sf_dir):
+    """Exact phrase matches with per-doc phrase frequency.
+
+    Grouping by segment is exact (segment gid ranges are disjoint); within a
+    group the positions-kernel intersects offset-shifted position sets.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lucene_spark.operators.search import decode_term_blocks
+    from lucene_spark.plans.query import PhraseQ
+
+    s = _searcher(spark, sf_dir)
+    node = PhraseQ(terms=PHRASE, offsets=(0, 1))
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "freq": pd.Series(dtype="int64")}
+    )
+
+    def kernel(key, pdf):
+        postings = {
+            t: decode_term_blocks(grp, need_positions=True)
+            for t, grp in pdf.groupby("term", sort=False)
+        }
+        tps = [postings.get(t) for t in node.terms]
+        if any(tp is None or not len(tp.gids) for tp in tps):
+            return empty
+        gids = tps[0].gids
+        for tp in tps[1:]:
+            gids = np.intersect1d(gids, tp.gids, assume_unique=True)
+        idxs = [np.searchsorted(tp.gids, gids) for tp in tps]
+        freqs = np.zeros(len(gids), dtype=np.int64)
+        for j in range(len(gids)):
+            cand = tps[0].positions[idxs[0][j]] - node.offsets[0]
+            for i in range(1, len(tps)):
+                cand = np.intersect1d(
+                    cand, tps[i].positions[idxs[i][j]] - node.offsets[i], assume_unique=True
+                )
+                if not len(cand):
+                    break
+            freqs[j] = len(cand)
+        hit = freqs > 0
+        return pd.DataFrame({"doc_id": gids[hit], "freq": freqs[hit]})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("freq", T.LongType())]
+    )
+    scan = s._postings_df().select(
+        "seg", "term", "first_gid", "gids", "freqs", "norms", "positions"
+    ).filter(F.col("term").isin(list(PHRASE)))
+    return scan.groupBy("seg").applyInPandas(kernel, schema=schema)
+
+
+def _q_total_hits_or(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    from lucene_spark.plans.query import parse_query
+
+    n = s.count(parse_query(f"{T_HOT} OR {T_MID}"))
+    return spark.createDataFrame([(int(n),)], schema="n long")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "topk_term": _q_topk_single,
+        "topk_or": _q_topk_or,
+        "topk_and": _q_topk_and,
+        "topk_not": _q_topk_not,
+        "term_postings": _q_term_postings,
+        "term_stats": _q_term_stats,
+        "doc_norms": _q_doc_norms,
+        "phrase_match": _q_phrase_match,
+        "total_hits_or": _q_total_hits_or,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_spark.plans import oracle_sql as osql
+
+    return {
+        "topk_term": osql.topk_single_sql(T_HOT),
+        "topk_or": osql.topk_or_sql(T_HOT, T_MID),
+        "topk_and": osql.topk_and_sql(T_HOT, T_MID),
+        "topk_not": osql.topk_not_sql(T_B, T_HOT),
+        "term_postings": osql.term_postings_sql(T_MID),
+        "term_stats": osql.term_stats_sql(),
+        "doc_norms": osql.doc_norms_sql(),
+        "phrase_match": osql.phrase_match_sql(*PHRASE),
+        "total_hits_or": osql.total_hits_or_sql(T_HOT, T_MID),
+    }

@@ -444,6 +444,34 @@ class Searcher:
 
         return with_bucket.groupBy("bucket").applyInPandas(kernel, schema=RESULT_SCHEMA)
 
+    def postings(self, term: str) -> DataFrame:
+        """Decoded posting list of one term: (gid, freq, norm_b, doc_len-ish).
+
+        TermsEnum.postings() analog; a mapInPandas decode over the pruned
+        block scan.
+        """
+        scan = self._postings_df().select(
+            "term", "first_gid", "gids", "freqs", "norms"
+        ).filter(F.col("term") == term)
+
+        def kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                tp = decode_term_blocks(pdf)
+                yield pd.DataFrame(
+                    {"gid": tp.gids, "freq": tp.freqs, "norm_b": tp.norms.astype(np.int32)}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("gid", T.LongType()),
+                T.StructField("freq", T.LongType()),
+                T.StructField("norm_b", T.IntegerType()),
+            ]
+        )
+        return scan.mapInPandas(kernel, schema=schema)
+
     def count(self, query) -> int:
         """TotalHitCountCollector analog."""
         node = parse_query(query) if isinstance(query, str) else query

@@ -1,0 +1,182 @@
+"""ANSI-SQL (DuckDB) oracles that mirror the engine bit-for-bit.
+
+The driver's correctness gate runs each ``queries()`` entry on Spark and the
+matching SQL here on DuckDB, then hash-compares values. For BM25 that means
+the SQL must reproduce Lucene's *float32* arithmetic exactly. DuckDB's FLOAT
+is IEEE binary32 and CAST(<double expr> AS FLOAT) rounds to nearest — and
+since binary64 has >2*24+2 mantissa bits, emulating each float32 op as
+(double op, then cast) is exactly the float32 op. We wrap every Java ``float``
+operation in a cast, in the same evaluation order as BM25Similarity.java.
+
+Norm quantization (SmallFloat.intToByte4) is embedded as a literal 256-row
+(norm byte, decoded length) table — encode(x) is the largest byte whose
+decoded length <= x, joined via a lateral max.
+"""
+
+from __future__ import annotations
+
+from ..functions.analysis import ENGLISH_STOP_WORDS
+from ..functions.smallfloat import LENGTH_TABLE
+
+STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+# literal norm table: b = encoded byte, dec = decoded (= lower bound) length
+NORM_TABLE_SQL = "norm_tab(b, dec) AS (VALUES " + ", ".join(
+    f"({b}, {int(LENGTH_TABLE[b])})" for b in range(256)
+) + ")"
+
+
+def _f4(expr: str) -> str:
+    return f"CAST({expr} AS FLOAT)"
+
+
+def base_ctes(table: str = "documents") -> str:
+    """Tokenization + doc-length + collection-stats CTEs.
+
+    Tokens: split on spaces (the synthetic corpus is strictly [a-z0-9 ], so
+    this equals the engine's UAX#29-subset tokenizer), drop empties, keep
+    0-based pre-stop positions (stop removal leaves Lucene position holes).
+    """
+    return f"""
+toks_all AS (
+  SELECT doc_id, tok AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM {table}
+  )
+  WHERE tok <> ''
+),
+toks AS (
+  SELECT * FROM toks_all WHERE term NOT IN ({STOPLIST_SQL})
+),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
+  FROM {table} d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+{NORM_TABLE_SQL},
+dn AS (
+  SELECT dl.doc_id, dl.doc_len,
+         (SELECT max(b) FROM norm_tab WHERE norm_tab.dec <= dl.doc_len) AS norm_b
+  FROM dl
+),
+cstats AS (
+  SELECT sum(CASE WHEN doc_len > 0 THEN 1 ELSE 0 END)::BIGINT AS doc_count,
+         sum(doc_len)::BIGINT AS sum_ttf
+  FROM dl
+),
+tf AS (
+  SELECT term, doc_id, count(*)::BIGINT AS freq FROM toks GROUP BY term, doc_id
+),
+tstats AS (
+  SELECT term, count(*)::BIGINT AS doc_freq, sum(freq)::BIGINT AS total_term_freq
+  FROM tf GROUP BY term
+)"""
+
+
+def bm25_score_sql(weight_expr: str, freq_expr: str, cache_expr: str) -> str:
+    """float32 ``w - w / (1 + freq * cache)`` with per-op casts."""
+    fw = weight_expr
+    prod = _f4(f"{_f4(freq_expr)} * {cache_expr}")
+    denom = _f4(f"{_f4('1.0')} + {prod}")
+    return _f4(f"{fw} - {_f4(f'{fw} / {denom}')}")
+
+
+def cache_sql(dec_expr: str, avgdl_expr: str) -> str:
+    """float32 ``1 / (k1 * ((1-b) + b*dec/avgdl))`` — BM25Similarity.java:205-208."""
+    bdl = _f4(f"{_f4('0.75')} * {_f4(dec_expr)}")
+    inner = _f4(f"{_f4('0.25')} + {_f4(f'{bdl} / {avgdl_expr}')}")
+    k1_inner = _f4(f"{_f4('1.2')} * {inner}")
+    return _f4(f"{_f4('1.0')} / {k1_inner}")
+
+
+def idf_sql(df_expr: str, n_expr: str) -> str:
+    return _f4(f"ln(1.0 + ({n_expr} - {df_expr} + 0.5) / ({df_expr} + 0.5))")
+
+
+AVGDL_SQL = "CAST((SELECT sum_ttf FROM cstats) / CAST((SELECT doc_count FROM cstats) AS DOUBLE) AS FLOAT)"
+N_SQL = "(SELECT doc_count FROM cstats)"
+
+
+def scored_term_cte(name: str, term: str) -> str:
+    """CTE scoring every doc containing `term` (float32-exact BM25)."""
+    w = idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{term}')", N_SQL)
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    score = bm25_score_sql(w, "tf.freq", cache)
+    return f"""
+{name} AS (
+  SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+  FROM tf
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+  WHERE tf.term = '{term}'
+)"""
+
+
+def topk_single_sql(term: str, k: int = 10) -> str:
+    return f"""WITH {base_ctes()},{scored_term_cte('s', term)}
+SELECT doc_id, score FROM s
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def topk_or_sql(t1: str, t2: str, k: int = 10) -> str:
+    # DisjunctionSumScorer: per-clause float32 scores summed in double, cast
+    # to float32 once (scores << 2^29 apart, so the double sum is exact and
+    # order-independent)
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def topk_and_sql(t1: str, t2: str, k: int = 10) -> str:
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)}
+SELECT s1.doc_id AS doc_id,
+       CAST(CAST(s1.score + s2.score AS FLOAT) AS DOUBLE) AS score
+FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+ORDER BY score DESC, s1.doc_id ASC LIMIT {k}"""
+
+
+def topk_not_sql(t1: str, t2: str, k: int = 10) -> str:
+    # ReqExclScorer: required clause's score passes through unchanged
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)}
+SELECT s1.doc_id, s1.score
+FROM s1
+WHERE s1.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t2}')
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def term_postings_sql(term: str) -> str:
+    return f"""WITH {base_ctes()}
+SELECT doc_id, freq FROM tf WHERE term = '{term}' ORDER BY doc_id"""
+
+
+def term_stats_sql() -> str:
+    return f"""WITH {base_ctes()}
+SELECT term, doc_freq, total_term_freq FROM tstats ORDER BY term"""
+
+
+def doc_norms_sql() -> str:
+    return f"""WITH {base_ctes()}
+SELECT doc_id, doc_len, norm_b FROM dn ORDER BY doc_id"""
+
+
+def phrase_match_sql(t1: str, t2: str) -> str:
+    """Exact 2-term adjacent phrase: positions differ by 1 (pre-stop space)."""
+    return f"""WITH {base_ctes()}
+SELECT a.doc_id, count(*)::BIGINT AS freq
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{t1}' AND b.term = '{t2}'
+GROUP BY a.doc_id ORDER BY a.doc_id"""
+
+
+def total_hits_or_sql(t1: str, t2: str) -> str:
+    return f"""WITH {base_ctes()}
+SELECT count(DISTINCT doc_id)::BIGINT AS n
+FROM tf WHERE term IN ('{t1}', '{t2}')"""
