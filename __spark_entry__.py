@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-INDEX_FORMAT_VERSION = "v1"
+INDEX_FORMAT_VERSION = "v2"
 
 # query terms chosen from the documents corpus vocabulary
 T_HOT = "merge"

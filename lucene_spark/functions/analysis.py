@@ -15,9 +15,13 @@ set of ``analysis/common/.../en/EnglishAnalyzer.java:46-52``):
     surviving token's position equals its 0-based index in the pre-stop
     stream (position starts at -1, FieldInvertState.java:83-92).
 
-Everything runs over Arrow arrays (pyarrow.compute — C kernels), with a
-Python fallback only for the rare tokens needing CJK splitting / 255-char
-chopping. No per-row Python on the hot path.
+Everything runs over Arrow arrays (pyarrow.compute — C kernels) and the
+token strings STAY in Arrow (``AnalyzedBatch.tok_terms_pa``): downstream
+consumers dictionary-encode them without ever materializing per-token Python
+strings — at millions of tokens per task, PyUnicode allocation churn is what
+kills multi-core scaling. Only the rare tokens needing CJK splitting /
+255-char chopping take a Python path, and only for the documents containing
+them.
 """
 
 from __future__ import annotations
@@ -43,71 +47,77 @@ _STOP_ARRAY = pa.array(sorted(ENGLISH_STOP_WORDS), type=pa.string())
 # RE2 (pyarrow) pattern: split on anything that's not a letter/digit.
 _NON_TOKEN_RE2 = r"[^\pL\pN]+"
 
-# Characters that need single-char token treatment (Han + Hiragana) — used
-# only to detect rare tokens that take the slow path.
-_CJK_SINGLE = (
-    "一-鿿㐀-䶿豈-﫿぀-ゟ"
-)
-_SPECIAL_TOKEN_RE = re.compile(f"[{_CJK_SINGLE}]")
+# Characters needing single-char token treatment (Han + Hiragana).
+_CJK_SINGLE = "一-鿿㐀-䶿豈-﫿぀-ゟ"
 _CJK_SPLIT_RE = re.compile(f"([{_CJK_SINGLE}])")
+_SPECIAL_RE2 = f"[{_CJK_SINGLE}]"
 
 
 class AnalyzedBatch:
     """Flat token arrays for one batch of documents.
 
-    doc_lens[i]  = number of surviving (post-stop) tokens of doc i
-    tok_doc_idx  = doc index (0-based within batch) per surviving token
-    tok_terms    = surviving token strings (numpy object array)
-    tok_positions= Lucene position of each surviving token (stop holes kept)
+    doc_lens[i]   = number of surviving (post-stop) tokens of doc i
+    tok_doc_idx   = doc index (0-based within batch) per surviving token
+    tok_terms_pa  = surviving token strings as a pyarrow StringArray
+    tok_positions = Lucene position of each surviving token (stop holes kept)
+
+    Within one document, tokens appear in ascending position order; documents
+    themselves may be interleaved (edge docs come after fast-path docs).
+    ``tok_terms`` materializes numpy object strings on demand (tests/oracle).
     """
 
-    __slots__ = ("n_docs", "doc_lens", "tok_doc_idx", "tok_terms", "tok_positions")
+    __slots__ = ("n_docs", "doc_lens", "tok_doc_idx", "tok_terms_pa", "tok_positions", "_np")
 
-    def __init__(self, n_docs, doc_lens, tok_doc_idx, tok_terms, tok_positions):
+    def __init__(self, n_docs, doc_lens, tok_doc_idx, tok_terms_pa, tok_positions):
         self.n_docs = n_docs
         self.doc_lens = doc_lens
         self.tok_doc_idx = tok_doc_idx
-        self.tok_terms = tok_terms
+        self.tok_terms_pa = tok_terms_pa
         self.tok_positions = tok_positions
+        self._np = None
+
+    @property
+    def tok_terms(self) -> np.ndarray:
+        if self._np is None:
+            self._np = np.asarray(self.tok_terms_pa.to_numpy(zero_copy_only=False), dtype=object)
+        return self._np
 
 
-def _expand_special(
-    terms: np.ndarray, doc_idx: np.ndarray, need: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """Slow path for rare tokens: CJK single-char split + 255-char chop.
-
-    ``need`` marks the tokens requiring expansion; order is preserved.
-    """
-    if not need.any():
-        return terms, doc_idx
-    out_terms: list[str] = []
-    out_docs: list[int] = []
-    for t, d, n in zip(terms, doc_idx, need):
-        if not n:
-            out_terms.append(t)
-            out_docs.append(d)
-            continue
-        # split CJK singles out of the run, keep other runs intact
-        pieces = [p for p in _CJK_SPLIT_RE.split(t) if p]
-        for p in pieces:
+def _expand_doc_tokens(tokens: list[str]) -> list[str]:
+    """Slow path for one edge doc: CJK single-char split + 255-char chop."""
+    out: list[str] = []
+    for t in tokens:
+        for p in _CJK_SPLIT_RE.split(t):
+            if not p:
+                continue
             while len(p) > MAX_TOKEN_LENGTH:
-                out_terms.append(p[:MAX_TOKEN_LENGTH])
-                out_docs.append(d)
+                out.append(p[:MAX_TOKEN_LENGTH])
                 p = p[MAX_TOKEN_LENGTH:]
-            out_terms.append(p)
-            out_docs.append(d)
-    return (
-        np.array(out_terms, dtype=object),
-        np.array(out_docs, dtype=np.int64),
-    )
+            if p:
+                out.append(p)
+    return out
+
+
+def _positions_within_docs(parent: np.ndarray, n_docs: int) -> np.ndarray:
+    """0-based index of each token within its doc (tokens doc-contiguous)."""
+    if not len(parent):
+        return np.empty(0, dtype=np.int32)
+    counts = np.bincount(parent, minlength=n_docs)
+    # tokens are contiguous per doc in stream order; recover each run's start
+    new_doc = np.empty(len(parent), dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = parent[1:] != parent[:-1]
+    run_starts = np.nonzero(new_doc)[0]
+    run_id = np.cumsum(new_doc) - 1
+    return (np.arange(len(parent), dtype=np.int64) - run_starts[run_id]).astype(np.int32)
 
 
 def analyze_batch(texts: "pd.Series | pa.Array | list[str]") -> AnalyzedBatch:
     """Run the full chain over a batch of texts. Vectorized via Arrow."""
     if isinstance(texts, pd.Series):
         arr = pa.Array.from_pandas(texts.astype("string"))
-    elif isinstance(texts, pa.Array):
-        arr = texts
+    elif isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     else:
         arr = pa.array(texts, type=pa.string())
     n_docs = len(arr)
@@ -120,38 +130,56 @@ def analyze_batch(texts: "pd.Series | pa.Array | list[str]") -> AnalyzedBatch:
     flat = pc.filter(flat, nonempty)
     parent = parent[nonempty.to_numpy(zero_copy_only=False)]
 
-    terms = flat.to_numpy(zero_copy_only=False)  # object array
-    # rare-token slow path (CJK singles, >255 chop); cheap check: any token
-    # with a char above the Latin ranges or longer than 255
-    if len(terms):
-        has_big = pc.match_substring_regex(flat, f"[{_CJK_SINGLE}]").to_numpy(zero_copy_only=False)
-        too_long = pc.greater(pc.utf8_length(flat), MAX_TOKEN_LENGTH).to_numpy(zero_copy_only=False)
-        if has_big.any() or too_long.any():
-            terms, parent = _expand_special(terms, parent, has_big | too_long)
-            flat = pa.array(terms, type=pa.string())
+    # rare-token slow path, per DOCUMENT: docs containing CJK singles or
+    # >255-char tokens are re-expanded in Python; all other docs stay Arrow
+    if len(flat):
+        special = pc.or_(
+            pc.match_substring_regex(flat, _SPECIAL_RE2),
+            pc.greater(pc.utf8_length(flat), MAX_TOKEN_LENGTH),
+        ).to_numpy(zero_copy_only=False)
+        if special.any():
+            edge_docs = np.unique(parent[special])
+            is_edge_doc = np.zeros(n_docs, dtype=bool)
+            is_edge_doc[edge_docs] = True
+            tok_is_edge = is_edge_doc[parent]
+            fast_flat = pc.filter(flat, pa.array(~tok_is_edge))
+            fast_parent = parent[~tok_is_edge]
+            # python expansion only for edge docs' tokens
+            edge_tokens = pc.filter(flat, pa.array(tok_is_edge)).to_pylist()
+            edge_parent_in = parent[tok_is_edge]
+            exp_terms: list[str] = []
+            exp_parent: list[int] = []
+            start = 0
+            for d in edge_docs:
+                cnt = int((edge_parent_in == d).sum())
+                toks = _expand_doc_tokens(edge_tokens[start : start + cnt])
+                exp_terms.extend(toks)
+                exp_parent.extend([int(d)] * len(toks))
+                start += cnt
+            flat = pa.concat_arrays([fast_flat.combine_chunks() if isinstance(fast_flat, pa.ChunkedArray) else fast_flat, pa.array(exp_terms, type=pa.string())])
+            parent = np.concatenate([fast_parent, np.asarray(exp_parent, dtype=np.int64)])
 
-    # positions: 0-based index within each doc's pre-stop token stream
-    counts = np.bincount(parent, minlength=n_docs) if len(parent) else np.zeros(n_docs, dtype=np.int64)
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    positions = (np.arange(len(parent), dtype=np.int64) - starts[parent]).astype(np.int32)
+    positions = _positions_within_docs(parent.astype(np.int64), n_docs)
 
     # stop filter: drop tokens, keep position holes
-    if len(terms):
-        is_stop = pc.is_in(flat, value_set=_STOP_ARRAY).to_numpy(zero_copy_only=False)
-        keep = ~is_stop
-        terms = terms[keep]
-        parent = parent[keep]
-        positions = positions[keep]
+    if len(flat):
+        is_stop = pc.is_in(flat, value_set=_STOP_ARRAY)
+        keep_np = ~is_stop.to_numpy(zero_copy_only=False)
+        flat = pc.filter(flat, pa.array(keep_np))
+        parent = parent[keep_np]
+        positions = positions[keep_np]
 
     doc_lens = (
         np.bincount(parent, minlength=n_docs).astype(np.int32)
         if len(parent)
         else np.zeros(n_docs, dtype=np.int32)
     )
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
     return AnalyzedBatch(
         n_docs=n_docs,
         doc_lens=doc_lens,
         tok_doc_idx=parent.astype(np.int64),
-        tok_terms=terms,
+        tok_terms_pa=flat,
         tok_positions=positions,
     )

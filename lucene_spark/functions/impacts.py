@@ -15,7 +15,33 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["competitive_impacts"]
+__all__ = ["competitive_impacts", "competitive_impacts_grouped"]
+
+
+def competitive_impacts_grouped(
+    block_ids: np.ndarray, freqs: np.ndarray, norms: np.ndarray, n_blocks: int
+) -> tuple[list[list[int]], list[list[int]]]:
+    """Pareto frontiers for MANY blocks at once (vectorized twin of
+    ``competitive_impacts`` — identical output per block).
+
+    block_ids assigns each (freq, norm) pair to a block in [0, n_blocks).
+    Returns per-block (frontier_freqs, frontier_norms) lists.
+    """
+    block_ids = np.asarray(block_ids, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64) & 0xFF
+    max_freqs = np.zeros(n_blocks * 256, dtype=np.int64)
+    np.maximum.at(max_freqs, block_ids * 256 + norms, freqs)
+    mf = max_freqs.reshape(n_blocks, 256)
+    running = np.maximum.accumulate(mf, axis=1)
+    prev = np.concatenate((np.zeros((n_blocks, 1), dtype=np.int64), running[:, :-1]), axis=1)
+    keep = mf > prev
+    rows, cols = np.nonzero(keep)
+    kept_freqs = mf[rows, cols]
+    splits = np.searchsorted(rows, np.arange(1, n_blocks))
+    out_f = [a.tolist() for a in np.split(kept_freqs, splits)]
+    out_n = [a.tolist() for a in np.split(cols, splits)]
+    return out_f, out_n
 
 
 def competitive_impacts(freqs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -244,44 +244,175 @@ def decode_stream(data: bytes) -> np.ndarray:
     return out
 
 
+def _bits_required_np(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 arrays."""
+    out = np.zeros(len(v), dtype=np.int64)
+    x = v.astype(np.uint64, copy=True)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = x >= (np.uint64(1) << np.uint64(shift))
+        out[mask] += shift
+        x[mask] >>= np.uint64(shift)
+    out[v > 0] += 1
+    return out
+
+
+def _pack_bits_matrix(vals: np.ndarray, bpv: int) -> np.ndarray:
+    """Bit-pack a (k, BLOCK_SIZE) uint64 matrix at fixed bpv per value.
+
+    Returns a (k, ceil(128*bpv/8)) uint8 matrix, little-endian bit order —
+    the matrix twin of _pack_bits.
+    """
+    k = vals.shape[0]
+    total_bits = BLOCK_SIZE * bpv
+    nbytes = (total_bits + 7) // 8
+    bits = np.zeros((k, nbytes * 8), dtype=np.uint8)
+    positions = np.arange(BLOCK_SIZE, dtype=np.int64) * bpv
+    for bit in range(bpv):
+        bits[:, positions + bit] = ((vals >> np.uint64(bit)) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits, axis=1, bitorder="little")
+
+
+def encode_blocks_matrix(m: np.ndarray) -> list[bytes]:
+    """Encode many full BLOCK_SIZE blocks at once (matrix-vectorized PFOR).
+
+    Byte-identical to per-block `_encode_block`; blocks are grouped by their
+    bit width so the packing loop runs once per distinct bpv, not per block.
+    """
+    m = np.ascontiguousarray(m, dtype=np.uint64)
+    n = m.shape[0]
+    if n == 0:
+        return []
+    part = np.partition(m, BLOCK_SIZE - MAX_EXCEPTIONS - 1, axis=1)
+    top8 = part[:, BLOCK_SIZE - MAX_EXCEPTIONS - 1 :]
+    top_value = top8[:, 0]  # (MAX_EXCEPTIONS+1)-th largest
+    max_val = top8.max(axis=1)
+    max_bits = _bits_required_np(max_val)
+    patched_bpv = np.maximum(_bits_required_np(top_value), max_bits - 8)
+    out: list[bytes] = [b""] * n
+
+    escape = patched_bpv >= 31
+    for i in np.nonzero(escape)[0]:
+        buf = bytearray()
+        _encode_block(m[i], buf)
+        out[i] = bytes(buf)
+    live = ~escape
+    if not live.any():
+        return out
+
+    max_unpatched = (np.uint64(1) << patched_bpv.astype(np.uint64)) - np.uint64(1)
+    exc_mask = m > max_unpatched[:, None]
+    exc_mask[escape] = False
+    vals = np.where(exc_mask, m & max_unpatched[:, None], m)
+    num_exc = exc_mask.sum(axis=1)
+    # exception payloads, grouped per row
+    exc_rows, exc_cols = np.nonzero(exc_mask)
+    exc_high = (m[exc_rows, exc_cols] >> patched_bpv[exc_rows].astype(np.uint64)).astype(np.uint8)
+
+    all_equal = (vals == vals[:, :1]).all(axis=1)
+    rle = live & all_equal & (max_bits <= 8)
+    packed = live & ~rle
+
+    exc_bytes: list[bytes] = [b""] * n
+    if len(exc_rows):
+        shift_for_row = np.where(rle, patched_bpv, 0)  # rle pre-shifts high bits
+        high_adj = (
+            exc_high.astype(np.uint64) << shift_for_row[exc_rows].astype(np.uint64)
+        ).astype(np.uint8)
+        pairs = np.empty(len(exc_rows) * 2, dtype=np.uint8)
+        pairs[0::2] = exc_cols.astype(np.uint8)
+        pairs[1::2] = high_adj
+        pair_bytes = pairs.tobytes()
+        row_start = np.searchsorted(exc_rows, np.arange(n))
+        row_end = np.searchsorted(exc_rows, np.arange(n), side="right")
+        for i in np.nonzero(num_exc > 0)[0]:
+            exc_bytes[i] = pair_bytes[row_start[i] * 2 : row_end[i] * 2]
+
+    # RLE rows: token (num_exc<<5), vlong(value), exceptions
+    rle_idx = np.nonzero(rle)[0]
+    if len(rle_idx):
+        venc, vnb = encode_vlongs_np(vals[rle_idx, 0])
+        vstarts = np.concatenate(([0], np.cumsum(vnb)[:-1]))
+        vb = venc.tobytes()
+        for j, i in enumerate(rle_idx):
+            token = (int(num_exc[i]) << 5) & 0xFF
+            out[i] = bytes([token]) + vb[vstarts[j] : vstarts[j] + vnb[j]] + exc_bytes[i]
+
+    # packed rows, grouped by bpv
+    for bpv in np.unique(patched_bpv[packed]):
+        bpv = int(bpv)
+        idx = np.nonzero(packed & (patched_bpv == bpv))[0]
+        mat = _pack_bits_matrix(vals[idx], bpv)
+        for j, i in enumerate(idx):
+            token = ((int(num_exc[i]) << 5) | bpv) & 0xFF
+            out[i] = bytes([token]) + mat[j].tobytes() + exc_bytes[i]
+    return out
+
+
 def batch_encode_streams(values: np.ndarray, row_lengths: np.ndarray) -> list[bytes]:
     """Encode many streams at once; `values` is the concatenation of all
     rows' values, `row_lengths` their lengths.
 
-    Rows shorter than BLOCK_SIZE (the vast majority of posting lists) are
-    varint-encoded in ONE vectorized pass over all rows; longer rows fall
-    back to per-row `encode_stream` (full PFOR blocks + tail).
+    Fully vectorized: headers and all sub-BLOCK_SIZE tails are varint-encoded
+    in one pass over all rows; full 128-blocks across ALL rows are encoded by
+    the matrix PFOR kernel grouped by bit width. Per-row Python is reduced to
+    cheap bytes slicing/joining.
     """
     values = np.asarray(values, dtype=np.uint64)
     row_lengths = np.asarray(row_lengths, dtype=np.int64)
     n_rows = len(row_lengths)
+    if n_rows == 0:
+        return []
     row_starts = np.concatenate(([0], np.cumsum(row_lengths)[:-1]))
-    small = row_lengths < BLOCK_SIZE
+    n_blocks_row = row_lengths // BLOCK_SIZE
+    tail_lens = row_lengths - n_blocks_row * BLOCK_SIZE
+
+    # headers: vlong(count) per row
+    henc, hnb = encode_vlongs_np(row_lengths.astype(np.uint64))
+    hstarts = np.concatenate(([0], np.cumsum(hnb)[:-1]))
+    hbytes = henc.tobytes()
+
+    # full blocks: gather into one (total_blocks, 128) matrix
+    total_blocks = int(n_blocks_row.sum())
+    block_bytes: list[bytes] = []
+    block_row_of = np.repeat(np.arange(n_rows), n_blocks_row)
+    if total_blocks:
+        block_ord = _ranges(n_blocks_row)
+        src = (
+            row_starts[block_row_of][:, None]
+            + (block_ord * BLOCK_SIZE)[:, None]
+            + np.arange(BLOCK_SIZE)[None, :]
+        )
+        block_bytes = encode_blocks_matrix(values[src])
+    blocks_start_of_row = np.concatenate(([0], np.cumsum(n_blocks_row)[:-1]))
+
+    # tails: gather all tail values, varint-encode in one pass
+    tail_total = int(tail_lens.sum())
+    tbytes = b""
+    t_off = np.zeros(n_rows + 1, dtype=np.int64)
+    if tail_total:
+        tsrc = (
+            np.repeat(row_starts + n_blocks_row * BLOCK_SIZE, tail_lens) + _ranges(tail_lens)
+        )
+        tenc, tnb = encode_vlongs_np(values[tsrc])
+        tbytes = tenc.tobytes()
+        # bytes per row's tail
+        tail_val_starts = np.concatenate(([0], np.cumsum(tail_lens)[:-1]))
+        per_row_tail_bytes = np.zeros(n_rows, dtype=np.int64)
+        nz = tail_lens > 0
+        if nz.any():
+            per_row_tail_bytes[nz] = np.add.reduceat(tnb, tail_val_starts[nz])
+        t_off[1:] = np.cumsum(per_row_tail_bytes)
+
     out: list[bytes] = [b""] * n_rows
-
-    small_idx = np.nonzero(small)[0]
-    if len(small_idx):
-        lens = row_lengths[small_idx]
-        # interleave per-row [count, v0, v1, ...] into one array
-        tot = int((lens + 1).sum())
-        arr = np.empty(tot, dtype=np.uint64)
-        out_starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
-        arr[out_starts] = lens.astype(np.uint64)
-        # scatter the values: target positions = out_start + 1 + offset_in_row
-        src_index = np.repeat(row_starts[small_idx], lens) + _ranges(lens)
-        dst_index = np.repeat(out_starts + 1, lens) + _ranges(lens)
-        arr[dst_index] = values[src_index]
-        enc, nb = encode_vlongs_np(arr)
-        # per-row byte extents
-        nb_row = np.add.reduceat(nb, out_starts) if tot else np.zeros(0, dtype=np.int64)
-        byte_starts = np.concatenate(([0], np.cumsum(nb_row)[:-1]))
-        enc_bytes = enc.tobytes()
-        for i, (bs, nbr) in enumerate(zip(byte_starts, nb_row)):
-            out[small_idx[i]] = enc_bytes[bs : bs + nbr]
-
-    for i in np.nonzero(~small)[0]:
-        s = row_starts[i]
-        out[i] = encode_stream(values[s : s + row_lengths[i]])
+    for i in range(n_rows):
+        parts = [hbytes[hstarts[i] : hstarts[i] + hnb[i]]]
+        nb = n_blocks_row[i]
+        if nb:
+            s = blocks_start_of_row[i]
+            parts.extend(block_bytes[s : s + nb])
+        if tail_lens[i]:
+            parts.append(tbytes[t_off[i] : t_off[i + 1]])
+        out[i] = b"".join(parts)
     return out
 
 

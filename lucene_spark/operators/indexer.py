@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..functions.analysis import analyze_batch
 from ..functions.bm25 import BM25Scorer  # noqa: F401 (re-export convenience)
-from ..functions.impacts import competitive_impacts
+from ..functions.impacts import competitive_impacts_grouped
 from ..functions.pfor import BLOCK_SIZE, batch_encode_streams
 from ..functions.smallfloat import int_to_byte4_np
 
@@ -66,6 +66,14 @@ STAGING_SCHEMA = T.StructType(
         T.StructField("norm_b", T.IntegerType()),
         T.StructField("doc_freq", T.LongType()),
         T.StructField("total_term_freq", T.LongType()),
+        # segstat rows: one per segment, so manifest metrics + collection
+        # stats need no extra Spark jobs (driver reads a handful of rows)
+        T.StructField("s_n_docs", T.LongType()),
+        T.StructField("s_doc_count", T.LongType()),
+        T.StructField("s_sum_dl", T.LongType()),
+        T.StructField("s_max_gid", T.LongType()),
+        T.StructField("s_n_terms", T.LongType()),
+        T.StructField("s_n_postings", T.LongType()),
     ]
 )
 
@@ -88,18 +96,33 @@ def invert_segment(
     doc_lens = batch.doc_lens.astype(np.int64)
     norms_by_doc = int_to_byte4_np(doc_lens)
 
-    # ---- token -> (term, gid) pair aggregation, fully vectorized
-    tc, uniq_terms = pd.factorize(batch.tok_terms, sort=True)
+    # ---- token -> (term, gid) pair aggregation, fully vectorized.
+    # Dictionary-encode in Arrow: per-token work stays on int codes; term
+    # strings materialize once per unique term (PyUnicode churn is the
+    # multi-core scaling killer at millions of tokens per task).
+    import pyarrow.compute as pc
+
+    dict_enc = pc.dictionary_encode(batch.tok_terms_pa)
+    codes = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_vals = np.asarray(dict_enc.dictionary.to_numpy(zero_copy_only=False), dtype=object)
+    sort_perm = np.argsort(dict_vals)  # code-point order == UTF-8 byte order
+    rank = np.empty(len(dict_vals), dtype=np.int64)
+    rank[sort_perm] = np.arange(len(dict_vals))
+    tc = rank[codes]
+    uniq_terms = dict_vals[sort_perm]
     tok_gid = gids[batch.tok_doc_idx]
     tok_doc = batch.tok_doc_idx
-    # tokens arrive in (doc asc, position asc) order; stable sort by term
-    order = np.argsort(tc, kind="stable")
+    # lexsort by (term, gid); stable, so within a (term, doc) pair tokens
+    # keep ascending position order
+    order = np.lexsort((tok_gid, tc))
     tc_s = tc[order]
     gid_s = tok_gid[order]
     doc_s = tok_doc[order]
     pos_s = batch.tok_positions[order].astype(np.int64)
 
     n_tok = len(tc_s)
+    n_pairs_total = 0
+    n_terms_total = 0
     rows: list[pd.DataFrame] = []
     if n_tok:
         new_pair = np.empty(n_tok, dtype=bool)
@@ -127,6 +150,8 @@ def invert_segment(
         doc_freq_t = np.bincount(term_id_of_pair).astype(np.int64)
         ttf_t = np.bincount(term_id_of_pair, weights=freq_p).astype(np.int64)
         term_codes_present = tc_p[term_start]
+        n_pairs_total = n_pairs
+        n_terms_total = len(term_start)
 
         # ---- block assignment: 128 docs per (term) block
         idx_in_term = np.arange(n_pairs) - term_start[term_id_of_pair]
@@ -159,13 +184,10 @@ def invert_segment(
         else:
             positions_payload = [None] * n_blocks
 
-        # ---- impacts per block (small python loop over blocks)
-        imp_freqs: list[list[int]] = []
-        imp_norms: list[list[int]] = []
-        for bs, be in zip(block_start, block_end):
-            f, n = competitive_impacts(freq_p[bs : be + 1], norm_p[bs : be + 1])
-            imp_freqs.append(f.tolist())
-            imp_norms.append(n.tolist())
+        # ---- impacts per block (vectorized across all blocks)
+        imp_freqs, imp_norms = competitive_impacts_grouped(
+            block_id_of_pair, freq_p, norm_p, n_blocks
+        )
 
         post = pd.DataFrame(
             {
@@ -206,6 +228,19 @@ def invert_segment(
         }
     )
     rows.append(doc_rows)
+    seg_stat = pd.DataFrame(
+        {
+            "row_type": ["segstat"],
+            "seg": [np.int64(seg_id)],
+            "s_n_docs": [np.int64(len(gids))],
+            "s_doc_count": [np.int64(int((doc_lens > 0).sum()))],
+            "s_sum_dl": [np.int64(int(doc_lens.sum()))],
+            "s_max_gid": [np.int64(int(gids.max())) if len(gids) else np.int64(-1)],
+            "s_n_terms": [np.int64(n_terms_total)],
+            "s_n_postings": [np.int64(n_pairs_total)],
+        }
+    )
+    rows.append(seg_stat)
     # pad each sub-frame to the full union schema with explicit Nones
     # (concat-introduced NaN would break Arrow conversion of int/array cols)
     padded = []
@@ -246,6 +281,9 @@ def _append_manifest(index_dir: str, record: dict) -> None:
         os.fsync(f.fileno())
 
 
+SEG_SHIFT = 40  # sparse gid = (seg << SEG_SHIFT) | rank_within_segment
+
+
 def prepare_corpus(
     corpus: DataFrame,
     *,
@@ -253,14 +291,16 @@ def prepare_corpus(
     text_col: str,
     gid_col: str | None = None,
     n_segments: int = 8,
+    dense_gids: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Attach deterministic (seg, gid) columns to a corpus.
 
     With ``gid_col``: segments are contiguous gid ranges (Parquet min/max
     stats prune resumed batches). Without: seg = xxhash64(key) % n_segments
-    and gid = segment_base + rank(key within segment); bases come from one
-    count pass (driver-side cumulative offsets) — Lucene's merge-time docID
-    remap (DocIDMerger offset add) done at build time.
+    and gid orders docs by (segment, key). Default is *sparse* gids
+    (seg << 40 | rank) which need no extra pass; ``dense_gids=True`` adds a
+    count pass for Lucene-style dense numbering (DocIDMerger offset add) —
+    within-segment doc gaps are identical either way.
     """
     if gid_col is not None:
         bounds = corpus.agg(
@@ -283,6 +323,9 @@ def prepare_corpus(
         F.col(key_col).cast("string").alias("key"),
         F.col(text_col).alias("text"),
     )
+    if not dense_gids:
+        df = with_seg.withColumn("base", (F.col("seg") * F.lit(1 << SEG_SHIFT)).cast("long"))
+        return df, {"mode": "hash", "dense": False}
     counts = {int(r["seg"]): int(r["n"]) for r in with_seg.groupBy("seg").agg(F.count("*").alias("n")).collect()}
     bases, acc = {}, 0
     for s in range(n_segments):
@@ -290,7 +333,7 @@ def prepare_corpus(
         acc += counts.get(s, 0)
     base_expr = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
     df = with_seg.withColumn("base", base_expr[F.col("seg")])
-    meta = {"mode": "hash", "counts": counts, "bases": bases, "n_docs": acc}
+    meta = {"mode": "hash", "dense": True, "counts": counts, "bases": bases, "n_docs": acc}
     return df, meta
 
 
@@ -305,25 +348,76 @@ def build_index(
     n_segments: int = 8,
     batch_segments: int | None = None,
     with_positions: bool = True,
+    dense_gids: bool = False,
+    append: bool = False,
     fail_after_batches: int | None = None,
 ) -> dict:
     """Build (or resume) the index. Returns summary metrics.
+
+    ``append=True`` adds the corpus as NEW segments to an existing index
+    (NRT-style incremental refresh, DirectoryReader.openIfChanged analog):
+    batch and segment ids continue after the committed ones. With the
+    default sparse gids, appended docIDs can never collide; with
+    ``gid_col`` the caller must supply non-overlapping gids.
 
     ``fail_after_batches`` injects a crash after N committed batches — the
     kill/resume test hook (FIXTURES.md §6).
     """
     t_start = time.time()
+    committed_recs = [
+        rec
+        for rec in read_manifest(index_dir)
+        if rec.get("status") == "committed" and rec.get("batch") is not None
+    ]
+    batch_offset = 0
+    seg_offset = 0
+    if append and committed_recs:
+        if batch_segments is None:
+            batch_segments_eff = n_segments
+        else:
+            batch_segments_eff = batch_segments
+        n_batches_job = -(-n_segments // batch_segments_eff)
+        jobs = [r for r in read_manifest(index_dir) if r.get("type") == "append_job"]
+        committed_ids = {r["batch"] for r in committed_recs}
+        last = jobs[-1] if jobs else None
+        if last is not None and not all(
+            b in committed_ids
+            for b in range(last["batch_offset"], last["batch_offset"] + last["n_batches"])
+        ):
+            # resume the crashed append job at its original offsets
+            batch_offset = last["batch_offset"]
+            seg_offset = last["seg_offset"]
+        else:
+            batch_offset = max(r["batch"] for r in committed_recs) + 1
+            seg_offset = 1 + max(
+                int(s) for r in committed_recs for s in r.get("per_segment", {"-1": 0})
+            )
+            _append_manifest(
+                index_dir,
+                {
+                    "type": "append_job",
+                    "batch_offset": batch_offset,
+                    "seg_offset": seg_offset,
+                    "n_batches": n_batches_job,
+                    "ts": time.time(),
+                },
+            )
     df, meta = prepare_corpus(
-        corpus, key_col=key_col, text_col=text_col, gid_col=gid_col, n_segments=n_segments
+        corpus, key_col=key_col, text_col=text_col, gid_col=gid_col,
+        n_segments=n_segments, dense_gids=dense_gids,
     )
+    if seg_offset:
+        df = df.withColumn("seg", F.col("seg") + F.lit(seg_offset))
+        if meta.get("dense") is False and gid_col is None:
+            df = df.withColumn("base", (F.col("seg") * F.lit(1 << SEG_SHIFT)).cast("long"))
     mode = meta["mode"]
     if batch_segments is None:
         batch_segments = n_segments
 
-    committed = {rec["batch"] for rec in read_manifest(index_dir) if rec.get("status") == "committed"}
+    committed = {r["batch"] for r in committed_recs}
     seg_batches = [
-        list(range(b, min(b + batch_segments, n_segments)))
-        for b in range(0, n_segments, batch_segments)
+        (batch_offset + bi, [seg_offset + s for s in range(b, min(b + batch_segments, n_segments))])
+        for bi, b in enumerate(range(0, n_segments, batch_segments))
     ]
 
     def make_builder(with_positions: bool, mode: str):
@@ -342,7 +436,7 @@ def build_index(
 
     builder = make_builder(with_positions, mode)
     total_new = 0
-    for bi, segs in enumerate(seg_batches):
+    for bi, segs in seg_batches:
         if bi in committed:
             continue
         t0 = time.time()
@@ -351,23 +445,16 @@ def build_index(
         out_path = os.path.join(index_dir, "segments", f"batch={bi}")
         staged.write.mode("overwrite").partitionBy("row_type").parquet(out_path)
         wall = time.time() - t0
-        # lineage + metrics from the written batch (cheap metadata-ish aggs)
-        written = spark.read.parquet(out_path)
+        # lineage + metrics from the tiny segstat rows (driver-side pyarrow
+        # read of a handful of rows — no extra Spark job)
+        seg_pdf = _read_segstats(out_path)
         seg_stats = {
-            int(r["seg"]): {
-                "n_docs": int(r["n_docs"] or 0),
-                "n_terms": int(r["n_terms"] or 0),
-                "n_postings": int(r["n_postings"] or 0),
+            int(r.seg): {
+                "n_docs": int(r.s_n_docs),
+                "n_terms": int(r.s_n_terms),
+                "n_postings": int(r.s_n_postings),
             }
-            for r in written.groupBy("seg")
-            .agg(
-                F.sum(F.when(F.col("row_type") == "doc", 1).otherwise(0)).alias("n_docs"),
-                F.sum(F.when(F.col("row_type") == "term", 1).otherwise(0)).alias("n_terms"),
-                F.sum(F.when(F.col("row_type") == "term", F.col("doc_freq")).otherwise(0)).alias(
-                    "n_postings"
-                ),
-            )
-            .collect()
+            for r in seg_pdf.itertuples(index=False)
         }
         n_docs_batch = sum(s["n_docs"] for s in seg_stats.values())
         _append_manifest(
@@ -397,37 +484,49 @@ def build_index(
     }
 
 
+def _read_segstats(path: str) -> pd.DataFrame:
+    """Driver-side read of the tiny segstat rows (one per segment)."""
+    import pyarrow.dataset as ds
+
+    sub = os.path.join(path, "row_type=segstat")
+    cols = ["seg", "s_n_docs", "s_doc_count", "s_sum_dl", "s_max_gid", "s_n_terms", "s_n_postings"]
+    return ds.dataset(sub, format="parquet").to_table(columns=cols).to_pandas()
+
+
 def finalize_index(spark: SparkSession, index_dir: str) -> None:
-    """Global term stats + collection stats (idf/avgdl inputs are GLOBAL)."""
-    seg_glob = os.path.join(index_dir, "segments", "batch=*")
-    staged = spark.read.option("basePath", os.path.join(index_dir, "segments")).parquet(seg_glob)
+    """Global term stats + collection stats (idf/avgdl inputs are GLOBAL).
+
+    The terms table is the only Spark job (a groupBy shuffle over per-segment
+    term rows); collection stats aggregate the per-segment segstat rows on
+    the driver. Term rows are written sorted-within-partition so Parquet
+    row-group min/max stats act as the term index (the FST analog) without a
+    range-partitioner sampling pass.
+    """
+    term_glob = os.path.join(index_dir, "segments", "batch=*", "row_type=term")
     terms = (
-        staged.filter(F.col("row_type") == "term")
+        spark.read.parquet(term_glob)
         .groupBy("term")
         .agg(
             F.sum("doc_freq").alias("doc_freq"),
             F.sum("total_term_freq").alias("total_term_freq"),
         )
+        .sortWithinPartitions("term")
     )
-    # sorted by term -> Parquet min/max stats act as the term index (FST analog)
-    terms.repartitionByRange(max(1, terms.rdd.getNumPartitions() // 4), "term").sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
-    row = (
-        staged.filter(F.col("row_type") == "doc")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.when(F.col("doc_len") > 0, 1).otherwise(0)).alias("doc_count"),
-            F.sum("doc_len").alias("sum_ttf"),
-            F.max("gid").alias("max_gid"),
-        )
-        .collect()[0]
+    terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+
+    agg = pd.concat(
+        [
+            _read_segstats(os.path.join(index_dir, "segments", d))
+            for d in sorted(os.listdir(os.path.join(index_dir, "segments")))
+            if d.startswith("batch=")
+        ],
+        ignore_index=True,
     )
     stats = {
-        "n_rows": int(row["n_rows"]),
-        "doc_count": int(row["doc_count"] or 0),
-        "sum_total_term_freq": int(row["sum_ttf"] or 0),
-        "max_gid": int(row["max_gid"]) if row["max_gid"] is not None else -1,
+        "n_rows": int(agg["s_n_docs"].sum()),
+        "doc_count": int(agg["s_doc_count"].sum()),
+        "sum_total_term_freq": int(agg["s_sum_dl"].sum()),
+        "max_gid": int(agg["s_max_gid"].max()) if len(agg) else -1,
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f)

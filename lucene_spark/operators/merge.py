@@ -1,0 +1,188 @@
+"""Global segment merge: salted repartition-by-term into a merged postings
+table.
+
+Lucene merges segments by streaming each term's postings through a docID
+remapper (``core/index/SegmentMerger.java:104-145``, ``DocIDMerger``). Here
+segment gid ranges are disjoint by construction, so a term's blocks across
+segments are non-overlapping sorted runs — the merge is a re-chunk, not a
+k-way interleave: concatenate blocks in first_gid order and re-cut at 128-doc
+boundaries (tails from many small segments fuse into full blocks).
+
+Skew (the north rule's explicit concern): term frequency is Zipfian, so a
+plain repartition-by-term puts "the" — present in nearly every document — on
+one reducer. Hot terms (global doc_freq above ``salt_docs``) are therefore
+*salted* by gid range: salt = first_gid // ceil(gid_span / n_salts(term)),
+n_salts = ceil(doc_freq / salt_docs). Salt ranges are disjoint in gid, so
+per-(term, salt) re-blocking still yields a globally sorted posting list;
+only the (≤128-doc) block at each salt boundary can be partial. Hot-term
+detection comes from the global ``terms`` table (TieredMergePolicy-style
+planning is driver-side Python, ``core/index/TieredMergePolicy.java:89-95``).
+
+The merged table is written sorted by (term, first_gid) within partitions so
+Parquet row-group min/max stats give term seeks. The manifest records the
+merge; the searcher reads merged postings plus any batches committed after.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..functions.impacts import competitive_impacts_grouped
+from ..functions.pfor import BLOCK_SIZE, batch_encode_streams, decode_stream
+from .indexer import _append_manifest, read_manifest
+
+MERGED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("seg", T.LongType()),
+        T.StructField("block_ord", T.IntegerType()),
+        T.StructField("doc_count", T.IntegerType()),
+        T.StructField("first_gid", T.LongType()),
+        T.StructField("last_gid", T.LongType()),
+        T.StructField("gids", T.BinaryType()),
+        T.StructField("freqs", T.BinaryType()),
+        T.StructField("norms", T.BinaryType()),
+        T.StructField("positions", T.BinaryType()),
+        T.StructField("imp_freqs", T.ArrayType(T.LongType())),
+        T.StructField("imp_norms", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _reblock_term(rows: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
+    """Re-chunk one (term, salt) group's blocks into full 128-doc blocks."""
+    rows = rows.sort_values("first_gid", kind="mergesort")
+    gids_l, freqs_l, norms_l, pos_l = [], [], [], []
+    for r in rows.itertuples(index=False):
+        gaps = decode_stream(r.gids).astype(np.int64)
+        g = np.empty(len(gaps) + 1, dtype=np.int64)
+        g[0] = r.first_gid
+        if len(gaps):
+            g[1:] = r.first_gid + np.cumsum(gaps)
+        gids_l.append(g)
+        freqs_l.append(decode_stream(r.freqs).astype(np.int64))
+        norms_l.append(decode_stream(r.norms).astype(np.int64))
+        if with_positions:
+            pos_l.append(decode_stream(r.positions).astype(np.int64))
+    gid = np.concatenate(gids_l)
+    freq = np.concatenate(freqs_l)
+    norm = np.concatenate(norms_l)
+    n = len(gid)
+    block_id = np.arange(n) // BLOCK_SIZE
+    n_blocks = int(block_id[-1]) + 1 if n else 0
+    docs_per_block = np.bincount(block_id, minlength=n_blocks).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(docs_per_block)[:-1]))
+    ends = np.cumsum(docs_per_block) - 1
+
+    gaps_all = np.empty(n, dtype=np.int64)
+    gaps_all[0] = 0
+    gaps_all[1:] = gid[1:] - gid[:-1]
+    keep = np.ones(n, dtype=bool)
+    keep[starts] = False
+    gids_payload = batch_encode_streams(gaps_all[keep].astype(np.uint64), docs_per_block - 1)
+    freqs_payload = batch_encode_streams(freq.astype(np.uint64), docs_per_block)
+    norms_payload = batch_encode_streams(norm.astype(np.uint64), docs_per_block)
+    if with_positions:
+        pos = np.concatenate(pos_l)
+        pos_rl = np.add.reduceat(freq, starts)
+        positions_payload = batch_encode_streams(pos.astype(np.uint64), pos_rl)
+    else:
+        positions_payload = [None] * n_blocks
+    imp_f, imp_n = competitive_impacts_grouped(block_id, freq, norm, n_blocks)
+    term = rows["term"].iloc[0]
+    return pd.DataFrame(
+        {
+            "term": term,
+            "seg": np.int64(-1),  # merged
+            "block_ord": np.arange(n_blocks, dtype=np.int32),
+            "doc_count": docs_per_block.astype(np.int32),
+            "first_gid": gid[starts],
+            "last_gid": gid[ends],
+            "gids": gids_payload,
+            "freqs": freqs_payload,
+            "norms": norms_payload,
+            "positions": positions_payload,
+            "imp_freqs": imp_f,
+            "imp_norms": imp_n,
+        }
+    )
+
+
+def merge_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    salt_docs: int = 1_000_000,
+    with_positions: bool = True,
+) -> dict:
+    """Merge all committed batches into a global postings table.
+
+    ``salt_docs``: max postings per (term, salt) reducer group — hot terms
+    are split into gid-range salts of roughly this many docs each.
+    """
+    t0 = time.time()
+    manifest = read_manifest(index_dir)
+    batches = sorted(
+        {r["batch"] for r in manifest if r.get("status") == "committed" and r.get("batch") is not None}
+    )
+    if not batches:
+        raise ValueError("nothing to merge: no committed batches")
+
+    post = spark.read.parquet(os.path.join(index_dir, "segments", "batch=*", "row_type=post"))
+    cols = ["term", "seg", "block_ord", "doc_count", "first_gid", "last_gid",
+            "gids", "freqs", "norms", "imp_freqs", "imp_norms"]
+    if with_positions:
+        cols.append("positions")
+    post = post.select(*cols)
+    if not with_positions:
+        post = post.withColumn("positions", F.lit(None).cast("binary"))
+
+    # hot-term salt map from the global term stats (Zipf skew defusal)
+    terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
+    hot = (
+        terms_df.filter(F.col("doc_freq") > salt_docs)
+        .select("term", "doc_freq")
+        .collect()
+    )
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    gid_span = max(stats.get("max_gid", 0), 0) + 1
+    n_salts = {r["term"]: int(-(-r["doc_freq"] // salt_docs)) for r in hot}
+    if n_salts:
+        salt_items = [x for kv in n_salts.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        salt_map = F.create_map(*salt_items)
+        width = F.floor(F.lit(gid_span) / salt_map[F.col("term")])
+        salt = F.when(
+            salt_map[F.col("term")].isNotNull(),
+            F.floor(F.col("first_gid") / F.greatest(width, F.lit(1))),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    post = post.withColumn("salt", salt.cast("long"))
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _reblock_term(pdf, with_positions)
+
+    merged = post.groupBy("term", "salt").applyInPandas(fn, schema=MERGED_SCHEMA)
+    out_path = os.path.join(index_dir, "postings_merged")
+    merged.sortWithinPartitions("term", "first_gid").write.mode("overwrite").parquet(out_path)
+
+    wall = time.time() - t0
+    rec = {
+        "type": "merge",
+        "status": "committed",
+        "merged_batches": batches,
+        "salt_docs": salt_docs,
+        "n_hot_terms": len(n_salts),
+        "wall_sec": round(wall, 3),
+        "ts": time.time(),
+    }
+    _append_manifest(index_dir, rec)
+    return rec

@@ -292,8 +292,41 @@ class Searcher:
 
     # ---- planning -----------------------------------------------------
     def _postings_df(self) -> DataFrame:
-        path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=post")
-        return self.spark.read.parquet(path)
+        """Postings scan: merged table (if a merge committed) + any batches
+        appended after the merge; otherwise all per-segment batches."""
+        from ..operators.indexer import read_manifest
+
+        manifest = read_manifest(self.index_dir)
+        merged_through: set = set()
+        has_merge = False
+        for rec in manifest:
+            if rec.get("type") == "merge" and rec.get("status") == "committed":
+                has_merge = True
+                merged_through |= set(rec.get("merged_batches", []))
+        all_batches = sorted(
+            {r["batch"] for r in manifest if r.get("status") == "committed" and r.get("batch") is not None}
+        )
+        cols = [
+            "term", "seg", "block_ord", "doc_count", "first_gid", "last_gid",
+            "gids", "freqs", "norms", "positions", "imp_freqs", "imp_norms",
+        ]
+        if not has_merge:
+            path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=post")
+            return self.spark.read.parquet(path).select(*cols)
+        parts = [
+            self.spark.read.parquet(os.path.join(self.index_dir, "postings_merged")).select(*cols)
+        ]
+        residual = [b for b in all_batches if b not in merged_through]
+        for b in residual:
+            parts.append(
+                self.spark.read.parquet(
+                    os.path.join(self.index_dir, "segments", f"batch={b}", "row_type=post")
+                ).select(*cols)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
         if not terms:

@@ -1,0 +1,303 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+Large-scale corpus curation ops that complement the inverted index: exact and
+near deduplication, similarity search, language/quality heuristics, token
+accounting, and fingerprinting. All of them are plain DataFrame/SQL plans
+(JVM-side, codegen'd — no Python UDFs), so Catalyst handles pushdown and AQE
+handles skew; the shapes are chosen to survive 100 TB:
+
+  - dedup joins go through hash/band *buckets* (LSH), never all-pairs;
+  - hashes are md5-derived (same bytes on any engine) so the DuckDB oracles
+    reproduce values exactly;
+  - ratios/cosines are computed with a FIXED double-precision expression
+    shape (sequential fold over array order) so floats compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# 60-bit int from md5 hex — reproducible in DuckDB as
+# CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+def _md5_int(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _toks(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def _shingles(col: Column, k: int) -> Column:
+    """k-gram token shingles as strings (space-joined), in document order."""
+    toks = _toks(col)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical = min doc_id among identical texts.
+
+    Scale path: groupBy(md5(text)) — a hash shuffle, no text comparison
+    fan-out. Emits every doc with its canonical id and duplicate flag.
+    """
+    d = docs(spark, sf_dir).select("doc_id", _md5_int(F.col("text")).alias("h"))
+    canon = d.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        d.join(canon, "h")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+            "group_size",
+        )
+    )
+
+
+N_MINHASH = 16
+# 31-bit Mersenne prime: (h % p) * a + b stays far below 2^63, so the same
+# expression is overflow-safe in both Spark and DuckDB (which errors on
+# BIGINT overflow rather than wrapping)
+MINHASH_P = (1 << 31) - 1
+MINHASH_A = [2 * i + 3 for i in range(N_MINHASH)]
+MINHASH_B = [5 * i + 7 for i in range(N_MINHASH)]
+SHINGLE_K = 3
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over 3-gram shingles: sig_i = min((a_i*h+b_i) mod p).
+
+    One row per (doc_id, i, sig). Shingle hash h = md5-int of the shingle
+    string, so signatures are engine-independent. Scale: explode+groupBy —
+    a single shuffle keyed by doc, partial min map-side.
+    """
+    d = docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text"), SHINGLE_K))).alias("sh")
+    )
+    d = d.select("doc_id", _md5_int(F.col("sh")).alias("h"))
+    sigs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    agg = d.groupBy("doc_id").agg(*sigs)
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.col(f"s{i}").alias("sig")) for i in range(N_MINHASH)
+    ])
+    return agg.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.i").alias("i"), F.col("p.sig").alias("sig")
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over the signatures.
+
+    rows = N_MINHASH/bands per band; docs sharing a band key become a
+    candidate pair. Scale path: the join is per-bucket (band key), never
+    all-pairs; verification (exact Jaccard) only touches candidates.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_MINHASH // bands
+    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    keys = banded.groupBy("doc_id", "band").agg(
+        F.array_join(F.collect_list(F.col("sig").cast("string")), "_").alias("bkey")
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity for near-dup pairs >= threshold.
+
+    Joins through shingle-hash buckets (inverted shingle index), so only
+    docs SHARING a shingle are compared — Zipf-safe with AQE skew join.
+    """
+    sh = docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text"), SHINGLE_K))).alias("sh")
+    ).select("doc_id", _md5_int(F.col("sh")).alias("h"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: bit b set iff sum of (+1/-1) votes over token
+    hashes is positive, weighted by term frequency."""
+    t = docs(spark, sf_dir).select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("tok")
+    ).select("doc_id", _md5_int(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = t.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ------------------------------------------------------- similarity search
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (order-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_cosine_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector (the exact baseline;
+    the LSH-bucketed variant below is the scale path).
+
+    The query vector rides along via a broadcast cross join; the fold order
+    is the array order, so scores are bit-reproducible.
+    """
+    e = embeddings(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                   * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+            ).alias("cos"),
+        )
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int = 8
+) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucket, then exact cosine within
+    the probed bucket (approximate — may miss true neighbors by design).
+
+    Hyperplanes are deterministic pseudo-vectors derived from (plane, dim)
+    hashes, so the plan is reproducible without storing a model.
+    """
+    e = embeddings(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+
+    import hashlib
+
+    def stable_sign(p: int, i: int) -> float:
+        hb = hashlib.md5(f"{p}:{i}".encode()).digest()[0]
+        return 1.0 if hb & 1 == 0 else -1.0
+
+    def bucket_bits(vec: Column) -> Column:
+        total = None
+        for p in range(n_planes):
+            comps = None
+            for i in range(dim):
+                c = vec[i].cast("double") * F.lit(stable_sign(p, i))
+                comps = c if comps is None else comps + c
+            bit = F.when(comps > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            total = bit if total is None else total + bit
+        return total.cast("int")
+
+    eb = e.withColumn("bucket", bucket_bits(F.col("embedding")))
+    qrow = eb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        eb.join(F.broadcast(qrow), eb["bucket"] == F.col("qbucket"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                   * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+            ).alias("cos"),
+        )
+    )
+    return cand.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+# ------------------------------------------------------------ text analysis
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/accounting metrics per doc: token counts, type-token ratio,
+    mean token length, English-stopword ratio (the language-ID heuristic)."""
+    from ..functions.analysis import ENGLISH_STOP_WORDS
+
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    d = docs(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_uniq.alias("n_unique"),
+        n_stop.alias("n_stopwords"),
+        (n_uniq.cast("double") / n.cast("double")).alias("type_token_ratio"),
+        (total_chars.cast("double") / n.cast("double")).alias("mean_token_len"),
+        (n_stop.cast("double") / n.cast("double")).alias("stopword_ratio"),
+        (n_stop.cast("double") / n.cast("double") >= 0.15).alias("lang_en_guess"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per doc: min/max md5-int over 5-gram shingles
+    (a 2-value winnowing-style sketch)."""
+    sh = docs(spark, sf_dir).select(
+        "doc_id", F.explode(_shingles(F.col("text"), 5)).alias("sh")
+    ).select("doc_id", _md5_int(F.col("sh")).alias("h"))
+    return sh.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"), F.max("h").alias("fp_max"), F.count("*").alias("n_shingles")
+    )
