@@ -173,6 +173,84 @@ def _q_total_hits_or(spark, sf_dir):
     return spark.createDataFrame([(int(n),)], schema="n long")
 
 
+# ------------------------------------- training-data pipeline ops (textops)
+
+JACCARD_THRESHOLD = 0.5
+NEARDUP_COS = 0.4
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.dedup_exact(spark, sf_dir)
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.minhash_signatures(spark, sf_dir)
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.minhash_lsh_pairs(spark, sf_dir)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.ngram_jaccard_pairs(spark, sf_dir, threshold=JACCARD_THRESHOLD)
+
+
+def _q_simhash(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.simhash(spark, sf_dir)
+
+
+def _q_text_stats(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.text_stats(spark, sf_dir)
+
+
+def _q_doc_fingerprints(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.doc_fingerprints(spark, sf_dir)
+
+
+def _q_token_counts(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.token_counts(spark, sf_dir)
+
+
+def _q_lang_id(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.lang_id(spark, sf_dir)
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.ann_cosine_topk(spark, sf_dir, query_vec_id=0, k=10)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.ann_lsh_topk(spark, sf_dir, query_vec_id=0, k=10, n_planes=8)
+
+
+def _q_emb_neardup(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.embedding_neardup_pairs(spark, sf_dir, threshold=NEARDUP_COS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_term": _q_topk_single,
@@ -184,11 +262,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_norms": _q_doc_norms,
         "phrase_match": _q_phrase_match,
         "total_hits_or": _q_total_hits_or,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "text_stats": _q_text_stats,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "token_counts": _q_token_counts,
+        "lang_id": _q_lang_id,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_neardup": _q_emb_neardup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from lucene_spark.plans import oracle_sql as osql
+    from lucene_spark.plans import oracle_textops as otx
 
     return {
         "topk_term": osql.topk_single_sql(T_HOT),
@@ -200,4 +291,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_norms": osql.doc_norms_sql(),
         "phrase_match": osql.phrase_match_sql(*PHRASE),
         "total_hits_or": osql.total_hits_or_sql(T_HOT, T_MID),
+        "dedup_exact": otx.dedup_exact_sql(),
+        "minhash_signatures": otx.minhash_signatures_sql(),
+        "minhash_lsh_pairs": otx.minhash_lsh_pairs_sql(),
+        "ngram_jaccard_pairs": otx.ngram_jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
+        "simhash": otx.simhash_sql(),
+        "text_stats": otx.text_stats_sql(),
+        "doc_fingerprints": otx.doc_fingerprints_sql(),
+        "token_counts": otx.token_counts_sql(),
+        "lang_id": otx.lang_id_sql(),
+        "ann_cosine_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
+        "ann_lsh_topk": otx.ann_lsh_topk_sql(query_vec_id=0, k=10, n_planes=8, dim=64),
+        "embedding_neardup": otx.embedding_neardup_sql(threshold=NEARDUP_COS),
     }

@@ -79,22 +79,33 @@ MINHASH_B = [5 * i + 7 for i in range(N_MINHASH)]
 SHINGLE_K = 3
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures over 3-gram shingles: sig_i = min((a_i*h+b_i) mod p).
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with all N_MINHASH signature columns s0..s{n-1}.
 
-    One row per (doc_id, i, sig). Shingle hash h = md5-int of the shingle
-    string, so signatures are engine-independent. Scale: explode+groupBy —
-    a single shuffle keyed by doc, partial min map-side.
+    sig_i = min(((h mod p) * a_i + b_i) mod p) over distinct 3-gram shingle
+    hashes h. The mod happens BEFORE the multiply so the int64 arithmetic
+    never overflows — Spark wraps silently but DuckDB (the oracle) errors,
+    and the two must compute identical values.
     """
     d = docs(spark, sf_dir).select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text"), SHINGLE_K))).alias("sh")
     )
-    d = d.select("doc_id", _md5_int(F.col("sh")).alias("h"))
+    d = d.select("doc_id", (_md5_int(F.col("sh")) % F.lit(MINHASH_P)).alias("h"))
     sigs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    agg = d.groupBy("doc_id").agg(*sigs)
+    return d.groupBy("doc_id").agg(*sigs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, long form: one row per (doc_id, i, sig).
+
+    Shingle hash h = md5-int of the shingle string, so signatures are
+    engine-independent. Scale: explode+groupBy — a single shuffle keyed by
+    doc, partial min map-side.
+    """
+    agg = _minhash_wide(spark, sf_dir)
     pairs = F.array(*[
         F.struct(F.lit(i).alias("i"), F.col(f"s{i}").alias("sig")) for i in range(N_MINHASH)
     ])
@@ -107,14 +118,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, bands: int = 4) -> DataF
     """Candidate near-duplicate pairs via banded LSH over the signatures.
 
     rows = N_MINHASH/bands per band; docs sharing a band key become a
-    candidate pair. Scale path: the join is per-bucket (band key), never
-    all-pairs; verification (exact Jaccard) only touches candidates.
+    candidate pair. Band keys are built from the wide signature row
+    (concat in fixed i order — no collect_list order nondeterminism).
+    Scale path: the join is per-bucket (band key), never all-pairs;
+    verification (exact Jaccard) only touches candidates.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    wide = _minhash_wide(spark, sf_dir)
     rows_per_band = N_MINHASH // bands
-    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    keys = banded.groupBy("doc_id", "band").agg(
-        F.array_join(F.collect_list(F.col("sig").cast("string")), "_").alias("bkey")
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"s{j * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            ).alias("bkey"),
+        )
+        for j in range(bands)
+    ])
+    keys = wide.select("doc_id", F.explode(band_structs).alias("p")).select(
+        "doc_id", F.col("p.band").alias("band"), F.col("p.bkey").alias("bkey")
     )
     a = keys.alias("a")
     b = keys.alias("b")
@@ -217,6 +239,31 @@ def ann_cosine_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def lsh_plane_sign(p: int, i: int) -> float:
+    """Deterministic ±1 hyperplane component for (plane p, dimension i)."""
+    import hashlib
+
+    hb = hashlib.md5(f"{p}:{i}".encode()).digest()[0]
+    return 1.0 if hb & 1 == 0 else -1.0
+
+
+def _bucket_bits(vec: Column, dim: int, n_planes: int) -> Column:
+    """Random-hyperplane LSH bucket id: bit p set iff <vec, plane_p> > 0.
+
+    The dot product is a left-fold in dimension order (matches the literal
+    sum the DuckDB oracle builds), all in double.
+    """
+    total = None
+    for p in range(n_planes):
+        comps = None
+        for i in range(dim):
+            c = vec[i].cast("double") * F.lit(lsh_plane_sign(p, i))
+            comps = c if comps is None else comps + c
+        bit = F.when(comps > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total.cast("int")
+
+
 def ann_lsh_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int = 8
 ) -> DataFrame:
@@ -228,25 +275,7 @@ def ann_lsh_topk(
     """
     e = embeddings(spark, sf_dir)
     dim = len(e.select("embedding").first()[0])
-
-    import hashlib
-
-    def stable_sign(p: int, i: int) -> float:
-        hb = hashlib.md5(f"{p}:{i}".encode()).digest()[0]
-        return 1.0 if hb & 1 == 0 else -1.0
-
-    def bucket_bits(vec: Column) -> Column:
-        total = None
-        for p in range(n_planes):
-            comps = None
-            for i in range(dim):
-                c = vec[i].cast("double") * F.lit(stable_sign(p, i))
-                comps = c if comps is None else comps + c
-            bit = F.when(comps > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            total = bit if total is None else total + bit
-        return total.cast("int")
-
-    eb = e.withColumn("bucket", bucket_bits(F.col("embedding")))
+    eb = e.withColumn("bucket", _bucket_bits(F.col("embedding"), dim, n_planes))
     qrow = eb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -265,7 +294,98 @@ def ann_lsh_topk(
     return cand.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9, n_planes: int = 0
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold).
+
+    ``n_planes=0``: exact all-pairs — the correctness baseline the oracle
+    checks. ``n_planes>0``: LSH-bucketed scale path — only pairs agreeing on
+    every random-hyperplane sign are compared, so the join is per-bucket
+    (approximate: antipodal near-dups across a plane are missed by design).
+    """
+    e = embeddings(spark, sf_dir)
+    if n_planes > 0:
+        dim = len(e.select("embedding").first()[0])
+        e = e.withColumn("bucket", _bucket_bits(F.col("embedding"), dim, n_planes))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        *([F.col("bucket").alias("ba")] if n_planes > 0 else []),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        *([F.col("bucket").alias("bb")] if n_planes > 0 else []),
+    )
+    cond = F.col("vec_a") < F.col("vec_b")
+    if n_planes > 0:
+        cond = cond & (F.col("ba") == F.col("bb"))
+    return (
+        a.join(b, cond)
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (F.sqrt(_dot(F.col("ea"), F.col("ea")))
+                   * F.sqrt(_dot(F.col("eb"), F.col("eb"))))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 # ------------------------------------------------------------ text analysis
+
+# tiny frozen per-language stopword lists (public common-word lists) for the
+# stopword-ratio language-ID heuristic
+LANG_STOPS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "a", "is", "that", "it", "was"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+    "es": ("el", "de", "que", "y", "en", "los", "del", "se", "las", "por"),
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space chars
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per doc: whitespace tokens + BPE-ish regex pieces."""
+    d = docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID: argmax over per-language common-word hit
+    ratios; ties break to the earlier language in LANG_STOPS order."""
+    d = docs(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    n = F.size(toks)
+    langs = list(LANG_STOPS)
+    cands = []
+    for pri, lang in enumerate(langs):
+        arr = F.array(*[F.lit(w) for w in LANG_STOPS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        ratio = hits.cast("double") / n.cast("double")
+        cands.append(
+            F.struct(
+                ratio.alias("ratio"),
+                F.lit(len(langs) - pri).alias("pri"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*cands))
+    return d.select(
+        "doc_id",
+        best.getField("lang").alias("lang_pred"),
+        best.getField("ratio").alias("lang_score"),
+    )
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,9 +402,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return d.select(
         "doc_id",
-        n.alias("n_tokens"),
-        n_uniq.alias("n_unique"),
-        n_stop.alias("n_stopwords"),
+        n.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_unique"),
+        n_stop.cast("long").alias("n_stopwords"),
         (n_uniq.cast("double") / n.cast("double")).alias("type_token_ratio"),
         (total_chars.cast("double") / n.cast("double")).alias("mean_token_len"),
         (n_stop.cast("double") / n.cast("double")).alias("stopword_ratio"),

@@ -1,0 +1,275 @@
+"""DuckDB oracle SQL for the training-data pipeline operators (textops).
+
+Every expression mirrors the Spark plan value-for-value:
+
+  - hashes are md5-derived: Spark ``conv(substr(md5(s),1,15),16,10)`` ==
+    DuckDB ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)`` (verified bit-equal);
+  - MinHash mixes mod BEFORE multiply so int64 never overflows on either
+    engine: ``((h % p) * a + b) % p`` with p = 2^31 - 1;
+  - doubles come from identical integer inputs through identical expression
+    shapes (single divisions, left-fold sums in array order), so float
+    comparisons are exact, not approximate;
+  - the dot-product fold: Spark ``F.aggregate(zip_with(a,b,*), 0.0, +)`` is a
+    left fold with 0.0 init; DuckDB ``list_reduce`` left-folds from the first
+    element — identical because 0.0 + v == v exactly.
+"""
+
+from __future__ import annotations
+
+from ..operators.textops import (
+    BPE_TOKEN_RE,
+    LANG_STOPS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    N_MINHASH,
+    lsh_plane_sign,
+)
+from .oracle_sql import STOPLIST_SQL
+
+
+def md5i(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# raw whitespace tokens with compact 1-based positions (textops._toks analog:
+# split on ' ', drop empties, keep order)
+TOKS_CTE = """
+rtoks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  )
+  WHERE tok <> ''
+)"""
+
+
+def shingle_cte(name: str, k: int) -> str:
+    """Space-joined k-gram shingles per doc (textops._shingles analog)."""
+    aliases = [chr(ord("a") + i) for i in range(k)]
+    joins = "".join(
+        f"\n  JOIN rtoks {aliases[i]} ON {aliases[i]}.doc_id = a.doc_id"
+        f" AND {aliases[i]}.pos = a.pos + {i}"
+        for i in range(1, k)
+    )
+    concat = " || ' ' || ".join(f"{al}.tok" for al in aliases)
+    return f"""
+{name} AS (
+  SELECT a.doc_id, {concat} AS sh
+  FROM rtoks a{joins}
+)"""
+
+
+def dedup_exact_sql() -> str:
+    return f"""WITH d AS (
+  SELECT doc_id, {md5i('text')} AS h FROM documents
+),
+c AS (
+  SELECT h, min(doc_id) AS canonical_id, count(*)::BIGINT AS group_size
+  FROM d GROUP BY h
+)
+SELECT d.doc_id, c.canonical_id,
+       d.doc_id <> c.canonical_id AS is_duplicate, c.group_size
+FROM d JOIN c USING (h)
+ORDER BY d.doc_id"""
+
+
+COEF_CTE = "coef(i, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+) + ")"
+
+
+def _sig_ctes(k: int = 3) -> str:
+    return f"""{TOKS_CTE},{shingle_cte('sh', k)},
+shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+shh AS (SELECT doc_id, {md5i('sh')} % {MINHASH_P} AS h FROM shd),
+{COEF_CTE},
+sig AS (
+  SELECT doc_id, i,
+         min(((h * a) + b) % {MINHASH_P})::BIGINT AS sig
+  FROM shh CROSS JOIN coef
+  GROUP BY doc_id, i
+)"""
+
+
+def minhash_signatures_sql() -> str:
+    return f"""WITH {_sig_ctes()}
+SELECT doc_id, i::INT AS i, sig FROM sig ORDER BY doc_id, i"""
+
+
+def minhash_lsh_pairs_sql(bands: int = 4) -> str:
+    rpb = N_MINHASH // bands
+    return f"""WITH {_sig_ctes()},
+keys AS (
+  SELECT doc_id, (i // {rpb})::INT AS band,
+         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // {rpb}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM keys a JOIN keys b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.8, k: int = 3) -> str:
+    return f"""WITH {TOKS_CTE},{shingle_cte('sh', k)},
+shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+shh AS (SELECT doc_id, {md5i('sh')} AS h FROM shd),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
+def simhash_sql(bits: int = 16) -> str:
+    bits_cte = "bits(b) AS (VALUES " + ", ".join(f"({b})" for b in range(bits)) + ")"
+    return f"""WITH {TOKS_CTE},
+th AS (SELECT doc_id, {md5i('tok')} AS h FROM rtoks),
+{bits_cte},
+v AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vb
+  FROM th CROSS JOIN bits
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vb > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM v GROUP BY doc_id ORDER BY doc_id"""
+
+
+def text_stats_sql() -> str:
+    return f"""WITH {TOKS_CTE},
+s AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_tokens,
+         count(DISTINCT tok)::BIGINT AS n_unique,
+         count(*) FILTER (tok IN ({STOPLIST_SQL}))::BIGINT AS n_stopwords,
+         sum(length(tok))::BIGINT AS total_chars
+  FROM rtoks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_unique, n_stopwords,
+       CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+       CAST(total_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.15 AS lang_en_guess
+FROM s ORDER BY doc_id"""
+
+
+def doc_fingerprints_sql(k: int = 5) -> str:
+    return f"""WITH {TOKS_CTE},{shingle_cte('sh', k)},
+shh AS (SELECT doc_id, {md5i('sh')} AS h FROM sh)
+SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, count(*)::BIGINT AS n_shingles
+FROM shh GROUP BY doc_id ORDER BY doc_id"""
+
+
+def token_counts_sql() -> str:
+    return f"""WITH {TOKS_CTE},
+ws AS (SELECT doc_id, count(*)::BIGINT AS ws_tokens FROM rtoks GROUP BY doc_id)
+SELECT d.doc_id, ws.ws_tokens,
+       CAST(len(regexp_extract_all(d.text, '{BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents d JOIN ws ON ws.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+def lang_id_sql() -> str:
+    langs = list(LANG_STOPS)
+    langs_cte = "langs(lang, pri) AS (VALUES " + ", ".join(
+        f"('{lang}', {len(langs) - i})" for i, lang in enumerate(langs)
+    ) + ")"
+    lw_cte = "lw(lang, w) AS (VALUES " + ", ".join(
+        f"('{lang}', '{w}')" for lang in langs for w in LANG_STOPS[lang]
+    ) + ")"
+    return f"""WITH {TOKS_CTE},
+{langs_cte},
+{lw_cte},
+nt AS (SELECT doc_id, count(*)::BIGINT AS n FROM rtoks GROUP BY doc_id),
+h AS (
+  SELECT t.doc_id, lw.lang, count(*)::BIGINT AS c
+  FROM rtoks t JOIN lw ON t.tok = lw.w
+  GROUP BY t.doc_id, lw.lang
+),
+r AS (
+  SELECT nt.doc_id, l.lang, l.pri,
+         CAST(COALESCE(h.c, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE) AS ratio
+  FROM nt CROSS JOIN langs l
+  LEFT JOIN h ON h.doc_id = nt.doc_id AND h.lang = l.lang
+),
+b AS (
+  SELECT doc_id, lang, ratio,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, pri DESC) AS rn
+  FROM r
+)
+SELECT doc_id, lang AS lang_pred, ratio AS lang_score
+FROM b WHERE rn = 1 ORDER BY doc_id"""
+
+
+# ------------------------------------------------------- similarity search
+
+DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{DOT.format(a=a, b=b)} / (sqrt({DOT.format(a=a, b=a)})"
+        f" * sqrt({DOT.format(a=b, b=b)}))"
+    )
+
+
+def ann_cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+)
+SELECT vec_id, {_cos('embedding', 'qv')} AS cos
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> {query_vec_id}
+ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+def _bucket_sql(vec: str, dim: int, n_planes: int) -> str:
+    """Literal LSH bucket expression; same left-fold order as _bucket_bits."""
+    plane_terms = []
+    for p in range(n_planes):
+        comps = " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * {lsh_plane_sign(p, i)}"
+            for i in range(dim)
+        )
+        plane_terms.append(f"CASE WHEN ({comps}) > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(plane_terms) + " AS INT)"
+
+
+def ann_lsh_topk_sql(
+    query_vec_id: int = 0, k: int = 10, n_planes: int = 8, dim: int = 64
+) -> str:
+    bucket = _bucket_sql("embedding", dim, n_planes)
+    return f"""WITH eb AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM eb WHERE vec_id = {query_vec_id})
+SELECT vec_id, {_cos('embedding', 'qv')} AS cos
+FROM eb CROSS JOIN q
+WHERE bucket = qbucket AND vec_id <> {query_vec_id}
+ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+def embedding_neardup_sql(threshold: float = 0.4) -> str:
+    cos = _cos("a.embedding", "b.embedding")
+    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+ORDER BY vec_a, vec_b"""
