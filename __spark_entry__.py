@@ -251,6 +251,36 @@ def _q_emb_neardup(spark, sf_dir):
     return textops.embedding_neardup_pairs(spark, sf_dir, threshold=NEARDUP_COS)
 
 
+# --------------------------------------------- multimodal binary plumbing
+# media payload = UTF-8 bytes of `text` (deterministic fake blobs; the ops
+# treat them as opaque binary exactly as they would real image bytes)
+
+
+def _media_df(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+
+
+def _q_media_metadata(spark, sf_dir):
+    from lucene_spark.operators.multimodal import media_metadata
+
+    return media_metadata(_media_df(spark, sf_dir))
+
+
+def _q_image_decode(spark, sf_dir):
+    from lucene_spark.operators.multimodal import decode_images
+
+    return decode_images(_media_df(spark, sf_dir), decoder="fake")
+
+
+def _q_byte_histogram(spark, sf_dir):
+    from lucene_spark.operators.multimodal import byte_histogram
+
+    return byte_histogram(_media_df(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_term": _q_topk_single,
@@ -274,6 +304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_neardup": _q_emb_neardup,
+        "media_metadata": _q_media_metadata,
+        "image_decode": _q_image_decode,
+        "byte_histogram": _q_byte_histogram,
     }
 
 
@@ -303,4 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
         "ann_lsh_topk": otx.ann_lsh_topk_sql(query_vec_id=0, k=10, n_planes=8, dim=64),
         "embedding_neardup": otx.embedding_neardup_sql(threshold=NEARDUP_COS),
+        "media_metadata": otx.media_metadata_sql(),
+        "image_decode": otx.image_decode_sql(),
+        "byte_histogram": otx.byte_histogram_sql(),
     }

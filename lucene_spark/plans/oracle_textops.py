@@ -267,6 +267,59 @@ WHERE bucket = qbucket AND vec_id <> {query_vec_id}
 ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
 
 
+# ------------------------------------------------------- multimodal plumbing
+# The queries() entries derive the opaque media payload deterministically as
+# the UTF-8 bytes of `text`; the corpus is pure ASCII (verified per SF), so
+# per-char ord() == per-byte value and the byte-level ops are SQL-expressible.
+
+
+def media_metadata_sql() -> str:
+    from ..operators.multimodal import _MAGIC
+
+    mtype = "'unknown'"
+    for prefix, name in _MAGIC:
+        mtype = (
+            f"CASE WHEN starts_with(hex(encode(substr(text, 1, 4))),"
+            f" '{prefix.upper()}') THEN '{name}' ELSE {mtype} END"
+        )
+    return f"""SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       md5(text) AS content_md5,
+       {mtype} AS media_type
+FROM documents ORDER BY doc_id"""
+
+
+CHARS_CTE = """
+chars AS (
+  SELECT doc_id, ord(ch) AS b
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+)"""
+
+
+def image_decode_sql() -> str:
+    # mirrors multimodal._fake_decode on the UTF-8 payload of `text`
+    return f"""WITH {CHARS_CTE},
+m AS (SELECT doc_id, sum(b)::BIGINT AS s, count(*)::BIGINT AS n FROM chars GROUP BY doc_id)
+SELECT d.doc_id,
+       (ord(substr(d.text, 1, 1)) % 64 + 1)::INT AS width,
+       (ord(substr(d.text, CASE WHEN length(d.text) > 1 THEN 2 ELSE 1 END, 1)) % 64 + 1)::INT AS height,
+       3::INT AS channels,
+       CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_value,
+       'fake' AS decoder
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+def byte_histogram_sql(n_bins: int = 16) -> str:
+    cols = ",\n       ".join(
+        f"count(*) FILTER (b >> 4 = {i})::BIGINT AS h{i}" for i in range(n_bins)
+    )
+    return f"""WITH {CHARS_CTE}
+SELECT doc_id,
+       {cols}
+FROM chars GROUP BY doc_id ORDER BY doc_id"""
+
+
 def embedding_neardup_sql(threshold: float = 0.4) -> str:
     cos = _cos("a.embedding", "b.embedding")
     return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
