@@ -251,6 +251,73 @@ def _q_emb_neardup(spark, sf_dir):
     return textops.embedding_neardup_pairs(spark, sf_dir, threshold=NEARDUP_COS)
 
 
+# --------------------------------- expanded query operators (SURVEY §2d/2f)
+
+PREFIX = "s"
+WILDCARD = "?a*"
+RANGE = ("query", "sort")
+SYN = ("merge", "scan")
+
+
+def _q_prefix_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, f"{PREFIX}*")
+
+
+def _q_wildcard_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, WILDCARD)
+
+
+def _q_range_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, f"[{RANGE[0]} TO {RANGE[1]}]")
+
+
+def _q_synonym_topk(spark, sf_dir):
+    from lucene_spark.plans.query import SynonymQ
+
+    return _topk_df(spark, sf_dir, SynonymQ(terms=SYN))
+
+
+def _q_dismax_topk(spark, sf_dir):
+    from lucene_spark.plans.query import DisMaxQ, TermQ
+
+    return _topk_df(spark, sf_dir, DisMaxQ(clauses=(TermQ(T_HOT), TermQ(T_MID)), tie=0.0))
+
+
+def _q_match_all_count(spark, sf_dir):
+    n = _searcher(spark, sf_dir).count("*")
+    return spark.createDataFrame([(int(n),)], schema="n long")
+
+
+def _q_sort_by_len(spark, sf_dir):
+    df = _searcher(spark, sf_dir).search_sorted(T_HOT, by="doc_len", k=10)
+    return df.select(
+        F.col("gid").cast("long").alias("doc_id"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+    )
+
+
+def _docs_table(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _q_facet_lang(spark, sf_dir):
+    return _searcher(spark, sf_dir).facet_counts(
+        T_HOT, _docs_table(spark, sf_dir), "lang", key_col="doc_id"
+    )
+
+
+def _q_grouped_topk(spark, sf_dir):
+    df = _searcher(spark, sf_dir).grouped_topk(
+        T_HOT, _docs_table(spark, sf_dir), "lang", k_per_group=2, key_col="doc_id"
+    )
+    return df.select(
+        "dim",
+        F.col("gid").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
 # --------------------------------------------- multimodal binary plumbing
 # media payload = UTF-8 bytes of `text` (deterministic fake blobs; the ops
 # treat them as opaque binary exactly as they would real image bytes)
@@ -307,6 +374,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "image_decode": _q_image_decode,
         "byte_histogram": _q_byte_histogram,
+        "prefix_topk": _q_prefix_topk,
+        "wildcard_topk": _q_wildcard_topk,
+        "range_topk": _q_range_topk,
+        "synonym_topk": _q_synonym_topk,
+        "dismax_topk": _q_dismax_topk,
+        "match_all_count": _q_match_all_count,
+        "sort_by_len": _q_sort_by_len,
+        "facet_lang": _q_facet_lang,
+        "grouped_topk": _q_grouped_topk,
     }
 
 
@@ -339,4 +415,13 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": otx.media_metadata_sql(),
         "image_decode": otx.image_decode_sql(),
         "byte_histogram": otx.byte_histogram_sql(),
+        "prefix_topk": osql.prefix_topk_sql(PREFIX),
+        "wildcard_topk": osql.wildcard_topk_sql(WILDCARD),
+        "range_topk": osql.range_topk_sql(*RANGE),
+        "synonym_topk": osql.synonym_topk_sql(*SYN),
+        "dismax_topk": osql.dismax_topk_sql(T_HOT, T_MID),
+        "match_all_count": osql.match_all_count_sql(),
+        "sort_by_len": osql.sort_by_len_sql(T_HOT),
+        "facet_lang": osql.facet_lang_sql(T_HOT),
+        "grouped_topk": osql.grouped_topk_sql(T_HOT),
     }

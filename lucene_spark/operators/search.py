@@ -43,9 +43,25 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..functions.bm25 import BM25Scorer, avgdl as _avgdl, idf as _idf, norm_cache
 from ..functions.pfor import decode_stream
-from ..plans.query import BoolQ, PhraseQ, TermQ, parse_query, query_terms
+from ..plans.query import (
+    BoolQ,
+    ConstScoreQ,
+    DisMaxQ,
+    MatchAllQ,
+    PhraseQ,
+    PrefixQ,
+    RangeQ,
+    SynonymQ,
+    TermQ,
+    WildcardQ,
+    parse_query,
+    query_terms,
+)
 
 __all__ = ["Searcher", "TermPostings", "eval_plan", "decode_term_blocks"]
+
+# BooleanQuery clause cap for scoring rewrites (IndexSearcher.java:81)
+MAX_CLAUSE_COUNT = 1024
 
 
 @dataclass
@@ -103,6 +119,7 @@ class ScoreCtx:
     weights: dict  # term -> np.float32 weight (boost * idf)
     cache: np.ndarray  # float32[256] shared norm-inverse cache
     phrase_weights: dict  # PhraseQ -> np.float32
+    syn_weights: dict = None  # SynonymQ -> np.float32 (blended stats)
 
 
 def _score_term(tp: TermPostings, weight: np.float32, cache: np.ndarray) -> np.ndarray:
@@ -126,7 +143,55 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_phrase(node, postings, ctx)
     if isinstance(node, BoolQ):
         return _eval_bool(node, postings, ctx)
+    if isinstance(node, SynonymQ):
+        return _eval_synonym(node, postings, ctx)
+    if isinstance(node, DisMaxQ):
+        return _eval_dismax(node, postings, ctx)
+    if isinstance(node, ConstScoreQ):
+        gids, _ = eval_plan(node.child, postings, ctx)
+        return gids, np.full(len(gids), np.float32(node.boost), dtype=np.float32)
     raise TypeError(f"unknown node {node!r}")
+
+
+def _eval_synonym(node: SynonymQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """SynonymQuery kernel: member postings merge into one pseudo-term —
+    per-doc freq = Σ member freqs, one score with the blended weight
+    (SynonymQuery.java SynonymWeight/SynonymScorer)."""
+    tps = [postings.get(t) for t in node.terms]
+    tps = [tp for tp in tps if tp is not None and len(tp.gids)]
+    if not tps:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    all_g = np.concatenate([tp.gids for tp in tps])
+    all_f = np.concatenate([tp.freqs for tp in tps])
+    all_n = np.concatenate([tp.norms for tp in tps])
+    gids, inv = np.unique(all_g, return_inverse=True)
+    freqs = np.zeros(len(gids), dtype=np.int64)
+    np.add.at(freqs, inv, all_f)
+    norms = np.zeros(len(gids), dtype=np.uint8)
+    norms[inv] = all_n  # per-doc norm, identical across member terms
+    w = ctx.syn_weights[node]
+    one = np.float32(1.0)
+    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache[norms])
+    return gids, scores
+
+
+def _eval_dismax(node: DisMaxQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """DisjunctionMaxQuery kernel: per doc, max clause score plus
+    tie * (sum - max), composed in double and cast to float32 once
+    (DisjunctionMaxScorer.score)."""
+    evals = [eval_plan(c, postings, ctx) for c in node.clauses]
+    evals = [(g, s) for g, s in evals if len(g)]
+    if not evals:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    all_g = np.concatenate([g for g, _ in evals])
+    all_s = np.concatenate([s for _, s in evals]).astype(np.float64)
+    gids, inv = np.unique(all_g, return_inverse=True)
+    smax = np.full(len(gids), -np.inf)
+    np.maximum.at(smax, inv, all_s)
+    ssum = np.zeros(len(gids))
+    np.add.at(ssum, inv, all_s)
+    scores = (smax + (ssum - smax) * float(node.tie)).astype(np.float32)
+    return gids, scores
 
 
 def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
@@ -246,6 +311,21 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
                 any_present = True
                 ub += max(b, 0.0)
         return ub if any_present else float("-inf")
+    if isinstance(node, SynonymQ):
+        if not any(t in term_maxes for t in node.terms):
+            return float("-inf")
+        # score is bounded above by the blended weight (w - w/(1+x) < w)
+        return float(ctx.syn_weights[node])
+    if isinstance(node, DisMaxQ):
+        bounds = [_plan_upper_bound(c, term_maxes, ctx) for c in node.clauses]
+        bounds = [b for b in bounds if b != float("-inf")]
+        if not bounds:
+            return float("-inf")
+        mx = max(bounds)
+        return mx + node.tie * sum(max(b, 0.0) for b in bounds if b is not mx)
+    if isinstance(node, ConstScoreQ):
+        child = _plan_upper_bound(node.child, term_maxes, ctx)
+        return float("-inf") if child == float("-inf") else float(node.boost)
     return float("inf")
 
 
@@ -335,6 +415,82 @@ class Searcher:
         rows = tdf.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"])) for r in rows}
 
+    # ---- multi-term rewrite (MultiTermQuery.java rewrite methods) ------
+    def terms_table(self) -> DataFrame:
+        if self._terms_df is None:
+            self._terms_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "terms")
+            )
+        return self._terms_df
+
+    def expand_terms(self, node) -> list[str]:
+        """Term-dictionary scan for one multi-term node. The filter pushes
+        into the sorted terms Parquet (min/max row-group pruning = the
+        blocktree/FST seek analog); matches collect to the driver, capped
+        like BooleanQuery's maxClauseCount."""
+        tdf = self.terms_table()
+        if isinstance(node, PrefixQ):
+            matched = tdf.filter(F.col("term").startswith(node.prefix))
+        elif isinstance(node, WildcardQ):
+            import re as _re
+
+            rx = "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in node.pattern
+            )
+            matched = tdf.filter(F.col("term").rlike(f"^{rx}$"))
+        elif isinstance(node, RangeQ):
+            c = F.lit(True)
+            if node.lo is not None:
+                c = c & (
+                    F.col("term") >= node.lo if node.include_lo else F.col("term") > node.lo
+                )
+            if node.hi is not None:
+                c = c & (
+                    F.col("term") <= node.hi if node.include_hi else F.col("term") < node.hi
+                )
+            matched = tdf.filter(c)
+        else:
+            raise TypeError(f"not a multi-term node: {node!r}")
+        terms = [r["term"] for r in matched.select("term").limit(MAX_CLAUSE_COUNT + 1).collect()]
+        if len(terms) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"multi-term query expands to >{MAX_CLAUSE_COUNT} terms "
+                "(maxClauseCount, IndexSearcher.java:81)"
+            )
+        return sorted(terms)
+
+    def rewrite(self, node):
+        """Resolve multi-term nodes against the term dictionary
+        (Query.rewrite fixpoint, IndexSearcher.java:761-768).
+
+        Prefix/wildcard → scoring boolean OR over matched terms
+        (MultiTermQuery.SCORING_BOOLEAN_REWRITE); range → constant-score
+        over the match set (Lucene's default for ranges). An empty
+        expansion becomes a match-nothing BoolQ (MatchNoDocsQuery analog).
+        """
+        if node is None or isinstance(node, (TermQ, PhraseQ, SynonymQ, MatchAllQ)):
+            return node
+        if isinstance(node, (PrefixQ, WildcardQ)):
+            terms = self.expand_terms(node)
+            return BoolQ(should=tuple(TermQ(t) for t in terms)).simplified()
+        if isinstance(node, RangeQ):
+            terms = self.expand_terms(node)
+            return ConstScoreQ(BoolQ(should=tuple(TermQ(t) for t in terms)), boost=1.0)
+        if isinstance(node, BoolQ):
+            return BoolQ(
+                must=tuple(self.rewrite(c) for c in node.must),
+                should=tuple(self.rewrite(c) for c in node.should),
+                must_not=tuple(self.rewrite(c) for c in node.must_not),
+            ).simplified()
+        if isinstance(node, DisMaxQ):
+            return DisMaxQ(
+                clauses=tuple(self.rewrite(c) for c in node.clauses), tie=node.tie
+            )
+        if isinstance(node, ConstScoreQ):
+            return ConstScoreQ(self.rewrite(node.child), boost=node.boost)
+        raise TypeError(f"unknown node {node!r}")
+
     def make_ctx(self, node) -> ScoreCtx:
         terms = query_terms(node)
         tstats = self.term_stats(terms)
@@ -344,18 +500,31 @@ class Searcher:
             t: _idf(tstats[t][0], doc_count) for t in terms if t in tstats
         }
         phrase_weights = {}
+        syn_weights = {}
 
         def walk(n):
             if isinstance(n, PhraseQ):
                 # idf summed as double over float per-term idfs, cast to float
                 s = sum(float(_idf(tstats[t][0], doc_count)) for t in n.terms if t in tstats)
                 phrase_weights[n] = np.float32(s)
+            elif isinstance(n, SynonymQ):
+                # blended stats: df = max over members (SynonymQuery.java)
+                dfs = [tstats[t][0] for t in n.terms if t in tstats]
+                syn_weights[n] = _idf(max(dfs), doc_count) if dfs else np.float32(0.0)
             elif isinstance(n, BoolQ):
                 for c in n.must + n.should + n.must_not:
                     walk(c)
+            elif isinstance(n, DisMaxQ):
+                for c in n.clauses:
+                    walk(c)
+            elif isinstance(n, ConstScoreQ):
+                walk(n.child)
 
         walk(node)
-        return ScoreCtx(weights=weights, cache=cache, phrase_weights=phrase_weights)
+        return ScoreCtx(
+            weights=weights, cache=cache,
+            phrase_weights=phrase_weights, syn_weights=syn_weights,
+        )
 
     # ---- execution ------------------------------------------------------
     def search(self, query, k: int = 10, prune: bool = True) -> pd.DataFrame:
@@ -377,10 +546,23 @@ class Searcher:
         out = top.merge(keys, on="gid", how="left")
         return out[["gid", "key", "score"]]
 
+    def doc_rows(self) -> DataFrame:
+        """The docs/norms table: (seg, gid, key, doc_len, norm_b)."""
+        path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=doc")
+        return self.spark.read.parquet(path).select("seg", "gid", "key", "doc_len", "norm_b")
+
     def candidates(self, node, k: int = 10, prune: bool = True) -> DataFrame:
         """DataFrame (gid, score) of all scored candidates (per-bucket top-k)."""
         if node is None:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
+        node = self.rewrite(node)
+        if isinstance(node, MatchAllQ) or (
+            isinstance(node, ConstScoreQ) and isinstance(node.child, MatchAllQ)
+        ):
+            boost = node.boost if isinstance(node, ConstScoreQ) else 1.0
+            return self.doc_rows().select(
+                "gid", F.lit(float(np.float32(boost))).cast("float").alias("score")
+            )
         ctx = self.make_ctx(node)
         terms = {t for t in query_terms(node) if t in ctx.weights}
         if not terms:
@@ -510,6 +692,9 @@ class Searcher:
         node = parse_query(query) if isinstance(query, str) else query
         if node is None:
             return 0
+        node = self.rewrite(node)
+        if isinstance(node, MatchAllQ):
+            return int(self.doc_rows().count())
         if isinstance(node, TermQ):
             # no decode needed: block doc counts sum exactly
             row = (
@@ -522,10 +707,71 @@ class Searcher:
         df = self.candidates(node, k=1 << 62, prune=False)
         return df.count()
 
+    # ---- field collectors (TopFieldCollector / facets / grouping) ------
+
+    def search_sorted(self, query, by: str = "doc_len", k: int = 10,
+                      ascending: bool = False) -> DataFrame:
+        """Sort-by-field top-k over the match set (TopFieldCollector.java
+        analog): order by the doc-values column, ties by gid asc. Scoring is
+        skipped conceptually (Lucene passes needsScores=false); candidates
+        are computed unpruned since θ-pruning only applies to score order.
+        """
+        node = parse_query(query) if isinstance(query, str) else query
+        cand = self.candidates(node, prune=False).select("gid").distinct()
+        order = F.asc(by) if ascending else F.desc(by)
+        return (
+            cand.join(self.doc_rows().select("gid", by), "gid")
+            .orderBy(order, F.asc("gid"))
+            .limit(k)
+        )
+
+    def facet_counts(self, query, dim_df: DataFrame, dim_col: str,
+                     key_col: str = "key") -> DataFrame:
+        """Per-dimension match counts (FacetsCollector + facet counting,
+        lucene/facet): match set → broadcast-join the dimension table on the
+        doc key → groupBy(dim).count(). The dim table join is the
+        taxonomy-ordinal lookup analog."""
+        node = parse_query(query) if isinstance(query, str) else query
+        cand = self.candidates(node, prune=False).select("gid").distinct()
+        keyed = cand.join(self.doc_rows().select("gid", "key"), "gid")
+        dims = dim_df.select(
+            F.col(key_col).cast("string").alias("key"), F.col(dim_col).alias("dim")
+        )
+        return (
+            keyed.join(F.broadcast(dims), "key")
+            .groupBy("dim")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def grouped_topk(self, query, dim_df: DataFrame, dim_col: str,
+                     k_per_group: int = 2, key_col: str = "key") -> DataFrame:
+        """Top-k docs per group by BM25 score (grouping module analog,
+        lucene/grouping FirstPass/SecondPassGroupingCollector): window rank
+        over (group, score desc, gid asc)."""
+        from pyspark.sql import Window
+
+        node = parse_query(query) if isinstance(query, str) else query
+        cand = self.candidates(node, prune=False)
+        keyed = cand.join(self.doc_rows().select("gid", "key"), "gid")
+        dims = dim_df.select(
+            F.col(key_col).cast("string").alias("key"), F.col(dim_col).alias("dim")
+        )
+        w = Window.partitionBy("dim").orderBy(F.desc("score"), F.asc("gid"))
+        return (
+            keyed.join(F.broadcast(dims), "key")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k_per_group)
+            .select("dim", "gid", "score", "rn")
+        )
+
 
 def _has_phrase(node) -> bool:
     if isinstance(node, PhraseQ):
         return True
     if isinstance(node, BoolQ):
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)
+    if isinstance(node, DisMaxQ):
+        return any(_has_phrase(c) for c in node.clauses)
+    if isinstance(node, ConstScoreQ):
+        return _has_phrase(node.child)
     return False

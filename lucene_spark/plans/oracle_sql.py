@@ -151,6 +151,114 @@ WHERE s1.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t2}')
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def scored_pred_cte(name: str, term_pred: str) -> str:
+    """CTE scoring every (doc, term) pair whose term satisfies ``term_pred``
+    (float32-exact per-clause BM25) — the scoring-boolean-rewrite oracle."""
+    w = idf_sql("ts.doc_freq", N_SQL)
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    score = bm25_score_sql(w, "tf.freq", cache)
+    return f"""
+{name} AS (
+  SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+  FROM tf
+  JOIN tstats ts ON ts.term = tf.term
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+  WHERE {term_pred}
+)"""
+
+
+def multiterm_topk_sql(term_pred: str, k: int = 10) -> str:
+    """Scoring-boolean rewrite: OR-sum over every matched term's clause
+    (MultiTermQuery.SCORING_BOOLEAN_REWRITE → DisjunctionSumScorer)."""
+    return f"""WITH {base_ctes()},{scored_pred_cte('s', term_pred)}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def prefix_topk_sql(prefix: str, k: int = 10) -> str:
+    return multiterm_topk_sql(f"tf.term LIKE '{prefix}%'", k)
+
+
+def wildcard_topk_sql(pattern: str, k: int = 10) -> str:
+    like = pattern.replace("*", "%").replace("?", "_")
+    return multiterm_topk_sql(f"tf.term LIKE '{like}'", k)
+
+
+def range_topk_sql(lo: str, hi: str, k: int = 10) -> str:
+    """Constant-score range rewrite: every doc with any term in [lo, hi]
+    scores 1.0 (TermRangeQuery default CONSTANT_SCORE rewrite)."""
+    return f"""WITH {base_ctes()}
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term >= '{lo}' AND term <= '{hi}')
+ORDER BY doc_id ASC LIMIT {k}"""
+
+
+def synonym_topk_sql(t1: str, t2: str, k: int = 10) -> str:
+    """SynonymQuery: one pseudo-term with freq = Σ member freqs and blended
+    df = max(member doc_freq) (SynonymQuery.java SynonymWeight)."""
+    w = idf_sql(
+        f"(SELECT max(doc_freq) FROM tstats WHERE term IN ('{t1}', '{t2}'))", N_SQL
+    )
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    score = bm25_score_sql(w, "sf.f", cache)
+    return f"""WITH {base_ctes()},
+sf AS (
+  SELECT doc_id, sum(freq)::BIGINT AS f
+  FROM tf WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id
+)
+SELECT sf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM sf
+JOIN dn ON dn.doc_id = sf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def dismax_topk_sql(t1: str, t2: str, k: int = 10) -> str:
+    """DisjunctionMaxQuery with tie=0: per-doc max of clause scores."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)}
+SELECT doc_id, CAST(max(score) AS DOUBLE) AS score
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def match_all_count_sql() -> str:
+    return "SELECT count(*)::BIGINT AS n FROM documents"
+
+
+def sort_by_len_sql(term: str, k: int = 10) -> str:
+    """TopFieldCollector analog: match set ordered by doc_len desc, doc asc."""
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, dl.doc_len
+FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+WHERE tf.term = '{term}'
+ORDER BY dl.doc_len DESC, tf.doc_id ASC LIMIT {k}"""
+
+
+def facet_lang_sql(term: str) -> str:
+    return f"""WITH {base_ctes()}
+SELECT d.lang AS dim, count(*)::BIGINT AS n
+FROM tf JOIN documents d ON d.doc_id = tf.doc_id
+WHERE tf.term = '{term}'
+GROUP BY d.lang ORDER BY dim"""
+
+
+def grouped_topk_sql(term: str, k_per_group: int = 2) -> str:
+    return f"""WITH {base_ctes()},{scored_term_cte('s', term)},
+r AS (
+  SELECT d.lang AS dim, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT dim, doc_id, score, rn::INT AS rn
+FROM r WHERE rn <= {k_per_group} ORDER BY dim, rn"""
+
+
 def term_postings_sql(term: str) -> str:
     return f"""WITH {base_ctes()}
 SELECT doc_id, freq FROM tf WHERE term = '{term}' ORDER BY doc_id"""

@@ -18,7 +18,11 @@ from dataclasses import dataclass, field
 
 from ..functions.analysis import analyze_batch
 
-__all__ = ["TermQ", "PhraseQ", "BoolQ", "parse_query", "query_terms"]
+__all__ = [
+    "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
+    "SynonymQ", "DisMaxQ", "ConstScoreQ", "MatchAllQ",
+    "parse_query", "query_terms",
+]
 
 
 @dataclass(frozen=True)
@@ -31,6 +35,66 @@ class PhraseQ:
     terms: tuple[str, ...]
     # relative positions of each term in the phrase (stopword holes kept)
     offsets: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class PrefixQ:
+    """PrefixQuery (core/search/PrefixQuery.java) — rewritten against the
+    term dictionary before scoring (MultiTermQuery rewrite)."""
+
+    prefix: str
+
+
+@dataclass(frozen=True)
+class WildcardQ:
+    """WildcardQuery (core/search/WildcardQuery.java): ``*`` = any run,
+    ``?`` = one char."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
+class RangeQ:
+    """TermRangeQuery (core/search/TermRangeQuery.java): lexicographic term
+    range; None bound = open. Rewrites to a constant-score filter (Lucene's
+    default rewrite for ranges)."""
+
+    lo: "str | None"
+    hi: "str | None"
+    include_lo: bool = True
+    include_hi: bool = True
+
+
+@dataclass(frozen=True)
+class SynonymQ:
+    """SynonymQuery (core/search/SynonymQuery.java): terms scored as one
+    pseudo-term — per-doc freq = sum of member freqs, blended stats
+    df = max(docFreq_i), ttf = sum(totalTermFreq_i)."""
+
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class DisMaxQ:
+    """DisjunctionMaxQuery (core/search/DisjunctionMaxQuery.java):
+    score = max(clause scores) + tie * (sum - max)."""
+
+    clauses: tuple
+    tie: float = 0.0
+
+
+@dataclass(frozen=True)
+class ConstScoreQ:
+    """ConstantScoreQuery (core/search/ConstantScoreQuery.java): child
+    defines the match set; every hit scores ``boost``."""
+
+    child: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllQ:
+    """MatchAllDocsQuery (core/search/MatchAllDocsQuery.java)."""
 
 
 @dataclass(frozen=True)
@@ -160,6 +224,31 @@ class _Parser:
             return ("NOT", c) if c is not None else None
         return self.unary_atom()
 
+    def _range_atom(self):
+        """``[lo TO hi]`` / ``{lo TO hi}`` (classic QueryParser range syntax);
+        ``*`` as a bound means open."""
+        opener = self.next()
+        include_lo = opener.startswith("[")
+        toks = [opener[1:]] if len(opener) > 1 else []
+        include_hi = True
+        while self.peek() is not None:
+            t = self.next()
+            if t.endswith("]") or t.endswith("}"):
+                include_hi = t.endswith("]")
+                if len(t) > 1:
+                    toks.append(t[:-1])
+                break
+            toks.append(t)
+        toks = [w for w in toks if w and w != "TO"]
+        lo = toks[0] if toks else "*"
+        hi = toks[1] if len(toks) > 1 else "*"
+        return RangeQ(
+            lo=None if lo == "*" else lo.lower(),
+            hi=None if hi == "*" else hi.lower(),
+            include_lo=include_lo,
+            include_hi=include_hi,
+        )
+
     def unary_atom(self):
         t = self.peek()
         if t == "(":
@@ -170,7 +259,18 @@ class _Parser:
             return node
         if t is None or t in (")", "AND", "OR"):
             return None
+        if t.startswith("[") or t.startswith("{"):
+            return self._range_atom()
         self.next()
+        if t == "*":
+            return MatchAllQ()
+        if "*" in t or "?" in t:
+            # wildcard terms are lowercased but NOT analyzed
+            # (QueryParserBase.getWildcardQuery)
+            pat = t.lower()
+            if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+                return PrefixQ(pat[:-1])
+            return WildcardQ(pat)
         if t.startswith('"'):
             body = t.strip('"')
             toks = _analyze_word(body)
@@ -199,16 +299,29 @@ def parse_query(q: str):
 
 
 def query_terms(node) -> set[str]:
-    """All index terms a query touches (for the postings scan filter)."""
-    if node is None:
+    """All index terms a query touches (for the postings scan filter).
+
+    Multi-term nodes (PrefixQ/WildcardQ/RangeQ) must be rewritten against
+    the term dictionary first (Searcher.rewrite); they have no fixed terms.
+    """
+    if node is None or isinstance(node, MatchAllQ):
         return set()
     if isinstance(node, TermQ):
         return {node.term}
-    if isinstance(node, PhraseQ):
+    if isinstance(node, (PhraseQ, SynonymQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()
         for c in node.must + node.should + node.must_not:
             out |= query_terms(c)
         return out
+    if isinstance(node, DisMaxQ):
+        out = set()
+        for c in node.clauses:
+            out |= query_terms(c)
+        return out
+    if isinstance(node, ConstScoreQ):
+        return query_terms(node.child)
+    if isinstance(node, (PrefixQ, WildcardQ, RangeQ)):
+        raise TypeError(f"{node!r} must be rewritten before planning")
     raise TypeError(f"unknown node {node!r}")

@@ -1,0 +1,154 @@
+"""Multi-term rewrites, synonym/dismax kernels, collectors.
+
+Mirrors the reference's scorer tests: rewritten/pruned execution must equal
+an exhaustive evaluation (CheckHits contract), and rewrite semantics follow
+MultiTermQuery / SynonymQuery / DisjunctionMaxQuery.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_spark.plans.query import (
+    BoolQ,
+    ConstScoreQ,
+    DisMaxQ,
+    MatchAllQ,
+    PrefixQ,
+    RangeQ,
+    SynonymQ,
+    TermQ,
+    WildcardQ,
+    parse_query,
+)
+
+
+# ------------------------------------------------------------------ parser
+
+
+def test_parse_prefix_and_wildcard():
+    assert parse_query("me*") == PrefixQ("me")
+    assert parse_query("M?rge") == WildcardQ("m?rge")
+    assert parse_query("*erge") == WildcardQ("*erge")
+    assert parse_query("*") == MatchAllQ()
+
+
+def test_parse_range():
+    assert parse_query("[query TO sort]") == RangeQ("query", "sort", True, True)
+    assert parse_query("{query TO sort}") == RangeQ("query", "sort", False, False)
+    assert parse_query("[* TO sort]") == RangeQ(None, "sort", True, True)
+    assert parse_query("[query TO *]") == RangeQ("query", None, True, True)
+
+
+def test_parse_mixed_boolean_with_multiterm():
+    node = parse_query("me* AND window")
+    assert isinstance(node, BoolQ)
+    assert PrefixQ("me") in node.must and TermQ("window") in node.must
+
+
+# ------------------------------------------------------- rewrite + kernels
+
+
+@pytest.fixture(scope="module")
+def searcher(spark):
+    import __spark_entry__ as entry
+
+    from lucene_spark.operators.search import Searcher
+
+    return Searcher(spark, entry._index_for(spark, "/root/testdata/sf0.001"))
+
+
+def test_rewrite_prefix_to_scoring_boolean(searcher):
+    node = searcher.rewrite(PrefixQ("s"))
+    assert isinstance(node, BoolQ)
+    terms = {c.term for c in node.should}
+    assert terms == {"scan", "slow", "small", "sort", "spark", "stream"}
+
+
+def test_rewrite_wildcard(searcher):
+    node = searcher.rewrite(WildcardQ("?a*"))
+    terms = {c.term for c in node.should}
+    assert terms == {"batch", "data", "fast", "hash", "part", "table", "value"}
+
+
+def test_rewrite_range_constant_score(searcher):
+    node = searcher.rewrite(RangeQ("query", "sort"))
+    assert isinstance(node, ConstScoreQ)
+    terms = {c.term for c in node.child.should}
+    assert terms == {"query", "row", "scan", "slow", "small", "sort"}
+    excl = searcher.rewrite(RangeQ("query", "sort", include_lo=False, include_hi=False))
+    terms_excl = {c.term for c in excl.child.should}
+    assert terms_excl == {"row", "scan", "slow", "small"}
+
+
+def test_rewrite_empty_expansion_matches_nothing(searcher):
+    node = searcher.rewrite(PrefixQ("zzzz"))
+    assert searcher.search(node, k=5).empty
+
+
+def test_multiterm_clause_cap(searcher, monkeypatch):
+    import lucene_spark.operators.search as srch
+
+    monkeypatch.setattr(srch, "MAX_CLAUSE_COUNT", 3)
+    with pytest.raises(ValueError, match="maxClauseCount"):
+        searcher.expand_terms(PrefixQ("s"))
+
+
+def test_prefix_equals_explicit_or(searcher):
+    """Rewritten prefix must score identically to the hand-built OR."""
+    got = searcher.search(PrefixQ("s"), k=10)
+    want = searcher.search("scan OR slow OR small OR sort OR spark OR stream", k=10)
+    assert got["gid"].tolist() == want["gid"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_dismax_tie_zero_is_max_of_clauses(searcher):
+    q = DisMaxQ(clauses=(TermQ("merge"), TermQ("window")), tie=0.0)
+    got = searcher.search(q, k=200, prune=False)
+    a = searcher.search("merge", k=500, prune=False).set_index("gid")["score"]
+    b = searcher.search("window", k=500, prune=False).set_index("gid")["score"]
+    for gid, score in zip(got["gid"], got["score"]):
+        expect = max(a.get(gid, -np.inf), b.get(gid, -np.inf))
+        assert score == np.float32(expect)
+
+
+def test_dismax_tiebreak_blends(searcher):
+    q = DisMaxQ(clauses=(TermQ("merge"), TermQ("window")), tie=0.5)
+    got = searcher.search(q, k=50, prune=False)
+    a = searcher.search("merge", k=500, prune=False).set_index("gid")["score"]
+    b = searcher.search("window", k=500, prune=False).set_index("gid")["score"]
+    checked = 0
+    for gid, score in zip(got["gid"], got["score"]):
+        sa, sb = a.get(gid), b.get(gid)
+        if sa is not None and sb is not None:
+            mx = max(float(sa), float(sb))
+            total = float(sa) + float(sb)
+            assert score == np.float32(mx + (total - mx) * 0.5)
+            checked += 1
+    assert checked > 0
+
+
+def test_synonym_freq_sums_and_df_blends(searcher):
+    """Synonym score uses summed freq and max member docFreq."""
+    q = SynonymQ(terms=("merge", "scan"))
+    got = searcher.search(q, k=5, prune=False)
+    assert not got.empty
+    # every doc matching either term appears
+    n_union = searcher.count("merge OR scan")
+    all_hits = searcher.search(q, k=10**6, prune=False)
+    assert len(all_hits) == n_union
+
+
+def test_match_all(searcher):
+    assert searcher.count("*") == 500
+    top = searcher.search("*", k=3)
+    assert (top["score"] == 1.0).all()
+    assert top["gid"].tolist() == [0, 1, 2]  # constant score → gid asc ties
+
+
+def test_pruned_equals_exhaustive_on_rewrites(searcher):
+    """CheckHits: θ-pruned execution == exhaustive for rewritten queries."""
+    for q in (PrefixQ("s"), WildcardQ("?a*"), RangeQ("query", "sort")):
+        a = searcher.search(q, k=10, prune=True)
+        b = searcher.search(q, k=10, prune=False)
+        assert a["gid"].tolist() == b["gid"].tolist()
+        assert a["score"].tolist() == b["score"].tolist()
