@@ -1,0 +1,28 @@
+"""Synthetic pages corpus: determinism + the html→text byte-identity invariant."""
+
+import pandas as pd
+
+from lucene_spark.sources.webtext import extract_text, generate_pages_pdf
+
+
+def test_extraction_byte_identical_per_url():
+    pdf = generate_pages_pdf(0, 200)
+    for html, text in zip(pdf["html"], pdf["text"]):
+        assert extract_text(html) == text  # str equality == byte equality (utf-8)
+        assert extract_text(html).encode("utf-8") == bytes(html)[12:-14]
+
+
+def test_generation_chunking_invariant():
+    """A row's content depends only on (i, seed) — any chunking agrees."""
+    whole = generate_pages_pdf(0, 120)
+    parts = pd.concat(
+        [generate_pages_pdf(0, 37), generate_pages_pdf(37, 90), generate_pages_pdf(90, 120)],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(whole, parts)
+
+
+def test_seed_changes_content():
+    a = generate_pages_pdf(0, 10, seed=1)
+    b = generate_pages_pdf(0, 10, seed=2)
+    assert (a["text"] != b["text"]).any()
