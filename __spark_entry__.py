@@ -283,6 +283,28 @@ def _q_dismax_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, DisMaxQ(clauses=(TermQ(T_HOT), TermQ(T_MID)), tie=0.0))
 
 
+FUZZY_TERM = "marge"  # 1 edit from "merge", 2 from "large"-like vocab terms
+REGEXP_PAT = "s[a-z]*t"  # sort, ...
+
+
+def _q_fuzzy_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, f"{FUZZY_TERM}~2")
+
+
+def _q_regexp_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, f"/{REGEXP_PAT}/")
+
+
+MSM_TERMS = ("merge", "window", "scan")
+
+
+def _q_msm_topk(spark, sf_dir):
+    from lucene_spark.plans.query import BoolQ, TermQ
+
+    q = BoolQ(should=tuple(TermQ(t) for t in MSM_TERMS), msm=2)
+    return _topk_df(spark, sf_dir, q)
+
+
 def _q_match_all_count(spark, sf_dir):
     n = _searcher(spark, sf_dir).count("*")
     return spark.createDataFrame([(int(n),)], schema="n long")
@@ -379,6 +401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_topk": _q_range_topk,
         "synonym_topk": _q_synonym_topk,
         "dismax_topk": _q_dismax_topk,
+        "msm_topk": _q_msm_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
+        "regexp_topk": _q_regexp_topk,
         "match_all_count": _q_match_all_count,
         "sort_by_len": _q_sort_by_len,
         "facet_lang": _q_facet_lang,
@@ -420,6 +445,9 @@ def oracle_sql() -> dict[str, str]:
         "range_topk": osql.range_topk_sql(*RANGE),
         "synonym_topk": osql.synonym_topk_sql(*SYN),
         "dismax_topk": osql.dismax_topk_sql(T_HOT, T_MID),
+        "msm_topk": osql.topk_msm_sql(list(MSM_TERMS), 2),
+        "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_TERM),
+        "regexp_topk": osql.regexp_topk_sql(REGEXP_PAT),
         "match_all_count": osql.match_all_count_sql(),
         "sort_by_len": osql.sort_by_len_sql(T_HOT),
         "facet_lang": osql.facet_lang_sql(T_HOT),

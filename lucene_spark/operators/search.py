@@ -47,10 +47,12 @@ from ..plans.query import (
     BoolQ,
     ConstScoreQ,
     DisMaxQ,
+    FuzzyQ,
     MatchAllQ,
     PhraseQ,
     PrefixQ,
     RangeQ,
+    RegexpQ,
     SynonymQ,
     TermQ,
     WildcardQ,
@@ -199,6 +201,9 @@ def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, 
     musts = [eval_plan(c, postings, ctx) for c in node.must]
     shoulds = [eval_plan(c, postings, ctx) for c in node.should]
     nots = [eval_plan(c, postings, ctx) for c in node.must_not]
+    msm = max(int(node.msm), 0)
+    if msm > len(node.should):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
 
     if node.must:
         gids = musts[0][0]
@@ -207,6 +212,7 @@ def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, 
         if not len(gids):
             return gids, np.empty(0, np.float32)
         total = np.zeros(len(gids), dtype=np.float64)
+        n_opt = np.zeros(len(gids), dtype=np.int64)
         for g, s in musts:
             idx = np.searchsorted(g, gids)
             total += s[idx].astype(np.float64)
@@ -217,6 +223,10 @@ def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, 
             idx_c = np.minimum(idx, len(g) - 1)
             hit = g[idx_c] == gids
             total[hit] += s[idx_c[hit]].astype(np.float64)
+            n_opt[hit] += 1
+        if msm > 0:
+            keep = n_opt >= msm
+            gids, total = gids[keep], total[keep]
     else:
         if not shoulds:
             return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -227,6 +237,13 @@ def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, 
         gids, inv = np.unique(all_g, return_inverse=True)
         total = np.zeros(len(gids), dtype=np.float64)
         np.add.at(total, inv, all_s)
+        if msm > 1:
+            # WANDScorer's minShouldMatch mode: keep docs matching >= msm
+            # optional clauses (TestWANDScorer's brute-force contract)
+            cnt = np.zeros(len(gids), dtype=np.int64)
+            np.add.at(cnt, inv, 1)
+            keep = cnt >= msm
+            gids, total = gids[keep], total[keep]
 
     for g, _ in nots:
         if len(g):
@@ -331,8 +348,13 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
 
 # ------------------------------------------------------------------ searcher
 
-# worker-local top-k heaps: query id -> (k, min-heap of scores)
+# worker-local top-k heaps: query id -> min-heap of scores. Python workers
+# are long-lived across queries, so the map is bounded: oldest entries drop
+# once more than _MAX_LIVE_QUERIES distinct queries have touched this worker
+# (dict preserves insertion order; dropping only ever loses pruning
+# opportunity, never correctness).
 _LOCAL_HEAPS: dict = {}
+_MAX_LIVE_QUERIES = 64
 
 
 def _theta(qid: str, k: int) -> float:
@@ -344,6 +366,8 @@ def _theta(qid: str, k: int) -> float:
 
 def _offer(qid: str, k: int, scores: np.ndarray) -> None:
     heap = _LOCAL_HEAPS.setdefault(qid, [])
+    while len(_LOCAL_HEAPS) > _MAX_LIVE_QUERIES:
+        _LOCAL_HEAPS.pop(next(iter(_LOCAL_HEAPS)))
     scores = np.asarray(scores)
     if len(scores) > k:  # only the batch's top-k can matter
         scores = scores[np.argpartition(-scores, k - 1)[:k]]
@@ -439,6 +463,25 @@ class Searcher:
                 for ch in node.pattern
             )
             matched = tdf.filter(F.col("term").rlike(f"^{rx}$"))
+        elif isinstance(node, FuzzyQ):
+            # FuzzyQuery.java: candidates within maxEdits, keeping the
+            # maxExpansions highest-docFreq terms (exact-match always kept)
+            cand = tdf.filter(
+                F.levenshtein(F.col("term"), F.lit(node.term)) <= node.max_edits
+            )
+            rows = (
+                cand.select("term", "doc_freq")
+                .orderBy(
+                    (F.col("term") == node.term).desc(),
+                    F.desc("doc_freq"),
+                    F.asc("term"),
+                )
+                .limit(node.max_expansions)
+                .collect()
+            )
+            return sorted(r["term"] for r in rows)
+        elif isinstance(node, RegexpQ):
+            matched = tdf.filter(F.col("term").rlike(f"^{node.pattern}$"))
         elif isinstance(node, RangeQ):
             c = F.lit(True)
             if node.lo is not None:
@@ -471,7 +514,7 @@ class Searcher:
         """
         if node is None or isinstance(node, (TermQ, PhraseQ, SynonymQ, MatchAllQ)):
             return node
-        if isinstance(node, (PrefixQ, WildcardQ)):
+        if isinstance(node, (PrefixQ, WildcardQ, FuzzyQ, RegexpQ)):
             terms = self.expand_terms(node)
             return BoolQ(should=tuple(TermQ(t) for t in terms)).simplified()
         if isinstance(node, RangeQ):
@@ -482,6 +525,7 @@ class Searcher:
                 must=tuple(self.rewrite(c) for c in node.must),
                 should=tuple(self.rewrite(c) for c in node.should),
                 must_not=tuple(self.rewrite(c) for c in node.must_not),
+                msm=node.msm,
             ).simplified()
         if isinstance(node, DisMaxQ):
             return DisMaxQ(

@@ -187,6 +187,27 @@ def wildcard_topk_sql(pattern: str, k: int = 10) -> str:
     return multiterm_topk_sql(f"tf.term LIKE '{like}'", k)
 
 
+def fuzzy_topk_sql(q: str, max_edits: int = 2, max_expansions: int = 50, k: int = 10) -> str:
+    """Fuzzy rewrite: terms within edit distance, capped at the
+    highest-docFreq ``max_expansions`` (exact match always kept), scored as
+    a boolean OR. Both engines use classic Levenshtein distance."""
+    return f"""WITH {base_ctes()},
+fterms AS (
+  SELECT term FROM tstats
+  WHERE levenshtein(term, '{q}') <= {max_edits}
+  ORDER BY (term = '{q}') DESC, doc_freq DESC, term ASC
+  LIMIT {max_expansions}
+),{scored_pred_cte('s', 'tf.term IN (SELECT term FROM fterms)')}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def regexp_topk_sql(pattern: str, k: int = 10) -> str:
+    return multiterm_topk_sql(f"regexp_matches(tf.term, '^{pattern}$')", k)
+
+
 def range_topk_sql(lo: str, hi: str, k: int = 10) -> str:
     """Constant-score range rewrite: every doc with any term in [lo, hi]
     scores 1.0 (TermRangeQuery default CONSTANT_SCORE rewrite)."""
@@ -222,6 +243,19 @@ def dismax_topk_sql(t1: str, t2: str, k: int = 10) -> str:
 SELECT doc_id, CAST(max(score) AS DOUBLE) AS score
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
 GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def topk_msm_sql(terms: "list[str]", msm: int, k: int = 10) -> str:
+    """minimumNumberShouldMatch: docs matching >= msm optional clauses,
+    scored as the disjunction sum (WANDScorer minShouldMatch mode)."""
+    ctes = ",".join(scored_term_cte(f"s{i}", t) for i, t in enumerate(terms))
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(len(terms)))
+    return f"""WITH {base_ctes()},{ctes}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM ({union})
+GROUP BY doc_id HAVING count(*) >= {msm}
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 

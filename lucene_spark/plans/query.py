@@ -20,7 +20,7 @@ from ..functions.analysis import analyze_batch
 
 __all__ = [
     "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
-    "SynonymQ", "DisMaxQ", "ConstScoreQ", "MatchAllQ",
+    "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "ConstScoreQ", "MatchAllQ",
     "parse_query", "query_terms",
 ]
 
@@ -49,6 +49,27 @@ class PrefixQ:
 class WildcardQ:
     """WildcardQuery (core/search/WildcardQuery.java): ``*`` = any run,
     ``?`` = one char."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
+class FuzzyQ:
+    """FuzzyQuery (core/search/FuzzyQuery.java): terms within edit distance
+    ``max_edits`` of ``term``; expansion capped at ``max_expansions`` terms
+    picked by (doc_freq desc, term asc). Simplification vs the reference:
+    matched terms score as a scoring-boolean OR (per-term idf) instead of
+    Lucene's blended-freq top-terms rewrite."""
+
+    term: str
+    max_edits: int = 2
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
+class RegexpQ:
+    """RegexpQuery (core/search/RegexpQuery.java): anchored regex over the
+    term dictionary, scoring-boolean rewrite."""
 
     pattern: str
 
@@ -102,17 +123,20 @@ class BoolQ:
     must: tuple = ()
     should: tuple = ()
     must_not: tuple = ()
+    # minimumNumberShouldMatch (BooleanQuery.Builder.setMinimumNumberShouldMatch)
+    msm: int = 0
 
     def simplified(self):
         """1-clause collapse + dedupe (BooleanQuery.rewrite subset)."""
         must = tuple(dict.fromkeys(self.must))
         should = tuple(dict.fromkeys(self.should))
         must_not = tuple(dict.fromkeys(self.must_not))
-        if len(must) == 1 and not should and not must_not:
-            return must[0]
-        if len(should) == 1 and not must and not must_not:
-            return should[0]
-        return BoolQ(must, should, must_not)
+        if self.msm <= 1:
+            if len(must) == 1 and not should and not must_not:
+                return must[0]
+            if len(should) == 1 and not must and not must_not:
+                return should[0]
+        return BoolQ(must, should, must_not, self.msm)
 
 
 def _analyze_word(word: str) -> list[tuple[str, int]]:
@@ -264,6 +288,9 @@ class _Parser:
         self.next()
         if t == "*":
             return MatchAllQ()
+        if t.startswith("/") and t.endswith("/") and len(t) > 2:
+            # /regex/ before wildcard: regex bodies may contain * and ?
+            return RegexpQ(t[1:-1])
         if "*" in t or "?" in t:
             # wildcard terms are lowercased but NOT analyzed
             # (QueryParserBase.getWildcardQuery)
@@ -271,6 +298,10 @@ class _Parser:
             if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
                 return PrefixQ(pat[:-1])
             return WildcardQ(pat)
+        if "~" in t and not t.startswith('"'):
+            base, _, suf = t.partition("~")
+            edits = int(suf) if suf else 2
+            return FuzzyQ(base.lower(), max_edits=edits)
         if t.startswith('"'):
             body = t.strip('"')
             toks = _analyze_word(body)
@@ -322,6 +353,6 @@ def query_terms(node) -> set[str]:
         return out
     if isinstance(node, ConstScoreQ):
         return query_terms(node.child)
-    if isinstance(node, (PrefixQ, WildcardQ, RangeQ)):
+    if isinstance(node, (PrefixQ, WildcardQ, RangeQ, FuzzyQ, RegexpQ)):
         raise TypeError(f"{node!r} must be rewritten before planning")
     raise TypeError(f"unknown node {node!r}")

@@ -145,6 +145,23 @@ def test_match_all(searcher):
     assert top["gid"].tolist() == [0, 1, 2]  # constant score → gid asc ties
 
 
+def test_min_should_match(searcher):
+    """minShouldMatch vs brute-force set arithmetic (TestWANDScorer model)."""
+    q2 = BoolQ(should=(TermQ("merge"), TermQ("window"), TermQ("scan")), msm=2)
+    hits = searcher.search(q2, k=10**6, prune=False)
+    m = set(searcher.search("merge", k=10**6, prune=False)["gid"])
+    w = set(searcher.search("window", k=10**6, prune=False)["gid"])
+    sc = set(searcher.search("scan", k=10**6, prune=False)["gid"])
+    want = {g for g in (m | w | sc) if (g in m) + (g in w) + (g in sc) >= 2}
+    assert set(hits["gid"]) == want
+    # msm greater than the number of optional clauses matches nothing
+    assert searcher.search(BoolQ(should=(TermQ("merge"),), msm=2), k=5).empty
+    a = searcher.search(q2, k=10, prune=True)
+    b = searcher.search(q2, k=10, prune=False)
+    assert a["gid"].tolist() == b["gid"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
 def test_pruned_equals_exhaustive_on_rewrites(searcher):
     """CheckHits: θ-pruned execution == exhaustive for rewritten queries."""
     for q in (PrefixQ("s"), WildcardQ("?a*"), RangeQ("query", "sort")):
