@@ -245,6 +245,16 @@ def _q_ann_lsh(spark, sf_dir):
     return textops.ann_lsh_topk(spark, sf_dir, query_vec_id=0, k=10, n_planes=8)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    # full probe == exact brute force, so the cosine oracle value-checks the
+    # whole IVF train/assign/probe path end-to-end
+    return textops.ann_ivf_topk(
+        spark, sf_dir, query_vec_id=0, k=10, n_cells=16, n_probe=16
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     from lucene_spark.operators import textops
 
@@ -392,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_neardup": _q_emb_neardup,
         "media_metadata": _q_media_metadata,
         "image_decode": _q_image_decode,
@@ -436,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": otx.lang_id_sql(),
         "ann_cosine_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
         "ann_lsh_topk": otx.ann_lsh_topk_sql(query_vec_id=0, k=10, n_planes=8, dim=64),
+        "ann_ivf_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
         "embedding_neardup": otx.embedding_neardup_sql(threshold=NEARDUP_COS),
         "media_metadata": otx.media_metadata_sql(),
         "image_decode": otx.image_decode_sql(),

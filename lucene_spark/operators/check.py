@@ -1,0 +1,157 @@
+"""Index integrity checker (CheckIndex analog, core/index/CheckIndex.java).
+
+Verifies, distributed (one pass over postings + docs, no collect of data):
+
+  1. postings well-formed per block: decoded doc count == doc_count column,
+     gids strictly ascending within and across a term's blocks (gaps > 0),
+     freqs >= 1, every (freq, norm) bounded by the block's impact frontier;
+  2. term stats consistent: sum of per-block doc counts == terms.doc_freq,
+     sum of freqs == terms.total_term_freq;
+  3. docs table: gids unique, norm_b == int_to_byte4(doc_len);
+  4. collection stats: stats.json doc_count/sum_ttf match the docs table;
+  5. manifest: every committed batch directory exists.
+
+Returns a dict of violation counts (all zeros == healthy). Runs after
+merges and on resume (the north rule's lineage/metrics audit hook).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession, functions as F, types as T
+
+from ..functions.pfor import decode_stream
+from ..functions.smallfloat import int_to_byte4_np
+from .indexer import read_manifest
+
+_BLOCK_REPORT = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_count_sum", T.LongType()),
+        T.StructField("freq_sum", T.LongType()),
+        T.StructField("bad_doc_count", T.LongType()),
+        T.StructField("bad_order", T.LongType()),
+        T.StructField("bad_freq", T.LongType()),
+        T.StructField("bad_impact", T.LongType()),
+    ]
+)
+
+
+def _check_term_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("first_gid", kind="mergesort")
+    bad_doc_count = bad_order = bad_freq = bad_impact = 0
+    doc_count_sum = freq_sum = 0
+    prev_last = None
+    for r in pdf.itertuples(index=False):
+        gaps = decode_stream(r.gids).astype(np.int64)
+        g = np.empty(len(gaps) + 1, dtype=np.int64)
+        g[0] = r.first_gid
+        if len(gaps):
+            g[1:] = r.first_gid + np.cumsum(gaps)
+        f = decode_stream(r.freqs).astype(np.int64)
+        n = decode_stream(r.norms).astype(np.int64)
+        doc_count_sum += len(g)
+        freq_sum += int(f.sum())
+        if len(g) != int(r.doc_count) or len(f) != len(g) or len(n) != len(g):
+            bad_doc_count += 1
+        if (np.diff(g) <= 0).any() or (prev_last is not None and g[0] <= prev_last):
+            bad_order += 1
+        prev_last = int(g[-1])
+        if (f < 1).any():
+            bad_freq += 1
+        # impact frontier must dominate every (freq, norm) in the block:
+        # for each posting there is a frontier entry with freq' >= freq and
+        # norm' <= norm (CompetitiveImpactAccumulator contract)
+        imp_f = np.asarray(r.imp_freqs, dtype=np.int64)
+        imp_n = np.asarray(r.imp_norms, dtype=np.int64)
+        for freq, norm in zip(f, n):
+            if not ((imp_f >= freq) & (imp_n <= norm)).any():
+                bad_impact += 1
+                break
+    return pd.DataFrame(
+        [
+            {
+                "term": pdf["term"].iloc[0],
+                "doc_count_sum": doc_count_sum,
+                "freq_sum": freq_sum,
+                "bad_doc_count": bad_doc_count,
+                "bad_order": bad_order,
+                "bad_freq": bad_freq,
+                "bad_impact": bad_impact,
+            }
+        ]
+    )
+
+
+def check_index(spark: SparkSession, index_dir: str) -> dict:
+    from .search import Searcher
+
+    s = Searcher(spark, index_dir)
+    report: dict = {}
+
+    # 1+2: per-term block audit, then join against the terms table
+    per_term = (
+        s._postings_df()
+        .select("term", "doc_count", "first_gid", "gids", "freqs", "norms",
+                "imp_freqs", "imp_norms")
+        .groupBy("term")
+        .applyInPandas(lambda pdf: _check_term_blocks(pdf), schema=_BLOCK_REPORT)
+    )
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    joined = per_term.join(terms, "term", "full_outer")
+    agg = joined.agg(
+        F.sum("bad_doc_count").alias("bad_doc_count"),
+        F.sum("bad_order").alias("bad_order"),
+        F.sum("bad_freq").alias("bad_freq"),
+        F.sum("bad_impact").alias("bad_impact"),
+        F.sum(
+            (F.coalesce("doc_count_sum", F.lit(-1)) != F.coalesce("doc_freq", F.lit(-2)))
+            .cast("long")
+        ).alias("term_doc_freq_mismatch"),
+        F.sum(
+            (F.coalesce("freq_sum", F.lit(-1)) != F.coalesce("total_term_freq", F.lit(-2)))
+            .cast("long")
+        ).alias("term_ttf_mismatch"),
+    ).collect()[0]
+    report.update({k: int(agg[k] or 0) for k in agg.asDict()})
+
+    # 3: docs table
+    docs = s.doc_rows()
+    n_docs = docs.count()
+    report["dup_gids"] = int(n_docs - docs.select("gid").distinct().count())
+    # doc_len domain is small, so precompute the norm mapping driver-side
+    # and check JVM-side via a literal map (no UDF)
+    lens = [r["doc_len"] for r in docs.select("doc_len").distinct().collect()]
+    mapping = {int(dl): int(int_to_byte4_np(np.array([dl]))[0]) for dl in lens}
+    map_expr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    report["bad_norms"] = int(
+        docs.filter(map_expr[F.col("doc_len")] != F.col("norm_b")).count()
+    )
+
+    # 4: collection stats
+    stats = s.stats
+    actual = docs.agg(
+        F.sum((F.col("doc_len") > 0).cast("long")).alias("dc"),
+        F.sum("doc_len").alias("ttf"),
+    ).collect()[0]
+    report["stats_doc_count_mismatch"] = int(stats["doc_count"] != int(actual["dc"] or 0))
+    report["stats_ttf_mismatch"] = int(
+        stats["sum_total_term_freq"] != int(actual["ttf"] or 0)
+    )
+
+    # 5: manifest ↔ directories
+    missing = 0
+    for rec in read_manifest(index_dir):
+        if rec.get("status") == "committed" and rec.get("batch") is not None:
+            if not os.path.isdir(os.path.join(index_dir, "segments", f"batch={rec['batch']}")):
+                missing += 1
+    report["missing_batch_dirs"] = missing
+    report["healthy"] = all(
+        v == 0 for k, v in report.items() if k not in ("healthy",)
+    )
+    return report

@@ -294,6 +294,104 @@ def ann_lsh_topk(
     return cand.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def _ivf_centroids(vecs, n_cells: int, iters: int):
+    """Deterministic Lloyd k-means on unit-normalized vectors (cosine cells).
+
+    Init = the first n_cells vectors in vec_id order; fixed iteration count;
+    no RNG anywhere, so the model reproduces bit-identically on any run.
+    Driver-side numpy on a bounded sample (at corpus scale the sample is
+    capped, the assignment below stays distributed).
+    """
+    import numpy as np
+
+    x = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    c = x[:n_cells].copy()
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    c[j] = m / norm
+    return c
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    iters: int = 5,
+    sample_cap: int = 10_000,
+) -> DataFrame:
+    """IVF ANN: k-means cells + probe-the-nearest-cells search.
+
+    Train: deterministic k-means on a bounded vec_id-ordered sample
+    (driver-side numpy). Search: assign every vector to its nearest
+    centroid in a vectorized Arrow kernel (batch matmul), keep only the
+    ``n_probe`` cells nearest the query, exact cosine within — scan cost
+    ~ n_probe/n_cells of the corpus. ``n_probe=n_cells`` degenerates to
+    exact brute force (the recall=1 check used in tests).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = embeddings(spark, sf_dir)
+    sample = np.array(
+        [r["embedding"] for r in e.orderBy("vec_id").limit(sample_cap).collect()],
+        dtype=np.float64,
+    )
+    cents = _ivf_centroids(sample, n_cells, iters)
+    bc = spark.sparkContext.broadcast(cents)
+
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cell": (x @ c.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    cells = e.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
+    q_vec = np.array(
+        e.filter(F.col("vec_id") == query_vec_id).first()["embedding"], dtype=np.float64
+    )
+    qn = q_vec / np.linalg.norm(q_vec)
+    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
+
+    cand = (
+        e.join(cells, "vec_id")
+        .filter(F.col("cell").isin([int(p) for p in probe]))
+        .filter(F.col("vec_id") != query_vec_id)
+    )
+    q = e.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qv"))
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            _dot(F.col("embedding"), F.col("qv"))
+            / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+               * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+        ).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.9, n_planes: int = 0
 ) -> DataFrame:

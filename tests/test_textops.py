@@ -1,0 +1,78 @@
+"""Targeted textops behavior beyond the driver-contract oracle gate:
+LSH/IVF recall properties and dedup semantics the oracles can't express."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators import textops
+
+SF = "/root/testdata/sf0.01"
+
+
+def _brute_topk(spark, k=50):
+    return [
+        int(r["vec_id"])
+        for r in textops.ann_cosine_topk(spark, SF, query_vec_id=0, k=k).collect()
+    ]
+
+
+def test_ivf_full_probe_is_exact(spark):
+    exact = _brute_topk(spark, k=10)
+    ivf = [
+        int(r["vec_id"])
+        for r in textops.ann_ivf_topk(spark, SF, query_vec_id=0, k=10,
+                                      n_cells=16, n_probe=16).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    """Probing 4/16 cells must still find most of the true top-10."""
+    exact = set(_brute_topk(spark, k=10))
+    ivf = {
+        int(r["vec_id"])
+        for r in textops.ann_ivf_topk(spark, SF, query_vec_id=0, k=10,
+                                      n_cells=16, n_probe=4).collect()
+    }
+    assert len(ivf & exact) >= 5
+    # every IVF result is a genuine neighbor (subset of a deeper exact list)
+    assert ivf <= set(_brute_topk(spark, k=500))
+
+
+def test_lsh_results_are_true_cosines(spark):
+    """LSH may miss neighbors but never fabricates scores: each returned
+    (vec_id, cos) appears with the same cosine in the exact ranking."""
+    exact = {
+        int(r["vec_id"]): r["cos"]
+        for r in textops.ann_cosine_topk(spark, SF, query_vec_id=0, k=499).collect()
+    }
+    for r in textops.ann_lsh_topk(spark, SF, query_vec_id=0, k=10).collect():
+        assert exact[int(r["vec_id"])] == r["cos"]
+
+
+def test_minhash_lsh_catches_high_jaccard_pairs(spark):
+    """Every pair with exact 3-gram Jaccard >= 0.9 must surface as an LSH
+    candidate (banded MinHash with 4 bands of 4 rows is near-certain there)."""
+    true_pairs = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in textops.ngram_jaccard_pairs(spark, SF, threshold=0.9).collect()
+    }
+    cand = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in textops.minhash_lsh_pairs(spark, SF).collect()
+    }
+    assert true_pairs, "corpus should contain high-jaccard near-dups"
+    missed = true_pairs - cand
+    assert len(missed) <= max(1, len(true_pairs) // 10), missed
+
+
+def test_dedup_exact_flags_injected_duplicates(spark, tmp_path):
+    docs = textops.docs(spark, SF).limit(20)
+    dup = docs.limit(5).selectExpr("doc_id + 100000 AS doc_id", "text", "lang",
+                                   "source", "n_chars")
+    both = docs.unionByName(dup)
+    out = str(tmp_path / "sf")
+    both.coalesce(1).write.parquet(out + "/documents.parquet")
+    res = textops.dedup_exact(spark, out).collect()
+    flagged = {int(r["doc_id"]) for r in res if r["is_duplicate"]}
+    assert flagged == {100000 + int(r["doc_id"]) for r in docs.limit(5).collect()}
