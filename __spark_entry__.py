@@ -57,7 +57,7 @@ def _searcher(spark: SparkSession, sf_dir: str):
 
 
 def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
-    pdf = _searcher(spark, sf_dir).search(query, k=k)
+    pdf = _searcher(spark, sf_dir).search(query, k=k, with_keys=False)
     out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
     out["doc_id"] = out["doc_id"].astype("int64")
     out["score"] = out["score"].astype("float64")  # exact float32 -> double widen

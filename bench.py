@@ -222,7 +222,7 @@ def main() -> None:
     times = {"index_build": round(t_build, 3)}
     for name, q in QUERIES.items():
         t0 = time.time()
-        s.search(q, k=10)
+        s.search(q, k=10, with_keys=False)  # scoring latency, no stored-field fetch
         times[name] = round(time.time() - t0, 3)
     spark.stop()
 

@@ -571,13 +571,20 @@ class Searcher:
         )
 
     # ---- execution ------------------------------------------------------
-    def search(self, query, k: int = 10, prune: bool = True) -> pd.DataFrame:
-        """Top-k. Returns pandas (gid, key, score) ordered score desc, gid asc."""
+    def search(self, query, k: int = 10, prune: bool = True,
+               with_keys: bool = True) -> pd.DataFrame:
+        """Top-k. Returns pandas (gid, key, score) ordered score desc, gid asc.
+
+        ``with_keys=False`` skips the stored-field fetch (the second job that
+        joins urls/keys by gid) — (gid, score) only, for scoring-only paths.
+        """
         node = parse_query(query) if isinstance(query, str) else query
         candidates = self.candidates(node, k=k, prune=prune)
         top = (
             candidates.orderBy(F.desc("score"), F.asc("gid")).limit(k).toPandas()
         )
+        if not with_keys:
+            return top[["gid", "score"]]
         if top.empty:
             return pd.DataFrame({"gid": [], "key": [], "score": []})
         docs_path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=doc")
