@@ -306,6 +306,31 @@ def _q_regexp_topk(spark, sf_dir):
 
 
 MSM_TERMS = ("merge", "window", "scan")
+BOOST = 2.5
+TS_RANGE = ("2024-01-05 00:00:00", "2024-01-12 00:00:00")
+ROLLUP_TYPE = "click"
+
+
+def _q_boost_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, f"{T_HOT}^{BOOST} OR {T_MID}")
+
+
+def _q_event_range_agg(spark, sf_dir):
+    from lucene_spark.operators import analytics
+
+    return analytics.event_range_agg(spark, sf_dir, *TS_RANGE)
+
+
+def _q_event_hourly(spark, sf_dir):
+    from lucene_spark.operators import analytics
+
+    return analytics.event_hourly_rollup(spark, sf_dir, ROLLUP_TYPE)
+
+
+def _q_event_json_stats(spark, sf_dir):
+    from lucene_spark.operators import analytics
+
+    return analytics.event_json_stats(spark, sf_dir)
 
 
 def _q_msm_topk(spark, sf_dir):
@@ -415,6 +440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_topk": _q_msm_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "regexp_topk": _q_regexp_topk,
+        "boost_topk": _q_boost_topk,
+        "event_range_agg": _q_event_range_agg,
+        "event_hourly_rollup": _q_event_hourly,
+        "event_json_stats": _q_event_json_stats,
         "match_all_count": _q_match_all_count,
         "sort_by_len": _q_sort_by_len,
         "facet_lang": _q_facet_lang,
@@ -460,6 +489,10 @@ def oracle_sql() -> dict[str, str]:
         "msm_topk": osql.topk_msm_sql(list(MSM_TERMS), 2),
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_TERM),
         "regexp_topk": osql.regexp_topk_sql(REGEXP_PAT),
+        "boost_topk": osql.boosted_or_topk_sql(T_HOT, BOOST, T_MID),
+        "event_range_agg": otx.event_range_agg_sql(*TS_RANGE),
+        "event_hourly_rollup": otx.event_hourly_rollup_sql(ROLLUP_TYPE),
+        "event_json_stats": otx.event_json_stats_sql(),
         "match_all_count": osql.match_all_count_sql(),
         "sort_by_len": osql.sort_by_len_sql(T_HOT),
         "facet_lang": osql.facet_lang_sql(T_HOT),

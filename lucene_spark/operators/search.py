@@ -45,6 +45,7 @@ from ..functions.bm25 import BM25Scorer, avgdl as _avgdl, idf as _idf, norm_cach
 from ..functions.pfor import decode_stream
 from ..plans.query import (
     BoolQ,
+    BoostQ,
     ConstScoreQ,
     DisMaxQ,
     FuzzyQ,
@@ -122,6 +123,7 @@ class ScoreCtx:
     cache: np.ndarray  # float32[256] shared norm-inverse cache
     phrase_weights: dict  # PhraseQ -> np.float32
     syn_weights: dict = None  # SynonymQ -> np.float32 (blended stats)
+    boost_weights: dict = None  # BoostQ -> np.float32 (boost * idf, f32 mult)
 
 
 def _score_term(tp: TermPostings, weight: np.float32, cache: np.ndarray) -> np.ndarray:
@@ -152,7 +154,34 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
     if isinstance(node, ConstScoreQ):
         gids, _ = eval_plan(node.child, postings, ctx)
         return gids, np.full(len(gids), np.float32(node.boost), dtype=np.float32)
+    if isinstance(node, BoostQ):
+        return _eval_boost(node, postings, ctx)
     raise TypeError(f"unknown node {node!r}")
+
+
+def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """BoostQuery over a leaf: score with weight = boost * idf (the same
+    float32 fold as BM25Scorer's ctor), so rounding matches Lucene's."""
+    w = ctx.boost_weights[node]
+    child = node.child
+    if isinstance(child, TermQ):
+        tp = postings.get(child.term)
+        if tp is None or not len(tp.gids):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        return tp.gids, _score_term(tp, w, ctx.cache)
+    if isinstance(child, (PhraseQ, SynonymQ)):
+        # temporarily rebind the child's weight to the boosted one
+        sub = ScoreCtx(
+            weights=ctx.weights,
+            cache=ctx.cache,
+            phrase_weights={**ctx.phrase_weights, child: w}
+            if isinstance(child, PhraseQ) else ctx.phrase_weights,
+            syn_weights={**(ctx.syn_weights or {}), child: w}
+            if isinstance(child, SynonymQ) else ctx.syn_weights,
+            boost_weights=ctx.boost_weights,
+        )
+        return eval_plan(child, postings, sub)
+    raise TypeError(f"BoostQ supports leaf scoring nodes, got {child!r}")
 
 
 def _eval_synonym(node: SynonymQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
@@ -343,6 +372,11 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
     if isinstance(node, ConstScoreQ):
         child = _plan_upper_bound(node.child, term_maxes, ctx)
         return float("-inf") if child == float("-inf") else float(node.boost)
+    if isinstance(node, BoostQ):
+        child = _plan_upper_bound(node.child, term_maxes, ctx)
+        if child == float("-inf"):
+            return float("-inf")
+        return float(ctx.boost_weights[node])  # score < weight always
     return float("inf")
 
 
@@ -533,6 +567,8 @@ class Searcher:
             )
         if isinstance(node, ConstScoreQ):
             return ConstScoreQ(self.rewrite(node.child), boost=node.boost)
+        if isinstance(node, BoostQ):
+            return BoostQ(self.rewrite(node.child), boost=node.boost)
         raise TypeError(f"unknown node {node!r}")
 
     def make_ctx(self, node) -> ScoreCtx:
@@ -545,9 +581,22 @@ class Searcher:
         }
         phrase_weights = {}
         syn_weights = {}
+        boost_weights = {}
 
         def walk(n):
-            if isinstance(n, PhraseQ):
+            if isinstance(n, BoostQ):
+                walk(n.child)
+                if isinstance(n.child, TermQ):
+                    base = weights.get(n.child.term, np.float32(0.0))
+                elif isinstance(n.child, PhraseQ):
+                    base = phrase_weights.get(n.child, np.float32(0.0))
+                elif isinstance(n.child, SynonymQ):
+                    base = syn_weights.get(n.child, np.float32(0.0))
+                else:
+                    raise TypeError(f"BoostQ supports leaf nodes, got {n.child!r}")
+                # float32 multiply, the BM25Scorer ctor's cast point
+                boost_weights[n] = np.float32(np.float32(n.boost) * base)
+            elif isinstance(n, PhraseQ):
                 # idf summed as double over float per-term idfs, cast to float
                 s = sum(float(_idf(tstats[t][0], doc_count)) for t in n.terms if t in tstats)
                 phrase_weights[n] = np.float32(s)
@@ -568,6 +617,7 @@ class Searcher:
         return ScoreCtx(
             weights=weights, cache=cache,
             phrase_weights=phrase_weights, syn_weights=syn_weights,
+            boost_weights=boost_weights,
         )
 
     # ---- execution ------------------------------------------------------
@@ -823,6 +873,6 @@ def _has_phrase(node) -> bool:
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)
     if isinstance(node, DisMaxQ):
         return any(_has_phrase(c) for c in node.clauses)
-    if isinstance(node, ConstScoreQ):
+    if isinstance(node, (ConstScoreQ, BoostQ)):
         return _has_phrase(node.child)
     return False

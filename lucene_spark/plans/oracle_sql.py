@@ -101,9 +101,14 @@ AVGDL_SQL = "CAST((SELECT sum_ttf FROM cstats) / CAST((SELECT doc_count FROM cst
 N_SQL = "(SELECT doc_count FROM cstats)"
 
 
-def scored_term_cte(name: str, term: str) -> str:
-    """CTE scoring every doc containing `term` (float32-exact BM25)."""
+def scored_term_cte(name: str, term: str, boost: "float | None" = None) -> str:
+    """CTE scoring every doc containing `term` (float32-exact BM25).
+
+    ``boost`` folds into the weight as float32 (BM25Scorer: weight =
+    boost * idf)."""
     w = idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{term}')", N_SQL)
+    if boost is not None:
+        w = _f4(f"{_f4(repr(float(boost)))} * {w}")
     cache = cache_sql("norm_tab.dec", AVGDL_SQL)
     score = bm25_score_sql(w, "tf.freq", cache)
     return f"""
@@ -256,6 +261,16 @@ SELECT doc_id,
        CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
 FROM ({union})
 GROUP BY doc_id HAVING count(*) >= {msm}
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def boosted_or_topk_sql(t1: str, boost: float, t2: str, k: int = 10) -> str:
+    """``t1^boost OR t2``: boosted clause + plain clause, disjunction sum."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1, boost)},{scored_term_cte('s2', t2)}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 

@@ -320,6 +320,35 @@ SELECT doc_id,
 FROM chars GROUP BY doc_id ORDER BY doc_id"""
 
 
+# ---------------------------------------------------- events analytics
+
+
+def event_range_agg_sql(lo: str, hi: str) -> str:
+    return f"""SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events
+WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'
+GROUP BY event_type ORDER BY event_type"""
+
+
+def event_hourly_rollup_sql(event_type: str) -> str:
+    return f"""SELECT date_trunc('hour', ts) AS bucket,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events WHERE event_type = '{event_type}'
+GROUP BY 1 ORDER BY bucket"""
+
+
+def event_json_stats_sql() -> str:
+    return """SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
 def embedding_neardup_sql(threshold: float = 0.4) -> str:
     cos = _cos("a.embedding", "b.embedding")
     return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos

@@ -20,7 +20,7 @@ from ..functions.analysis import analyze_batch
 
 __all__ = [
     "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
-    "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "ConstScoreQ", "MatchAllQ",
+    "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "ConstScoreQ", "MatchAllQ",
     "parse_query", "query_terms",
 ]
 
@@ -102,6 +102,16 @@ class DisMaxQ:
 
     clauses: tuple
     tie: float = 0.0
+
+
+@dataclass(frozen=True)
+class BoostQ:
+    """BoostQuery (core/search/BoostQuery.java) over a leaf scoring node:
+    BM25 folds the boost into the scorer weight as float32
+    (BM25Similarity.java BM25Scorer ctor: weight = boost * idf)."""
+
+    child: object
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -291,6 +301,25 @@ class _Parser:
         if t.startswith("/") and t.endswith("/") and len(t) > 2:
             # /regex/ before wildcard: regex bodies may contain * and ?
             return RegexpQ(t[1:-1])
+        if "^" in t and not t.startswith('"'):
+            base, _, bs = t.rpartition("^")
+            try:
+                boost = float(bs)
+            except ValueError:
+                boost = None
+            if boost is not None and base:
+                toks = _analyze_word(base)
+                if not toks:
+                    return None
+                child = (
+                    TermQ(toks[0][0])
+                    if len(toks) == 1
+                    else PhraseQ(
+                        terms=tuple(w for w, _ in toks),
+                        offsets=tuple(p for _, p in toks),
+                    )
+                )
+                return BoostQ(child, boost=boost)
         if "*" in t or "?" in t:
             # wildcard terms are lowercased but NOT analyzed
             # (QueryParserBase.getWildcardQuery)
@@ -351,7 +380,7 @@ def query_terms(node) -> set[str]:
         for c in node.clauses:
             out |= query_terms(c)
         return out
-    if isinstance(node, ConstScoreQ):
+    if isinstance(node, (ConstScoreQ, BoostQ)):
         return query_terms(node.child)
     if isinstance(node, (PrefixQ, WildcardQ, RangeQ, FuzzyQ, RegexpQ)):
         raise TypeError(f"{node!r} must be rewritten before planning")

@@ -145,6 +145,30 @@ def test_match_all(searcher):
     assert top["gid"].tolist() == [0, 1, 2]  # constant score → gid asc ties
 
 
+def test_boost_query(searcher):
+    """Boost folds into the weight as float32 (BM25Scorer ctor), so a
+    boosted term's score equals scoring with weight' = f32(boost * idf)."""
+    from lucene_spark.plans.query import BoostQ, parse_query as pq
+
+    node = pq("merge^2.5")
+    assert node == BoostQ(TermQ("merge"), 2.5)
+    plain = searcher.search("merge", k=200, prune=False).set_index("gid")["score"]
+    boosted = searcher.search(node, k=200, prune=False).set_index("gid")["score"]
+    assert set(plain.index) == set(boosted.index)
+    ctx = searcher.make_ctx(searcher.rewrite(node))
+    w_plain = searcher.make_ctx(TermQ("merge")).weights["merge"]
+    w_boost = ctx.boost_weights[node]
+    assert w_boost == np.float32(np.float32(2.5) * w_plain)
+    # boosting never reorders a single-term ranking
+    assert plain.sort_values(ascending=False).index.tolist() == \
+        boosted.sort_values(ascending=False).index.tolist()
+    # pruned == exhaustive with boost
+    a = searcher.search("merge^2.5 OR window", k=10, prune=True)
+    b = searcher.search("merge^2.5 OR window", k=10, prune=False)
+    assert a["gid"].tolist() == b["gid"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
 def test_min_should_match(searcher):
     """minShouldMatch vs brute-force set arithmetic (TestWANDScorer model)."""
     q2 = BoolQ(should=(TermQ("merge"), TermQ("window"), TermQ("scan")), msm=2)
