@@ -340,6 +340,27 @@ def _q_msm_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, q)
 
 
+MLT_SEED = 7
+
+
+def _q_term_vectors(spark, sf_dir):
+    from lucene_spark.operators.mlt import term_vectors
+
+    return term_vectors(_docs_table(spark, sf_dir))
+
+
+def _q_more_like_this(spark, sf_dir):
+    from lucene_spark.operators.mlt import more_like_this
+
+    pdf = more_like_this(
+        _searcher(spark, sf_dir), _docs_table(spark, sf_dir), MLT_SEED, k=10
+    )
+    out = pdf.rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_match_all_count(spark, sf_dir):
     n = _searcher(spark, sf_dir).count("*")
     return spark.createDataFrame([(int(n),)], schema="n long")
@@ -444,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_range_agg": _q_event_range_agg,
         "event_hourly_rollup": _q_event_hourly,
         "event_json_stats": _q_event_json_stats,
+        "term_vectors": _q_term_vectors,
+        "more_like_this": _q_more_like_this,
         "match_all_count": _q_match_all_count,
         "sort_by_len": _q_sort_by_len,
         "facet_lang": _q_facet_lang,
@@ -493,6 +516,8 @@ def oracle_sql() -> dict[str, str]:
         "event_range_agg": otx.event_range_agg_sql(*TS_RANGE),
         "event_hourly_rollup": otx.event_hourly_rollup_sql(ROLLUP_TYPE),
         "event_json_stats": otx.event_json_stats_sql(),
+        "term_vectors": osql.term_vectors_sql(),
+        "more_like_this": osql.more_like_this_sql(MLT_SEED),
         "match_all_count": osql.match_all_count_sql(),
         "sort_by_len": osql.sort_by_len_sql(T_HOT),
         "facet_lang": osql.facet_lang_sql(T_HOT),

@@ -278,6 +278,32 @@ def match_all_count_sql() -> str:
     return "SELECT count(*)::BIGINT AS n FROM documents"
 
 
+def term_vectors_sql() -> str:
+    """Forward-index view: per-(doc, term) analyzed frequency."""
+    return f"""WITH {base_ctes()}
+SELECT doc_id, term, freq FROM tf ORDER BY doc_id, term"""
+
+
+def more_like_this_sql(seed_doc_id: int, max_query_terms: int = 5, k: int = 10) -> str:
+    """MLT: seed doc's top tf x idf terms (idf as float32, product in
+    double, ties term asc) → OR query → top-k excluding the seed."""
+    interest = (
+        f"CAST(tf.freq AS DOUBLE) * CAST({idf_sql('ts.doc_freq', N_SQL)} AS DOUBLE)"
+    )
+    return f"""WITH {base_ctes()},
+qterms AS (
+  SELECT tf.term FROM tf JOIN tstats ts ON ts.term = tf.term
+  WHERE tf.doc_id = {seed_doc_id}
+  ORDER BY {interest} DESC, tf.term ASC
+  LIMIT {max_query_terms}
+),{scored_pred_cte('s', 'tf.term IN (SELECT term FROM qterms)')}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM s WHERE doc_id <> {seed_doc_id}
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def sort_by_len_sql(term: str, k: int = 10) -> str:
     """TopFieldCollector analog: match set ordered by doc_len desc, doc asc."""
     return f"""WITH {base_ctes()}
