@@ -341,6 +341,19 @@ def _q_msm_topk(spark, sf_dir):
 
 
 MLT_SEED = 7
+HL_TERMS = ["merge", "window"]
+
+
+def _q_highlight(spark, sf_dir):
+    from lucene_spark.operators.highlight import highlight
+
+    return highlight(_docs_table(spark, sf_dir), HL_TERMS)
+
+
+def _q_spell_suggest(spark, sf_dir):
+    from lucene_spark.operators.suggest import spell_suggest
+
+    return spell_suggest(_searcher(spark, sf_dir), FUZZY_TERM)
 
 
 def _q_term_vectors(spark, sf_dir):
@@ -467,6 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_json_stats": _q_event_json_stats,
         "term_vectors": _q_term_vectors,
         "more_like_this": _q_more_like_this,
+        "highlight": _q_highlight,
+        "spell_suggest": _q_spell_suggest,
         "match_all_count": _q_match_all_count,
         "sort_by_len": _q_sort_by_len,
         "facet_lang": _q_facet_lang,
@@ -518,6 +533,8 @@ def oracle_sql() -> dict[str, str]:
         "event_json_stats": otx.event_json_stats_sql(),
         "term_vectors": osql.term_vectors_sql(),
         "more_like_this": osql.more_like_this_sql(MLT_SEED),
+        "highlight": otx.highlight_sql(HL_TERMS),
+        "spell_suggest": osql.spell_suggest_sql(FUZZY_TERM),
         "match_all_count": osql.match_all_count_sql(),
         "sort_by_len": osql.sort_by_len_sql(T_HOT),
         "facet_lang": osql.facet_lang_sql(T_HOT),

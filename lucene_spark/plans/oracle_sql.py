@@ -278,6 +278,15 @@ def match_all_count_sql() -> str:
     return "SELECT count(*)::BIGINT AS n FROM documents"
 
 
+def spell_suggest_sql(word: str, max_edits: int = 2, n: int = 5) -> str:
+    """DirectSpellChecker ranking: distance asc, docFreq desc, term asc."""
+    return f"""WITH {base_ctes()}
+SELECT term, CAST(levenshtein(term, '{word}') AS INT) AS distance, doc_freq
+FROM tstats
+WHERE levenshtein(term, '{word}') BETWEEN 1 AND {max_edits}
+ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT {n}"""
+
+
 def term_vectors_sql() -> str:
     """Forward-index view: per-(doc, term) analyzed frequency."""
     return f"""WITH {base_ctes()}

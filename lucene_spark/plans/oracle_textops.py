@@ -320,6 +320,29 @@ SELECT doc_id,
 FROM chars GROUP BY doc_id ORDER BY doc_id"""
 
 
+def highlight_sql(terms: "list[str]", window: int = 3) -> str:
+    """First-match snippet per doc; DuckDB list_slice is end-inclusive, so
+    the end index is start + (2*window+1) - 1 to mirror Spark's slice."""
+    no_match = 999_999_999
+    pos_terms = ", ".join(
+        f"CASE WHEN list_position(toks, '{t}') > 0"
+        f" THEN list_position(toks, '{t}') ELSE {no_match} END"
+        for t in terms
+    )
+    pos = f"LEAST({pos_terms})" if len(terms) > 1 else pos_terms
+    width = 2 * window + 1
+    return f"""WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+p AS (SELECT doc_id, toks, {pos} AS pos FROM t)
+SELECT doc_id, pos::BIGINT AS match_pos,
+       array_to_string(
+         list_slice(toks, GREATEST(pos - {window}, 1),
+                    GREATEST(pos - {window}, 1) + {width - 1}), ' ') AS snippet
+FROM p WHERE pos < {no_match} ORDER BY doc_id"""
+
+
 # ---------------------------------------------------- events analytics
 
 
