@@ -356,6 +356,19 @@ def _q_spell_suggest(spark, sf_dir):
     return spell_suggest(_searcher(spark, sf_dir), FUZZY_TERM)
 
 
+NEAR_SLOP = 3
+
+
+def _q_near_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, f'"{PHRASE[0]} {PHRASE[1]}"~{NEAR_SLOP}')
+
+
+def _q_complete(spark, sf_dir):
+    from lucene_spark.operators.suggest import complete
+
+    return complete(_searcher(spark, sf_dir), PREFIX)
+
+
 def _q_term_vectors(spark, sf_dir):
     from lucene_spark.operators.mlt import term_vectors
 
@@ -482,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "highlight": _q_highlight,
         "spell_suggest": _q_spell_suggest,
+        "near_topk": _q_near_topk,
+        "complete": _q_complete,
         "match_all_count": _q_match_all_count,
         "sort_by_len": _q_sort_by_len,
         "facet_lang": _q_facet_lang,
@@ -535,6 +550,8 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": osql.more_like_this_sql(MLT_SEED),
         "highlight": otx.highlight_sql(HL_TERMS),
         "spell_suggest": osql.spell_suggest_sql(FUZZY_TERM),
+        "near_topk": osql.near_topk_sql(*PHRASE, NEAR_SLOP),
+        "complete": osql.complete_sql(PREFIX),
         "match_all_count": osql.match_all_count_sql(),
         "sort_by_len": osql.sort_by_len_sql(T_HOT),
         "facet_lang": osql.facet_lang_sql(T_HOT),

@@ -50,6 +50,7 @@ from ..plans.query import (
     DisMaxQ,
     FuzzyQ,
     MatchAllQ,
+    NearQ,
     PhraseQ,
     PrefixQ,
     RangeQ,
@@ -145,6 +146,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return tp.gids, _score_term(tp, ctx.weights[node.term], ctx.cache)
     if isinstance(node, PhraseQ):
         return _eval_phrase(node, postings, ctx)
+    if isinstance(node, NearQ):
+        return _eval_near(node, postings, ctx)
     if isinstance(node, BoolQ):
         return _eval_bool(node, postings, ctx)
     if isinstance(node, SynonymQ):
@@ -314,6 +317,35 @@ def _eval_phrase(node: PhraseQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarr
     return gids, scores
 
 
+def _eval_near(node: NearQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered proximity kernel: per candidate doc, count position pairs
+    (p1, p2) with 1 <= p2 - p1 <= slop + 1 via searchsorted over the sorted
+    position arrays; score like a phrase with that pair count as freq."""
+    t1, t2 = node.terms
+    a, b = postings.get(t1), postings.get(t2)
+    if a is None or b is None or not len(a.gids) or not len(b.gids):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    gids = np.intersect1d(a.gids, b.gids, assume_unique=True)
+    if not len(gids):
+        return gids, np.empty(0, np.float32)
+    ia = np.searchsorted(a.gids, gids)
+    ib = np.searchsorted(b.gids, gids)
+    freqs = np.zeros(len(gids), dtype=np.int64)
+    for j in range(len(gids)):
+        p1 = a.positions[ia[j]]
+        p2 = b.positions[ib[j]]
+        lo = np.searchsorted(p2, p1 + 1)
+        hi = np.searchsorted(p2, p1 + node.slop + 1, side="right")
+        freqs[j] = int((hi - lo).sum())
+    hit = freqs > 0
+    gids, freqs = gids[hit], freqs[hit]
+    norms = a.norms[ia[hit]]
+    w = ctx.phrase_weights[node]
+    one = np.float32(1.0)
+    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache[norms])
+    return gids, scores
+
+
 def _max_score_of_impacts(imp_freqs, imp_norms, weight, cache) -> float:
     f = np.asarray(imp_freqs, dtype=np.int64)
     n = np.asarray(imp_norms, dtype=np.int64).astype(np.uint8)
@@ -333,10 +365,10 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         return float("-inf")
     if isinstance(node, TermQ):
         return term_maxes.get(node.term, float("-inf"))
-    if isinstance(node, PhraseQ):
+    if isinstance(node, (PhraseQ, NearQ)):
         if any(t not in term_maxes for t in node.terms):
             return float("-inf")
-        return float("inf")  # no cheap bound for phrase freq
+        return float("inf")  # no cheap bound for phrase/proximity freq
     if isinstance(node, BoolQ):
         ub = 0.0
         if node.must:
@@ -546,7 +578,7 @@ class Searcher:
         over the match set (Lucene's default for ranges). An empty
         expansion becomes a match-nothing BoolQ (MatchNoDocsQuery analog).
         """
-        if node is None or isinstance(node, (TermQ, PhraseQ, SynonymQ, MatchAllQ)):
+        if node is None or isinstance(node, (TermQ, PhraseQ, NearQ, SynonymQ, MatchAllQ)):
             return node
         if isinstance(node, (PrefixQ, WildcardQ, FuzzyQ, RegexpQ)):
             terms = self.expand_terms(node)
@@ -596,7 +628,7 @@ class Searcher:
                     raise TypeError(f"BoostQ supports leaf nodes, got {n.child!r}")
                 # float32 multiply, the BM25Scorer ctor's cast point
                 boost_weights[n] = np.float32(np.float32(n.boost) * base)
-            elif isinstance(n, PhraseQ):
+            elif isinstance(n, (PhraseQ, NearQ)):
                 # idf summed as double over float per-term idfs, cast to float
                 s = sum(float(_idf(tstats[t][0], doc_count)) for t in n.terms if t in tstats)
                 phrase_weights[n] = np.float32(s)
@@ -867,7 +899,7 @@ class Searcher:
 
 
 def _has_phrase(node) -> bool:
-    if isinstance(node, PhraseQ):
+    if isinstance(node, (PhraseQ, NearQ)):
         return True
     if isinstance(node, BoolQ):
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)

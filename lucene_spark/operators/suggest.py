@@ -13,6 +13,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def complete(searcher, prefix: str, n: int = 5) -> DataFrame:
+    """Prefix autocomplete: top completions by collection frequency
+    (AnalyzingSuggester-style popularity ranking over the term dict)."""
+    tdf = searcher.terms_table()
+    return (
+        tdf.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("total_term_freq"), F.asc("term"))
+        .limit(n)
+        .select("term", F.col("total_term_freq").cast("long").alias("weight"))
+    )
+
+
 def spell_suggest(
     searcher,
     word: str,

@@ -278,6 +278,37 @@ def match_all_count_sql() -> str:
     return "SELECT count(*)::BIGINT AS n FROM documents"
 
 
+def near_topk_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
+    """Ordered 2-term proximity: freq = #position pairs with
+    1 <= pos2 - pos1 <= slop+1 (pre-stop positions, holes kept); scored as
+    a phrase (summed-idf weight, double sum cast to float32 once)."""
+    idf1 = idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{t1}')", N_SQL)
+    idf2 = idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{t2}')", N_SQL)
+    w = _f4(f"CAST({idf1} AS DOUBLE) + CAST({idf2} AS DOUBLE)")
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    score = bm25_score_sql(w, "nf.freq", cache)
+    return f"""WITH {base_ctes()},
+nf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos - a.pos BETWEEN 1 AND {slop + 1}
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id
+)
+SELECT nf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM nf
+JOIN dn ON dn.doc_id = nf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def complete_sql(prefix: str, n: int = 5) -> str:
+    return f"""WITH {base_ctes()}
+SELECT term, total_term_freq AS weight FROM tstats
+WHERE term LIKE '{prefix}%'
+ORDER BY weight DESC, term ASC LIMIT {n}"""
+
+
 def spell_suggest_sql(word: str, max_edits: int = 2, n: int = 5) -> str:
     """DirectSpellChecker ranking: distance asc, docFreq desc, term asc."""
     return f"""WITH {base_ctes()}

@@ -20,7 +20,8 @@ from ..functions.analysis import analyze_batch
 
 __all__ = [
     "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
-    "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "ConstScoreQ", "MatchAllQ",
+    "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
+    "ConstScoreQ", "MatchAllQ",
     "parse_query", "query_terms",
 ]
 
@@ -102,6 +103,18 @@ class DisMaxQ:
 
     clauses: tuple
     tie: float = 0.0
+
+
+@dataclass(frozen=True)
+class NearQ:
+    """Ordered two-term proximity (SpanNearQuery / phrase-slop flavor,
+    ``lucene/queries`` spans): matches docs where term2 follows term1 within
+    ``slop`` intervening positions; freq = number of qualifying position
+    pairs, scored like a phrase with the summed-idf weight. Parsed from
+    ``"t1 t2"~N``."""
+
+    terms: tuple[str, ...]
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -329,15 +342,29 @@ class _Parser:
             return WildcardQ(pat)
         if "~" in t and not t.startswith('"'):
             base, _, suf = t.partition("~")
+            if not base:
+                return None
             edits = int(suf) if suf else 2
             return FuzzyQ(base.lower(), max_edits=edits)
         if t.startswith('"'):
             body = t.strip('"')
+            slop = 0
+            nxt = self.peek()
+            if nxt is not None and nxt.startswith("~"):
+                try:
+                    slop = int(nxt[1:])
+                    self.next()
+                except ValueError:
+                    pass
             toks = _analyze_word(body)
             if not toks:
                 return None
             if len(toks) == 1:
                 return TermQ(toks[0][0])
+            if slop > 0:
+                if len(toks) != 2:
+                    raise ValueError('sloppy phrases support exactly 2 terms ("a b"~N)')
+                return NearQ(terms=tuple(w for w, _ in toks), slop=slop)
             return PhraseQ(
                 terms=tuple(w for w, _ in toks), offsets=tuple(p for _, p in toks)
             )
@@ -368,7 +395,7 @@ def query_terms(node) -> set[str]:
         return set()
     if isinstance(node, TermQ):
         return {node.term}
-    if isinstance(node, (PhraseQ, SynonymQ)):
+    if isinstance(node, (PhraseQ, SynonymQ, NearQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()

