@@ -105,6 +105,16 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Integrity audit (CheckIndex analog) — exits nonzero on violations."""
+    from lucene_spark.operators.check import check_index
+
+    spark = _spark("lucene_spark_check")
+    report = check_index(spark, args.index_dir)
+    print(json.dumps({"job": "check", **report}))
+    return 0 if report["healthy"] else 1
+
+
 def cmd_generate(args) -> int:
     """Deterministic synthetic pages corpus (benchmark content source analog)."""
     from lucene_spark.sources.webtext import pages_df
@@ -139,6 +149,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--query", required=True)
     ps.add_argument("--k", type=int, default=10)
     ps.set_defaults(fn=cmd_search)
+
+    pc = sub.add_parser("check", help="index integrity audit")
+    pc.add_argument("--index-dir", required=True)
+    pc.set_defaults(fn=cmd_check)
 
     pg = sub.add_parser("generate", help="write a synthetic pages corpus")
     pg.add_argument("--output", required=True)
