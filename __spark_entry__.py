@@ -359,6 +359,28 @@ def _q_spell_suggest(spark, sf_dir):
 NEAR_SLOP = 3
 
 
+def _q_quality(spark, sf_dir):
+    from lucene_spark.operators.quality import judge_topk
+    from lucene_spark.plans.query import BoolQ, TermQ
+
+    s = _searcher(spark, sf_dir)
+    rel_df = s.candidates(
+        BoolQ(must=(TermQ(T_HOT), TermQ(T_MID))), k=1 << 62, prune=False
+    )
+    rel = {int(r["gid"]) for r in rel_df.select("gid").distinct().collect()}
+    pdf = judge_topk(
+        s,
+        {"or_vs_and": BoolQ(should=(TermQ(T_HOT), TermQ(T_MID)))},
+        {"or_vs_and": rel},
+        k=10,
+    )
+    return spark.createDataFrame(
+        pdf,
+        schema="qid string, n_rel long, hits_at_k long, "
+               "precision_at_k double, recall_at_k double, mrr double",
+    )
+
+
 def _q_near_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, f'"{PHRASE[0]} {PHRASE[1]}"~{NEAR_SLOP}')
 
@@ -497,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "near_topk": _q_near_topk,
         "complete": _q_complete,
+        "quality_metrics": _q_quality,
         "match_all_count": _q_match_all_count,
         "sort_by_len": _q_sort_by_len,
         "facet_lang": _q_facet_lang,
@@ -552,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggest": osql.spell_suggest_sql(FUZZY_TERM),
         "near_topk": osql.near_topk_sql(*PHRASE, NEAR_SLOP),
         "complete": osql.complete_sql(PREFIX),
+        "quality_metrics": osql.quality_or_vs_and_sql(T_HOT, T_MID),
         "match_all_count": osql.match_all_count_sql(),
         "sort_by_len": osql.sort_by_len_sql(T_HOT),
         "facet_lang": osql.facet_lang_sql(T_HOT),

@@ -850,7 +850,7 @@ class Searcher:
         are computed unpruned since θ-pruning only applies to score order.
         """
         node = parse_query(query) if isinstance(query, str) else query
-        cand = self.candidates(node, prune=False).select("gid").distinct()
+        cand = self.candidates(node, k=1 << 62, prune=False).select("gid").distinct()
         order = F.asc(by) if ascending else F.desc(by)
         return (
             cand.join(self.doc_rows().select("gid", by), "gid")
@@ -865,7 +865,7 @@ class Searcher:
         doc key → groupBy(dim).count(). The dim table join is the
         taxonomy-ordinal lookup analog."""
         node = parse_query(query) if isinstance(query, str) else query
-        cand = self.candidates(node, prune=False).select("gid").distinct()
+        cand = self.candidates(node, k=1 << 62, prune=False).select("gid").distinct()
         keyed = cand.join(self.doc_rows().select("gid", "key"), "gid")
         dims = dim_df.select(
             F.col(key_col).cast("string").alias("key"), F.col(dim_col).alias("dim")
@@ -884,7 +884,7 @@ class Searcher:
         from pyspark.sql import Window
 
         node = parse_query(query) if isinstance(query, str) else query
-        cand = self.candidates(node, prune=False)
+        cand = self.candidates(node, k=1 << 62, prune=False)
         keyed = cand.join(self.doc_rows().select("gid", "key"), "gid")
         dims = dim_df.select(
             F.col(key_col).cast("string").alias("key"), F.col(dim_col).alias("dim")

@@ -318,6 +318,36 @@ WHERE levenshtein(term, '{word}') BETWEEN 1 AND {max_edits}
 ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT {n}"""
 
 
+def quality_or_vs_and_sql(t1: str, t2: str, k: int = 10) -> str:
+    """Quality harness oracle: ranked list = BM25 top-k for (t1 OR t2);
+    relevant set = docs containing BOTH terms; metrics as exact-int ratios."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)},
+scored AS (
+  SELECT doc_id, CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+),
+rel AS (
+  SELECT DISTINCT a.doc_id FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+),
+m AS (
+  SELECT
+    (SELECT count(*) FROM rel)::BIGINT AS n_rel,
+    (SELECT count(*) FROM ranked JOIN rel USING (doc_id) WHERE rank <= {k})::BIGINT AS hits_at_k,
+    (SELECT min(rank) FROM ranked JOIN rel USING (doc_id) WHERE rank <= {k}) AS first_rel
+)
+SELECT 'or_vs_and' AS qid, n_rel, hits_at_k,
+       CAST(hits_at_k AS DOUBLE) / {float(k)} AS precision_at_k,
+       CASE WHEN n_rel > 0 THEN CAST(hits_at_k AS DOUBLE) / CAST(n_rel AS DOUBLE)
+            ELSE 0.0 END AS recall_at_k,
+       COALESCE(1.0 / first_rel, 0.0) AS mrr
+FROM m"""
+
+
 def term_vectors_sql() -> str:
     """Forward-index view: per-(doc, term) analyzed frequency."""
     return f"""WITH {base_ctes()}

@@ -203,6 +203,19 @@ def test_min_should_match(searcher):
     assert a["score"].tolist() == b["score"].tolist()
 
 
+def test_collectors_see_full_boolean_match_set(searcher, spark):
+    """Facet counts over a BOOLEAN query must cover every matching doc —
+    regression for per-bucket top-k trimming leaking into match-set flows."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_match = searcher.count("merge OR window")
+    total = (
+        searcher.facet_counts("merge OR window", docs, "lang", key_col="doc_id")
+        .agg({"n": "sum"})
+        .collect()[0][0]
+    )
+    assert int(total) == n_match
+
+
 def test_pruned_equals_exhaustive_on_rewrites(searcher):
     """CheckHits: θ-pruned execution == exhaustive for rewritten queries."""
     for q in (PrefixQ("s"), WildcardQ("?a*"), RangeQ("query", "sort")):
