@@ -359,6 +359,20 @@ def _q_spell_suggest(spark, sf_dir):
 NEAR_SLOP = 3
 
 
+def _q_page2(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    q = f"{T_HOT} OR {T_MID}"
+    page1 = s.search(q, k=10, with_keys=False)
+    cursor = (float(page1["score"].iloc[-1]), int(page1["gid"].iloc[-1]))
+    page2 = s.search_after(q, cursor, k=10, depth=10)
+    out = page2.rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(
+        out[["doc_id", "score"]], schema="doc_id long, score double"
+    )
+
+
 def _q_quality(spark, sf_dir):
     from lucene_spark.operators.quality import judge_topk
     from lucene_spark.plans.query import BoolQ, TermQ
@@ -520,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": _q_near_topk,
         "complete": _q_complete,
         "quality_metrics": _q_quality,
+        "page2_topk": _q_page2,
         "match_all_count": _q_match_all_count,
         "sort_by_len": _q_sort_by_len,
         "facet_lang": _q_facet_lang,
@@ -576,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "near_topk": osql.near_topk_sql(*PHRASE, NEAR_SLOP),
         "complete": osql.complete_sql(PREFIX),
         "quality_metrics": osql.quality_or_vs_and_sql(T_HOT, T_MID),
+        "page2_topk": osql.page2_or_sql(T_HOT, T_MID),
         "match_all_count": osql.match_all_count_sql(),
         "sort_by_len": osql.sort_by_len_sql(T_HOT),
         "facet_lang": osql.facet_lang_sql(T_HOT),

@@ -684,6 +684,28 @@ class Searcher:
         path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=doc")
         return self.spark.read.parquet(path).select("seg", "gid", "key", "doc_len", "norm_b")
 
+    def search_after(self, query, after: "tuple[float, int]", k: int = 10,
+                     depth: "int | None" = None) -> pd.DataFrame:
+        """Deep paging (IndexSearcher.searchAfter / TopScoreDocCollector's
+        after-doc): top-k strictly after the (score, gid) cursor in
+        (score desc, gid asc) order.
+
+        ``depth`` = the cursor's global rank (e.g. pages_seen * k) enables
+        pruned execution keeping the top depth+k per bucket; without it the
+        candidate set is exhaustive (always correct, no pruning).
+        """
+        node = parse_query(query) if isinstance(query, str) else query
+        a_score, a_gid = float(after[0]), int(after[1])
+        if depth is None:
+            cand = self.candidates(node, k=1 << 62, prune=False)
+        else:
+            cand = self.candidates(node, k=depth + k, prune=True)
+        page = cand.filter(
+            (F.col("score") < F.lit(a_score))
+            | ((F.col("score") == F.lit(a_score)) & (F.col("gid") > F.lit(a_gid)))
+        )
+        return page.orderBy(F.desc("score"), F.asc("gid")).limit(k).toPandas()
+
     def candidates(self, node, k: int = 10, prune: bool = True) -> DataFrame:
         """DataFrame (gid, score) of all scored candidates (per-bucket top-k)."""
         if node is None:

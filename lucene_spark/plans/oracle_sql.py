@@ -318,6 +318,23 @@ WHERE levenshtein(term, '{word}') BETWEEN 1 AND {max_edits}
 ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT {n}"""
 
 
+def page2_or_sql(t1: str, t2: str, k: int = 10) -> str:
+    """Second page of the OR ranking: global ranks k+1 .. 2k."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)},
+scored AS (
+  SELECT doc_id, CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, score FROM ranked
+WHERE rank BETWEEN {k + 1} AND {2 * k}
+ORDER BY rank"""
+
+
 def quality_or_vs_and_sql(t1: str, t2: str, k: int = 10) -> str:
     """Quality harness oracle: ranked list = BM25 top-k for (t1 OR t2);
     relevant set = docs containing BOTH terms; metrics as exact-int ratios."""
