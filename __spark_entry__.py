@@ -118,11 +118,14 @@ def _q_phrase_match(spark, sf_dir):
     Grouping by segment is exact (segment gid ranges are disjoint); within a
     group the positions-kernel intersects offset-shifted position sets.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    from lucene_spark.operators.search import decode_term_blocks
+    from lucene_spark.operators.search import (
+        _positional_candidates,
+        decode_term_blocks,
+        phrase_freqs,
+    )
     from lucene_spark.plans.query import PhraseQ
 
     s = _searcher(spark, sf_dir)
@@ -136,23 +139,11 @@ def _q_phrase_match(spark, sf_dir):
             t: decode_term_blocks(grp, need_positions=True)
             for t, grp in pdf.groupby("term", sort=False)
         }
-        tps = [postings.get(t) for t in node.terms]
-        if any(tp is None or not len(tp.gids) for tp in tps):
+        c = _positional_candidates(node, postings)
+        if c is None:
             return empty
-        gids = tps[0].gids
-        for tp in tps[1:]:
-            gids = np.intersect1d(gids, tp.gids, assume_unique=True)
-        idxs = [np.searchsorted(tp.gids, gids) for tp in tps]
-        freqs = np.zeros(len(gids), dtype=np.int64)
-        for j in range(len(gids)):
-            cand = tps[0].positions[idxs[0][j]] - node.offsets[0]
-            for i in range(1, len(tps)):
-                cand = np.intersect1d(
-                    cand, tps[i].positions[idxs[i][j]] - node.offsets[i], assume_unique=True
-                )
-                if not len(cand):
-                    break
-            freqs[j] = len(cand)
+        tps, gids, idxs = c
+        freqs = phrase_freqs(tps, idxs, node.offsets)
         hit = freqs > 0
         return pd.DataFrame({"doc_id": gids[hit], "freq": freqs[hit]})
 
@@ -259,6 +250,22 @@ def _q_emb_neardup(spark, sf_dir):
     from lucene_spark.operators import textops
 
     return textops.embedding_neardup_pairs(spark, sf_dir, threshold=NEARDUP_COS)
+
+
+def _q_emb_neardup_lsh(spark, sf_dir):
+    # the gated SCALE path: per-bucket join, never all-pairs
+    from lucene_spark.operators import textops
+
+    return textops.embedding_neardup_pairs(
+        spark, sf_dir, threshold=NEARDUP_COS, n_planes=8
+    )
+
+
+def _q_ngram_jaccard_lsh(spark, sf_dir):
+    # the gated SCALE path: exact Jaccard only on LSH candidate pairs
+    from lucene_spark.operators import textops
+
+    return textops.ngram_jaccard_lsh(spark, sf_dir, threshold=JACCARD_THRESHOLD)
 
 
 # --------------------------------- expanded query operators (SURVEY §2d/2f)
@@ -503,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_jaccard_lsh": _q_ngram_jaccard_lsh,
         "simhash": _q_simhash,
         "text_stats": _q_text_stats,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -512,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_neardup": _q_emb_neardup,
+        "embedding_neardup_lsh": _q_emb_neardup_lsh,
         "media_metadata": _q_media_metadata,
         "image_decode": _q_image_decode,
         "byte_histogram": _q_byte_histogram,
@@ -560,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": otx.minhash_signatures_sql(),
         "minhash_lsh_pairs": otx.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": otx.ngram_jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
+        "ngram_jaccard_lsh": otx.ngram_jaccard_lsh_sql(threshold=JACCARD_THRESHOLD),
         "simhash": otx.simhash_sql(),
         "text_stats": otx.text_stats_sql(),
         "doc_fingerprints": otx.doc_fingerprints_sql(),
@@ -569,6 +579,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": otx.ann_lsh_topk_sql(query_vec_id=0, k=10, n_planes=8, dim=64),
         "ann_ivf_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
         "embedding_neardup": otx.embedding_neardup_sql(threshold=NEARDUP_COS),
+        "embedding_neardup_lsh": otx.embedding_neardup_lsh_sql(
+            threshold=NEARDUP_COS, n_planes=8, dim=64
+        ),
         "media_metadata": otx.media_metadata_sql(),
         "image_decode": otx.image_decode_sql(),
         "byte_histogram": otx.byte_histogram_sql(),

@@ -28,18 +28,23 @@ def highlight(
     occurrence of any query term; docs with no match are dropped.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    with_toks = docs_df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    # materialize each term's position once (round 1 computed array_position
+    # twice per term — once in the when(), once as the value)
     pos_cols: list[Column] = [
-        F.when(F.array_position(toks, t) > 0, F.array_position(toks, t)).otherwise(
-            F.lit(_NO_MATCH)
-        )
-        for t in terms
+        F.array_position(F.col("toks"), t).alias(f"p{i}") for i, t in enumerate(terms)
     ]
-    pos = pos_cols[0] if len(pos_cols) == 1 else F.least(*pos_cols)
+    with_pos = with_toks.select("doc_id", "toks", *pos_cols)
+    hit_cols = [
+        F.when(F.col(f"p{i}") > 0, F.col(f"p{i}")).otherwise(F.lit(_NO_MATCH))
+        for i in range(len(terms))
+    ]
+    pos = hit_cols[0] if len(hit_cols) == 1 else F.least(*hit_cols)
     start = F.greatest(pos - window, F.lit(1))
-    snippet = F.array_join(F.slice(toks, start, 2 * window + 1), " ")
+    snippet = F.array_join(F.slice(F.col("toks"), start, 2 * window + 1), " ")
     return (
-        docs_df.select(
-            F.col(id_col).alias("doc_id"),
+        with_pos.select(
+            "doc_id",
             pos.cast("long").alias("match_pos"),
             snippet.alias("snippet"),
         )

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..functions.analysis import analyze_batch
 from ..functions.smallfloat import LENGTH_TABLE, int_to_byte4
-from ..plans.query import BoolQ, PhraseQ, TermQ
+from ..plans.query import BoolQ, NearQ, PhraseQ, TermQ
 
 
 def _f32(x: float) -> np.float32:
@@ -78,6 +78,12 @@ class BruteForceIndex:
                 return None
             w = _f32(sum(float(self._idf(t)) for t in node.terms))
             return self._score_tf(w, freq, self.norm[g], cache)
+        if isinstance(node, NearQ):
+            freq = self._near_freq(node, g)
+            if freq == 0:
+                return None
+            w = _f32(sum(float(self._idf(t)) for t in node.terms))
+            return self._score_tf(w, freq, self.norm[g], cache)
         if isinstance(node, BoolQ):
             total = 0.0  # double accumulation, float32 cast at the end
             if node.must:
@@ -110,9 +116,31 @@ class BruteForceIndex:
             return g in self.postings.get(node.term, {})
         if isinstance(node, PhraseQ):
             return self._phrase_freq(node, g) > 0
+        if isinstance(node, NearQ):
+            return self._near_freq(node, g) > 0
         if isinstance(node, BoolQ):
             return self._doc_score(node, g, self._cache()) is not None
         raise TypeError(node)
+
+    def _near_freq(self, node: NearQ, g: int) -> int:
+        """Ordered N-term proximity tuple count, naive nested-dict DP."""
+        pos_lists = []
+        for t in node.terms:
+            ps = self.positions.get((t, g))
+            if not ps:
+                return 0
+            pos_lists.append(sorted(ps))
+        prev = {p: 1 for p in pos_lists[0]}
+        for ps in pos_lists[1:]:
+            cur = {}
+            for p in ps:
+                c = sum(v for q, v in prev.items() if 1 <= p - q <= node.slop + 1)
+                if c:
+                    cur[p] = c
+            if not cur:
+                return 0
+            prev = cur
+        return sum(prev.values())
 
     def _phrase_freq(self, node: PhraseQ, g: int) -> int:
         sets = []

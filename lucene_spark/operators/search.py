@@ -67,13 +67,47 @@ __all__ = ["Searcher", "TermPostings", "eval_plan", "decode_term_blocks"]
 # BooleanQuery clause cap for scoring rewrites (IndexSearcher.java:81)
 MAX_CLAUSE_COUNT = 1024
 
+# bucket sizing: target query-term postings per bucket task (the unit of
+# boolean/phrase scoring parallelism) and the floor below which extra
+# buckets are pure overhead
+TARGET_BUCKET_POSTINGS = 1 << 19
+MIN_BUCKET_POSTINGS = 1 << 10
+
 
 @dataclass
 class TermPostings:
+    """Decoded postings of one term, flat-columnar.
+
+    Positions are stored FLAT (one concatenated array + per-doc offsets) so
+    the phrase/proximity kernels are pure vectorized numpy — no per-doc
+    Python objects (the round-1 per-candidate loop was the scale killer
+    flagged for ``ExactPhraseMatcher``-style workloads).
+    """
+
     gids: np.ndarray  # int64, sorted asc
     freqs: np.ndarray  # int64
     norms: np.ndarray  # uint8
-    positions: "list[np.ndarray] | None" = None  # per-doc absolute positions
+    pos_flat: "np.ndarray | None" = None  # int64, all docs' positions concat'd
+    pos_starts: "np.ndarray | None" = None  # int64[n_docs+1] offsets into pos_flat
+
+    @property
+    def positions(self) -> "list[np.ndarray] | None":
+        """Per-doc position arrays (compat view over the flat storage)."""
+        if self.pos_flat is None:
+            return None
+        return np.split(self.pos_flat, self.pos_starts[1:-1])
+
+    def slice(self, lo: int, hi: int) -> "TermPostings":
+        """Restrict to gid range [lo, hi) — a contiguous slice (gids sorted)."""
+        a = int(np.searchsorted(self.gids, lo))
+        b = int(np.searchsorted(self.gids, hi))
+        if self.pos_flat is None:
+            return TermPostings(self.gids[a:b], self.freqs[a:b], self.norms[a:b])
+        pa, pb = int(self.pos_starts[a]), int(self.pos_starts[b])
+        return TermPostings(
+            self.gids[a:b], self.freqs[a:b], self.norms[a:b],
+            self.pos_flat[pa:pb], self.pos_starts[a : b + 1] - pa,
+        )
 
 
 def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False) -> TermPostings:
@@ -100,18 +134,23 @@ def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False) -
             cs = np.cumsum(deltas)
             starts = np.concatenate(([0], np.cumsum(f)[:-1]))
             base = np.where(starts > 0, cs[starts - 1], 0)
-            abs_pos = cs - np.repeat(base, f)
-            pos_l.extend(np.split(abs_pos, np.cumsum(f)[:-1]))
+            pos_l.append(cs - np.repeat(base, f))
     if not gids_l:
         return TermPostings(
             np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8),
-            [] if need_positions else None,
+            np.empty(0, np.int64) if need_positions else None,
+            np.zeros(1, np.int64) if need_positions else None,
         )
+    freqs = np.concatenate(freqs_l)
+    if need_positions:
+        starts = np.empty(len(freqs) + 1, dtype=np.int64)
+        starts[0] = 0
+        np.cumsum(freqs, out=starts[1:])
+        pos_flat = np.concatenate(pos_l) if pos_l else np.empty(0, np.int64)
+    else:
+        starts = pos_flat = None
     return TermPostings(
-        np.concatenate(gids_l),
-        np.concatenate(freqs_l),
-        np.concatenate(norms_l),
-        pos_l if need_positions else None,
+        np.concatenate(gids_l), freqs, np.concatenate(norms_l), pos_flat, starts
     )
 
 
@@ -125,6 +164,7 @@ class ScoreCtx:
     phrase_weights: dict  # PhraseQ -> np.float32
     syn_weights: dict = None  # SynonymQ -> np.float32 (blended stats)
     boost_weights: dict = None  # BoostQ -> np.float32 (boost * idf, f32 mult)
+    doc_freqs: dict = None  # term -> global docFreq (bucket-width targeting)
 
 
 def _score_term(tp: TermPostings, weight: np.float32, cache: np.ndarray) -> np.ndarray:
@@ -284,31 +324,105 @@ def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, 
     return gids, total.astype(np.float32)
 
 
-def _eval_phrase(node: PhraseQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
-    """Exact phrase: leapfrog on positions (ExactPhraseMatcher analog).
+# Candidate-keyed position encoding: key = cand_idx * 2^33 + pos + PAD.
+# PAD keeps offset-shifted / slop-window arithmetic inside one candidate's
+# key range (positions < 2^31, phrase offsets/slops << 2^20), so a single
+# sorted flat array encodes every candidate doc's positions at once and all
+# per-doc work collapses into global searchsorted passes.
+_POS_SHIFT = 33
+_POS_PAD = 1 << 20
 
-    Candidate docs = conjunction of the phrase terms; per candidate, phrase
-    freq = |∩_i (positions_i - offset_i)|; scored like a term with the
-    summed idf weight (PhraseWeight/BM25 semantics).
+
+def _gather_positions(tp: TermPostings, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flat positions of the selected docs + their candidate indices.
+
+    Vectorized gather: no per-doc Python. Returned positions are globally
+    sorted by (candidate, position) because ``idx`` is ascending and
+    positions ascend within a doc.
     """
+    starts = tp.pos_starts
+    lengths = starts[idx + 1] - starts[idx]
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    out_starts = np.cumsum(lengths) - lengths
+    flat_ids = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, lengths)
+        + np.repeat(starts[idx], lengths)
+    )
+    cand = np.repeat(np.arange(len(idx), dtype=np.int64), lengths)
+    return tp.pos_flat[flat_ids], cand
+
+
+def phrase_freqs(tps: "list[TermPostings]", idxs: "list[np.ndarray]",
+                 offsets: "tuple[int, ...]") -> np.ndarray:
+    """Per-candidate exact-phrase frequency, fully vectorized.
+
+    freq_j = |∩_i (positions_i[j] - offset_i)| computed as one flat sorted-
+    array intersection per term (ExactPhraseMatcher's leapfrog, de-looped).
+    """
+    ncand = len(idxs[0])
+    keys = None
+    for tp, idx, off in zip(tps, idxs, offsets):
+        pos, cand = _gather_positions(tp, idx)
+        k = (cand << _POS_SHIFT) + (pos - int(off) + _POS_PAD)
+        if keys is None:
+            keys = k
+        else:
+            if not len(k):
+                return np.zeros(ncand, np.int64)
+            loc = np.minimum(np.searchsorted(k, keys), len(k) - 1)
+            keys = keys[k[loc] == keys]
+        if not len(keys):
+            return np.zeros(ncand, np.int64)
+    return np.bincount(keys >> _POS_SHIFT, minlength=ncand)
+
+
+def near_freqs(tps: "list[TermPostings]", idxs: "list[np.ndarray]", slop: int) -> np.ndarray:
+    """Per-candidate ordered-proximity frequency (N terms), vectorized.
+
+    freq_j = number of tuples (p_1 < ... < p_n) with every consecutive gap
+    in [1, slop+1]. Dynamic program over the flat candidate-keyed position
+    arrays: level i carries, per position, the count of valid prefixes
+    ending there; one prefix-sum + two searchsorteds per level
+    (NearSpansOrdered's advance, de-looped)."""
+    ncand = len(idxs[0])
+    pos, cand = _gather_positions(tps[0], idxs[0])
+    keys = (cand << _POS_SHIFT) + pos + _POS_PAD
+    cnt = np.ones(len(keys), dtype=np.int64)
+    for tp, idx in zip(tps[1:], idxs[1:]):
+        if not len(keys):
+            return np.zeros(ncand, np.int64)
+        csum = np.concatenate(([0], np.cumsum(cnt)))
+        p2, c2 = _gather_positions(tp, idx)
+        k2 = (c2 << _POS_SHIFT) + p2 + _POS_PAD
+        lo = np.searchsorted(keys, k2 - (slop + 1))
+        hi = np.searchsorted(keys, k2 - 1, side="right")
+        c = csum[hi] - csum[lo]
+        keep = c > 0
+        keys, cnt = k2[keep], c[keep]
+    if not len(keys):
+        return np.zeros(ncand, np.int64)
+    return np.bincount(keys >> _POS_SHIFT, weights=cnt, minlength=ncand).astype(np.int64)
+
+
+def _positional_candidates(node, postings: dict):
+    """Shared prologue of the positional kernels: conjunction of the node's
+    terms + per-term row indices of the surviving candidates."""
     tps = [postings.get(t) for t in node.terms]
     if any(tp is None or not len(tp.gids) for tp in tps):
-        return np.empty(0, np.int64), np.empty(0, np.float32)
+        return None
     gids = tps[0].gids
     for tp in tps[1:]:
         gids = np.intersect1d(gids, tp.gids, assume_unique=True)
     if not len(gids):
-        return gids, np.empty(0, np.float32)
+        return None
     idxs = [np.searchsorted(tp.gids, gids) for tp in tps]
-    freqs = np.zeros(len(gids), dtype=np.int64)
-    norms = tps[0].norms[idxs[0]]
-    for j in range(len(gids)):
-        cand = tps[0].positions[idxs[0][j]] - node.offsets[0]
-        for i in range(1, len(tps)):
-            cand = np.intersect1d(cand, tps[i].positions[idxs[i][j]] - node.offsets[i], assume_unique=True)
-            if not len(cand):
-                break
-        freqs[j] = len(cand)
+    return tps, gids, idxs
+
+
+def _score_positional(node, gids, freqs, norms, ctx) -> tuple[np.ndarray, np.ndarray]:
     hit = freqs > 0
     gids, freqs, norms = gids[hit], freqs[hit], norms[hit]
     w = ctx.phrase_weights[node]
@@ -317,33 +431,32 @@ def _eval_phrase(node: PhraseQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarr
     return gids, scores
 
 
-def _eval_near(node: NearQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
-    """Ordered proximity kernel: per candidate doc, count position pairs
-    (p1, p2) with 1 <= p2 - p1 <= slop + 1 via searchsorted over the sorted
-    position arrays; score like a phrase with that pair count as freq."""
-    t1, t2 = node.terms
-    a, b = postings.get(t1), postings.get(t2)
-    if a is None or b is None or not len(a.gids) or not len(b.gids):
+def _eval_phrase(node: PhraseQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase (ExactPhraseMatcher analog): candidate docs = conjunction
+    of the phrase terms; freq = flat offset-shifted position intersection;
+    scored like a term with the summed idf weight (PhraseWeight/BM25)."""
+    c = _positional_candidates(node, postings)
+    if c is None:
         return np.empty(0, np.int64), np.empty(0, np.float32)
-    gids = np.intersect1d(a.gids, b.gids, assume_unique=True)
-    if not len(gids):
-        return gids, np.empty(0, np.float32)
-    ia = np.searchsorted(a.gids, gids)
-    ib = np.searchsorted(b.gids, gids)
-    freqs = np.zeros(len(gids), dtype=np.int64)
-    for j in range(len(gids)):
-        p1 = a.positions[ia[j]]
-        p2 = b.positions[ib[j]]
-        lo = np.searchsorted(p2, p1 + 1)
-        hi = np.searchsorted(p2, p1 + node.slop + 1, side="right")
-        freqs[j] = int((hi - lo).sum())
-    hit = freqs > 0
-    gids, freqs = gids[hit], freqs[hit]
-    norms = a.norms[ia[hit]]
-    w = ctx.phrase_weights[node]
-    one = np.float32(1.0)
-    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache[norms])
-    return gids, scores
+    tps, gids, idxs = c
+    freqs = phrase_freqs(tps, idxs, node.offsets)
+    return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
+
+
+def _eval_near(node: NearQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered N-term proximity: freq = count of position tuples with every
+    consecutive gap in [1, slop+1], scored like a phrase.
+
+    Deviation from Lucene (documented per ADVICE): the reference's "a b"~N
+    is SloppyPhraseMatcher — unordered, freq weighted 1/(1+matchLength).
+    This engine's ~N is the ordered-span flavor (NearSpansOrdered) with
+    tuple-count freq; the semantics are pinned by the SQL oracle."""
+    c = _positional_candidates(node, postings)
+    if c is None:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    tps, gids, idxs = c
+    freqs = near_freqs(tps, idxs, node.slop)
+    return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
 
 
 def _max_score_of_impacts(imp_freqs, imp_norms, weight, cache) -> float:
@@ -399,8 +512,13 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         bounds = [b for b in bounds if b != float("-inf")]
         if not bounds:
             return float("-inf")
-        mx = max(bounds)
-        return mx + node.tie * sum(max(b, 0.0) for b in bounds if b is not mx)
+        # exclude exactly ONE occurrence of the max (duplicate clauses may
+        # produce equal bounds; excluding all of them under-estimates and
+        # theta-pruning could then drop true top-k buckets)
+        mi = bounds.index(max(bounds))
+        return bounds[mi] + node.tie * sum(
+            max(b, 0.0) for i, b in enumerate(bounds) if i != mi
+        )
     if isinstance(node, ConstScoreQ):
         child = _plan_upper_bound(node.child, term_maxes, ctx)
         return float("-inf") if child == float("-inf") else float(node.boost)
@@ -410,6 +528,133 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
             return float("-inf")
         return float(ctx.boost_weights[node])  # score < weight always
     return float("inf")
+
+
+# --------------------------------------------- block-level pruning helpers
+
+
+def _term_block_slack(node, term_maxes: dict) -> "dict[str, float] | None":
+    """Per-term additive slack for block-level score filtering.
+
+    For flat term-only boolean trees, returns S_t such that any doc in a
+    block B of term t scores at most blockmax(B) + S_t; blocks with
+    blockmax + S_t < θ are dropped BEFORE decoding (the WANDScorer /
+    BlockMaxConjunctionScorer advanceShallow analog,
+    ``core/search/WANDScorer.java:313-427`` at block grain). Returns None
+    for shapes where the bound isn't a per-term sum (DisMax, Synonym,
+    Boost, nested bools, positional nodes) — those fall back to the
+    bucket-level bound. must_not clauses never score-filter.
+    """
+    if isinstance(node, TermQ):
+        return {node.term: 0.0}
+    if not isinstance(node, BoolQ):
+        return None
+    leaves = node.must + node.should
+    if any(not isinstance(c, TermQ) for c in leaves):
+        return None
+    all_terms = [c.term for c in leaves] + [
+        c.term for c in node.must_not if isinstance(c, TermQ)
+    ]
+    if len(set(all_terms)) != len(all_terms):
+        return None  # a term feeds several clauses: contribution not additive
+    if node.must:
+        must_sum = 0.0
+        for c in node.must:
+            m = term_maxes.get(c.term)
+            if m is None:
+                return {}  # required term absent: bucket bound is -inf anyway
+            must_sum += m
+        should_pos = sum(
+            max(term_maxes[c.term], 0.0) for c in node.should if c.term in term_maxes
+        )
+        slack = {c.term: must_sum - term_maxes[c.term] + should_pos for c in node.must}
+        for c in node.should:
+            if c.term in term_maxes:
+                slack[c.term] = must_sum + should_pos - max(term_maxes[c.term], 0.0)
+        return slack
+    should_pos = sum(
+        max(term_maxes[c.term], 0.0) for c in node.should if c.term in term_maxes
+    )
+    return {
+        c.term: should_pos - max(term_maxes[c.term], 0.0)
+        for c in node.should
+        if c.term in term_maxes
+    }
+
+
+def _req_terms(node) -> set:
+    """Terms that EVERY matching doc must contain (conjunctive closure)."""
+    if isinstance(node, TermQ):
+        return {node.term}
+    if isinstance(node, (PhraseQ, NearQ)):
+        return set(node.terms)
+    if isinstance(node, BoolQ):
+        out: set = set()
+        for c in node.must:
+            out |= _req_terms(c)
+        return out
+    if isinstance(node, (ConstScoreQ, BoostQ)):
+        return _req_terms(node.child)
+    return set()
+
+
+def _intersect_block_filter(pdf: pd.DataFrame, req: set) -> pd.DataFrame:
+    """Drop blocks whose gid interval cannot co-occur with every required
+    term (block-grain conjunction leapfrog). Any doc matching the query
+    carries all req terms, so EVERY term's blocks — scoring, optional and
+    prohibited alike — are useless outside req-term block coverage."""
+    if len(req) < 2:
+        return pdf
+    groups = {t: grp for t, grp in pdf.groupby("term", sort=False)}
+    if any(t not in groups for t in req):
+        return pdf.iloc[0:0]
+    ivals = {}
+    for t in req:
+        g = groups[t].sort_values("first_gid")
+        f = g["first_gid"].to_numpy(np.int64)
+        ivals[t] = (f, np.maximum.accumulate(g["last_gid"].to_numpy(np.int64)))
+    f_all = pdf["first_gid"].to_numpy(np.int64)
+    l_all = pdf["last_gid"].to_numpy(np.int64)
+    t_all = pdf["term"].to_numpy()
+    keep = np.ones(len(pdf), dtype=bool)
+    for t, (fs, lmax) in ivals.items():
+        idx = np.searchsorted(fs, l_all, side="right") - 1
+        ok = (idx >= 0) & (lmax[np.maximum(idx, 0)] >= f_all)
+        keep &= ok | (t_all == t)
+    return pdf[keep]
+
+
+def _row_block_maxes(pdf: pd.DataFrame, weights: dict, cache: np.ndarray) -> np.ndarray:
+    """Per-block max possible score from the stored impact frontier."""
+    out = np.empty(len(pdf), dtype=np.float64)
+    for i, (t, f, n) in enumerate(zip(pdf["term"], pdf["imp_freqs"], pdf["imp_norms"])):
+        w = weights.get(t)
+        out[i] = _max_score_of_impacts(f, n, w, cache) if w is not None else float("inf")
+    return out
+
+
+def _after_mask(gids: np.ndarray, scores: np.ndarray,
+                after: "tuple[float, int] | None"):
+    """Keep candidates strictly after the (score, gid) cursor."""
+    if after is None:
+        return gids, scores
+    a_s = np.float32(after[0])
+    keep = (scores < a_s) | ((scores == a_s) & (gids > after[1]))
+    return gids[keep], scores[keep]
+
+
+def _contains_matchall(node) -> bool:
+    if isinstance(node, MatchAllQ):
+        return True
+    if isinstance(node, BoolQ):
+        return any(
+            _contains_matchall(c) for c in node.must + node.should + node.must_not
+        )
+    if isinstance(node, DisMaxQ):
+        return any(_contains_matchall(c) for c in node.clauses)
+    if isinstance(node, (ConstScoreQ, BoostQ)):
+        return _contains_matchall(node.child)
+    return False
 
 
 # ------------------------------------------------------------------ searcher
@@ -453,12 +698,20 @@ RESULT_SCHEMA = T.StructType(
 class Searcher:
     """Searches one finalized index directory."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, *,
+                 target_bucket_postings: int = TARGET_BUCKET_POSTINGS,
+                 seed_min_df: int = 1 << 17, seed_min_buckets: int = 4):
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self._terms_df = None
+        # scale knobs (defaults sized for cluster runs; tests shrink them to
+        # exercise the multi-bucket + seeded-θ paths on tiny corpora)
+        self.target_bucket_postings = int(target_bucket_postings)
+        self.seed_min_df = int(seed_min_df)
+        self.seed_min_buckets = int(seed_min_buckets)
+        self.metrics: "dict | None" = None
 
     # ---- planning -----------------------------------------------------
     def _postings_df(self) -> DataFrame:
@@ -577,6 +830,12 @@ class Searcher:
         (MultiTermQuery.SCORING_BOOLEAN_REWRITE); range → constant-score
         over the match set (Lucene's default for ranges). An empty
         expansion becomes a match-nothing BoolQ (MatchNoDocsQuery analog).
+
+        Documented deviation: the reference's PrefixQuery/WildcardQuery
+        default to CONSTANT_SCORE_BLENDED_REWRITE, so default *rankings*
+        differ; this engine pins the scoring-boolean semantics (each
+        matched term contributes its own idf), which the SQL oracles
+        reproduce exactly.
         """
         if node is None or isinstance(node, (TermQ, PhraseQ, NearQ, SynonymQ, MatchAllQ)):
             return node
@@ -650,9 +909,21 @@ class Searcher:
             weights=weights, cache=cache,
             phrase_weights=phrase_weights, syn_weights=syn_weights,
             boost_weights=boost_weights,
+            doc_freqs={t: tstats[t][0] for t in terms if t in tstats},
         )
 
     # ---- execution ------------------------------------------------------
+    def enable_metrics(self) -> dict:
+        """Turn on executor-side counters (Spark accumulators): blocks
+        scanned vs blocks actually decoded — the WAND-effectiveness metric
+        BENCH.md tracks round-over-round."""
+        sc = self.spark.sparkContext
+        self.metrics = {
+            "blocks_scanned": sc.accumulator(0),
+            "blocks_decoded": sc.accumulator(0),
+        }
+        return self.metrics
+
     def search(self, query, k: int = 10, prune: bool = True,
                with_keys: bool = True) -> pd.DataFrame:
         """Top-k. Returns pandas (gid, key, score) ordered score desc, gid asc.
@@ -690,24 +961,27 @@ class Searcher:
         after-doc): top-k strictly after the (score, gid) cursor in
         (score desc, gid asc) order.
 
-        ``depth`` = the cursor's global rank (e.g. pages_seen * k) enables
-        pruned execution keeping the top depth+k per bucket; without it the
-        candidate set is exhaustive (always correct, no pruning).
+        The cursor itself drives pruning: kernels drop candidates at or
+        above the cursor BEFORE the per-bucket top-k and θ offers, so no
+        ``depth`` hint is needed (the round-1 exhaustive fallback is gone;
+        ``depth`` is accepted for API compat and ignored).
         """
         node = parse_query(query) if isinstance(query, str) else query
-        a_score, a_gid = float(after[0]), int(after[1])
-        if depth is None:
-            cand = self.candidates(node, k=1 << 62, prune=False)
-        else:
-            cand = self.candidates(node, k=depth + k, prune=True)
+        cursor = (float(after[0]), int(after[1]))
+        cand = self.candidates(node, k=k, prune=True, after=cursor)
         page = cand.filter(
-            (F.col("score") < F.lit(a_score))
-            | ((F.col("score") == F.lit(a_score)) & (F.col("gid") > F.lit(a_gid)))
+            (F.col("score") < F.lit(cursor[0]))
+            | ((F.col("score") == F.lit(cursor[0])) & (F.col("gid") > F.lit(cursor[1])))
         )
         return page.orderBy(F.desc("score"), F.asc("gid")).limit(k).toPandas()
 
-    def candidates(self, node, k: int = 10, prune: bool = True) -> DataFrame:
-        """DataFrame (gid, score) of all scored candidates (per-bucket top-k)."""
+    def candidates(self, node, k: int = 10, prune: bool = True,
+                   after: "tuple[float, int] | None" = None) -> DataFrame:
+        """DataFrame (gid, score) of all scored candidates (per-bucket top-k).
+
+        ``after``: (score, gid) cursor — kernels keep only candidates
+        strictly after it, enabling θ-pruning for deep paging.
+        """
         if node is None:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         node = self.rewrite(node)
@@ -717,6 +991,15 @@ class Searcher:
             boost = node.boost if isinstance(node, ConstScoreQ) else 1.0
             return self.doc_rows().select(
                 "gid", F.lit(float(np.float32(boost))).cast("float").alias("score")
+            )
+        if _contains_matchall(node):
+            # BooleanQuery.rewrite keeps MatchAllDocsQuery as a scoring
+            # clause; supporting that here needs the full doc table per
+            # bucket. Fail fast at plan time (ADVICE: no TypeError deep in
+            # the executor).
+            raise ValueError(
+                "MatchAllQ nested inside a composite query is not supported; "
+                "use it top-level (optionally under ConstScoreQ)"
             )
         ctx = self.make_ctx(node)
         terms = {t for t in query_terms(node) if t in ctx.weights}
@@ -729,39 +1012,126 @@ class Searcher:
 
         qid = uuid.uuid4().hex
         if isinstance(node, TermQ):
-            return self._single_term(scan, node, ctx, k, prune, qid)
-        return self._bucketed(scan, node, ctx, k, prune, qid, need_positions)
+            return self._single_term(scan, node, ctx, k, prune, qid, after)
+        return self._bucketed(scan, node, ctx, k, prune, qid, need_positions,
+                              terms, after)
 
-    def _single_term(self, scan, node, ctx, k, prune, qid) -> DataFrame:
+    def _bucket_width(self, ctx: ScoreCtx, terms: set) -> int:
+        """Postings-volume-targeted bucket width (in gid units).
+
+        Round 1 pinned ~256 buckets regardless of corpus size — at 100×
+        scale each bucket decodes 100× more postings in one pandas group and
+        a 1000-core cluster runs 256 tasks. Now each bucket targets
+        ``target_bucket_postings`` query-term postings: expected postings
+        per gid ≈ Σ docFreq / docCount (gids are dense within segments), so
+        width = target / that density. Bucket count grows linearly with
+        corpus + query postings volume; tiny queries stay single-bucket.
+        """
+        doc_count = max(int(self.stats.get("n_rows") or self.stats.get("doc_count", 1)), 1)
+        total_df = max(sum(ctx.doc_freqs.get(t, 0) for t in terms), 1)
+        n_buckets = max(1, -(-total_df // self.target_bucket_postings))
+        # enough buckets to feed the cluster, but never sub-1k-posting tasks
+        par = self.spark.sparkContext.defaultParallelism
+        n_buckets = max(n_buckets, min(par, total_df // MIN_BUCKET_POSTINGS))
+        return max(128, -(-doc_count // max(n_buckets, 1)))
+
+    def _seed_theta(self, scan, node, ctx: ScoreCtx, k: int, width: int,
+                    need_positions: bool) -> float:
+        """Cross-partition θ seed (MaxScoreAccumulator analog,
+        ``core/search/MaxScoreAccumulator.java``).
+
+        Round 1's worker-local heaps made every executor re-pay the θ
+        warm-up. Here the driver picks the single most-promising bucket from
+        a metadata-only pass (impact frontiers, no payload decode), scores
+        it exactly, and broadcasts its kth score into every kernel closure —
+        θ from any k true scores is ≤ the global kth score, so pruning with
+        it never changes results.
+        """
+        cache, weights = ctx.cache, ctx.weights
+        meta = scan.select("term", "first_gid", "last_gid", "imp_freqs", "imp_norms")
+        wb = meta.withColumn(
+            "bucket",
+            F.explode(F.sequence(
+                (F.col("first_gid") / width).cast("long"),
+                (F.col("last_gid") / width).cast("long"),
+            )),
+        )
+
+        def ub_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            term_maxes = {
+                t: max(
+                    _max_score_of_impacts(f, n, weights[t], cache)
+                    for f, n in zip(grp["imp_freqs"], grp["imp_norms"])
+                )
+                for t, grp in pdf.groupby("term", sort=False)
+            }
+            ub = _plan_upper_bound(node, term_maxes, ctx)
+            return pd.DataFrame({"bucket": [int(key[0])], "ub": [float(ub)]})
+
+        best = (
+            wb.groupBy("bucket")
+            .applyInPandas(ub_kernel, schema="bucket long, ub double")
+            .orderBy(F.desc("ub"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["ub"] == float("-inf"):
+            return float("-inf")
+        b = int(best[0]["bucket"])
+        lo, hi = b * width, (b + 1) * width
+        rows = scan.filter(
+            (F.col("first_gid") < hi) & (F.col("last_gid") >= lo)
+        ).toPandas()
+        if rows.empty:
+            return float("-inf")
+        postings = {
+            t: decode_term_blocks(grp, need_positions=need_positions).slice(lo, hi)
+            for t, grp in rows.groupby("term", sort=False)
+        }
+        _, scores = eval_plan(node, postings, ctx)
+        if len(scores) < k:
+            return float("-inf")
+        return float(np.partition(scores.astype(np.float64), len(scores) - k)[len(scores) - k])
+
+    def _single_term(self, scan, node, ctx, k, prune, qid, after=None) -> DataFrame:
         weight = ctx.weights[node.term]
         cache = ctx.cache
+        theta0 = float("-inf")
+        if prune and after is None and ctx.doc_freqs.get(node.term, 0) >= self.seed_min_df:
+            theta0 = self._seed_theta(scan, node, ctx, k, self._bucket_width(ctx, {node.term}), False)
+        metrics = self.metrics
 
         def kernel(batches):
             for pdf in batches:
                 if pdf.empty:
                     continue
+                if metrics is not None:
+                    metrics["blocks_scanned"].add(len(pdf))
                 if prune:
-                    maxes = [
-                        _max_score_of_impacts(f, n, weight, cache)
-                        for f, n in zip(pdf["imp_freqs"], pdf["imp_norms"])
-                    ]
-                    theta = _theta(qid, k)
-                    keep = [m >= theta for m in maxes]
-                    pdf = pdf[np.array(keep, dtype=bool)]
+                    maxes = _row_block_maxes(pdf, {node.term: weight}, cache)
+                    theta = max(theta0, _theta(qid, k))
+                    pdf = pdf[maxes >= theta]
                     if pdf.empty:
                         continue
+                if metrics is not None:
+                    metrics["blocks_decoded"].add(len(pdf))
                 tp = decode_term_blocks(pdf)
                 scores = _score_term(tp, weight, cache)
-                if prune:
+                gids, scores = _after_mask(tp.gids, scores, after)
+                if prune and len(scores):
                     _offer(qid, k, scores)
-                yield pd.DataFrame({"gid": tp.gids, "score": scores.astype(np.float32)})
+                yield pd.DataFrame({"gid": gids, "score": scores.astype(np.float32)})
 
         return scan.mapInPandas(kernel, schema=RESULT_SCHEMA)
 
-    def _bucketed(self, scan, node, ctx, k, prune, qid, need_positions) -> DataFrame:
-        max_gid = max(self.stats.get("max_gid", 0), 0)
-        # bucket width: aim for ~256 buckets, at least one 128-block span
-        width = max(128, (max_gid + 256) // 256)
+    def _bucketed(self, scan, node, ctx, k, prune, qid, need_positions,
+                  terms: set, after=None) -> DataFrame:
+        width = self._bucket_width(ctx, terms)
+        doc_count = max(int(self.stats.get("n_rows") or self.stats.get("doc_count", 1)), 1)
+        n_buckets_est = -(-doc_count // width)
+        theta0 = float("-inf")
+        if prune and after is None and n_buckets_est >= self.seed_min_buckets:
+            theta0 = self._seed_theta(scan, node, ctx, k, width, need_positions)
         with_bucket = scan.withColumn(
             "bucket",
             F.explode(
@@ -773,38 +1143,58 @@ class Searcher:
         )
         cache = ctx.cache
         weights = ctx.weights
+        req = _req_terms(node)
+        metrics = self.metrics
+        empty = pd.DataFrame(
+            {"gid": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float32)}
+        )
 
         def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             bucket = int(key[0])
             lo, hi = bucket * width, (bucket + 1) * width
-            theta = _theta(qid, k) if prune else float("-inf")
+            if metrics is not None:
+                metrics["blocks_scanned"].add(len(pdf))
+            # block-grain conjunction leapfrog: a required term's coverage
+            # bounds every other term's useful blocks
+            pdf = _intersect_block_filter(pdf, req)
+            if pdf.empty:
+                return empty
+            theta = max(theta0, _theta(qid, k)) if prune else float("-inf")
             if prune:
+                block_maxes = _row_block_maxes(pdf, weights, cache)
                 term_maxes: dict[str, float] = {}
-                for t, grp in pdf.groupby("term", sort=False):
-                    m = max(
-                        _max_score_of_impacts(f, n, weights[t], cache)
-                        for f, n in zip(grp["imp_freqs"], grp["imp_norms"])
-                    )
-                    term_maxes[t] = m
+                t_arr = pdf["term"].to_numpy()
+                for t in np.unique(t_arr):
+                    term_maxes[t] = float(block_maxes[t_arr == t].max())
                 if _plan_upper_bound(node, term_maxes, ctx) < theta:
-                    return pd.DataFrame({"gid": [], "score": []}).astype(
-                        {"gid": np.int64, "score": np.float32}
-                    )
+                    return empty
+                if theta > float("-inf"):
+                    slack = _term_block_slack(node, term_maxes)
+                    if slack is not None:
+                        s_arr = np.array(
+                            [slack.get(t, float("inf")) for t in t_arr]
+                        )
+                        pdf = pdf[block_maxes + s_arr >= theta]
+                        if pdf.empty:
+                            return empty
+                        # re-run the leapfrog: score-filtering may have
+                        # voided required-term coverage
+                        pdf = _intersect_block_filter(pdf, req)
+                        if pdf.empty:
+                            return empty
+            if metrics is not None:
+                metrics["blocks_decoded"].add(len(pdf))
             postings: dict[str, TermPostings] = {}
             for t, grp in pdf.groupby("term", sort=False):
-                tp = decode_term_blocks(grp, need_positions=need_positions)
-                mask = (tp.gids >= lo) & (tp.gids < hi)
-                postings[t] = TermPostings(
-                    tp.gids[mask],
-                    tp.freqs[mask],
-                    tp.norms[mask],
-                    [p for p, m in zip(tp.positions, mask) if m] if need_positions else None,
-                )
+                postings[t] = decode_term_blocks(
+                    grp, need_positions=need_positions
+                ).slice(lo, hi)
             gids, scores = eval_plan(node, postings, ctx)
+            gids, scores = _after_mask(gids, scores, after)
             if len(gids) > k:
                 part = np.argpartition(-scores.astype(np.float64), k - 1)[:k]
-                # keep exact tie-break: sort kept candidates by (-score, gid)
-                # but argpartition may split ties arbitrarily — include ties at kth
+                # keep exact tie-break: argpartition may split ties
+                # arbitrarily — include all ties at the kth score
                 kth = scores[part].min()
                 keep = scores >= kth
                 gids, scores = gids[keep], scores[keep]

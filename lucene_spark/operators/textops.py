@@ -179,6 +179,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8
     )
 
 
+def ngram_jaccard_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, bands: int = 4
+) -> DataFrame:
+    """Exact n-gram Jaccard, verified ONLY on MinHash-LSH candidate pairs —
+    the 100-TB path: the all-shingle bucket join of ``ngram_jaccard_pairs``
+    goes quadratic on a Zipf-hot shingle, while here the expensive exact
+    intersection touches just the pairs that banded LSH surfaced.
+
+    Plan shape: candidates (per-band bucket join, never all-pairs) →
+    broadcast-friendly semi-restricted shingle join → per-pair counts.
+    Approximate by design: a true near-dup pair missed by every band is not
+    verified (classic MinHash-LSH contract).
+    """
+    cand = minhash_lsh_pairs(spark, sf_dir, bands=bands)
+    sh = docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text"), SHINGLE_K))).alias("sh")
+    ).select("doc_id", _md5_int(F.col("sh")).alias("h"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: bit b set iff sum of (+1/-1) votes over token
     hashes is positive, weighted by term frequency."""
@@ -247,21 +287,62 @@ def lsh_plane_sign(p: int, i: int) -> float:
     return 1.0 if hb & 1 == 0 else -1.0
 
 
-def _bucket_bits(vec: Column, dim: int, n_planes: int) -> Column:
-    """Random-hyperplane LSH bucket id: bit p set iff <vec, plane_p> > 0.
+def _plane_matrix(dim: int, n_planes: int):
+    import numpy as np
 
-    The dot product is a left-fold in dimension order (matches the literal
-    sum the DuckDB oracle builds), all in double.
+    return np.array(
+        [[lsh_plane_sign(p, i) for i in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+
+
+def _bucket_ids_np(x, planes):
+    """Bucket ids for a batch of vectors: bit p set iff <x, plane_p> > 0.
+
+    The dot product is an explicit LEFT FOLD over dimensions in float64 —
+    the same IEEE op sequence as the DuckDB oracle's literal
+    ``v[1]*s + v[2]*s + ...`` chain, so near-zero projections land on the
+    same side in both engines. (A matmul's pairwise summation would not.)
     """
-    total = None
-    for p in range(n_planes):
-        comps = None
-        for i in range(dim):
-            c = vec[i].cast("double") * F.lit(lsh_plane_sign(p, i))
-            comps = c if comps is None else comps + c
-        bit = F.when(comps > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        total = bit if total is None else total + bit
-    return total.cast("int")
+    import numpy as np
+
+    n, dim = x.shape
+    acc = np.zeros((n, planes.shape[0]), dtype=np.float64)
+    for i in range(dim):
+        acc += x[:, i : i + 1] * planes[:, i][None, :]
+    bits = (acc > 0).astype(np.int64)
+    return (bits << np.arange(planes.shape[0], dtype=np.int64)[None, :]).sum(axis=1)
+
+
+def with_lsh_bucket(df: DataFrame, n_planes: int,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Attach a random-hyperplane LSH bucket column via one Arrow kernel.
+
+    Round 1 built the projection as a dim × n_planes Catalyst Column tree —
+    at real dims (768 × 8 ≈ 6k Add expressions) plan build/codegen blows
+    up. The kernel is a constant-size plan and a vectorized fold; planes
+    derive from (plane, dim) hashes so no model is stored and the batch
+    discovers ``dim`` itself (no driver ``.first()`` probe).
+    """
+    import numpy as np
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, bucket int"
+
+    def kernel(batches):
+        planes = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if planes is None:
+                planes = _plane_matrix(x.shape[1], n_planes)
+            out = pdf.copy()
+            out["bucket"] = _bucket_ids_np(x, planes).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def ann_lsh_topk(
@@ -274,8 +355,7 @@ def ann_lsh_topk(
     hashes, so the plan is reproducible without storing a model.
     """
     e = embeddings(spark, sf_dir)
-    dim = len(e.select("embedding").first()[0])
-    eb = e.withColumn("bucket", _bucket_bits(F.col("embedding"), dim, n_planes))
+    eb = with_lsh_bucket(e.select("vec_id", "embedding"), n_planes)
     qrow = eb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -404,8 +484,7 @@ def embedding_neardup_pairs(
     """
     e = embeddings(spark, sf_dir)
     if n_planes > 0:
-        dim = len(e.select("embedding").first()[0])
-        e = e.withColumn("bucket", _bucket_bits(F.col("embedding"), dim, n_planes))
+        e = with_lsh_bucket(e.select("vec_id", "embedding"), n_planes)
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         *([F.col("bucket").alias("ba")] if n_planes > 0 else []),

@@ -134,6 +134,39 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def ngram_jaccard_lsh_sql(threshold: float = 0.5, bands: int = 4, k: int = 3) -> str:
+    """Exact Jaccard restricted to banded-LSH candidate pairs (the gated
+    scale path of ``textops.ngram_jaccard_lsh``)."""
+    rpb = N_MINHASH // bands
+    return f"""WITH {_sig_ctes(k)},
+keys AS (
+  SELECT doc_id, (i // {rpb})::INT AS band,
+         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // {rpb}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+shf AS (SELECT doc_id, {md5i('sh')} AS h FROM shd),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN shf fa ON fa.doc_id = c.doc_a
+  JOIN shf fb ON fb.doc_id = c.doc_b AND fb.h = fa.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
 def simhash_sql(bits: int = 16) -> str:
     bits_cte = "bits(b) AS (VALUES " + ", ".join(f"({b})" for b in range(bits)) + ")"
     return f"""WITH {TOKS_CTE},
@@ -376,5 +409,21 @@ def embedding_neardup_sql(threshold: float = 0.4) -> str:
     cos = _cos("a.embedding", "b.embedding")
     return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+ORDER BY vec_a, vec_b"""
+
+
+def embedding_neardup_lsh_sql(
+    threshold: float = 0.4, n_planes: int = 8, dim: int = 64
+) -> str:
+    """Bucketed near-dup pairs: only same-LSH-bucket pairs are compared
+    (the gated scale path of ``embedding_neardup_pairs(n_planes>0)``)."""
+    bucket = _bucket_sql("embedding", dim, n_planes)
+    cos = _cos("a.embedding", "b.embedding")
+    return f"""WITH eb AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
+FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
 WHERE {cos} >= {threshold}
 ORDER BY vec_a, vec_b"""

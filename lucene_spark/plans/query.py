@@ -58,9 +58,11 @@ class WildcardQ:
 class FuzzyQ:
     """FuzzyQuery (core/search/FuzzyQuery.java): terms within edit distance
     ``max_edits`` of ``term``; expansion capped at ``max_expansions`` terms
-    picked by (doc_freq desc, term asc). Simplification vs the reference:
-    matched terms score as a scoring-boolean OR (per-term idf) instead of
-    Lucene's blended-freq top-terms rewrite."""
+    picked by (doc_freq desc, term asc). Simplifications vs the reference
+    (documented deviations): matched terms score as a scoring-boolean OR
+    (per-term idf) instead of Lucene's blended-freq top-terms rewrite, and
+    distance is classic Levenshtein — Lucene defaults transpositions=true
+    (Damerau), so a transposed pair costs 2 edits here vs 1 there."""
 
     term: str
     max_edits: int = 2
@@ -107,11 +109,17 @@ class DisMaxQ:
 
 @dataclass(frozen=True)
 class NearQ:
-    """Ordered two-term proximity (SpanNearQuery / phrase-slop flavor,
-    ``lucene/queries`` spans): matches docs where term2 follows term1 within
-    ``slop`` intervening positions; freq = number of qualifying position
-    pairs, scored like a phrase with the summed-idf weight. Parsed from
-    ``"t1 t2"~N``."""
+    """Ordered N-term proximity (NearSpansOrdered flavor, ``lucene/queries``
+    spans): matches docs containing the terms in order with every
+    consecutive gap in [1, slop+1]; freq = number of qualifying position
+    tuples, scored like a phrase with the summed-idf weight. Parsed from
+    ``"t1 t2 ..."~N``.
+
+    Documented deviation from the reference: Lucene's classic QueryParser
+    turns ``"..."~N`` into a *sloppy* PhraseQuery (SloppyPhraseMatcher —
+    unordered within slop, freq weighted by 1/(1+matchLength)); this engine
+    pins the ordered-span semantics above instead, reproduced exactly by
+    the SQL oracle (``oracle_sql.near_topk_sql``)."""
 
     terms: tuple[str, ...]
     slop: int = 0
@@ -344,7 +352,24 @@ class _Parser:
             base, _, suf = t.partition("~")
             if not base:
                 return None
-            edits = int(suf) if suf else 2
+            if not suf:
+                edits = 2
+            else:
+                try:
+                    edits = int(suf)
+                except ValueError:
+                    # classic float fuzzy syntax term~0.7: FuzzyQuery's
+                    # floatToEdits((1-sim)*len, capped at 2)
+                    try:
+                        sim = float(suf)
+                    except ValueError:
+                        raise ValueError(f"bad fuzzy suffix {suf!r} in {t!r}")
+                    if not 0.0 <= sim < 1.0:
+                        raise ValueError(f"fuzzy similarity out of [0,1): {t!r}")
+                    edits = min(2, int((1.0 - sim) * len(base)))
+            if edits > 2:
+                # LEVENSHTEIN_MAXIMUM_EDIT_DISTANCE (FuzzyQuery.java)
+                raise ValueError(f"fuzzy max_edits > 2 unsupported: {t!r}")
             return FuzzyQ(base.lower(), max_edits=edits)
         if t.startswith('"'):
             body = t.strip('"')
@@ -362,8 +387,6 @@ class _Parser:
             if len(toks) == 1:
                 return TermQ(toks[0][0])
             if slop > 0:
-                if len(toks) != 2:
-                    raise ValueError('sloppy phrases support exactly 2 terms ("a b"~N)')
                 return NearQ(terms=tuple(w for w, _ in toks), slop=slop)
             return PhraseQ(
                 terms=tuple(w for w, _ in toks), offsets=tuple(p for _, p in toks)
