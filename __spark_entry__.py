@@ -56,6 +56,34 @@ def _searcher(spark: SparkSession, sf_dir: str):
     return Searcher(spark, _index_for(spark, sf_dir))
 
 
+HEAD_TOKS = 8
+_FIELDS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_fields(spark: SparkSession, sf_dir: str) -> str:
+    """Two-field index (text + head = first HEAD_TOKS whitespace tokens):
+    the multi-field document model gate (SURVEY §1 Field / FieldInfos)."""
+    from lucene_spark.operators.indexer import build_index
+
+    if sf_dir in _FIELDS_INDEX_CACHE:
+        return _FIELDS_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_fields_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "head",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, HEAD_TOKS), " "),
+    )
+    n = docs.count()
+    build_index(
+        spark, docs, index_dir,
+        key_col="doc_id", text_col="text", gid_col="doc_id",
+        n_segments=max(2, min(16, n // 250)),
+        extra_fields={"head": "head"},
+    )
+    _FIELDS_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
 def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     pdf = _searcher(spark, sf_dir).search(query, k=k, with_keys=False)
     out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
@@ -340,6 +368,18 @@ def _q_event_json_stats(spark, sf_dir):
     return analytics.event_json_stats(spark, sf_dir)
 
 
+def _q_field_topk(spark, sf_dir):
+    """BM25 top-k scoped to the `head` field of a two-field index."""
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_fields(spark, sf_dir))
+    pdf = s.search(f"head:{T_HOT}", k=10, with_keys=False)
+    out = pdf.rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_msm_topk(spark, sf_dir):
     from lucene_spark.plans.query import BoolQ, TermQ
 
@@ -529,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_topk": _q_range_topk,
         "synonym_topk": _q_synonym_topk,
         "dismax_topk": _q_dismax_topk,
+        "field_topk": _q_field_topk,
         "msm_topk": _q_msm_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "regexp_topk": _q_regexp_topk,
@@ -590,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "range_topk": osql.range_topk_sql(*RANGE),
         "synonym_topk": osql.synonym_topk_sql(*SYN),
         "dismax_topk": osql.dismax_topk_sql(T_HOT, T_MID),
+        "field_topk": osql.field_topk_sql(T_HOT, max_toks=HEAD_TOKS),
         "msm_topk": osql.topk_msm_sql(list(MSM_TERMS), 2),
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_TERM),
         "regexp_topk": osql.regexp_topk_sql(REGEXP_PAT),

@@ -44,6 +44,7 @@ from ..functions.bm25 import BM25Scorer  # noqa: F401 (re-export convenience)
 from ..functions.impacts import competitive_impacts_grouped
 from ..functions.pfor import BLOCK_SIZE, batch_encode_streams
 from ..functions.smallfloat import int_to_byte4_np
+from ..plans.fields import DEFAULT_FIELD, FIELD_SEP
 
 STAGING_SCHEMA = T.StructType(
     [
@@ -84,14 +85,24 @@ def invert_segment(
     keys: np.ndarray,
     texts: pd.Series,
     with_positions: bool = True,
+    field: str = DEFAULT_FIELD,
 ) -> pd.DataFrame:
     """Analyze + invert one segment's docs into union-schema staging rows.
 
     Pure pandas/numpy — runs inside applyInPandas but unit-testable without
     Spark. ``gids`` must be sorted ascending (docID order within segment).
+
+    ``field``: which index field this text belongs to (FieldInfos analog).
+    Non-default fields store QUALIFIED term keys (``plans/fields.py``) and
+    emit only postings + term-stat + fieldstat rows — the doc/segstat rows
+    belong to the default field's pass. Norms are per (doc, field) by
+    construction: each field's pass encodes its own doc lengths into its
+    blocks (``core/index/IndexingChain.java:1103-1117``).
     """
     gids = np.asarray(gids, dtype=np.int64)
     assert len(gids) == 0 or (np.diff(gids) > 0).all(), "gids must be strictly increasing"
+    is_default = field == DEFAULT_FIELD
+    prefix = "" if is_default else f"{field}{FIELD_SEP}"
     batch = analyze_batch(texts)
     doc_lens = batch.doc_lens.astype(np.int64)
     norms_by_doc = int_to_byte4_np(doc_lens)
@@ -110,6 +121,9 @@ def invert_segment(
     rank[sort_perm] = np.arange(len(dict_vals))
     tc = rank[codes]
     uniq_terms = dict_vals[sort_perm]
+    if prefix:
+        # constant prefix preserves the sorted term order within the field
+        uniq_terms = np.array([prefix + t for t in uniq_terms], dtype=object)
     tok_gid = gids[batch.tok_doc_idx]
     tok_doc = batch.tok_doc_idx
     # lexsort by (term, gid); stable, so within a (term, doc) pair tokens
@@ -217,30 +231,43 @@ def invert_segment(
         )
         rows.extend([post, term_rows])
 
-    doc_rows = pd.DataFrame(
+    if is_default:
+        doc_rows = pd.DataFrame(
+            {
+                "row_type": "doc",
+                "seg": np.int64(seg_id),
+                "gid": gids,
+                "key": pd.Series(np.asarray(keys, dtype=object), dtype="string"),
+                "doc_len": doc_lens.astype(np.int32),
+                "norm_b": norms_by_doc.astype(np.int32),
+            }
+        )
+        rows.append(doc_rows)
+        seg_stat = pd.DataFrame(
+            {
+                "row_type": ["segstat"],
+                "seg": [np.int64(seg_id)],
+                "s_n_docs": [np.int64(len(gids))],
+                "s_doc_count": [np.int64(int((doc_lens > 0).sum()))],
+                "s_sum_dl": [np.int64(int(doc_lens.sum()))],
+                "s_max_gid": [np.int64(int(gids.max())) if len(gids) else np.int64(-1)],
+                "s_n_terms": [np.int64(n_terms_total)],
+                "s_n_postings": [np.int64(n_pairs_total)],
+            }
+        )
+        rows.append(seg_stat)
+    # per-field collection stats (idf docCount + avgdl inputs are PER FIELD:
+    # BM25Similarity.computeWeight uses the field's CollectionStatistics)
+    field_stat = pd.DataFrame(
         {
-            "row_type": "doc",
-            "seg": np.int64(seg_id),
-            "gid": gids,
-            "key": pd.Series(np.asarray(keys, dtype=object), dtype="string"),
-            "doc_len": doc_lens.astype(np.int32),
-            "norm_b": norms_by_doc.astype(np.int32),
-        }
-    )
-    rows.append(doc_rows)
-    seg_stat = pd.DataFrame(
-        {
-            "row_type": ["segstat"],
+            "row_type": ["fieldstat"],
             "seg": [np.int64(seg_id)],
-            "s_n_docs": [np.int64(len(gids))],
+            "term": pd.Series([field], dtype="string"),  # column reused: field name
             "s_doc_count": [np.int64(int((doc_lens > 0).sum()))],
             "s_sum_dl": [np.int64(int(doc_lens.sum()))],
-            "s_max_gid": [np.int64(int(gids.max())) if len(gids) else np.int64(-1)],
-            "s_n_terms": [np.int64(n_terms_total)],
-            "s_n_postings": [np.int64(n_pairs_total)],
         }
     )
-    rows.append(seg_stat)
+    rows.append(field_stat)
     # pad each sub-frame to the full union schema with explicit Nones
     # (concat-introduced NaN would break Arrow conversion of int/array cols)
     padded = []
@@ -292,6 +319,7 @@ def prepare_corpus(
     gid_col: str | None = None,
     n_segments: int = 8,
     dense_gids: bool = False,
+    extra_fields: "dict[str, str] | None" = None,
 ) -> tuple[DataFrame, dict]:
     """Attach deterministic (seg, gid) columns to a corpus.
 
@@ -302,6 +330,9 @@ def prepare_corpus(
     count pass for Lucene-style dense numbering (DocIDMerger offset add) —
     within-segment doc gaps are identical either way.
     """
+    xf_cols = [
+        F.col(c).alias(f"xf_{f}") for f, c in sorted((extra_fields or {}).items())
+    ]
     if gid_col is not None:
         bounds = corpus.agg(
             F.min(gid_col).alias("lo"), F.max(gid_col).alias("hi"), F.count("*").alias("n")
@@ -314,6 +345,7 @@ def prepare_corpus(
             F.col(gid_col).cast("long").alias("gid"),
             F.col(key_col).cast("string").alias("key"),
             F.col(text_col).alias("text"),
+            *xf_cols,
         )
         meta = {"mode": "gid", "lo": lo, "hi": hi, "n_docs": int(bounds["n"])}
         return df, meta
@@ -322,6 +354,7 @@ def prepare_corpus(
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_segments)).cast("long").alias("seg"),
         F.col(key_col).cast("string").alias("key"),
         F.col(text_col).alias("text"),
+        *xf_cols,
     )
     if not dense_gids:
         df = with_seg.withColumn("base", (F.col("seg") * F.lit(1 << SEG_SHIFT)).cast("long"))
@@ -351,8 +384,15 @@ def build_index(
     dense_gids: bool = False,
     append: bool = False,
     fail_after_batches: int | None = None,
+    extra_fields: "dict[str, str] | None" = None,
 ) -> dict:
     """Build (or resume) the index. Returns summary metrics.
+
+    ``extra_fields``: additional indexed text fields, ``{field: column}``
+    (``text_col`` is the default field). Each field gets its own postings
+    (qualified term keys), norms, and collection stats — the multi-field
+    document model (``core/index/FieldInfos.java``); query with
+    ``field:term`` syntax.
 
     ``append=True`` adds the corpus as NEW segments to an existing index
     (NRT-style incremental refresh, DirectoryReader.openIfChanged analog):
@@ -404,7 +444,7 @@ def build_index(
             )
     df, meta = prepare_corpus(
         corpus, key_col=key_col, text_col=text_col, gid_col=gid_col,
-        n_segments=n_segments, dense_gids=dense_gids,
+        n_segments=n_segments, dense_gids=dense_gids, extra_fields=extra_fields,
     )
     if seg_offset:
         df = df.withColumn("seg", F.col("seg") + F.lit(seg_offset))
@@ -421,6 +461,8 @@ def build_index(
     ]
 
     def make_builder(with_positions: bool, mode: str):
+        fields = sorted((extra_fields or {}).keys())
+
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             seg = int(pdf["seg"].iloc[0])
             pdf = pdf.sort_values("key" if mode == "hash" else "gid", kind="mergesort")
@@ -428,9 +470,20 @@ def build_index(
                 gids = (np.arange(len(pdf), dtype=np.int64) + int(pdf["base"].iloc[0]))
             else:
                 gids = pdf["gid"].to_numpy(dtype=np.int64)
-            return invert_segment(
-                seg, gids, pdf["key"].to_numpy(), pdf["text"], with_positions=with_positions
-            )
+            keys = pdf["key"].to_numpy()
+            frames = [
+                invert_segment(
+                    seg, gids, keys, pdf["text"], with_positions=with_positions
+                )
+            ]
+            for f in fields:
+                frames.append(
+                    invert_segment(
+                        seg, gids, keys, pdf[f"xf_{f}"],
+                        with_positions=with_positions, field=f,
+                    )
+                )
+            return frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
 
         return fn
 
@@ -493,6 +546,17 @@ def _read_segstats(path: str) -> pd.DataFrame:
     return ds.dataset(sub, format="parquet").to_table(columns=cols).to_pandas()
 
 
+def _read_fieldstats(path: str) -> pd.DataFrame:
+    """Driver-side read of the per-(segment, field) stat rows."""
+    import pyarrow.dataset as ds
+
+    sub = os.path.join(path, "row_type=fieldstat")
+    if not os.path.isdir(sub):  # pre-multi-field index layout
+        return pd.DataFrame(columns=["term", "s_doc_count", "s_sum_dl"])
+    cols = ["term", "s_doc_count", "s_sum_dl"]
+    return ds.dataset(sub, format="parquet").to_table(columns=cols).to_pandas()
+
+
 def finalize_index(spark: SparkSession, index_dir: str) -> None:
     """Global term stats + collection stats (idf/avgdl inputs are GLOBAL).
 
@@ -514,19 +578,26 @@ def finalize_index(spark: SparkSession, index_dir: str) -> None:
     )
     terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
 
-    agg = pd.concat(
-        [
-            _read_segstats(os.path.join(index_dir, "segments", d))
-            for d in sorted(os.listdir(os.path.join(index_dir, "segments")))
-            if d.startswith("batch=")
-        ],
-        ignore_index=True,
-    )
+    batch_dirs = [
+        os.path.join(index_dir, "segments", d)
+        for d in sorted(os.listdir(os.path.join(index_dir, "segments")))
+        if d.startswith("batch=")
+    ]
+    agg = pd.concat([_read_segstats(d) for d in batch_dirs], ignore_index=True)
     stats = {
         "n_rows": int(agg["s_n_docs"].sum()),
         "doc_count": int(agg["s_doc_count"].sum()),
         "sum_total_term_freq": int(agg["s_sum_dl"].sum()),
         "max_gid": int(agg["s_max_gid"].max()) if len(agg) else -1,
     }
+    fagg = pd.concat([_read_fieldstats(d) for d in batch_dirs], ignore_index=True)
+    if len(fagg):
+        stats["fields"] = {
+            str(field): {
+                "doc_count": int(grp["s_doc_count"].sum()),
+                "sum_ttf": int(grp["s_sum_dl"].sum()),
+            }
+            for field, grp in fagg.groupby("term")
+        }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f)

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..functions.bm25 import BM25Scorer, avgdl as _avgdl, idf as _idf, norm_cache
 from ..functions.pfor import decode_stream
+from ..plans.fields import DEFAULT_FIELD, FIELD_SEP, field_of as _field_of
 from ..plans.query import (
     BoolQ,
     BoostQ,
@@ -159,12 +160,20 @@ def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False) -
 
 @dataclass
 class ScoreCtx:
-    weights: dict  # term -> np.float32 weight (boost * idf)
-    cache: np.ndarray  # float32[256] shared norm-inverse cache
+    weights: dict  # term key -> np.float32 weight (boost * idf, per-field stats)
+    cache: np.ndarray  # float32[256] default-field norm-inverse cache
     phrase_weights: dict  # PhraseQ -> np.float32
     syn_weights: dict = None  # SynonymQ -> np.float32 (blended stats)
     boost_weights: dict = None  # BoostQ -> np.float32 (boost * idf, f32 mult)
-    doc_freqs: dict = None  # term -> global docFreq (bucket-width targeting)
+    doc_freqs: dict = None  # term key -> global docFreq (bucket-width targeting)
+    caches: dict = None  # field -> float32[256] cache (per-field avgdl)
+
+    def cache_for(self, term_key: str) -> np.ndarray:
+        """Norm-inverse cache of the term's field (per-field avgdl —
+        BM25Similarity uses the field's own CollectionStatistics)."""
+        if not self.caches:
+            return self.cache
+        return self.caches.get(_field_of(term_key), self.cache)
 
 
 def _score_term(tp: TermPostings, weight: np.float32, cache: np.ndarray) -> np.ndarray:
@@ -183,7 +192,7 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         tp = postings.get(node.term)
         if tp is None or not len(tp.gids):
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        return tp.gids, _score_term(tp, ctx.weights[node.term], ctx.cache)
+        return tp.gids, _score_term(tp, ctx.weights[node.term], ctx.cache_for(node.term))
     if isinstance(node, PhraseQ):
         return _eval_phrase(node, postings, ctx)
     if isinstance(node, NearQ):
@@ -211,7 +220,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
         tp = postings.get(child.term)
         if tp is None or not len(tp.gids):
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        return tp.gids, _score_term(tp, w, ctx.cache)
+        return tp.gids, _score_term(tp, w, ctx.cache_for(child.term))
     if isinstance(child, (PhraseQ, SynonymQ)):
         # temporarily rebind the child's weight to the boosted one
         sub = ScoreCtx(
@@ -222,6 +231,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
             syn_weights={**(ctx.syn_weights or {}), child: w}
             if isinstance(child, SynonymQ) else ctx.syn_weights,
             boost_weights=ctx.boost_weights,
+            caches=ctx.caches,
         )
         return eval_plan(child, postings, sub)
     raise TypeError(f"BoostQ supports leaf scoring nodes, got {child!r}")
@@ -245,7 +255,7 @@ def _eval_synonym(node: SynonymQ, postings: dict, ctx: ScoreCtx) -> tuple[np.nda
     norms[inv] = all_n  # per-doc norm, identical across member terms
     w = ctx.syn_weights[node]
     one = np.float32(1.0)
-    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache[norms])
+    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache_for(node.terms[0])[norms])
     return gids, scores
 
 
@@ -427,7 +437,7 @@ def _score_positional(node, gids, freqs, norms, ctx) -> tuple[np.ndarray, np.nda
     gids, freqs, norms = gids[hit], freqs[hit], norms[hit]
     w = ctx.phrase_weights[node]
     one = np.float32(1.0)
-    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache[norms])
+    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache_for(node.terms[0])[norms])
     return gids, scores
 
 
@@ -624,12 +634,18 @@ def _intersect_block_filter(pdf: pd.DataFrame, req: set) -> pd.DataFrame:
     return pdf[keep]
 
 
-def _row_block_maxes(pdf: pd.DataFrame, weights: dict, cache: np.ndarray) -> np.ndarray:
-    """Per-block max possible score from the stored impact frontier."""
+def _row_block_maxes(pdf: pd.DataFrame, weights: dict, caches: dict) -> np.ndarray:
+    """Per-block max possible score from the stored impact frontier.
+
+    ``caches`` maps term key -> that term's FIELD norm cache (per-field
+    avgdl); for single-field queries every value is the same array.
+    """
     out = np.empty(len(pdf), dtype=np.float64)
     for i, (t, f, n) in enumerate(zip(pdf["term"], pdf["imp_freqs"], pdf["imp_norms"])):
         w = weights.get(t)
-        out[i] = _max_score_of_impacts(f, n, w, cache) if w is not None else float("inf")
+        out[i] = (
+            _max_score_of_impacts(f, n, w, caches[t]) if w is not None else float("inf")
+        )
     return out
 
 
@@ -772,6 +788,20 @@ class Searcher:
         blocktree/FST seek analog); matches collect to the driver, capped
         like BooleanQuery's maxClauseCount."""
         tdf = self.terms_table()
+        # default-field patterns must not leak into qualified keys of other
+        # fields (e.g. wildcard ?a* would match "head\x1f..." otherwise)
+        probe = {
+            PrefixQ: lambda n: n.prefix, WildcardQ: lambda n: n.pattern,
+            FuzzyQ: lambda n: n.term, RegexpQ: lambda n: n.pattern,
+            RangeQ: lambda n: (n.lo or "") + (n.hi or ""),
+        }.get(type(node))
+        if probe is not None and FIELD_SEP not in probe(node):
+            tdf = tdf.filter(~F.col("term").contains(FIELD_SEP))
+        elif isinstance(node, FuzzyQ) and FIELD_SEP in node.term:
+            # unanchored edit-distance scan: pin it to the node's field
+            tdf = tdf.filter(
+                F.col("term").startswith(node.term.split(FIELD_SEP, 1)[0] + FIELD_SEP)
+            )
         if isinstance(node, PrefixQ):
             matched = tdf.filter(F.col("term").startswith(node.prefix))
         elif isinstance(node, WildcardQ):
@@ -862,14 +892,35 @@ class Searcher:
             return BoostQ(self.rewrite(node.child), boost=node.boost)
         raise TypeError(f"unknown node {node!r}")
 
+    def field_stats(self, field: str) -> tuple[int, int]:
+        """(docCount, sumTotalTermFreq) of one field — the idf/avgdl inputs
+        (per-field CollectionStatistics; falls back to the legacy top-level
+        stats for single-field indexes)."""
+        fs = self.stats.get("fields") or {}
+        if field in fs:
+            return int(fs[field]["doc_count"]), int(fs[field]["sum_ttf"])
+        return int(self.stats["doc_count"]), int(self.stats["sum_total_term_freq"])
+
     def make_ctx(self, node) -> ScoreCtx:
         terms = query_terms(node)
         tstats = self.term_stats(terms)
-        doc_count = self.stats["doc_count"]
-        cache = norm_cache(_avgdl(self.stats["sum_total_term_freq"], doc_count))
+        caches: dict[str, np.ndarray] = {}
+
+        def cache_of(field: str) -> np.ndarray:
+            if field not in caches:
+                dc, sttf = self.field_stats(field)
+                caches[field] = norm_cache(_avgdl(sttf, max(dc, 1)))
+            return caches[field]
+
+        def doc_count_of(term_key: str) -> int:
+            return max(self.field_stats(_field_of(term_key))[0], 1)
+
+        cache = cache_of(DEFAULT_FIELD)
         weights = {
-            t: _idf(tstats[t][0], doc_count) for t in terms if t in tstats
+            t: _idf(tstats[t][0], doc_count_of(t)) for t in terms if t in tstats
         }
+        for t in terms:
+            cache_of(_field_of(t))  # materialize every queried field's cache
         phrase_weights = {}
         syn_weights = {}
         boost_weights = {}
@@ -889,12 +940,17 @@ class Searcher:
                 boost_weights[n] = np.float32(np.float32(n.boost) * base)
             elif isinstance(n, (PhraseQ, NearQ)):
                 # idf summed as double over float per-term idfs, cast to float
-                s = sum(float(_idf(tstats[t][0], doc_count)) for t in n.terms if t in tstats)
+                s = sum(
+                    float(_idf(tstats[t][0], doc_count_of(t)))
+                    for t in n.terms if t in tstats
+                )
                 phrase_weights[n] = np.float32(s)
             elif isinstance(n, SynonymQ):
                 # blended stats: df = max over members (SynonymQuery.java)
                 dfs = [tstats[t][0] for t in n.terms if t in tstats]
-                syn_weights[n] = _idf(max(dfs), doc_count) if dfs else np.float32(0.0)
+                syn_weights[n] = (
+                    _idf(max(dfs), doc_count_of(n.terms[0])) if dfs else np.float32(0.0)
+                )
             elif isinstance(n, BoolQ):
                 for c in n.must + n.should + n.must_not:
                     walk(c)
@@ -910,6 +966,7 @@ class Searcher:
             phrase_weights=phrase_weights, syn_weights=syn_weights,
             boost_weights=boost_weights,
             doc_freqs={t: tstats[t][0] for t in terms if t in tstats},
+            caches=caches,
         )
 
     # ---- execution ------------------------------------------------------
@@ -1047,7 +1104,8 @@ class Searcher:
         θ from any k true scores is ≤ the global kth score, so pruning with
         it never changes results.
         """
-        cache, weights = ctx.cache, ctx.weights
+        weights = ctx.weights
+        term_caches = {t: ctx.cache_for(t) for t in weights}
         meta = scan.select("term", "first_gid", "last_gid", "imp_freqs", "imp_norms")
         wb = meta.withColumn(
             "bucket",
@@ -1060,7 +1118,7 @@ class Searcher:
         def ub_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             term_maxes = {
                 t: max(
-                    _max_score_of_impacts(f, n, weights[t], cache)
+                    _max_score_of_impacts(f, n, weights[t], term_caches[t])
                     for f, n in zip(grp["imp_freqs"], grp["imp_norms"])
                 )
                 for t, grp in pdf.groupby("term", sort=False)
@@ -1095,7 +1153,7 @@ class Searcher:
 
     def _single_term(self, scan, node, ctx, k, prune, qid, after=None) -> DataFrame:
         weight = ctx.weights[node.term]
-        cache = ctx.cache
+        cache = ctx.cache_for(node.term)
         theta0 = float("-inf")
         if prune and after is None and ctx.doc_freqs.get(node.term, 0) >= self.seed_min_df:
             theta0 = self._seed_theta(scan, node, ctx, k, self._bucket_width(ctx, {node.term}), False)
@@ -1108,7 +1166,7 @@ class Searcher:
                 if metrics is not None:
                     metrics["blocks_scanned"].add(len(pdf))
                 if prune:
-                    maxes = _row_block_maxes(pdf, {node.term: weight}, cache)
+                    maxes = _row_block_maxes(pdf, {node.term: weight}, {node.term: cache})
                     theta = max(theta0, _theta(qid, k))
                     pdf = pdf[maxes >= theta]
                     if pdf.empty:
@@ -1141,8 +1199,8 @@ class Searcher:
                 )
             ),
         )
-        cache = ctx.cache
         weights = ctx.weights
+        term_caches = {t: ctx.cache_for(t) for t in weights}
         req = _req_terms(node)
         metrics = self.metrics
         empty = pd.DataFrame(
@@ -1161,7 +1219,7 @@ class Searcher:
                 return empty
             theta = max(theta0, _theta(qid, k)) if prune else float("-inf")
             if prune:
-                block_maxes = _row_block_maxes(pdf, weights, cache)
+                block_maxes = _row_block_maxes(pdf, weights, term_caches)
                 term_maxes: dict[str, float] = {}
                 t_arr = pdf["term"].to_numpy()
                 for t in np.unique(t_arr):

@@ -421,6 +421,57 @@ SELECT dim, doc_id, score, rn::INT AS rn
 FROM r WHERE rn <= {k_per_group} ORDER BY dim, rn"""
 
 
+def field_topk_sql(term: str, max_toks: int = 8, k: int = 10) -> str:
+    """BM25 top-k on a secondary field (``head`` = first ``max_toks``
+    whitespace tokens of ``text``), scored with the FIELD's own docFreq,
+    docCount, avgdl and norms — the per-field CollectionStatistics model
+    (``core/index/FieldInfos.java``; BM25Similarity.computeWeight)."""
+    w = idf_sql(f"(SELECT doc_freq FROM htstats WHERE term = '{term}')",
+                "(SELECT doc_count FROM hcstats)")
+    avgdl = ("CAST((SELECT sum_ttf FROM hcstats) / "
+             "CAST((SELECT doc_count FROM hcstats) AS DOUBLE) AS FLOAT)")
+    cache = cache_sql("norm_tab.dec", avgdl)
+    score = bm25_score_sql(w, "htf.freq", cache)
+    return f"""WITH htoks AS (
+  SELECT doc_id, tok AS term
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  )
+  WHERE tok <> '' AND ord <= {max_toks} AND tok NOT IN ({STOPLIST_SQL})
+),
+hdl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN htoks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+{NORM_TABLE_SQL},
+hdn AS (
+  SELECT hdl.doc_id, hdl.doc_len,
+         (SELECT max(b) FROM norm_tab WHERE norm_tab.dec <= hdl.doc_len) AS norm_b
+  FROM hdl
+),
+hcstats AS (
+  SELECT sum(CASE WHEN doc_len > 0 THEN 1 ELSE 0 END)::BIGINT AS doc_count,
+         sum(doc_len)::BIGINT AS sum_ttf
+  FROM hdl
+),
+htf AS (
+  SELECT term, doc_id, count(*)::BIGINT AS freq FROM htoks GROUP BY term, doc_id
+),
+htstats AS (
+  SELECT term, count(*)::BIGINT AS doc_freq FROM htf GROUP BY term
+)
+SELECT htf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM htf
+JOIN hdn ON hdn.doc_id = htf.doc_id
+JOIN norm_tab ON norm_tab.b = hdn.norm_b
+WHERE htf.term = '{term}'
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def term_postings_sql(term: str) -> str:
     return f"""WITH {base_ctes()}
 SELECT doc_id, freq FROM tf WHERE term = '{term}' ORDER BY doc_id"""

@@ -17,12 +17,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..functions.analysis import analyze_batch
+from .fields import DEFAULT_FIELD, qualify
 
 __all__ = [
     "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
     "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
     "ConstScoreQ", "MatchAllQ",
-    "parse_query", "query_terms",
+    "parse_query", "query_terms", "qualify_node",
 ]
 
 
@@ -306,6 +307,34 @@ class _Parser:
 
     def unary_atom(self):
         t = self.peek()
+        # field-scoped atom: ``field:term``, ``field:"a phrase"``,
+        # ``field:pre*`` ... (classic QueryParser ``field:`` grammar,
+        # queryparser/classic/QueryParser.jj). The field name must look
+        # like an identifier; anything else falls through to term parsing.
+        if (
+            t is not None
+            and ":" in t
+            and not t.startswith('"')
+            and not t.startswith("/")
+        ):
+            fname, _, rest = t.partition(":")
+            if fname.replace("_", "").isalnum() and fname and fname != DEFAULT_FIELD:
+                if rest.startswith("[") or rest.startswith("{"):
+                    # field:[a TO b] — strip the prefix, let _range_atom
+                    # consume the rest of the range from the stream
+                    self.toks[self.pos] = rest
+                    return qualify_node(self._range_atom(), fname)
+                self.next()
+                if rest:
+                    sub = _Parser([rest]).unary_atom()
+                elif self.peek() is not None and self.peek().startswith('"'):
+                    sub = self.unary_atom()  # field:"quoted phrase"
+                else:
+                    return None
+                return qualify_node(sub, fname)
+            if fname == DEFAULT_FIELD and rest:
+                self.next()
+                return _Parser([rest]).unary_atom()
         if t == "(":
             self.next()
             node = self.or_expr()
@@ -398,6 +427,56 @@ class _Parser:
             return TermQ(toks[0][0])
         # a single query word that analyzes to multiple tokens (e.g. "foo-bar")
         return PhraseQ(terms=tuple(w for w, _ in toks), offsets=tuple(p for _, p in toks))
+
+
+def qualify_node(node, field: str):
+    """Scope a query node to ``field`` by qualifying its term keys
+    (``plans/fields.py``). Positional/leaf structure is preserved; nodes
+    mixing fields are built by composing already-qualified subtrees."""
+    if node is None or isinstance(node, MatchAllQ):
+        return node
+    if isinstance(node, TermQ):
+        return TermQ(qualify(field, node.term))
+    if isinstance(node, PhraseQ):
+        return PhraseQ(
+            terms=tuple(qualify(field, t) for t in node.terms), offsets=node.offsets
+        )
+    if isinstance(node, NearQ):
+        return NearQ(terms=tuple(qualify(field, t) for t in node.terms), slop=node.slop)
+    if isinstance(node, SynonymQ):
+        return SynonymQ(terms=tuple(qualify(field, t) for t in node.terms))
+    if isinstance(node, PrefixQ):
+        return PrefixQ(qualify(field, node.prefix))
+    if isinstance(node, WildcardQ):
+        return WildcardQ(qualify(field, node.pattern))
+    if isinstance(node, FuzzyQ):
+        return FuzzyQ(qualify(field, node.term), node.max_edits, node.max_expansions)
+    if isinstance(node, RegexpQ):
+        return RegexpQ(qualify(field, node.pattern))
+    if isinstance(node, RangeQ):
+        # open bounds close at the field's key span so the term-dict scan
+        # never leaks into other fields' keys
+        return RangeQ(
+            qualify(field, node.lo if node.lo is not None else ""),
+            qualify(field, node.hi if node.hi is not None else "￿"),
+            node.include_lo, node.include_hi,
+        )
+    if isinstance(node, BoolQ):
+        return BoolQ(
+            must=tuple(qualify_node(c, field) for c in node.must),
+            should=tuple(qualify_node(c, field) for c in node.should),
+            must_not=tuple(qualify_node(c, field) for c in node.must_not),
+            msm=node.msm,
+        )
+    if isinstance(node, DisMaxQ):
+        return DisMaxQ(
+            clauses=tuple(qualify_node(c, field) for c in node.clauses), tie=node.tie
+        )
+    if isinstance(node, BoostQ):
+        return BoostQ(qualify_node(node.child, field), node.boost)
+    if isinstance(node, ConstScoreQ):
+        return ConstScoreQ(qualify_node(node.child, field), node.boost)
+    raise TypeError(f"cannot field-qualify {node!r}")
 
 
 def parse_query(q: str):
