@@ -368,6 +368,28 @@ def _q_event_json_stats(spark, sf_dir):
     return analytics.event_json_stats(spark, sf_dir)
 
 
+# 3 real vocab terms + thousands of misses: proves the >1024-clause bypass
+TERM_SET = [T_HOT, T_MID, T_B] + [f"zz{i}" for i in range(4997)]
+
+
+def _q_term_in_set_topk(spark, sf_dir):
+    from lucene_spark.plans.query import TermInSetQ
+
+    s = _searcher(spark, sf_dir)
+    df = s.candidates(TermInSetQ(terms=tuple(TERM_SET)))
+    return df.select(
+        F.col("gid").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    ).orderBy("doc_id").limit(10)
+
+
+def _q_term_in_set_count(spark, sf_dir):
+    from lucene_spark.plans.query import TermInSetQ
+
+    n = _searcher(spark, sf_dir).count(TermInSetQ(terms=tuple(TERM_SET)))
+    return spark.createDataFrame([(int(n),)], schema="n long")
+
+
 def _q_field_topk(spark, sf_dir):
     """BM25 top-k scoped to the `head` field of a two-field index."""
     from lucene_spark.operators.search import Searcher
@@ -570,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": _q_synonym_topk,
         "dismax_topk": _q_dismax_topk,
         "field_topk": _q_field_topk,
+        "term_in_set_topk": _q_term_in_set_topk,
+        "term_in_set_count": _q_term_in_set_count,
         "msm_topk": _q_msm_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "regexp_topk": _q_regexp_topk,
@@ -632,6 +656,8 @@ def oracle_sql() -> dict[str, str]:
         "synonym_topk": osql.synonym_topk_sql(*SYN),
         "dismax_topk": osql.dismax_topk_sql(T_HOT, T_MID),
         "field_topk": osql.field_topk_sql(T_HOT, max_toks=HEAD_TOKS),
+        "term_in_set_topk": osql.term_in_set_topk_sql(TERM_SET),
+        "term_in_set_count": osql.term_in_set_count_sql(TERM_SET),
         "msm_topk": osql.topk_msm_sql(list(MSM_TERMS), 2),
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_TERM),
         "regexp_topk": osql.regexp_topk_sql(REGEXP_PAT),

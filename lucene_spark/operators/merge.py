@@ -74,6 +74,13 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
     gid = np.concatenate(gids_l)
     freq = np.concatenate(freqs_l)
     norm = np.concatenate(norms_l)
+    # inputs may interleave in gid space (a prior partial merge's blocks
+    # span holes occupied by other units) — restore global sort, carrying
+    # per-doc position runs along
+    from .search import sort_postings
+
+    pos_all = np.concatenate(pos_l) if with_positions else None
+    gid, freq, norm, pos_all = sort_postings(gid, freq, norm, pos_all)
     n = len(gid)
     block_id = np.arange(n) // BLOCK_SIZE
     n_blocks = int(block_id[-1]) + 1 if n else 0
@@ -115,32 +122,85 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
     )
 
 
-def merge_index(
+# -------------------------------------------------------------- unit model
+#
+# A merge *unit* is either a committed build batch ("b<N>", postings at
+# segments/batch=N/row_type=post) or a committed merge output ("m<K>",
+# postings at postings_merged_m<K>). A unit is LIVE until a later committed
+# merge lists it in `inputs` — the SegmentInfos view of the index. The
+# searcher reads exactly the live units; tiered_merge folds one tier of
+# live units at a time (TieredMergePolicy.java:89-95 analog), so a
+# continuously appended index pays O(tier) per refresh, never O(index).
+
+
+def live_units(index_dir: str) -> "list[dict]":
+    """Live merge units with sizes: [{uid, path, n_postings}]."""
+    manifest = read_manifest(index_dir)
+    consumed: set = set()
+    merges = []
+    for i, rec in enumerate(manifest):
+        if rec.get("type") == "merge" and rec.get("status") == "committed":
+            inputs = rec.get("inputs")
+            if inputs is None:  # legacy full-merge record
+                inputs = [f"b{b}" for b in rec.get("merged_batches", [])]
+            consumed |= set(inputs)
+            merges.append(
+                {
+                    "uid": f"m{rec.get('merge_id', i)}",
+                    "path": rec.get("out", "postings_merged"),
+                    "n_postings": int(rec.get("n_postings", 0)),
+                }
+            )
+    units = []
+    for rec in manifest:
+        if rec.get("status") == "committed" and rec.get("batch") is not None:
+            uid = f"b{rec['batch']}"
+            if uid in consumed:
+                continue
+            n_post = sum(
+                int(s.get("n_postings", 0)) for s in rec.get("per_segment", {}).values()
+            )
+            units.append(
+                {
+                    "uid": uid,
+                    "path": os.path.join("segments", f"batch={rec['batch']}", "row_type=post"),
+                    "n_postings": n_post,
+                }
+            )
+    units.extend(m for m in merges if m["uid"] not in consumed)
+    return units
+
+
+def _next_merge_id(index_dir: str) -> int:
+    ids = [
+        int(r["merge_id"])
+        for r in read_manifest(index_dir)
+        if r.get("type") == "merge" and "merge_id" in r
+    ]
+    return (max(ids) + 1) if ids else 0
+
+
+def _merge_units(
     spark: SparkSession,
     index_dir: str,
+    units: "list[dict]",
     *,
-    salt_docs: int = 1_000_000,
-    with_positions: bool = True,
+    salt_docs: int,
+    with_positions: bool,
 ) -> dict:
-    """Merge all committed batches into a global postings table.
-
-    ``salt_docs``: max postings per (term, salt) reducer group — hot terms
-    are split into gid-range salts of roughly this many docs each.
-    """
+    """Merge the given live units into one new merge unit (commits it)."""
     t0 = time.time()
-    manifest = read_manifest(index_dir)
-    batches = sorted(
-        {r["batch"] for r in manifest if r.get("status") == "committed" and r.get("batch") is not None}
-    )
-    if not batches:
-        raise ValueError("nothing to merge: no committed batches")
-
-    post = spark.read.parquet(os.path.join(index_dir, "segments", "batch=*", "row_type=post"))
+    parts = []
     cols = ["term", "seg", "block_ord", "doc_count", "first_gid", "last_gid",
             "gids", "freqs", "norms", "imp_freqs", "imp_norms"]
     if with_positions:
         cols.append("positions")
-    post = post.select(*cols)
+    for u in units:
+        p = spark.read.parquet(os.path.join(index_dir, u["path"])).select(*cols)
+        parts.append(p)
+    post = parts[0]
+    for p in parts[1:]:
+        post = post.unionByName(p)
     if not with_positions:
         post = post.withColumn("positions", F.lit(None).cast("binary"))
 
@@ -171,14 +231,23 @@ def merge_index(
         return _reblock_term(pdf, with_positions)
 
     merged = post.groupBy("term", "salt").applyInPandas(fn, schema=MERGED_SCHEMA)
-    out_path = os.path.join(index_dir, "postings_merged")
+    mid = _next_merge_id(index_dir)
+    out_rel = f"postings_merged_m{mid}"
+    out_path = os.path.join(index_dir, out_rel)
     merged.sortWithinPartitions("term", "first_gid").write.mode("overwrite").parquet(out_path)
 
     wall = time.time() - t0
     rec = {
         "type": "merge",
         "status": "committed",
-        "merged_batches": batches,
+        "merge_id": mid,
+        "inputs": [u["uid"] for u in units],
+        "out": out_rel,
+        "n_postings": int(sum(u["n_postings"] for u in units)),
+        # legacy field kept for older readers: batches covered transitively
+        "merged_batches": sorted(
+            int(u["uid"][1:]) for u in units if u["uid"].startswith("b")
+        ),
         "salt_docs": salt_docs,
         "n_hot_terms": len(n_salts),
         "wall_sec": round(wall, 3),
@@ -186,3 +255,68 @@ def merge_index(
     }
     _append_manifest(index_dir, rec)
     return rec
+
+
+def merge_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    salt_docs: int = 1_000_000,
+    with_positions: bool = True,
+) -> dict:
+    """Full merge: fold ALL live units into one global postings table.
+
+    ``salt_docs``: max postings per (term, salt) reducer group — hot terms
+    are split into gid-range salts of roughly this many docs each.
+    """
+    units = live_units(index_dir)
+    if not units:
+        raise ValueError("nothing to merge: no committed batches")
+    return _merge_units(
+        spark, index_dir, units, salt_docs=salt_docs, with_positions=with_positions
+    )
+
+
+def tiered_merge(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+    floor_postings: int = 100_000,
+    salt_docs: int = 1_000_000,
+    with_positions: bool = True,
+) -> "dict | None":
+    """One incremental tiered-merge step (TieredMergePolicy.java:89-95).
+
+    Live units are binned into size tiers (log base ``segs_per_tier`` of
+    postings count, floored at ``floor_postings`` — the 2MB-floor analog);
+    when a tier holds ≥ ``segs_per_tier`` units, the smallest
+    ``max_merge_at_once`` of them merge into ONE unit of the next tier.
+    Returns the merge record, or None when the index is already within
+    budget — so a continuously appended 100-TB index re-merges only a
+    bounded tier per refresh instead of the whole index, and each unit is
+    rewritten O(log_tier(total)) times over its life.
+    """
+    units = live_units(index_dir)
+    if len(units) < segs_per_tier:
+        return None
+    import math
+
+    tiers: dict[int, list[dict]] = {}
+    for u in units:
+        size = max(int(u["n_postings"]), 1)
+        tier = 0 if size <= floor_postings else int(
+            math.log(size / floor_postings, segs_per_tier)
+        ) + 1
+        tiers.setdefault(tier, []).append(u)
+    for tier in sorted(tiers):
+        group = tiers[tier]
+        if len(group) >= segs_per_tier:
+            group.sort(key=lambda u: u["n_postings"])
+            picked = group[:max_merge_at_once]
+            return _merge_units(
+                spark, index_dir, picked,
+                salt_docs=salt_docs, with_positions=with_positions,
+            )
+    return None

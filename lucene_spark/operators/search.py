@@ -57,6 +57,7 @@ from ..plans.query import (
     RangeQ,
     RegexpQ,
     SynonymQ,
+    TermInSetQ,
     TermQ,
     WildcardQ,
     parse_query,
@@ -111,11 +112,39 @@ class TermPostings:
         )
 
 
+def sort_postings(gid: np.ndarray, freq: np.ndarray, norm: np.ndarray,
+                  pos_flat: "np.ndarray | None" = None):
+    """Ensure postings are gid-sorted; permute per-doc position runs along.
+
+    Needed when merge units interleave in gid space: a tiered (partial)
+    merge re-blocks its inputs into 128-doc blocks that can SPAN gid holes
+    still occupied by unmerged units, so concatenating units in first_gid
+    order is no longer globally sorted. No-op (one vectorized check) in the
+    common disjoint case.
+    """
+    if len(gid) and not (np.diff(gid) > 0).all():
+        order = np.argsort(gid, kind="mergesort")
+        if pos_flat is not None:
+            starts = np.concatenate(([0], np.cumsum(freq)))
+            lengths = freq[order]
+            src = starts[order]
+            total = int(lengths.sum())
+            out_starts = np.cumsum(lengths) - lengths
+            ids = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_starts, lengths)
+                + np.repeat(src, lengths)
+            )
+            pos_flat = pos_flat[ids]
+        gid, freq, norm = gid[order], freq[order], norm[order]
+    return gid, freq, norm, pos_flat
+
+
 def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False) -> TermPostings:
     """Decode all block rows of ONE term into flat posting arrays.
 
-    Rows may span segments; segment gid ranges are disjoint, so sorting
-    blocks by first_gid and concatenating yields globally sorted postings.
+    Rows are concatenated in first_gid order; if unit gid ranges interleave
+    (tiered partial merges), ``sort_postings`` restores global order.
     """
     block_rows = block_rows.sort_values("first_gid", kind="mergesort")
     gids_l, freqs_l, norms_l, pos_l = [], [], [], []
@@ -142,17 +171,21 @@ def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False) -
             np.empty(0, np.int64) if need_positions else None,
             np.zeros(1, np.int64) if need_positions else None,
         )
+    gid = np.concatenate(gids_l)
     freqs = np.concatenate(freqs_l)
+    norms = np.concatenate(norms_l)
+    pos_flat = (
+        (np.concatenate(pos_l) if pos_l else np.empty(0, np.int64))
+        if need_positions else None
+    )
+    gid, freqs, norms, pos_flat = sort_postings(gid, freqs, norms, pos_flat)
     if need_positions:
         starts = np.empty(len(freqs) + 1, dtype=np.int64)
         starts[0] = 0
         np.cumsum(freqs, out=starts[1:])
-        pos_flat = np.concatenate(pos_l) if pos_l else np.empty(0, np.int64)
     else:
-        starts = pos_flat = None
-    return TermPostings(
-        np.concatenate(gids_l), freqs, np.concatenate(norms_l), pos_flat, starts
-    )
+        starts = None
+    return TermPostings(gid, freqs, norms, pos_flat, starts)
 
 
 # ------------------------------------------------------------ plan evaluation
@@ -731,37 +764,24 @@ class Searcher:
 
     # ---- planning -----------------------------------------------------
     def _postings_df(self) -> DataFrame:
-        """Postings scan: merged table (if a merge committed) + any batches
-        appended after the merge; otherwise all per-segment batches."""
-        from ..operators.indexer import read_manifest
+        """Postings scan over the LIVE merge units (SegmentInfos view):
+        committed merge outputs + batches no merge has consumed yet. With
+        tiered merging the unit count stays O(segs_per_tier · log(total)),
+        so this union is bounded on a continuously appended index."""
+        from ..operators.merge import live_units
 
-        manifest = read_manifest(self.index_dir)
-        merged_through: set = set()
-        has_merge = False
-        for rec in manifest:
-            if rec.get("type") == "merge" and rec.get("status") == "committed":
-                has_merge = True
-                merged_through |= set(rec.get("merged_batches", []))
-        all_batches = sorted(
-            {r["batch"] for r in manifest if r.get("status") == "committed" and r.get("batch") is not None}
-        )
+        units = live_units(self.index_dir)
         cols = [
             "term", "seg", "block_ord", "doc_count", "first_gid", "last_gid",
             "gids", "freqs", "norms", "positions", "imp_freqs", "imp_norms",
         ]
-        if not has_merge:
+        if not units:
             path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=post")
             return self.spark.read.parquet(path).select(*cols)
         parts = [
-            self.spark.read.parquet(os.path.join(self.index_dir, "postings_merged")).select(*cols)
+            self.spark.read.parquet(os.path.join(self.index_dir, u["path"])).select(*cols)
+            for u in units
         ]
-        residual = [b for b in all_batches if b not in merged_through]
-        for b in residual:
-            parts.append(
-                self.spark.read.parquet(
-                    os.path.join(self.index_dir, "segments", f"batch={b}", "row_type=post")
-                ).select(*cols)
-            )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -867,7 +887,9 @@ class Searcher:
         matched term contributes its own idf), which the SQL oracles
         reproduce exactly.
         """
-        if node is None or isinstance(node, (TermQ, PhraseQ, NearQ, SynonymQ, MatchAllQ)):
+        if node is None or isinstance(
+            node, (TermQ, PhraseQ, NearQ, SynonymQ, MatchAllQ, TermInSetQ)
+        ):
             return node
         if isinstance(node, (PrefixQ, WildcardQ, FuzzyQ, RegexpQ)):
             terms = self.expand_terms(node)
@@ -1049,6 +1071,10 @@ class Searcher:
             return self.doc_rows().select(
                 "gid", F.lit(float(np.float32(boost))).cast("float").alias("score")
             )
+        if isinstance(node, TermInSetQ):
+            return self._term_in_set(node, node.boost)
+        if isinstance(node, ConstScoreQ) and isinstance(node.child, TermInSetQ):
+            return self._term_in_set(node.child, node.boost)
         if _contains_matchall(node):
             # BooleanQuery.rewrite keeps MatchAllDocsQuery as a scoring
             # clause; supporting that here needs the full doc table per
@@ -1072,6 +1098,45 @@ class Searcher:
             return self._single_term(scan, node, ctx, k, prune, qid, after)
         return self._bucketed(scan, node, ctx, k, prune, qid, need_positions,
                               terms, after)
+
+    def _term_in_set(self, node: TermInSetQ, boost: float) -> DataFrame:
+        """TermInSetQuery execution (core/search/TermInSetQuery.java): a
+        constant-score semi-join on the postings scan — NOT a scoring
+        boolean, so the 1024-clause cap doesn't apply.
+
+        Small sets push an IN-filter into the Parquet scan; large sets
+        broadcast-semi-join a terms DataFrame (an In expression with 100k
+        literals would blow up plan build at real id-list sizes). Matched
+        blocks decode doc gaps ONLY (no freqs/norms/positions read) and a
+        single distinct dedupes docs matching several set terms.
+        """
+        terms = list(dict.fromkeys(node.terms))
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        scan = self._postings_df().select("term", "first_gid", "gids")
+        if len(terms) <= 64:
+            scan = scan.filter(F.col("term").isin(terms))
+        else:
+            tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
+            scan = scan.join(F.broadcast(tdf), "term", "left_semi")
+
+        def kernel(batches):
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    gaps = decode_stream(row.gids).astype(np.int64)
+                    g = np.empty(len(gaps) + 1, dtype=np.int64)
+                    g[0] = row.first_gid
+                    if len(gaps):
+                        g[1:] = row.first_gid + np.cumsum(gaps)
+                    outs.append(g)
+                if outs:
+                    yield pd.DataFrame({"gid": np.concatenate(outs)})
+
+        gids = scan.mapInPandas(kernel, schema="gid long").distinct()
+        return gids.select(
+            "gid", F.lit(float(np.float32(boost))).cast("float").alias("score")
+        )
 
     def _bucket_width(self, ctx: ScoreCtx, terms: set) -> int:
         """Postings-volume-targeted bucket width (in gid units).

@@ -421,6 +421,23 @@ SELECT dim, doc_id, score, rn::INT AS rn
 FROM r WHERE rn <= {k_per_group} ORDER BY dim, rn"""
 
 
+def term_in_set_topk_sql(terms: "list[str]", k: int = 10) -> str:
+    """TermInSetQuery: constant-score 1.0 over docs containing ANY set
+    member; deterministic (gid asc) page. The literal IN list exceeds the
+    1024-clause boolean cap on purpose."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH {base_ctes()}
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ({in_list}))
+ORDER BY doc_id ASC LIMIT {k}"""
+
+
+def term_in_set_count_sql(terms: "list[str]") -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH {base_ctes()}
+SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tf WHERE term IN ({in_list})"""
+
+
 def field_topk_sql(term: str, max_toks: int = 8, k: int = 10) -> str:
     """BM25 top-k on a secondary field (``head`` = first ``max_toks``
     whitespace tokens of ``text``), scored with the FIELD's own docFreq,

@@ -22,7 +22,7 @@ from .fields import DEFAULT_FIELD, qualify
 __all__ = [
     "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
     "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
-    "ConstScoreQ", "MatchAllQ",
+    "ConstScoreQ", "MatchAllQ", "TermInSetQ",
     "parse_query", "query_terms", "qualify_node",
 ]
 
@@ -148,6 +148,18 @@ class ConstScoreQ:
 @dataclass(frozen=True)
 class MatchAllQ:
     """MatchAllDocsQuery (core/search/MatchAllDocsQuery.java)."""
+
+
+@dataclass(frozen=True)
+class TermInSetQ:
+    """TermInSetQuery (core/search/TermInSetQuery.java): constant-score
+    "match any of these N terms" — the bulk-filter workhorse (id lists,
+    vocab subsets). Unlike a scoring boolean OR it is NOT subject to the
+    1024-clause cap: execution is a set-membership postings scan (small
+    sets) or a broadcast semi-join (large sets), never N scorer clauses."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -437,6 +449,10 @@ def qualify_node(node, field: str):
         return node
     if isinstance(node, TermQ):
         return TermQ(qualify(field, node.term))
+    if isinstance(node, TermInSetQ):
+        return TermInSetQ(
+            terms=tuple(qualify(field, t) for t in node.terms), boost=node.boost
+        )
     if isinstance(node, PhraseQ):
         return PhraseQ(
             terms=tuple(qualify(field, t) for t in node.terms), offsets=node.offsets
@@ -513,4 +529,9 @@ def query_terms(node) -> set[str]:
         return query_terms(node.child)
     if isinstance(node, (PrefixQ, WildcardQ, RangeQ, FuzzyQ, RegexpQ)):
         raise TypeError(f"{node!r} must be rewritten before planning")
+    if isinstance(node, TermInSetQ):
+        raise TypeError(
+            "TermInSetQ is a top-level filter query (optionally under "
+            "ConstScoreQ); nesting it inside scoring composites is unsupported"
+        )
     raise TypeError(f"unknown node {node!r}")

@@ -110,3 +110,72 @@ def test_incremental_append_after_merge(spark, merged_index, corpus_pdf):
     assert list(got["gid"]) == [g for g, _, _ in want]
     for gs, (_, _, ws) in zip(got["score"], want):
         assert np.float32(gs) == np.float32(ws)
+
+
+def test_tiered_incremental_merge(spark, tmp_path_factory):
+    """TieredMergePolicy analog: appends accumulate units; each
+    tiered_merge call folds ONE tier (never the whole index); results and
+    check_index stay identical throughout."""
+    from lucene_spark.operators.check import check_index
+    from lucene_spark.operators.merge import live_units, tiered_merge
+
+    d = str(tmp_path_factory.mktemp("idx_tiered"))
+    oracle_frames = []
+    base = 0
+    for i in range(3):  # 3 sequential appends (the first creates the index)
+        pdf = generate_pages_pdf(1000 * i, 1000 * i + 200, seed=5).sort_values(
+            "url"
+        ).reset_index(drop=True)
+        pdf["gid"] = np.arange(base, base + len(pdf), dtype=np.int64)
+        base += 10_000
+        oracle_frames.append(pdf)
+        df = spark.createDataFrame(pdf[["gid", "url", "text"]])
+        indexer.build_index(
+            spark, df, d, key_col="url", text_col="text", gid_col="gid",
+            n_segments=2, batch_segments=1, append=(i > 0),
+        )
+    all_pdf = pd.concat(oracle_frames, ignore_index=True)
+    oracle = BruteForceIndex(all_pdf["gid"], all_pdf["url"], all_pdf["text"])
+    hot = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    mid = sorted(oracle.postings, key=lambda t: len(oracle.postings[t]))[
+        len(oracle.postings) // 2
+    ]
+    queries = [TermQ(hot), BoolQ(must=(TermQ(hot), TermQ(mid)))]
+
+    def results():
+        s = Searcher(spark, d)
+        return [s.search(q, k=10) for q in queries]
+
+    before = results()
+    assert len(live_units(d)) == 6  # 3 appends x 2 batches
+
+    rec1 = tiered_merge(spark, d, segs_per_tier=3, max_merge_at_once=3,
+                        floor_postings=10)
+    assert rec1 is not None and len(rec1["inputs"]) == 3
+    u1 = live_units(d)
+    assert len(u1) == 4  # 6 - 3 + 1
+    for got, want in zip(results(), before):
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True))
+
+    rec2 = tiered_merge(spark, d, segs_per_tier=3, max_merge_at_once=3,
+                        floor_postings=10)
+    assert rec2 is not None
+    u2 = live_units(d)
+    assert len(u2) < len(u1)
+    for got, want in zip(results(), before):
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True))
+
+    # force a merge whose inputs include merge OUTPUTS (m-units): their
+    # re-cut blocks interleave in gid space, exercising the re-sort path
+    rec3 = tiered_merge(spark, d, segs_per_tier=2, max_merge_at_once=4,
+                        floor_postings=10)
+    assert rec3 is not None
+    assert any(u.startswith("m") for u in rec3["inputs"]), rec3["inputs"]
+    for got, want in zip(results(), before):
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True))
+
+    report = check_index(spark, d)
+    assert report["healthy"], report
