@@ -426,6 +426,8 @@ def _q_spell_suggest(spark, sf_dir):
 
 
 NEAR_SLOP = 3
+SLOPPY3 = ("table", "merge", "scan")
+SLOPPY3_SLOP = 2
 
 
 def _q_page2(spark, sf_dir):
@@ -466,6 +468,11 @@ def _q_quality(spark, sf_dir):
 
 def _q_near_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, f'"{PHRASE[0]} {PHRASE[1]}"~{NEAR_SLOP}')
+
+
+def _q_sloppy3_topk(spark, sf_dir):
+    """3-term ordered proximity (generalized NearQ kernel)."""
+    return _topk_df(spark, sf_dir, f'"{" ".join(SLOPPY3)}"~{SLOPPY3_SLOP}')
 
 
 def _q_complete(spark, sf_dir):
@@ -606,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": _q_highlight,
         "spell_suggest": _q_spell_suggest,
         "near_topk": _q_near_topk,
+        "sloppy3_topk": _q_sloppy3_topk,
         "complete": _q_complete,
         "quality_metrics": _q_quality,
         "page2_topk": _q_page2,
@@ -670,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "highlight": otx.highlight_sql(HL_TERMS),
         "spell_suggest": osql.spell_suggest_sql(FUZZY_TERM),
         "near_topk": osql.near_topk_sql(*PHRASE, NEAR_SLOP),
+        "sloppy3_topk": osql.near_n_topk_sql(list(SLOPPY3), SLOPPY3_SLOP),
         "complete": osql.complete_sql(PREFIX),
         "quality_metrics": osql.quality_or_vs_and_sql(T_HOT, T_MID),
         "page2_topk": osql.page2_or_sql(T_HOT, T_MID),

@@ -44,6 +44,7 @@ QUERIES = {
     "q_and3": "merge AND window AND scan",
     "q_not": "scan NOT merge",
     "q_phrase": '"table scan"',
+    "q_near3": '"table merge scan"~2',
 }
 
 
@@ -224,6 +225,34 @@ def main() -> None:
         t0 = time.time()
         s.search(q, k=10, with_keys=False)  # scoring latency, no stored-field fetch
         times[name] = round(time.time() - t0, 3)
+
+    # block-max WAND effectiveness: decoded-vs-scanned block counts on the
+    # OR/AND queries under a scale-shaped searcher (bucket/seed knobs sized
+    # so this small SF runs the same multi-bucket + seeded-theta plan a
+    # 100-TB corpus would). Pruning must cut decodes, never results.
+    s_scale = Searcher(
+        spark, idx, target_bucket_postings=4096, seed_min_df=1_000, seed_min_buckets=2
+    )
+    blocks = {}
+    # note: the synthetic corpus has ~31 terms at ~77% docFreq each, so
+    # impact distributions are nearly flat and little CAN be pruned at this
+    # SF — the counters are the round-over-round regression signal; the
+    # pruned==exhaustive result equality is asserted in tests
+    for name, q in (
+        ("q_or", QUERIES["q_or"]),
+        ("q_and", QUERIES["q_and"]),
+        ("q_and_rare", "dup AND merge"),
+    ):
+        counts = {}
+        for mode, prune in (("pruned", True), ("exhaustive", False)):
+            m = s_scale.enable_metrics()
+            s_scale.search(q, k=10, prune=prune, with_keys=False)
+            counts[mode] = {
+                "scanned": m["blocks_scanned"].value,
+                "decoded": m["blocks_decoded"].value,
+            }
+            s_scale.metrics = None
+        blocks[name] = counts
     spark.stop()
 
     scaling, scaling_hi = run_scaling()
@@ -243,7 +272,24 @@ def main() -> None:
         "scaling": scaling,
         "scaling_hi": scaling_hi,
         "host_ceiling": host_ceiling,
+        "blocks": blocks,
     }
+    # round-over-round per-query deltas (bench hygiene): compare against the
+    # newest recorded BENCH_r{N}.json so regressions are visible in-line
+    prev = sorted(
+        f for f in os.listdir(REPO)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if prev:
+        try:
+            with open(os.path.join(REPO, prev[-1])) as f:
+                old = json.load(f).get("parsed", {})
+            oq = old.get("queries", {})
+            result["delta_vs_" + prev[-1].split(".")[0]] = {
+                k: round(times[k] - oq[k], 3) for k in times if k in oq
+            }
+        except Exception:
+            pass
     print(json.dumps(result))
 
 

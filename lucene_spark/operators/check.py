@@ -94,6 +94,30 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     s = Searcher(spark, index_dir)
     report: dict = {}
 
+    # 0: manifest ↔ directories FIRST — the postings scan reads each live
+    # unit's path directly (no glob), so a missing dir must be diagnosed
+    # here, not crash the audit below
+    missing = 0
+    for rec in read_manifest(index_dir):
+        if rec.get("status") == "committed" and rec.get("batch") is not None:
+            if not os.path.isdir(os.path.join(index_dir, "segments", f"batch={rec['batch']}")):
+                missing += 1
+        if rec.get("type") == "merge" and rec.get("status") == "committed":
+            out = rec.get("out", "postings_merged")
+            if not os.path.isdir(os.path.join(index_dir, out)):
+                missing += 1
+    report["missing_batch_dirs"] = missing
+    if missing:
+        report.update(
+            {k: -1 for k in (
+                "bad_doc_count", "bad_order", "bad_freq", "bad_impact",
+                "term_doc_freq_mismatch", "term_ttf_mismatch", "dup_gids",
+                "bad_norms", "stats_doc_count_mismatch", "stats_ttf_mismatch",
+            )}
+        )
+        report["healthy"] = False
+        return report
+
     # 1+2: per-term block audit, then join against the terms table
     per_term = (
         s._postings_df()
@@ -144,13 +168,6 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         stats["sum_total_term_freq"] != int(actual["ttf"] or 0)
     )
 
-    # 5: manifest ↔ directories
-    missing = 0
-    for rec in read_manifest(index_dir):
-        if rec.get("status") == "committed" and rec.get("batch") is not None:
-            if not os.path.isdir(os.path.join(index_dir, "segments", f"batch={rec['batch']}")):
-                missing += 1
-    report["missing_batch_dirs"] = missing
     report["healthy"] = all(
         v == 0 for k, v in report.items() if k not in ("healthy",)
     )

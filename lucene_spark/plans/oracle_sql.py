@@ -278,21 +278,32 @@ def match_all_count_sql() -> str:
     return "SELECT count(*)::BIGINT AS n FROM documents"
 
 
-def near_topk_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
-    """Ordered 2-term proximity: freq = #position pairs with
-    1 <= pos2 - pos1 <= slop+1 (pre-stop positions, holes kept); scored as
-    a phrase (summed-idf weight, double sum cast to float32 once)."""
-    idf1 = idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{t1}')", N_SQL)
-    idf2 = idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{t2}')", N_SQL)
-    w = _f4(f"CAST({idf1} AS DOUBLE) + CAST({idf2} AS DOUBLE)")
+def near_n_topk_sql(terms: "list[str]", slop: int, k: int = 10) -> str:
+    """Ordered N-term proximity: freq = #position tuples with every
+    consecutive gap in [1, slop+1] (pre-stop positions, holes kept);
+    scored as a phrase (summed-idf weight, double sum cast to float32
+    once) — the NearQ oracle for any clause count."""
+    idfs = [
+        "CAST("
+        + idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{t}')", N_SQL)
+        + " AS DOUBLE)"
+        for t in terms
+    ]
+    w = _f4(" + ".join(idfs))
     cache = cache_sql("norm_tab.dec", AVGDL_SQL)
     score = bm25_score_sql(w, "nf.freq", cache)
+    als = [chr(ord("a") + i) for i in range(len(terms))]
+    joins = "".join(
+        f"\n  JOIN toks {als[i]} ON {als[i]}.doc_id = a.doc_id"
+        f" AND {als[i]}.pos - {als[i - 1]}.pos BETWEEN 1 AND {slop + 1}"
+        for i in range(1, len(terms))
+    )
+    preds = " AND ".join(f"{al}.term = '{t}'" for al, t in zip(als, terms))
     return f"""WITH {base_ctes()},
 nf AS (
   SELECT a.doc_id, count(*)::BIGINT AS freq
-  FROM toks a JOIN toks b
-    ON b.doc_id = a.doc_id AND b.pos - a.pos BETWEEN 1 AND {slop + 1}
-  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  FROM toks a{joins}
+  WHERE {preds}
   GROUP BY a.doc_id
 )
 SELECT nf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
@@ -300,6 +311,11 @@ FROM nf
 JOIN dn ON dn.doc_id = nf.doc_id
 JOIN norm_tab ON norm_tab.b = dn.norm_b
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def near_topk_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
+    """Ordered 2-term proximity (special case of ``near_n_topk_sql``)."""
+    return near_n_topk_sql([t1, t2], slop, k)
 
 
 def complete_sql(prefix: str, n: int = 5) -> str:
