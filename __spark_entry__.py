@@ -390,6 +390,37 @@ def _q_term_in_set_count(spark, sf_dir):
     return spark.createDataFrame([(int(n),)], schema="n long")
 
 
+PARENT_GROUP = 10
+
+
+def _q_blockjoin_topk(spark, sf_dir):
+    """ToParentBlockJoinQuery analog: passages (docs) roll up to pages
+    (doc_id // PARENT_GROUP) with ScoreMode.Max."""
+    return _blockjoin(spark, sf_dir, "max")
+
+
+def _q_blockjoin_total(spark, sf_dir):
+    return _blockjoin(spark, sf_dir, "total")
+
+
+def _blockjoin(spark, sf_dir, mode):
+    from lucene_spark.operators.join import to_parent_join
+
+    s = _searcher(spark, sf_dir)
+    pmap = _docs_table(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") / PARENT_GROUP).cast("long").alias("parent_id")
+    )
+    df = to_parent_join(
+        s, f"{T_HOT} OR {T_MID}", pmap, score_mode=mode, k=10,
+        gid_col="doc_id",
+    )
+    return df.select(
+        F.col("parent_id").cast("long").alias("parent_id"),
+        F.col("score").cast("double").alias("score"),
+        F.col("n_children").cast("long").alias("n_children"),
+    )
+
+
 def _q_field_topk(spark, sf_dir):
     """BM25 top-k scoped to the `head` field of a two-field index."""
     from lucene_spark.operators.search import Searcher
@@ -599,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": _q_synonym_topk,
         "dismax_topk": _q_dismax_topk,
         "field_topk": _q_field_topk,
+        "blockjoin_topk": _q_blockjoin_topk,
+        "blockjoin_total": _q_blockjoin_total,
         "term_in_set_topk": _q_term_in_set_topk,
         "term_in_set_count": _q_term_in_set_count,
         "msm_topk": _q_msm_topk,
@@ -664,6 +697,8 @@ def oracle_sql() -> dict[str, str]:
         "synonym_topk": osql.synonym_topk_sql(*SYN),
         "dismax_topk": osql.dismax_topk_sql(T_HOT, T_MID),
         "field_topk": osql.field_topk_sql(T_HOT, max_toks=HEAD_TOKS),
+        "blockjoin_topk": osql.blockjoin_topk_sql(T_HOT, T_MID, PARENT_GROUP, "max"),
+        "blockjoin_total": osql.blockjoin_topk_sql(T_HOT, T_MID, PARENT_GROUP, "total"),
         "term_in_set_topk": osql.term_in_set_topk_sql(TERM_SET),
         "term_in_set_count": osql.term_in_set_count_sql(TERM_SET),
         "msm_topk": osql.topk_msm_sql(list(MSM_TERMS), 2),

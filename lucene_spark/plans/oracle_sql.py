@@ -437,6 +437,29 @@ SELECT dim, doc_id, score, rn::INT AS rn
 FROM r WHERE rn <= {k_per_group} ORDER BY dim, rn"""
 
 
+def blockjoin_topk_sql(t1: str, t2: str, group: int, mode: str = "max",
+                       k: int = 10) -> str:
+    """ToParentBlockJoinQuery oracle: children scored by the (t1 OR t2)
+    disjunction, rolled up to parent = doc_id // group with the ScoreMode
+    aggregate (max is precision-free; total sums the f32 child scores in
+    double and casts to float32 once — BlockJoinScorer's accumulation)."""
+    if mode == "max":
+        agg = "CAST(max(score) AS DOUBLE)"
+    elif mode == "total":
+        agg = "CAST(CAST(sum(score) AS FLOAT) AS DOUBLE)"
+    else:
+        raise ValueError(mode)
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)},
+scored AS (
+  SELECT doc_id, CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY doc_id
+)
+SELECT doc_id // {group} AS parent_id, {agg} AS score,
+       count(*)::BIGINT AS n_children
+FROM scored GROUP BY doc_id // {group}
+ORDER BY score DESC, parent_id ASC LIMIT {k}"""
+
+
 def term_in_set_topk_sql(terms: "list[str]", k: int = 10) -> str:
     """TermInSetQuery: constant-score 1.0 over docs containing ANY set
     member; deterministic (gid asc) page. The literal IN list exceeds the
