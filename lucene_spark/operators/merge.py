@@ -38,6 +38,11 @@ from ..functions.impacts import competitive_impacts_grouped
 from ..functions.pfor import BLOCK_SIZE, batch_encode_streams, decode_stream
 from .indexer import _append_manifest, read_manifest
 
+# force a block cut when consecutive docIDs are further apart than this:
+# far larger than any dense-region gap, far smaller than the 2^40 sparse
+# segment stride
+MAX_INTRA_BLOCK_GAP = 1 << 20
+
 MERGED_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -82,7 +87,19 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
     pos_all = np.concatenate(pos_l) if with_positions else None
     gid, freq, norm, pos_all = sort_postings(gid, freq, norm, pos_all)
     n = len(gid)
-    block_id = np.arange(n) // BLOCK_SIZE
+    # Re-cut into 128-doc blocks, FORCING a cut at large gid gaps (sparse
+    # hash-mode gids jump by 2^40 between segments): a block spanning such
+    # a gap covers a huge useless gid range — it can never be skipped by
+    # range pruning and its bucket explode would enumerate billions of
+    # empty buckets.
+    run_flag = np.zeros(n, dtype=bool)
+    if n:
+        run_flag[0] = True
+        run_flag[1:] = np.diff(gid) > MAX_INTRA_BLOCK_GAP
+    run_start = np.maximum.accumulate(np.where(run_flag, np.arange(n), -1))
+    idx_in_run = np.arange(n) - run_start
+    new_block = run_flag | (idx_in_run % BLOCK_SIZE == 0)
+    block_id = np.cumsum(new_block) - 1
     n_blocks = int(block_id[-1]) + 1 if n else 0
     docs_per_block = np.bincount(block_id, minlength=n_blocks).astype(np.int64)
     starts = np.concatenate(([0], np.cumsum(docs_per_block)[:-1]))

@@ -1155,7 +1155,13 @@ class Searcher:
         # enough buckets to feed the cluster, but never sub-1k-posting tasks
         par = self.spark.sparkContext.defaultParallelism
         n_buckets = max(n_buckets, min(par, total_df // MIN_BUCKET_POSTINGS))
-        return max(128, -(-doc_count // max(n_buckets, 1)))
+        width = max(128, -(-doc_count // max(n_buckets, 1)))
+        # sparse hash-mode gids stride by 2^40 per segment, so the gid SPAN
+        # vastly exceeds doc_count; floor the width so one block's bucket
+        # explode can never enumerate more than ~2^18 ids (empty buckets
+        # between segments simply never materialize as groups)
+        span = max(int(self.stats.get("max_gid", 0)) + 1, doc_count)
+        return max(width, -(-span // (1 << 18)))
 
     def _seed_theta(self, scan, node, ctx: ScoreCtx, k: int, width: int,
                     need_positions: bool) -> float:
