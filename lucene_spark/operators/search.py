@@ -15,17 +15,32 @@ Spark shape of Lucene's search lifecycle (SURVEY.md §3b):
          ``applyInPandas`` aligns all query terms' postings per bucket —
          the conjunction/disjunction/exclusion set ops are numpy sorted-array
          ops (ConjunctionDISI / DisjunctionSumScorer / ReqExclScorer).
+     Bucket width is postings-volume targeted: ~``target_bucket_postings``
+     query-term postings per bucket (from global docFreq stats), so bucket
+     count grows linearly with corpus + query volume — the unit of scoring
+     parallelism on a 1000-core cluster. Positional (phrase/proximity)
+     frequencies run over flat candidate-keyed position arrays — global
+     searchsorted passes, zero per-candidate Python.
      Score composition is float32-exact: each scorer node returns float32,
      parents sum children in double and cast to float32 once — the same cast
      points as ConjunctionScorer/DisjunctionSumScorer/ReqOptSumScorer.
-  4. Block-max pruning (WANDScorer / ImpactsDISI analog): per-block impact
-     frontiers give max scores; a worker-local top-k heap provides θ, and
-     blocks/buckets whose upper bound < θ are skipped *before decoding*.
-     θ from any subset of docs is ≤ the true kth score, so pruning never
+  4. Block-max pruning (WANDScorer / ImpactsDISI analog), three levels, all
+     before payload decode:
+       a. seeded cross-partition θ (MaxScoreAccumulator analog): the driver
+          exactly scores the single most-promising bucket — picked from an
+          impact-metadata-only pass — and broadcasts its kth score into
+          every kernel closure, so executors start warm;
+       b. bucket-level: the plan's upper bound from per-term block-max
+          frontiers vs θ = max(seeded θ, worker-local top-k heap);
+       c. block-level, inside the bucket: per-term score-slack filtering
+          for flat boolean trees + a required-term block-interval leapfrog
+          (BlockMaxConjunction advanceShallow at block grain).
+     θ from any k true scores is ≤ the global kth score, so pruning never
      changes results (CheckHits contract, tested pruned == exhaustive).
   5. Global top-k = orderBy(score desc, gid asc).limit(k) — Spark's
      TakeOrdered is exactly TopDocs.merge with Lucene's tie-break
-     (HitQueue.java:78-84: score desc, docID asc).
+     (HitQueue.java:78-84: score desc, docID asc). searchAfter threads the
+     cursor into the kernels, so deep pages stay pruned.
 """
 
 from __future__ import annotations
