@@ -105,6 +105,29 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_tiered_merge(args) -> int:
+    """One incremental tiered-merge step (TieredMergePolicy analog); the
+    refresh job a scheduler runs after appends. Exits 0 whether or not a
+    merge was due; the JSON reports what happened."""
+    from lucene_spark.operators.merge import live_units, tiered_merge
+
+    spark = _spark("lucene_spark_tiered_merge")
+    rec = tiered_merge(
+        spark, args.index_dir,
+        segs_per_tier=args.segs_per_tier,
+        max_merge_at_once=args.max_merge_at_once,
+        floor_postings=args.floor_postings,
+        salt_docs=args.salt_docs,
+    )
+    out = {"job": "tiered_merge", "merged": rec is not None}
+    if rec is not None:
+        out.update({"inputs": rec["inputs"], "out": rec["out"],
+                    "wall_sec": rec["wall_sec"]})
+    out["live_units"] = [u["uid"] for u in live_units(args.index_dir)]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_check(args) -> int:
     """Integrity audit (CheckIndex analog) — exits nonzero on violations."""
     from lucene_spark.operators.check import check_index
@@ -149,6 +172,14 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--query", required=True)
     ps.add_argument("--k", type=int, default=10)
     ps.set_defaults(fn=cmd_search)
+
+    pt = sub.add_parser("tiered-merge", help="one incremental tiered-merge step")
+    pt.add_argument("--index-dir", required=True)
+    pt.add_argument("--segs-per-tier", type=int, default=10)
+    pt.add_argument("--max-merge-at-once", type=int, default=10)
+    pt.add_argument("--floor-postings", type=int, default=100_000)
+    pt.add_argument("--salt-docs", type=int, default=1_000_000)
+    pt.set_defaults(fn=cmd_tiered_merge)
 
     pc = sub.add_parser("check", help="index integrity audit")
     pc.add_argument("--index-dir", required=True)

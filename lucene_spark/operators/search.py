@@ -1273,8 +1273,13 @@ class Searcher:
         width = self._bucket_width(ctx, terms)
         doc_count = max(int(self.stats.get("n_rows") or self.stats.get("doc_count", 1)), 1)
         n_buckets_est = -(-doc_count // width)
+        total_df = sum(ctx.doc_freqs.get(t, 0) for t in terms)
         theta0 = float("-inf")
-        if prune and after is None and n_buckets_est >= self.seed_min_buckets:
+        # seed only when there's real postings volume to prune: the seed
+        # costs two extra (tiny) jobs, which dominates sub-seed_min_df
+        # queries where every bucket decodes in milliseconds anyway
+        if (prune and after is None and total_df >= self.seed_min_df
+                and n_buckets_est >= self.seed_min_buckets):
             theta0 = self._seed_theta(scan, node, ctx, k, width, need_positions)
         with_bucket = scan.withColumn(
             "bucket",

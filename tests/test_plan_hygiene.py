@@ -56,3 +56,48 @@ def test_facet_dim_join_is_broadcast(searcher, spark):
     df = searcher.facet_counts("merge", docs, "lang", key_col="doc_id")
     plan = _explain(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_term_in_set_large_set_uses_broadcast_semi_join(searcher):
+    from lucene_spark.plans.query import TermInSetQ
+
+    big = tuple(["merge", "window"] + [f"zz{i}" for i in range(3000)])
+    df = searcher._term_in_set(TermInSetQ(terms=big), 1.0)
+    plan = _explain(df)
+    # large sets must NOT build a 3000-literal In filter; a broadcast
+    # LeftSemi join carries the set instead
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # and only doc-gap columns are read (no freqs/norms/positions decode)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("positions" not in l and "freqs" not in l for l in read_schema), (
+        read_schema
+    )
+
+
+def test_pushdown_survives_live_unit_union(spark, tmp_path_factory):
+    """After a tiered merge the scan is a union of live units; the term
+    filter must still reach every branch's Parquet scan."""
+    import numpy as np
+
+    from lucene_spark.operators import indexer
+    from lucene_spark.operators.merge import tiered_merge
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.webtext import generate_pages_pdf
+
+    d = str(tmp_path_factory.mktemp("idx_hyg"))
+    for i in range(2):
+        pdf = generate_pages_pdf(100 * i, 100 * i + 80, seed=9).sort_values(
+            "url"
+        ).reset_index(drop=True)
+        pdf["gid"] = np.arange(5000 * i, 5000 * i + len(pdf), dtype=np.int64)
+        df = spark.createDataFrame(pdf[["gid", "url", "text"]])
+        indexer.build_index(
+            spark, df, d, key_col="url", text_col="text", gid_col="gid",
+            n_segments=2, batch_segments=1, append=(i > 0),
+        )
+    tiered_merge(spark, d, segs_per_tier=2, max_merge_at_once=2, floor_postings=10)
+    s = Searcher(spark, d)
+    scan = s._postings_df().filter(F.col("term") == "t0000")
+    plan = _explain(scan)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and all("term" in l for l in pushed), plan
