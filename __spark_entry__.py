@@ -84,6 +84,55 @@ def _index_for_fields(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+DELETE_MOD = 7
+_DELETES_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_deletes(spark: SparkSession, sf_dir: str) -> str:
+    """Index copy with docs doc_id %% DELETE_MOD == 0 marked deleted
+    (live-docs layer gate; stats stay whole-corpus per Lucene semantics)."""
+    from lucene_spark.operators.indexer import build_index, delete_docs
+
+    if sf_dir in _DELETES_INDEX_CACHE:
+        return _DELETES_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_del_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    build_index(
+        spark, docs, index_dir, key_col="doc_id", text_col="text",
+        gid_col="doc_id", n_segments=max(2, min(16, n // 250)),
+    )
+    from lucene_spark.operators.indexer import read_manifest
+
+    if not any(r.get("type") == "delete" for r in read_manifest(index_dir)):
+        dels = [int(r["doc_id"]) for r in docs.select("doc_id").collect()
+                if int(r["doc_id"]) % DELETE_MOD == 0]
+        delete_docs(spark, index_dir, gids=dels)
+    _DELETES_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _q_delete_topk(spark, sf_dir):
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_deletes(spark, sf_dir))
+    pdf = s.search(f"{T_HOT} OR {T_MID}", k=10, with_keys=False)
+    out = pdf.rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_delete_count(spark, sf_dir):
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import TermQ
+
+    s = Searcher(spark, _index_for_deletes(spark, sf_dir))
+    n = s.count(TermQ(T_HOT))
+    return spark.createDataFrame([(int(n),)], schema="n long")
+
+
 def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     pdf = _searcher(spark, sf_dir).search(query, k=k, with_keys=False)
     out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
@@ -232,6 +281,34 @@ def _q_text_stats(spark, sf_dir):
     from lucene_spark.operators import textops
 
     return textops.text_stats(spark, sf_dir)
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "zh": 0.25, "fr": 0.0, "es": 0.75}
+CONTAM_PROBES = [0, 1]
+
+
+def _q_repetition_stats(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.repetition_stats(spark, sf_dir, k=3)
+
+
+def _q_contamination(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.contamination_check(spark, sf_dir, CONTAM_PROBES, k=5)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.stratified_sample(spark, sf_dir, SAMPLE_RATES)
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.dedup_clusters(spark, sf_dir)
 
 
 def _q_doc_fingerprints(spark, sf_dir):
@@ -638,6 +715,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "text_stats": _q_text_stats,
         "doc_fingerprints": _q_doc_fingerprints,
+        "repetition_stats": _q_repetition_stats,
+        "contamination_check": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
+        "dedup_clusters": _q_dedup_clusters,
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine,
@@ -658,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_topk": _q_field_topk,
         "blockjoin_topk": _q_blockjoin_topk,
         "blockjoin_total": _q_blockjoin_total,
+        "delete_topk": _q_delete_topk,
+        "delete_count": _q_delete_count,
         "term_in_set_topk": _q_term_in_set_topk,
         "term_in_set_count": _q_term_in_set_count,
         "msm_topk": _q_msm_topk,
@@ -705,6 +788,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash": otx.simhash_sql(),
         "text_stats": otx.text_stats_sql(),
         "doc_fingerprints": otx.doc_fingerprints_sql(),
+        "repetition_stats": otx.repetition_stats_sql(k=3),
+        "contamination_check": otx.contamination_check_sql(CONTAM_PROBES, k=5),
+        "stratified_sample": otx.stratified_sample_sql(SAMPLE_RATES),
+        "dedup_clusters": otx.dedup_clusters_sql(),
         "token_counts": otx.token_counts_sql(),
         "lang_id": otx.lang_id_sql(),
         "ann_cosine_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
@@ -727,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
         "field_topk": osql.field_topk_sql(T_HOT, max_toks=HEAD_TOKS),
         "blockjoin_topk": osql.blockjoin_topk_sql(T_HOT, T_MID, PARENT_GROUP, "max"),
         "blockjoin_total": osql.blockjoin_topk_sql(T_HOT, T_MID, PARENT_GROUP, "total"),
+        "delete_topk": osql.delete_topk_sql(T_HOT, T_MID, DELETE_MOD),
+        "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "term_in_set_topk": osql.term_in_set_topk_sql(TERM_SET),
         "term_in_set_count": osql.term_in_set_count_sql(TERM_SET),
         "msm_topk": osql.topk_msm_sql(list(MSM_TERMS), 2),

@@ -582,6 +582,55 @@ def _read_fieldstats(path: str) -> pd.DataFrame:
     return ds.dataset(sub, format="parquet").to_table(columns=cols).to_pandas()
 
 
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    gids: "Iterable[int] | None" = None,
+    query=None,
+) -> dict:
+    """Mark docs deleted (live-docs layer, Lucene90LiveDocsFormat analog).
+
+    Deletes by explicit docIDs or by query (IndexWriter.deleteDocuments).
+    Semantics are exactly Lucene's pre-merge behavior: deleted docs vanish
+    from every search/count result, while collection stats, docFreq and
+    norms still include them until a merge reclaims the space — so
+    surviving docs' scores are UNCHANGED by a delete.
+
+    The delete set is written as a parquet of gids + a manifest commit
+    (the ``.liv`` bitset analog; append-only, unioned at read time).
+    """
+    from ..operators.search import Searcher
+
+    if (gids is None) == (query is None):
+        raise ValueError("exactly one of gids / query required")
+    recs = read_manifest(index_dir)
+    n_prev = sum(1 for r in recs if r.get("type") == "delete")
+    rel = os.path.join("deletes", f"del_{n_prev}")
+    out_path = os.path.join(index_dir, rel)
+    if gids is not None:
+        df = spark.createDataFrame([(int(g),) for g in gids], "gid long")
+    else:
+        s = Searcher(spark, index_dir)
+        node = query
+        if isinstance(query, str):
+            from ..plans.query import parse_query
+
+            node = parse_query(query)
+        df = s.candidates(node, k=1 << 62, prune=False).select("gid").distinct()
+    df.write.mode("overwrite").parquet(out_path)
+    n = spark.read.parquet(out_path).count()
+    rec = {
+        "type": "delete",
+        "status": "committed",
+        "path": rel,
+        "n_docs": int(n),
+        "ts": time.time(),
+    }
+    _append_manifest(index_dir, rec)
+    return rec
+
+
 def finalize_index(spark: SparkSession, index_dir: str) -> None:
     """Global term stats + collection stats (idf/avgdl inputs are GLOBAL).
 

@@ -90,6 +90,8 @@ MAX_CLAUSE_COUNT = 1024
 TARGET_BUCKET_POSTINGS = 1 << 19
 MIN_BUCKET_POSTINGS = 1 << 10
 
+_UNSET = object()  # deleted-gids cache sentinel
+
 
 @dataclass
 class TermPostings:
@@ -707,6 +709,22 @@ def _after_mask(gids: np.ndarray, scores: np.ndarray,
     return gids[keep], scores[keep]
 
 
+def _live_mask(gids: np.ndarray, scores: np.ndarray,
+               deleted: "np.ndarray | None"):
+    """Drop deleted docs (liveDocs filter, Lucene90LiveDocsFormat analog).
+
+    Runs BEFORE per-bucket top-k truncation and θ offers, so pruning never
+    promotes a deleted doc's score into the competition. Collection stats
+    and norms intentionally still include deleted docs — exactly Lucene's
+    semantics until a merge reclaims them.
+    """
+    if deleted is None or not len(gids):
+        return gids, scores
+    idx = np.minimum(np.searchsorted(deleted, gids), len(deleted) - 1)
+    keep = deleted[idx] != gids
+    return gids[keep], scores[keep]
+
+
 def _contains_matchall(node) -> bool:
     if isinstance(node, MatchAllQ):
         return True
@@ -776,8 +794,35 @@ class Searcher:
         self.seed_min_df = int(seed_min_df)
         self.seed_min_buckets = int(seed_min_buckets)
         self.metrics: "dict | None" = None
+        self._deleted = _UNSET
 
     # ---- planning -----------------------------------------------------
+    def deleted_gids(self) -> "np.ndarray | None":
+        """Sorted array of deleted docIDs, or None when the index has no
+        deletes (the common case costs one manifest scan). Deletes are
+        memory-resident like Lucene's per-segment live-docs bitsets; at 8
+        bytes per deleted doc the budget matches Lucene's own RAM model."""
+        if self._deleted is not _UNSET:
+            return self._deleted
+        from ..operators.indexer import read_manifest
+
+        paths = [
+            r["path"] for r in read_manifest(self.index_dir)
+            if r.get("type") == "delete" and r.get("status") == "committed"
+        ]
+        if not paths:
+            self._deleted = None
+            return None
+        import pyarrow.dataset as ds
+
+        arrs = [
+            ds.dataset(os.path.join(self.index_dir, p), format="parquet")
+            .to_table(columns=["gid"]).column("gid").to_numpy()
+            for p in paths
+        ]
+        self._deleted = np.unique(np.concatenate(arrs)).astype(np.int64)
+        return self._deleted
+
     def _postings_df(self) -> DataFrame:
         """Postings scan over the LIVE merge units (SegmentInfos view):
         committed merge outputs + batches no merge has consumed yet. With
@@ -1083,9 +1128,10 @@ class Searcher:
             isinstance(node, ConstScoreQ) and isinstance(node.child, MatchAllQ)
         ):
             boost = node.boost if isinstance(node, ConstScoreQ) else 1.0
-            return self.doc_rows().select(
+            out = self.doc_rows().select(
                 "gid", F.lit(float(np.float32(boost))).cast("float").alias("score")
             )
+            return self._anti_join_deleted(out)
         if isinstance(node, TermInSetQ):
             return self._term_in_set(node, node.boost)
         if isinstance(node, ConstScoreQ) and isinstance(node.child, TermInSetQ):
@@ -1149,9 +1195,19 @@ class Searcher:
                     yield pd.DataFrame({"gid": np.concatenate(outs)})
 
         gids = scan.mapInPandas(kernel, schema="gid long").distinct()
-        return gids.select(
+        return self._anti_join_deleted(gids.select(
             "gid", F.lit(float(np.float32(boost))).cast("float").alias("score")
+        ))
+
+    def _anti_join_deleted(self, df: DataFrame) -> DataFrame:
+        """DataFrame-level liveDocs filter for non-pruned paths."""
+        deleted = self.deleted_gids()
+        if deleted is None:
+            return df
+        ddf = self.spark.createDataFrame(
+            [(int(g),) for g in deleted], "gid long"
         )
+        return df.join(F.broadcast(ddf), "gid", "left_anti")
 
     def _bucket_width(self, ctx: ScoreCtx, terms: set) -> int:
         """Postings-volume-targeted bucket width (in gid units).
@@ -1232,7 +1288,8 @@ class Searcher:
             t: decode_term_blocks(grp, need_positions=need_positions).slice(lo, hi)
             for t, grp in rows.groupby("term", sort=False)
         }
-        _, scores = eval_plan(node, postings, ctx)
+        sgids, scores = eval_plan(node, postings, ctx)
+        sgids, scores = _live_mask(sgids, scores, self.deleted_gids())
         if len(scores) < k:
             return float("-inf")
         return float(np.partition(scores.astype(np.float64), len(scores) - k)[len(scores) - k])
@@ -1244,6 +1301,7 @@ class Searcher:
         if prune and after is None and ctx.doc_freqs.get(node.term, 0) >= self.seed_min_df:
             theta0 = self._seed_theta(scan, node, ctx, k, self._bucket_width(ctx, {node.term}), False)
         metrics = self.metrics
+        deleted = self.deleted_gids()
 
         def kernel(batches):
             for pdf in batches:
@@ -1261,7 +1319,8 @@ class Searcher:
                     metrics["blocks_decoded"].add(len(pdf))
                 tp = decode_term_blocks(pdf)
                 scores = _score_term(tp, weight, cache)
-                gids, scores = _after_mask(tp.gids, scores, after)
+                gids, scores = _live_mask(tp.gids, scores, deleted)
+                gids, scores = _after_mask(gids, scores, after)
                 if prune and len(scores):
                     _offer(qid, k, scores)
                 yield pd.DataFrame({"gid": gids, "score": scores.astype(np.float32)})
@@ -1294,6 +1353,7 @@ class Searcher:
         term_caches = {t: ctx.cache_for(t) for t in weights}
         req = _req_terms(node)
         metrics = self.metrics
+        deleted = self.deleted_gids()
         empty = pd.DataFrame(
             {"gid": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float32)}
         )
@@ -1339,6 +1399,7 @@ class Searcher:
                     grp, need_positions=need_positions
                 ).slice(lo, hi)
             gids, scores = eval_plan(node, postings, ctx)
+            gids, scores = _live_mask(gids, scores, deleted)
             gids, scores = _after_mask(gids, scores, after)
             if len(gids) > k:
                 part = np.argpartition(-scores.astype(np.float64), k - 1)[:k]
@@ -1387,9 +1448,14 @@ class Searcher:
         if node is None:
             return 0
         node = self.rewrite(node)
+        has_deletes = self.deleted_gids() is not None
         if isinstance(node, MatchAllQ):
+            if has_deletes:
+                return int(self._anti_join_deleted(
+                    self.doc_rows().select("gid")
+                ).count())
             return int(self.doc_rows().count())
-        if isinstance(node, TermQ):
+        if isinstance(node, TermQ) and not has_deletes:
             # no decode needed: block doc counts sum exactly
             row = (
                 self._postings_df()

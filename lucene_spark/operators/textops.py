@@ -589,6 +589,139 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Within-document repetition metrics (Gopher/RefinedWeb-style quality
+    rules): duplicate k-gram fraction and top-k-gram mass per doc. High
+    values flag boilerplate/spam for corpus filtering.
+
+    Pure column expressions + one groupBy-free select — embarrassingly
+    parallel, no shuffle."""
+    sh = _shingles(F.col("text"), k)
+    n = F.size(sh)
+    n_uniq = F.size(F.array_distinct(sh))
+    d = docs(spark, sf_dir)
+    # top shingle mass: count of the most frequent k-gram / total k-grams
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(sh),
+            lambda s: F.size(F.filter(sh, lambda x: x == s)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        (n - n_uniq).cast("long").alias("n_dup_grams"),
+        F.when(n > 0, (n - n_uniq).cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_ratio"),
+        F.when(n > 0, top.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_gram_ratio"),
+    )
+
+
+def contamination_check(
+    spark: SparkSession, sf_dir: str, probe_doc_ids: "list[int]", k: int = 5
+) -> DataFrame:
+    """Benchmark-contamination scan: docs sharing any k-gram shingle with
+    the probe set (e.g. an eval benchmark's documents).
+
+    Scale path: probe shingles are FEW (benchmark-sized) → broadcast
+    semi-join against the corpus shingle stream; the corpus is scanned
+    once, no all-pairs anything. Probe docs themselves are excluded.
+    """
+    d = docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text"), k))).alias("sh")
+    ).select("doc_id", _md5_int(F.col("sh")).alias("h"))
+    probes = (
+        sh.filter(F.col("doc_id").isin([int(i) for i in probe_doc_ids]))
+        .select("h")
+        .distinct()
+    )
+    hits = (
+        sh.filter(~F.col("doc_id").isin([int(i) for i in probe_doc_ids]))
+        .join(F.broadcast(probes), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return hits.select("doc_id", "n_shared_grams")
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, rates: "dict[str, float]", buckets: int = 1000
+) -> DataFrame:
+    """Deterministic per-language subsampling (training-mix shaping): keep a
+    doc iff md5-hash-bucket(doc_id) < rate[lang]·buckets. Hash-based so the
+    sample is stable across runs/engines and needs no shuffle or RNG state;
+    unknown languages drop (rate 0)."""
+    d = docs(spark, sf_dir)
+    bucket = _md5_int(F.col("doc_id").cast("string")) % F.lit(buckets)
+    thresh = F.lit(0)
+    for lang, rate in sorted(rates.items()):
+        thresh = F.when(F.col("lang") == lang, F.lit(int(rate * buckets))).otherwise(thresh)
+    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < thresh
+    ).select("doc_id", "lang", "bucket")
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, bands: int = 4, max_iters: int = 20
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the union of
+    exact-dup pairs and MinHash-LSH candidate pairs; canonical = min doc_id
+    in the component — the actual dedup endpoint a curation pipeline keeps.
+
+    Distributed label propagation: every doc starts labeled with itself;
+    each iteration joins labels across edges and takes the min; converges
+    in O(log(diameter)) rounds (dup clusters are near-cliques → 2-3
+    rounds). Each round is two shuffles bounded by |edges|; the driver only
+    sees the converged-or-not count. Docs in no pair keep themselves as
+    canonical."""
+    exact = dedup_exact(spark, sf_dir).filter(F.col("is_duplicate")).select(
+        F.col("canonical_id").alias("a"), F.col("doc_id").alias("b")
+    )
+    lsh = minhash_lsh_pairs(spark, sf_dir, bands=bands).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = exact.unionByName(lsh).distinct()
+    # undirected: both directions
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().cache()
+    labels = (
+        docs(spark, sf_dir)
+        .select(F.col("doc_id"), F.col("doc_id").alias("label"))
+    )
+    for _ in range(max_iters):
+        # neighbor minimum label
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id"),
+        (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint per doc: min/max md5-int over 5-gram shingles
     (a 2-value winnowing-style sketch)."""

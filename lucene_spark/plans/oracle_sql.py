@@ -437,6 +437,26 @@ SELECT dim, doc_id, score, rn::INT AS rn
 FROM r WHERE rn <= {k_per_group} ORDER BY dim, rn"""
 
 
+def delete_topk_sql(t1: str, t2: str, mod: int, k: int = 10) -> str:
+    """Live-docs semantics oracle: docs with doc_id %% mod == 0 are
+    deleted — excluded from results, but idf/avgdl/norms still computed
+    over the FULL corpus (Lucene pre-merge delete behavior), so surviving
+    docs score exactly as before the delete."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+WHERE doc_id % {mod} <> 0
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def delete_count_sql(term: str, mod: int) -> str:
+    return f"""WITH {base_ctes()}
+SELECT count(DISTINCT doc_id)::BIGINT AS n
+FROM tf WHERE term = '{term}' AND doc_id % {mod} <> 0"""
+
+
 def blockjoin_topk_sql(t1: str, t2: str, group: int, mode: str = "max",
                        k: int = 10) -> str:
     """ToParentBlockJoinQuery oracle: children scored by the (t1 OR t2)

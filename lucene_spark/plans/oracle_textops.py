@@ -167,6 +167,84 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def repetition_stats_sql(k: int = 3) -> str:
+    """Within-doc duplicate/top k-gram fractions (quality-rule oracle)."""
+    return f"""WITH {TOKS_CTE},{shingle_cte('sh', k)},
+per AS (
+  SELECT doc_id, sh AS g, count(*)::BIGINT AS c FROM sh GROUP BY doc_id, sh
+),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_uniq,
+         max(c)::BIGINT AS top
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n, 0)::BIGINT AS n_grams,
+       COALESCE(a.n - a.n_uniq, 0)::BIGINT AS n_dup_grams,
+       COALESCE(CAST(a.n - a.n_uniq AS DOUBLE) / a.n, 0.0) AS dup_gram_ratio,
+       COALESCE(CAST(a.top AS DOUBLE) / a.n, 0.0) AS top_gram_ratio
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+def contamination_check_sql(probe_doc_ids: "list[int]", k: int = 5) -> str:
+    ids = ", ".join(str(int(i)) for i in probe_doc_ids)
+    return f"""WITH {TOKS_CTE},{shingle_cte('shc', k)},
+shd AS (SELECT DISTINCT doc_id, sh FROM shc),
+shh AS (SELECT doc_id, {md5i('sh')} AS h FROM shd),
+probes AS (SELECT DISTINCT h FROM shh WHERE doc_id IN ({ids}))
+SELECT s.doc_id, count(*)::BIGINT AS n_shared_grams
+FROM shh s JOIN probes p ON p.h = s.h
+WHERE s.doc_id NOT IN ({ids})
+GROUP BY s.doc_id ORDER BY s.doc_id"""
+
+
+def stratified_sample_sql(rates: "dict[str, float]", buckets: int = 1000) -> str:
+    thresh = "0"
+    for lang, rate in sorted(rates.items()):
+        thresh = f"CASE WHEN lang = '{lang}' THEN {int(rate * buckets)} ELSE {thresh} END"
+    bucket = f"{md5i('CAST(doc_id AS VARCHAR)')} % {buckets}"
+    return f"""SELECT doc_id, lang, ({bucket})::BIGINT AS bucket
+FROM documents
+WHERE ({bucket}) < ({thresh})
+ORDER BY doc_id"""
+
+
+def dedup_clusters_sql(bands: int = 4, k: int = 3) -> str:
+    """Connected components over exact-dup + LSH candidate edges via a
+    recursive reachability CTE; cluster id = min doc_id reachable."""
+    rpb = N_MINHASH // bands
+    return f"""WITH RECURSIVE {_sig_ctes(k)},
+keys AS (
+  SELECT doc_id, (i // {rpb})::INT AS band,
+         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // {rpb}
+),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+texth AS (SELECT doc_id, {md5i('text')} AS h FROM documents),
+exact_pairs AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b
+  FROM texth t1 JOIN texth t2 ON t1.h = t2.h AND t1.doc_id < t2.doc_id
+),
+edges AS (
+  SELECT a, b FROM lsh_pairs UNION SELECT a, b FROM exact_pairs
+  UNION SELECT b, a FROM lsh_pairs UNION SELECT b, a FROM exact_pairs
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.a AS doc_id, r.label
+  FROM edges e JOIN reach r ON r.doc_id = e.b
+)
+SELECT doc_id, min(label)::BIGINT AS cluster_id,
+       (doc_id <> min(label)) AS is_duplicate
+FROM reach GROUP BY doc_id ORDER BY doc_id"""
+
+
 def simhash_sql(bits: int = 16) -> str:
     bits_cte = "bits(b) AS (VALUES " + ", ".join(f"({b})" for b in range(bits)) + ")"
     return f"""WITH {TOKS_CTE},

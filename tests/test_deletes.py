@@ -1,0 +1,100 @@
+"""Live-docs layer (deletes): excluded from every result, scores of the
+survivors UNCHANGED (stats include deleted docs until merge — exact
+Lucene pre-merge semantics)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators import indexer
+from lucene_spark.operators.oracle import BruteForceIndex
+from lucene_spark.operators.search import Searcher
+from lucene_spark.plans.query import BoolQ, MatchAllQ, TermInSetQ, TermQ
+from lucene_spark.sources.webtext import generate_pages_pdf
+
+N_DOCS = 300
+DEL_MOD = 5
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    pdf = generate_pages_pdf(0, N_DOCS, seed=31)
+    pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
+    pdf["gid"] = np.arange(len(pdf), dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf):
+    return BruteForceIndex(corpus_pdf["gid"], corpus_pdf["url"], corpus_pdf["text"])
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, corpus_pdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_del"))
+    df = spark.createDataFrame(corpus_pdf[["gid", "url", "text"]])
+    indexer.build_index(
+        spark, df, d, key_col="url", text_col="text", gid_col="gid", n_segments=4
+    )
+    indexer.delete_docs(spark, d, gids=range(0, N_DOCS, DEL_MOD))
+    # tiny knobs: deletes must compose with multi-bucket + seeded-θ pruning
+    return Searcher(spark, d, target_bucket_postings=32, seed_min_df=1,
+                    seed_min_buckets=2)
+
+
+def _want(oracle, node, k):
+    full = oracle.search(node, N_DOCS)
+    alive = [(g, s) for g, _, s in full if g % DEL_MOD != 0]
+    return alive[:k]
+
+
+def _check(searcher, oracle, node, k=10, msg=""):
+    want = _want(oracle, node, k)
+    for prune in (False, True):
+        got = searcher.search(node, k=k, with_keys=False, prune=prune)
+        assert list(got["gid"].astype(int)) == [g for g, _ in want], (
+            f"{msg} prune={prune}"
+        )
+        for gs, (_, ws) in zip(got["score"], want):
+            # survivors score EXACTLY as before the delete
+            assert np.float32(gs) == np.float32(ws), f"{msg} prune={prune}"
+
+
+def test_deleted_docs_excluded_scores_unchanged(searcher, oracle):
+    by_df = sorted(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    hot, mid = by_df[-1], by_df[len(by_df) // 2]
+    _check(searcher, oracle, TermQ(hot), msg="term")
+    _check(searcher, oracle, BoolQ(must=(TermQ(hot), TermQ(mid))), msg="AND")
+    _check(searcher, oracle, BoolQ(should=(TermQ(hot), TermQ(mid))), msg="OR")
+    _check(searcher, oracle, BoolQ(must=(TermQ(hot),), must_not=(TermQ(mid),)),
+           msg="NOT")
+
+
+def test_counts_respect_deletes(searcher, oracle):
+    by_df = sorted(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    hot = by_df[-1]
+    want = sum(1 for g in oracle.postings[hot] if g % DEL_MOD != 0)
+    assert searcher.count(TermQ(hot)) == want
+    n_alive = sum(1 for g in range(N_DOCS) if g % DEL_MOD != 0)
+    assert searcher.count(MatchAllQ()) == n_alive
+
+
+def test_term_in_set_respects_deletes(searcher, oracle):
+    by_df = sorted(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    hot, mid = by_df[-1], by_df[-2]
+    got = searcher.candidates(TermInSetQ(terms=(hot, mid))).toPandas()
+    want = {
+        g for g in set(oracle.postings[hot]) | set(oracle.postings[mid])
+        if g % DEL_MOD != 0
+    }
+    assert set(got["gid"].astype(int)) == want
+
+
+def test_paging_respects_deletes(searcher, oracle):
+    by_df = sorted(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    hot, mid = by_df[-1], by_df[len(by_df) // 2]
+    node = BoolQ(should=(TermQ(hot), TermQ(mid)))
+    want = _want(oracle, node, 20)
+    p1 = searcher.search(node, k=5, with_keys=False)
+    cursor = (float(p1["score"].iloc[-1]), int(p1["gid"].iloc[-1]))
+    p2 = searcher.search_after(node, cursor, k=5)
+    assert list(p2["gid"].astype(int)) == [g for g, _ in want[5:10]]
