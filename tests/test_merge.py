@@ -179,3 +179,12 @@ def test_tiered_incremental_merge(spark, tmp_path_factory):
 
     report = check_index(spark, d)
     assert report["healthy"], report
+
+
+def test_cli_tiered_merge_parser():
+    from lucene_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["tiered-merge", "--index-dir", "/tmp/x", "--segs-per-tier", "3"]
+    )
+    assert args.segs_per_tier == 3 and args.fn.__name__ == "cmd_tiered_merge"
