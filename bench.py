@@ -27,12 +27,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# sized so the ~14s fixed per-job cost (session/stage setup, finalize,
-# manifest commit) amortizes: round 2's faster single-core invert made 600k
-# docs finish in ~2 min at 1 core, leaving the fixed cost at 10+% of the
-# 4-core wall and understating scaling; 1.2M keeps it under 4%. Walls are
-# min-of-reps (see BENCH.md).
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1200000"))
+# sized so the ~14s fixed per-job cost (stage scheduling, shuffle service,
+# parquet commit) amortizes: round 2's 2x-faster invert kernel made 600k
+# docs finish in ~100s at 1 core, leaving the fixed cost at >10% of the
+# 4-core wall and understating scaling efficiency; 2M keeps it under 5%.
+# Walls are min-of-reps (see BENCH.md).
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "2000000"))
 # primary N vs 4N pair for the scaling gate: 1 vs 4 cores — one core per
 # "executor", both levels far below this shared box's DRAM-bandwidth ceiling
 # (the hw_probe membw test stops scaling past ~8-16 local workers; a real
