@@ -113,6 +113,45 @@ def _index_for_deletes(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+_PURGE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_purge(spark: SparkSession, sf_dir: str) -> str:
+    """Deleted docs purged by a full merge: survivor-only stats."""
+    from lucene_spark.operators.indexer import build_index, delete_docs, read_manifest
+    from lucene_spark.operators.merge import merge_index
+
+    if sf_dir in _PURGE_INDEX_CACHE:
+        return _PURGE_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_purge_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    build_index(
+        spark, docs, index_dir, key_col="doc_id", text_col="text",
+        gid_col="doc_id", n_segments=max(2, min(16, n // 250)),
+    )
+    if not any(r.get("purged") for r in read_manifest(index_dir)
+               if r.get("type") == "merge"):
+        dels = [int(r["doc_id"]) for r in docs.select("doc_id").collect()
+                if int(r["doc_id"]) % DELETE_MOD == 0]
+        delete_docs(spark, index_dir, gids=dels)
+        merge_index(spark, index_dir, purge=True)
+    _PURGE_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _q_purge_topk(spark, sf_dir):
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_purge(spark, sf_dir))
+    pdf = s.search(f"{T_HOT} OR {T_MID}", k=10, with_keys=False)
+    out = pdf.rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_delete_topk(spark, sf_dir):
     from lucene_spark.operators.search import Searcher
 
@@ -741,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockjoin_total": _q_blockjoin_total,
         "delete_topk": _q_delete_topk,
         "delete_count": _q_delete_count,
+        "purge_topk": _q_purge_topk,
         "term_in_set_topk": _q_term_in_set_topk,
         "term_in_set_count": _q_term_in_set_count,
         "msm_topk": _q_msm_topk,
@@ -816,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "blockjoin_total": osql.blockjoin_topk_sql(T_HOT, T_MID, PARENT_GROUP, "total"),
         "delete_topk": osql.delete_topk_sql(T_HOT, T_MID, DELETE_MOD),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
+        "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),
         "term_in_set_topk": osql.term_in_set_topk_sql(TERM_SET),
         "term_in_set_count": osql.term_in_set_count_sql(TERM_SET),
         "msm_topk": osql.topk_msm_sql(list(MSM_TERMS), 2),

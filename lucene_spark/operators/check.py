@@ -144,8 +144,30 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     ).collect()[0]
     report.update({k: int(agg[k] or 0) for k in agg.asDict()})
 
-    # 3: docs table
+    # 3: docs table. Doc rows of PURGED deletes still exist on disk (only
+    # postings + stats were reclaimed), so exclude exactly the delete sets
+    # consumed by a purged merge before comparing against stats.json;
+    # unpurged deletes still count in stats (Lucene pre-merge semantics).
     docs = s.doc_rows()
+    purged_paths: list = []
+    pending: list = []
+    for rec in read_manifest(index_dir):
+        if rec.get("type") == "delete" and rec.get("status") == "committed":
+            pending.append(rec["path"])
+        if (rec.get("type") == "merge" and rec.get("status") == "committed"
+                and rec.get("purged")):
+            purged_paths.extend(pending)
+            pending = []
+    if purged_paths:
+        import pyarrow.dataset as ds
+
+        gids = np.unique(np.concatenate([
+            ds.dataset(os.path.join(index_dir, p), format="parquet")
+            .to_table(columns=["gid"]).column("gid").to_numpy()
+            for p in purged_paths
+        ]))
+        ddf = spark.createDataFrame([(int(g),) for g in gids], "gid long")
+        docs = docs.join(F.broadcast(ddf), "gid", "left_anti")
     n_docs = docs.count()
     report["dup_gids"] = int(n_docs - docs.select("gid").distinct().count())
     # doc_len domain is small, so precompute the norm mapping driver-side

@@ -562,6 +562,90 @@ def build_index(
     }
 
 
+def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
+    """Live-unit stats view (used once any purged merge exists)."""
+    from .merge import _merge_rec_by_uid, live_units
+
+    units = live_units(index_dir)
+    term_parts = []
+    doc_stats = {"n_rows": 0, "doc_count": 0, "sum_dl": 0}
+    for u in units:
+        if u["uid"].startswith("b"):
+            p = os.path.join(
+                index_dir, "segments",
+                f"batch={int(u['uid'][1:])}", "row_type=term",
+            )
+            term_parts.append(
+                spark.read.parquet(p).select("term", "doc_freq", "total_term_freq")
+            )
+            from .merge import _batch_doc_stats
+
+            s = _batch_doc_stats(index_dir, int(u["uid"][1:]))
+        else:
+            mp = os.path.join(index_dir, u["path"])
+            term_parts.append(
+                spark.read.parquet(mp)
+                .groupBy("term")
+                .agg(
+                    F.sum("doc_count").cast("long").alias("doc_freq"),
+                    F.sum("freq_sum").cast("long").alias("total_term_freq"),
+                )
+            )
+            rec = _merge_rec_by_uid(index_dir, u["uid"])
+            s = (rec or {}).get("unit_doc_stats") or {
+                "n_rows": 0, "doc_count": 0, "sum_dl": 0
+            }
+        for k in doc_stats:
+            doc_stats[k] += s[k]
+    df = term_parts[0]
+    for p in term_parts[1:]:
+        df = df.unionByName(p)
+    terms = (
+        df.groupBy("term")
+        .agg(
+            F.sum("doc_freq").alias("doc_freq"),
+            F.sum("total_term_freq").alias("total_term_freq"),
+        )
+        .sortWithinPartitions("term")
+    )
+    tmp = os.path.join(index_dir, "terms_new")
+    terms.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    final = os.path.join(index_dir, "terms")
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+    stats_path = os.path.join(index_dir, "stats.json")
+    stats = {}
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = json.load(f)
+    max_gid = stats.get("max_gid", -1)
+    for d in sorted(os.listdir(os.path.join(index_dir, "segments"))):
+        if d.startswith("batch="):
+            seg = _read_segstats(os.path.join(index_dir, "segments", d))
+            if len(seg):
+                max_gid = max(max_gid, int(seg["s_max_gid"].max()))
+    stats.update(
+        {
+            "n_rows": doc_stats["n_rows"],
+            "doc_count": doc_stats["doc_count"],
+            "sum_total_term_freq": doc_stats["sum_dl"],
+            "max_gid": int(max_gid),
+        }
+    )
+    if "fields" in stats:
+        from ..plans.fields import DEFAULT_FIELD
+
+        stats["fields"][DEFAULT_FIELD] = {
+            "doc_count": stats["doc_count"],
+            "sum_ttf": stats["sum_total_term_freq"],
+        }
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
+
+
 def _read_segstats(path: str) -> pd.DataFrame:
     """Driver-side read of the tiny segstat rows (one per segment)."""
     import pyarrow.dataset as ds
@@ -639,7 +723,20 @@ def finalize_index(spark: SparkSession, index_dir: str) -> None:
     the driver. Term rows are written sorted-within-partition so Parquet
     row-group min/max stats act as the term index (the FST analog) without a
     range-partitioner sampling pass.
+
+    Once a PURGED merge exists, the all-batches aggregation would resurrect
+    reclaimed docs' stats, so finalize switches to the live-unit view:
+    batch units contribute their term rows (deleted-but-unpurged docs still
+    count — Lucene pre-merge semantics), merged units contribute survivor
+    aggregates from their block metadata.
     """
+    purged_ever = any(
+        r.get("type") == "merge" and r.get("status") == "committed" and r.get("purged")
+        for r in read_manifest(index_dir)
+    )
+    if purged_ever:
+        _finalize_from_live_units(spark, index_dir)
+        return
     term_glob = os.path.join(index_dir, "segments", "batch=*", "row_type=term")
     terms = (
         spark.read.parquet(term_glob)

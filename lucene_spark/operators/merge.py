@@ -57,12 +57,34 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("positions", T.BinaryType()),
         T.StructField("imp_freqs", T.ArrayType(T.LongType())),
         T.StructField("imp_norms", T.ArrayType(T.IntegerType())),
+        # per-block freq sum: lets survivor term stats (totalTermFreq) be
+        # re-derived from merged postings without decoding payloads
+        T.StructField("freq_sum", T.LongType()),
     ]
 )
 
 
-def _reblock_term(rows: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
-    """Re-chunk one (term, salt) group's blocks into full 128-doc blocks."""
+def _empty_merged_frame() -> pd.DataFrame:
+    """Typed empty frame (a purge can empty a whole (term, salt) group)."""
+    data = {}
+    for f in MERGED_SCHEMA.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.BinaryType, T.StringType)):
+            data[f.name] = pd.Series(dtype=object)
+        elif isinstance(f.dataType, T.IntegerType):
+            data[f.name] = pd.Series(dtype=np.int32)
+        else:
+            data[f.name] = pd.Series(dtype=np.int64)
+    return pd.DataFrame(data)
+
+
+def _reblock_term(rows: pd.DataFrame, with_positions: bool,
+                  deleted: "np.ndarray | None" = None) -> pd.DataFrame:
+    """Re-chunk one (term, salt) group's blocks into full 128-doc blocks.
+
+    ``deleted``: sorted gid array — those docs' postings are DROPPED
+    (purge: the SegmentMerger path that skips non-live docs,
+    ``core/index/SegmentMerger.java`` via MergeState liveDocs).
+    """
     rows = rows.sort_values("first_gid", kind="mergesort")
     gids_l, freqs_l, norms_l, pos_l = [], [], [], []
     for r in rows.itertuples(index=False):
@@ -86,7 +108,16 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
 
     pos_all = np.concatenate(pos_l) if with_positions else None
     gid, freq, norm, pos_all = sort_postings(gid, freq, norm, pos_all)
+    if deleted is not None and len(deleted) and len(gid):
+        di = np.minimum(np.searchsorted(deleted, gid), len(deleted) - 1)
+        live = deleted[di] != gid
+        if pos_all is not None:
+            pos_keep = np.repeat(live, freq)
+            pos_all = pos_all[pos_keep]
+        gid, freq, norm = gid[live], freq[live], norm[live]
     n = len(gid)
+    if n == 0:
+        return _empty_merged_frame()
     # Re-cut into 128-doc blocks, FORCING a cut at large gid gaps (sparse
     # hash-mode gids jump by 2^40 between segments): a block spanning such
     # a gap covers a huge useless gid range — it can never be skipped by
@@ -114,9 +145,11 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
     freqs_payload = batch_encode_streams(freq.astype(np.uint64), docs_per_block)
     norms_payload = batch_encode_streams(norm.astype(np.uint64), docs_per_block)
     if with_positions:
-        pos = np.concatenate(pos_l)
+        # the SORTED (and possibly purge-filtered) stream — per-doc delta
+        # runs are self-contained, so the permuted/filtered stream re-cuts
+        # losslessly
         pos_rl = np.add.reduceat(freq, starts)
-        positions_payload = batch_encode_streams(pos.astype(np.uint64), pos_rl)
+        positions_payload = batch_encode_streams(pos_all.astype(np.uint64), pos_rl)
     else:
         positions_payload = [None] * n_blocks
     imp_f, imp_n = competitive_impacts_grouped(block_id, freq, norm, n_blocks)
@@ -135,6 +168,7 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool) -> pd.DataFrame:
             "positions": positions_payload,
             "imp_freqs": imp_f,
             "imp_norms": imp_n,
+            "freq_sum": np.add.reduceat(freq, starts).astype(np.int64),
         }
     )
 
@@ -197,6 +231,26 @@ def _next_merge_id(index_dir: str) -> int:
     return (max(ids) + 1) if ids else 0
 
 
+def load_deleted_gids(index_dir: str) -> "np.ndarray | None":
+    """Sorted array of deleted gids from committed delete records."""
+    from .indexer import read_manifest
+
+    paths = [
+        r["path"] for r in read_manifest(index_dir)
+        if r.get("type") == "delete" and r.get("status") == "committed"
+    ]
+    if not paths:
+        return None
+    import pyarrow.dataset as ds
+
+    arrs = [
+        ds.dataset(os.path.join(index_dir, p), format="parquet")
+        .to_table(columns=["gid"]).column("gid").to_numpy()
+        for p in paths
+    ]
+    return np.unique(np.concatenate(arrs)).astype(np.int64)
+
+
 def _merge_units(
     spark: SparkSession,
     index_dir: str,
@@ -204,9 +258,18 @@ def _merge_units(
     *,
     salt_docs: int,
     with_positions: bool,
+    purge: bool = False,
 ) -> dict:
-    """Merge the given live units into one new merge unit (commits it)."""
+    """Merge the given live units into one new merge unit (commits it).
+
+    ``purge=True`` additionally DROPS deleted docs' postings and, having
+    rewritten the whole index (callers must pass ALL live units), re-derives
+    the terms table and collection stats from the survivors — the
+    SegmentMerger behavior that makes post-merge idf/avgdl reflect live
+    docs only.
+    """
     t0 = time.time()
+    deleted = load_deleted_gids(index_dir) if purge else None
     parts = []
     cols = ["term", "seg", "block_ord", "doc_count", "first_gid", "last_gid",
             "gids", "freqs", "norms", "imp_freqs", "imp_norms"]
@@ -245,13 +308,21 @@ def _merge_units(
     post = post.withColumn("salt", salt.cast("long"))
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _reblock_term(pdf, with_positions)
+        return _reblock_term(pdf, with_positions, deleted=deleted)
 
     merged = post.groupBy("term", "salt").applyInPandas(fn, schema=MERGED_SCHEMA)
     mid = _next_merge_id(index_dir)
     out_rel = f"postings_merged_m{mid}"
     out_path = os.path.join(index_dir, out_rel)
     merged.sortWithinPartitions("term", "first_gid").write.mode("overwrite").parquet(out_path)
+
+    if purge:
+        unit_doc_stats = _refresh_survivor_stats(spark, index_dir, out_path, deleted)
+    else:
+        # driver arithmetic: the unit's doc-stat contribution = Σ inputs'
+        # (keeps post-purge finalize able to re-derive global stats from
+        # live units without re-scanning doc rows)
+        unit_doc_stats = _sum_unit_doc_stats(index_dir, units)
 
     wall = time.time() - t0
     rec = {
@@ -267,11 +338,120 @@ def _merge_units(
         ),
         "salt_docs": salt_docs,
         "n_hot_terms": len(n_salts),
+        "purged": bool(purge),
+        "n_deleted_purged": int(len(deleted)) if deleted is not None else 0,
+        "unit_doc_stats": unit_doc_stats,
         "wall_sec": round(wall, 3),
         "ts": time.time(),
     }
     _append_manifest(index_dir, rec)
     return rec
+
+
+def _batch_doc_stats(index_dir: str, batch: int) -> dict:
+    from .indexer import _read_segstats
+
+    seg = _read_segstats(os.path.join(index_dir, "segments", f"batch={batch}"))
+    return {
+        "n_rows": int(seg["s_n_docs"].sum()),
+        "doc_count": int(seg["s_doc_count"].sum()),
+        "sum_dl": int(seg["s_sum_dl"].sum()),
+    }
+
+
+def _merge_rec_by_uid(index_dir: str, uid: str) -> "dict | None":
+    from .indexer import read_manifest
+
+    for i, r in enumerate(read_manifest(index_dir)):
+        if r.get("type") == "merge" and r.get("status") == "committed":
+            if f"m{r.get('merge_id', i)}" == uid:
+                return r
+    return None
+
+
+def _sum_unit_doc_stats(index_dir: str, units: "list[dict]") -> dict:
+    out = {"n_rows": 0, "doc_count": 0, "sum_dl": 0}
+    for u in units:
+        if u["uid"].startswith("b"):
+            s = _batch_doc_stats(index_dir, int(u["uid"][1:]))
+        else:
+            rec = _merge_rec_by_uid(index_dir, u["uid"])
+            s = (rec or {}).get("unit_doc_stats")
+            if s is None:
+                # legacy merge record: its covered batches' stats
+                s = {"n_rows": 0, "doc_count": 0, "sum_dl": 0}
+                for b in (rec or {}).get("merged_batches", []):
+                    bs = _batch_doc_stats(index_dir, int(b))
+                    for k in s:
+                        s[k] += bs[k]
+        for k in out:
+            out[k] += s[k]
+    return out
+
+
+def _refresh_survivor_stats(spark, index_dir: str, merged_path: str,
+                            deleted: "np.ndarray | None") -> dict:
+    """Rewrite the terms table + stats.json from purged postings.
+
+    Terms: groupBy(term) over the merged blocks' metadata (doc_count +
+    freq_sum — no payload decode). Collection stats: doc rows minus the
+    delete set. After this, idf/avgdl reflect survivors only — the
+    post-merge Lucene view.
+    """
+    terms = (
+        spark.read.parquet(merged_path)
+        .groupBy("term")
+        .agg(
+            F.sum("doc_count").cast("long").alias("doc_freq"),
+            F.sum("freq_sum").cast("long").alias("total_term_freq"),
+        )
+        .sortWithinPartitions("term")
+    )
+    tmp_terms = os.path.join(index_dir, "terms_new")
+    terms.write.mode("overwrite").parquet(tmp_terms)
+    final_terms = os.path.join(index_dir, "terms")
+    import shutil
+
+    shutil.rmtree(final_terms, ignore_errors=True)
+    os.rename(tmp_terms, final_terms)
+
+    docs = spark.read.parquet(
+        os.path.join(index_dir, "segments", "batch=*", "row_type=doc")
+    ).select("gid", "doc_len")
+    if deleted is not None and len(deleted):
+        ddf = spark.createDataFrame([(int(g),) for g in deleted], "gid long")
+        docs = docs.join(F.broadcast(ddf), "gid", "left_anti")
+    agg = docs.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("doc_len") > 0).cast("long")).alias("dc"),
+        F.sum("doc_len").alias("ttf"),
+        F.max("gid").alias("mg"),
+    ).collect()[0]
+    stats_path = os.path.join(index_dir, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    stats.update(
+        {
+            "n_rows": int(agg["n_rows"] or 0),
+            "doc_count": int(agg["dc"] or 0),
+            "sum_total_term_freq": int(agg["ttf"] or 0),
+            "max_gid": int(agg["mg"]) if agg["mg"] is not None else -1,
+        }
+    )
+    if "fields" in stats:
+        from ..plans.fields import DEFAULT_FIELD
+
+        stats["fields"][DEFAULT_FIELD] = {
+            "doc_count": stats["doc_count"],
+            "sum_ttf": stats["sum_total_term_freq"],
+        }
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
+    return {
+        "n_rows": stats["n_rows"],
+        "doc_count": stats["doc_count"],
+        "sum_dl": stats["sum_total_term_freq"],
+    }
 
 
 def merge_index(
@@ -280,17 +460,31 @@ def merge_index(
     *,
     salt_docs: int = 1_000_000,
     with_positions: bool = True,
+    purge: bool = False,
 ) -> dict:
     """Full merge: fold ALL live units into one global postings table.
 
     ``salt_docs``: max postings per (term, salt) reducer group — hot terms
     are split into gid-range salts of roughly this many docs each.
+
+    ``purge=True`` reclaims deleted docs' postings during the rewrite and
+    re-derives the terms table + collection stats from the survivors
+    (idf/avgdl change accordingly — the post-merge Lucene view). Only the
+    FULL merge may purge: a partial purge would leave units whose stats
+    mix pre/post views. Multi-field purge is not supported (per-field
+    docCount is not re-derivable without a decode pass).
     """
     units = live_units(index_dir)
     if not units:
         raise ValueError("nothing to merge: no committed batches")
+    if purge:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            fields = json.load(f).get("fields") or {}
+        if len(fields) > 1:
+            raise NotImplementedError("purge on a multi-field index")
     return _merge_units(
-        spark, index_dir, units, salt_docs=salt_docs, with_positions=with_positions
+        spark, index_dir, units, salt_docs=salt_docs,
+        with_positions=with_positions, purge=purge,
     )
 
 

@@ -437,6 +437,19 @@ SELECT dim, doc_id, score, rn::INT AS rn
 FROM r WHERE rn <= {k_per_group} ORDER BY dim, rn"""
 
 
+def purge_topk_sql(t1: str, t2: str, mod: int, k: int = 10) -> str:
+    """Post-purge-merge oracle: deleted docs are RECLAIMED, so idf, avgdl,
+    docCount and norms all re-derive from the survivor corpus (the
+    post-merge Lucene view) — unlike delete_topk_sql's pre-merge stats."""
+    live = f"(SELECT * FROM documents WHERE doc_id % {mod} <> 0)"
+    return f"""WITH {base_ctes(live)},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def delete_topk_sql(t1: str, t2: str, mod: int, k: int = 10) -> str:
     """Live-docs semantics oracle: docs with doc_id %% mod == 0 are
     deleted — excluded from results, but idf/avgdl/norms still computed

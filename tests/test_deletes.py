@@ -3,6 +3,7 @@ survivors UNCHANGED (stats include deleted docs until merge — exact
 Lucene pre-merge semantics)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from lucene_spark.operators import indexer
@@ -98,3 +99,63 @@ def test_paging_respects_deletes(searcher, oracle):
     cursor = (float(p1["score"].iloc[-1]), int(p1["gid"].iloc[-1]))
     p2 = searcher.search_after(node, cursor, k=5)
     assert list(p2["gid"].astype(int)) == [g for g, _ in want[5:10]]
+
+
+def test_purge_merge_reclaims_and_rescores(spark, corpus_pdf, tmp_path_factory):
+    """Full merge with purge: deleted postings vanish from disk and
+    idf/avgdl/stats re-derive from survivors — results must now equal a
+    brute-force index built over the survivor corpus alone (the post-merge
+    Lucene view). Appends after the purge keep live-unit stats exact."""
+    from lucene_spark.operators.check import check_index
+    from lucene_spark.operators.merge import merge_index
+
+    d = str(tmp_path_factory.mktemp("idx_purge"))
+    df = spark.createDataFrame(corpus_pdf[["gid", "url", "text"]])
+    indexer.build_index(
+        spark, df, d, key_col="url", text_col="text", gid_col="gid", n_segments=4
+    )
+    indexer.delete_docs(spark, d, gids=range(0, N_DOCS, DEL_MOD))
+    merge_index(spark, d, purge=True)
+
+    alive = corpus_pdf[corpus_pdf["gid"] % DEL_MOD != 0].reset_index(drop=True)
+    surv_oracle = BruteForceIndex(alive["gid"], alive["url"], alive["text"])
+    s = Searcher(spark, d)
+    assert s.stats["doc_count"] == surv_oracle.doc_count
+    assert s.stats["sum_total_term_freq"] == surv_oracle.sum_ttf
+
+    by_df = sorted(surv_oracle.postings, key=lambda t: (len(surv_oracle.postings[t]), t))
+    hot, mid = by_df[-1], by_df[len(by_df) // 2]
+    for node in (TermQ(hot), BoolQ(must=(TermQ(hot), TermQ(mid))),
+                 BoolQ(should=(TermQ(hot), TermQ(mid)))):
+        want = surv_oracle.search(node, 10)
+        got = s.search(node, k=10, with_keys=False)
+        assert list(got["gid"].astype(int)) == [g for g, _, _ in want], node
+        for gs, (_, _, ws) in zip(got["score"], want):
+            assert np.float32(gs) == np.float32(ws), node
+    # the purged docs' postings are physically gone
+    tp = s._postings_df().filter(f"term = '{hot}'").toPandas()
+    from lucene_spark.operators.search import decode_term_blocks
+
+    decoded = decode_term_blocks(tp)
+    assert not any(int(g) % DEL_MOD == 0 for g in decoded.gids)
+
+    report = check_index(spark, d)
+    assert report["healthy"], report
+
+    # append AFTER the purge: stats = survivors + new docs (live-unit view)
+    extra = generate_pages_pdf(5000, 5100, seed=31).sort_values("url").reset_index(drop=True)
+    extra["gid"] = np.arange(10_000, 10_000 + len(extra), dtype=np.int64)
+    indexer.build_index(
+        spark, spark.createDataFrame(extra[["gid", "url", "text"]]), d,
+        key_col="url", text_col="text", gid_col="gid", n_segments=2, append=True,
+    )
+    both = pd.concat([alive, extra], ignore_index=True)
+    full_oracle = BruteForceIndex(both["gid"], both["url"], both["text"])
+    s2 = Searcher(spark, d)
+    assert s2.stats["doc_count"] == full_oracle.doc_count
+    assert s2.stats["sum_total_term_freq"] == full_oracle.sum_ttf
+    want = full_oracle.search(TermQ(hot), 10)
+    got = s2.search(TermQ(hot), k=10, with_keys=False)
+    assert list(got["gid"].astype(int)) == [g for g, _, _ in want]
+    for gs, (_, _, ws) in zip(got["score"], want):
+        assert np.float32(gs) == np.float32(ws)
