@@ -140,7 +140,16 @@ def test_tiered_incremental_merge(spark, tmp_path_factory):
     mid = sorted(oracle.postings, key=lambda t: len(oracle.postings[t]))[
         len(oracle.postings) // 2
     ]
-    queries = [TermQ(hot), BoolQ(must=(TermQ(hot), TermQ(mid)))]
+    from lucene_spark.functions.analysis import analyze_batch
+    from lucene_spark.plans.query import PhraseQ
+
+    b = analyze_batch([all_pdf["text"].iloc[0]])
+    phrase = PhraseQ(
+        terms=(b.tok_terms[0], b.tok_terms[1]),
+        offsets=(int(b.tok_positions[0]), int(b.tok_positions[1])),
+    )
+    # the phrase exercises POSITIONS through re-sorted partial-merge blocks
+    queries = [TermQ(hot), BoolQ(must=(TermQ(hot), TermQ(mid))), phrase]
 
     def results():
         s = Searcher(spark, d)
