@@ -105,6 +105,27 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Mark docs deleted (live-docs layer); --purge runs a full purge merge
+    afterwards so postings reclaim and stats re-derive from survivors."""
+    from lucene_spark.operators.indexer import delete_docs
+    from lucene_spark.operators.merge import merge_index
+
+    spark = _spark("lucene_spark_delete")
+    if (args.gids is None) == (args.query is None):
+        print(json.dumps({"error": "exactly one of --gids / --query required"}))
+        return 1
+    gids = [int(g) for g in args.gids.split(",")] if args.gids else None
+    rec = delete_docs(spark, args.index_dir, gids=gids, query=args.query)
+    out = {"job": "delete", "n_docs": rec["n_docs"], "path": rec["path"]}
+    if args.purge:
+        m = merge_index(spark, args.index_dir, purge=True, salt_docs=args.salt_docs)
+        out["purge"] = {"n_deleted_purged": m["n_deleted_purged"],
+                        "wall_sec": m["wall_sec"]}
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_tiered_merge(args) -> int:
     """One incremental tiered-merge step (TieredMergePolicy analog); the
     refresh job a scheduler runs after appends. Exits 0 whether or not a
@@ -172,6 +193,14 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--query", required=True)
     ps.add_argument("--k", type=int, default=10)
     ps.set_defaults(fn=cmd_search)
+
+    pd_ = sub.add_parser("delete", help="mark docs deleted (optionally purge)")
+    pd_.add_argument("--index-dir", required=True)
+    pd_.add_argument("--gids", default=None, help="comma-separated docIDs")
+    pd_.add_argument("--query", default=None, help="delete-by-query")
+    pd_.add_argument("--purge", action="store_true")
+    pd_.add_argument("--salt-docs", type=int, default=1_000_000)
+    pd_.set_defaults(fn=cmd_delete)
 
     pt = sub.add_parser("tiered-merge", help="one incremental tiered-merge step")
     pt.add_argument("--index-dir", required=True)

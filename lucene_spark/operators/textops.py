@@ -594,29 +594,38 @@ def repetition_stats(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     rules): duplicate k-gram fraction and top-k-gram mass per doc. High
     values flag boilerplate/spam for corpus filtering.
 
-    Pure column expressions + one groupBy-free select — embarrassingly
-    parallel, no shuffle."""
-    sh = _shingles(F.col("text"), k)
-    n = F.size(sh)
-    n_uniq = F.size(F.array_distinct(sh))
+    Scale shape: explode → groupBy(doc, gram) → groupBy(doc), two
+    hash-partitioned shuffles with map-side partial aggregation — O(tokens)
+    work (an earlier nested-Column formulation was O(unique·total) per doc,
+    quadratic on long boilerplate docs, exactly what this op exists to
+    catch)."""
     d = docs(spark, sf_dir)
-    # top shingle mass: count of the most frequent k-gram / total k-grams
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(sh),
-            lambda s: F.size(F.filter(sh, lambda x: x == s)),
-        )
+    per = (
+        d.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
     )
-    return d.select(
-        "doc_id",
-        n.cast("long").alias("n_grams"),
-        (n - n_uniq).cast("long").alias("n_dup_grams"),
-        F.when(n > 0, (n - n_uniq).cast("double") / n.cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("dup_gram_ratio"),
-        F.when(n > 0, top.cast("double") / n.cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("top_gram_ratio"),
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_uniq"),
+        F.max("c").alias("top"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n") - F.col("n_uniq"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.coalesce(
+                (F.col("n") - F.col("n_uniq")).cast("double") / F.col("n"), F.lit(0.0)
+            ).alias("dup_gram_ratio"),
+            F.coalesce(
+                F.col("top").cast("double") / F.col("n"), F.lit(0.0)
+            ).alias("top_gram_ratio"),
+        )
     )
 
 
