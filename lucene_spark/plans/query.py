@@ -23,7 +23,7 @@ __all__ = [
     "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
     "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
     "ConstScoreQ", "MatchAllQ", "TermInSetQ",
-    "parse_query", "query_terms", "qualify_node",
+    "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
 
 
@@ -493,6 +493,33 @@ def qualify_node(node, field: str):
     if isinstance(node, ConstScoreQ):
         return ConstScoreQ(qualify_node(node.child, field), node.boost)
     raise TypeError(f"cannot field-qualify {node!r}")
+
+
+def parse_multi_field(q: str, fields: "list[str]",
+                      boosts: "dict[str, float] | None" = None):
+    """MultiFieldQueryParser analog (queryparser/classic/
+    MultiFieldQueryParser.java): parse once, then OR the query across the
+    given fields — each clause is the full query scoped to one field,
+    optionally boosted. Explicit ``field:`` atoms inside ``q`` keep their
+    own field (qualification is a no-op on already-qualified keys is NOT
+    true — so q must use unqualified syntax; mixed queries compose
+    manually with qualify_node)."""
+    node = parse_query(q)
+    if node is None:
+        return None
+    clauses = []
+    for f in fields:
+        c = qualify_node(node, f)
+        b = (boosts or {}).get(f)
+        if b is not None:
+            if not isinstance(c, (TermQ, PhraseQ, SynonymQ)):
+                raise ValueError(
+                    "per-field boosts require a leaf query (term/phrase/"
+                    "synonym); compose boosted composites with qualify_node"
+                )
+            c = BoostQ(c, boost=float(b))
+        clauses.append(c)
+    return BoolQ(should=tuple(clauses)).simplified()
 
 
 def parse_query(q: str):

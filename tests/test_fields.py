@@ -130,3 +130,40 @@ def test_default_expansion_excludes_qualified_keys(searcher):
 
     for t in searcher.expand_terms(WildcardQ("?e*")):
         assert FIELD_SEP not in t
+
+
+def test_parse_multi_field(searcher, text_oracle, head_oracle):
+    """MultiFieldQueryParser analog: query ORs across fields; score =
+    f32(sum of per-field f32 scores) — equals the manual composition of
+    the per-field oracles."""
+    from lucene_spark.plans.query import parse_multi_field
+
+    t = _hot(head_oracle)
+    node = parse_multi_field(t, ["text", "head"])
+    got = searcher.search(node, k=10)
+    cache_t, cache_h = text_oracle._cache(), head_oracle._cache()
+    hits = []
+    for g in text_oracle.gids:
+        st = text_oracle._doc_score(TermQ(t), g, cache_t)
+        sh = head_oracle._doc_score(TermQ(t), g, cache_h)
+        if st is None and sh is None:
+            continue
+        total = float(st or 0.0) + float(sh or 0.0)
+        hits.append((g, np.float32(total)))
+    hits.sort(key=lambda x: (-float(x[1]), x[0]))
+    want = hits[:10]
+    assert list(got["gid"].astype(int)) == [g for g, _ in want]
+    for gs, (_, ws) in zip(got["score"], want):
+        assert np.float32(gs) == ws
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        # "a" is a stopword and drops; use two real terms so the parse is
+        # a composite boolean (boosts only support leaf queries)
+        parse_multi_field("zz1 AND zz2", ["text", "head"], boosts={"head": 2.0})
+    # leaf + boost works and scopes per field
+    from lucene_spark.plans.query import BoostQ
+
+    b = parse_multi_field(t, ["text", "head"], boosts={"head": 2.0})
+    assert any(isinstance(c, BoostQ) for c in b.should)

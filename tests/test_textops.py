@@ -76,3 +76,41 @@ def test_dedup_exact_flags_injected_duplicates(spark, tmp_path):
     res = textops.dedup_exact(spark, out).collect()
     flagged = {int(r["doc_id"]) for r in res if r["is_duplicate"]}
     assert flagged == {100000 + int(r["doc_id"]) for r in docs.limit(5).collect()}
+
+
+def test_dedup_clusters_chain_transitivity(spark, tmp_path_factory):
+    """A-B and B-C are near-dup pairs but A-C share nothing directly: the
+    connected component must still collapse to one cluster — this takes >1
+    label-propagation round, exercising the iterative path (near-clique
+    corpora converge in one)."""
+    import os
+
+    from lucene_spark.operators import textops
+
+    d = str(tmp_path_factory.mktemp("chain"))
+    common1 = " ".join(f"ca{i}" for i in range(40))
+    common2 = " ".join(f"cb{i}" for i in range(40))
+    rows = [
+        (0, "pada0 pada1 " + common1),               # A: shares common1 with B
+        (1, common1 + " " + common2),                # B: bridges A and C
+        (2, common2 + " padc0 padc1"),               # C: shares common2 with B
+        (3, "totally different words only here once "
+            + " ".join(f"w{i}" for i in range(20))),
+    ]
+    pdf = __import__("pandas").DataFrame(rows, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = textops.dedup_clusters(spark, d, bands=16).toPandas().set_index("doc_id")
+    # verify the premise: LSH linked A-B and B-C but not A-C directly
+    # (A and C share ZERO shingles, so no direct edge can exist)
+    pairs = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in textops.minhash_lsh_pairs(spark, d, bands=16).collect()
+    }
+    assert (0, 1) in pairs and (1, 2) in pairs, pairs
+    assert (0, 2) not in pairs, "test premise: no direct A-C edge"
+    assert int(out.loc[0, "cluster_id"]) == 0
+    assert int(out.loc[1, "cluster_id"]) == 0
+    assert int(out.loc[2, "cluster_id"]) == 0  # needs 2 propagation rounds
+    assert int(out.loc[3, "cluster_id"]) == 3 and not bool(out.loc[3, "is_duplicate"])
