@@ -3,8 +3,10 @@
 Verifies, distributed (one pass over postings + docs, no collect of data):
 
   1. postings well-formed per block: decoded doc count == doc_count column,
-     gids strictly ascending within and across a term's blocks (gaps > 0),
-     freqs >= 1, every (freq, norm) bounded by the block's impact frontier;
+     gids strictly ascending WITHIN each block and no doc repeated across a
+     term's blocks (block RANGES may interleave after tiered partial
+     merges; the reader restores global order), freqs >= 1, every
+     (freq, norm) bounded by the block's impact frontier;
   2. term stats consistent: sum of per-block doc counts == terms.doc_freq,
      sum of freqs == terms.total_term_freq;
   3. docs table: gids unique, norm_b == int_to_byte4(doc_len);
@@ -46,7 +48,7 @@ def _check_term_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("first_gid", kind="mergesort")
     bad_doc_count = bad_order = bad_freq = bad_impact = 0
     doc_count_sum = freq_sum = 0
-    prev_last = None
+    all_gids = []
     for r in pdf.itertuples(index=False):
         gaps = decode_stream(r.gids).astype(np.int64)
         g = np.empty(len(gaps) + 1, dtype=np.int64)
@@ -59,9 +61,13 @@ def _check_term_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
         freq_sum += int(f.sum())
         if len(g) != int(r.doc_count) or len(f) != len(g) or len(n) != len(g):
             bad_doc_count += 1
-        if (np.diff(g) <= 0).any() or (prev_last is not None and g[0] <= prev_last):
+        # within-block order must be strict; ACROSS blocks ranges may
+        # interleave (tiered partial merges re-cut across gid holes other
+        # live units occupy — the reader restores global order), but no doc
+        # may appear twice for one term, checked over the full set below
+        if (np.diff(g) <= 0).any():
             bad_order += 1
-        prev_last = int(g[-1])
+        all_gids.append(g)
         if (f < 1).any():
             bad_freq += 1
         # impact frontier must dominate every (freq, norm) in the block:
@@ -73,6 +79,10 @@ def _check_term_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
             if not ((imp_f >= freq) & (imp_n <= norm)).any():
                 bad_impact += 1
                 break
+    if all_gids:
+        merged = np.concatenate(all_gids)
+        if len(np.unique(merged)) != len(merged):
+            bad_order += 1  # a doc appears twice for this term
     return pd.DataFrame(
         [
             {
@@ -159,14 +169,10 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
             purged_paths.extend(pending)
             pending = []
     if purged_paths:
-        import pyarrow.dataset as ds
+        from .merge import read_delete_paths
 
-        gids = np.unique(np.concatenate([
-            ds.dataset(os.path.join(index_dir, p), format="parquet")
-            .to_table(columns=["gid"]).column("gid").to_numpy()
-            for p in purged_paths
-        ]))
-        ddf = spark.createDataFrame([(int(g),) for g in gids], "gid long")
+        gids = read_delete_paths(index_dir, purged_paths)
+        ddf = spark.createDataFrame(pd.DataFrame({"gid": gids.astype("int64")}))
         docs = docs.join(F.broadcast(ddf), "gid", "left_anti")
     n_docs = docs.count()
     report["dup_gids"] = int(n_docs - docs.select("gid").distinct().count())

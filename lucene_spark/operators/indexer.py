@@ -563,12 +563,23 @@ def build_index(
 
 
 def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
-    """Live-unit stats view (used once any purged merge exists)."""
+    """Live-unit stats view (used once any purged merge exists).
+
+    Per-field stats for EXTRA fields aggregate from live batch units'
+    fieldstat rows (the only place extra fields can live right after a
+    purge — purge rejects multi-field indexes). Known limitation: a
+    tiered merge that consumes post-purge multi-field batches folds their
+    extra-field postings into an m-unit whose fieldstat contribution is
+    lost; keep multi-field appends unmerged on a purged index.
+    """
     from .merge import _merge_rec_by_uid, live_units
 
     units = live_units(index_dir)
     term_parts = []
     doc_stats = {"n_rows": 0, "doc_count": 0, "sum_dl": 0}
+    field_rows = []  # per-field stats of live batch units (extra fields
+    # only exist in batches — purge rejects multi-field indexes, so merged
+    # units carry default-field data only)
     for u in units:
         if u["uid"].startswith("b"):
             p = os.path.join(
@@ -581,6 +592,11 @@ def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
             from .merge import _batch_doc_stats
 
             s = _batch_doc_stats(index_dir, int(u["uid"][1:]))
+            field_rows.append(
+                _read_fieldstats(
+                    os.path.join(index_dir, "segments", f"batch={int(u['uid'][1:])}")
+                )
+            )
         else:
             mp = os.path.join(index_dir, u["path"])
             term_parts.append(
@@ -635,13 +651,25 @@ def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
             "max_gid": int(max_gid),
         }
     )
-    if "fields" in stats:
-        from ..plans.fields import DEFAULT_FIELD
+    from ..plans.fields import DEFAULT_FIELD
 
-        stats["fields"][DEFAULT_FIELD] = {
-            "doc_count": stats["doc_count"],
-            "sum_ttf": stats["sum_total_term_freq"],
+    fagg = (
+        pd.concat(field_rows, ignore_index=True)
+        if field_rows else pd.DataFrame(columns=["term", "s_doc_count", "s_sum_dl"])
+    )
+    fields = {
+        str(field): {
+            "doc_count": int(grp["s_doc_count"].sum()),
+            "sum_ttf": int(grp["s_sum_dl"].sum()),
         }
+        for field, grp in fagg.groupby("term")
+    } if len(fagg) else dict(stats.get("fields") or {})
+    # the default field spans merged units too: use the global survivor view
+    fields[DEFAULT_FIELD] = {
+        "doc_count": stats["doc_count"],
+        "sum_ttf": stats["sum_total_term_freq"],
+    }
+    stats["fields"] = fields
     with open(stats_path, "w") as f:
         json.dump(stats, f)
 

@@ -223,22 +223,21 @@ def live_units(index_dir: str) -> "list[dict]":
 
 
 def _next_merge_id(index_dir: str) -> int:
-    ids = [
-        int(r["merge_id"])
-        for r in read_manifest(index_dir)
-        if r.get("type") == "merge" and "merge_id" in r
-    ]
-    return (max(ids) + 1) if ids else 0
+    """Next collision-free merge id.
+
+    Legacy merge records (no ``merge_id`` field) take their MANIFEST INDEX
+    as uid suffix in ``live_units``; a new id must clear those too, or two
+    units could share a uid and `inputs` consumption would silently drop a
+    live unit from every search."""
+    ids = [-1]
+    for i, r in enumerate(read_manifest(index_dir)):
+        if r.get("type") == "merge" and r.get("status") == "committed":
+            ids.append(int(r.get("merge_id", i)))
+    return max(ids) + 1
 
 
-def load_deleted_gids(index_dir: str) -> "np.ndarray | None":
-    """Sorted array of deleted gids from committed delete records."""
-    from .indexer import read_manifest
-
-    paths = [
-        r["path"] for r in read_manifest(index_dir)
-        if r.get("type") == "delete" and r.get("status") == "committed"
-    ]
+def read_delete_paths(index_dir: str, paths: "list[str]") -> "np.ndarray | None":
+    """Sorted unique gid array from the given delete-record paths."""
     if not paths:
         return None
     import pyarrow.dataset as ds
@@ -249,6 +248,17 @@ def load_deleted_gids(index_dir: str) -> "np.ndarray | None":
         for p in paths
     ]
     return np.unique(np.concatenate(arrs)).astype(np.int64)
+
+
+def load_deleted_gids(index_dir: str) -> "np.ndarray | None":
+    """Sorted array of deleted gids from ALL committed delete records
+    (the single source of truth for searchers, merges, and audits)."""
+    from .indexer import read_manifest
+
+    return read_delete_paths(index_dir, [
+        r["path"] for r in read_manifest(index_dir)
+        if r.get("type") == "delete" and r.get("status") == "committed"
+    ])
 
 
 def _merge_units(
@@ -419,7 +429,7 @@ def _refresh_survivor_stats(spark, index_dir: str, merged_path: str,
         os.path.join(index_dir, "segments", "batch=*", "row_type=doc")
     ).select("gid", "doc_len")
     if deleted is not None and len(deleted):
-        ddf = spark.createDataFrame([(int(g),) for g in deleted], "gid long")
+        ddf = spark.createDataFrame(pd.DataFrame({"gid": deleted.astype("int64")}))
         docs = docs.join(F.broadcast(ddf), "gid", "left_anti")
     agg = docs.agg(
         F.count("*").alias("n_rows"),

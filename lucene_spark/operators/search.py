@@ -804,23 +804,9 @@ class Searcher:
         bytes per deleted doc the budget matches Lucene's own RAM model."""
         if self._deleted is not _UNSET:
             return self._deleted
-        from ..operators.indexer import read_manifest
+        from ..operators.merge import load_deleted_gids
 
-        paths = [
-            r["path"] for r in read_manifest(self.index_dir)
-            if r.get("type") == "delete" and r.get("status") == "committed"
-        ]
-        if not paths:
-            self._deleted = None
-            return None
-        import pyarrow.dataset as ds
-
-        arrs = [
-            ds.dataset(os.path.join(self.index_dir, p), format="parquet")
-            .to_table(columns=["gid"]).column("gid").to_numpy()
-            for p in paths
-        ]
-        self._deleted = np.unique(np.concatenate(arrs)).astype(np.int64)
+        self._deleted = load_deleted_gids(self.index_dir)
         return self._deleted
 
     def _postings_df(self) -> DataFrame:
@@ -1204,9 +1190,9 @@ class Searcher:
         deleted = self.deleted_gids()
         if deleted is None:
             return df
-        ddf = self.spark.createDataFrame(
-            [(int(g),) for g in deleted], "gid long"
-        )
+        # Arrow-path conversion: millions of deletes must not become a
+        # driver-side Python tuple list
+        ddf = self.spark.createDataFrame(pd.DataFrame({"gid": deleted.astype("int64")}))
         return df.join(F.broadcast(ddf), "gid", "left_anti")
 
     def _bucket_width(self, ctx: ScoreCtx, terms: set) -> int:

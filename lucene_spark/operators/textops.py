@@ -682,11 +682,14 @@ def dedup_clusters(
     in the component — the actual dedup endpoint a curation pipeline keeps.
 
     Distributed label propagation: every doc starts labeled with itself;
-    each iteration joins labels across edges and takes the min; converges
-    in O(log(diameter)) rounds (dup clusters are near-cliques → 2-3
-    rounds). Each round is two shuffles bounded by |edges|; the driver only
-    sees the converged-or-not count. Docs in no pair keep themselves as
-    canonical."""
+    each iteration joins labels across edges and takes the min. One hop of
+    label travel per round, so convergence is O(component diameter) —
+    near-clique dup clusters take 2-3 rounds; a pathological chain takes
+    its length. The loop runs to an exact fixpoint (changed == 0) and
+    FAILS LOUDLY if ``max_iters`` is hit first rather than returning
+    silently-wrong components. Each round is two shuffles bounded by
+    |edges|; the driver only sees the converged-or-not count. Docs in no
+    pair keep themselves as canonical."""
     exact = dedup_exact(spark, sf_dir).filter(F.col("is_duplicate")).select(
         F.col("canonical_id").alias("a"), F.col("doc_id").alias("b")
     )
@@ -701,7 +704,9 @@ def dedup_clusters(
     labels = (
         docs(spark, sf_dir)
         .select(F.col("doc_id"), F.col("doc_id").alias("label"))
+        .cache()
     )
+    converged = False
     for _ in range(max_iters):
         # neighbor minimum label
         neigh = (
@@ -715,6 +720,7 @@ def dedup_clusters(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
+            .cache()
         )
         changed = (
             new_labels.alias("n")
@@ -722,9 +728,17 @@ def dedup_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels.cache()
+        labels.unpersist()  # one live copy + bounded lineage, not max_iters
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — a "
+            "component's diameter exceeds the iteration cap; raise max_iters"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id"),
         (F.col("doc_id") != F.col("label")).alias("is_duplicate"),

@@ -166,6 +166,11 @@ def test_tiered_incremental_merge(spark, tmp_path_factory):
     for got, want in zip(results(), before):
         pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                       want.reset_index(drop=True))
+    # the merged unit's re-cut blocks INTERLEAVE in gid space with the
+    # still-live batches: the audit must accept that layout (it is valid;
+    # the reader restores global order)
+    report_mid = check_index(spark, d)
+    assert report_mid["healthy"], report_mid
 
     rec2 = tiered_merge(spark, d, segs_per_tier=3, max_merge_at_once=3,
                         floor_postings=10)
