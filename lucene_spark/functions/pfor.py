@@ -33,6 +33,7 @@ __all__ = [
     "encode_vlongs_np",
     "decode_vlongs_np",
     "batch_encode_streams",
+    "batch_decode_streams",
 ]
 
 
@@ -414,6 +415,127 @@ def batch_encode_streams(values: np.ndarray, row_lengths: np.ndarray) -> list[by
             parts.append(tbytes[t_off[i] : t_off[i + 1]])
         out[i] = b"".join(parts)
     return out
+
+
+def _vlongs_at(data: np.ndarray, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONE varint at each of many positions, vectorized.
+
+    Returns (values uint64, bytes_consumed int64) per position. ``data`` must
+    be padded so positions+9 never reads past the end (callers pad by 10).
+    """
+    k = len(positions)
+    out = np.zeros(k, dtype=np.uint64)
+    nb = np.zeros(k, dtype=np.int64)
+    done = np.zeros(k, dtype=bool)
+    for j in range(10):
+        if done.all():
+            break
+        b = data[positions + j]
+        live = ~done
+        out[live] |= (b[live].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+        fin = live & (b < 0x80)
+        nb[fin] = j + 1
+        done |= fin
+    return out, nb
+
+
+def _unpack_bits_matrix(mat: np.ndarray, bpv: int) -> np.ndarray:
+    """Unpack a (k, ceil(128*bpv/8)) uint8 matrix into (k, BLOCK_SIZE)
+    uint64 values — the matrix twin of _unpack_bits."""
+    bits = np.unpackbits(mat, axis=1, bitorder="little")
+    out = np.zeros((mat.shape[0], BLOCK_SIZE), dtype=np.uint64)
+    positions = np.arange(BLOCK_SIZE, dtype=np.int64) * bpv
+    for bit in range(bpv):
+        out |= bits[:, positions + bit].astype(np.uint64) << np.uint64(bit)
+    return out
+
+
+def batch_decode_streams(bufs: "list[bytes]") -> tuple[np.ndarray, np.ndarray]:
+    """Decode many encoded streams in one vectorized pass.
+
+    Returns (values uint64 — all streams' values concatenated in input
+    order, counts int64 — per-stream value counts). Equivalent to
+    ``np.concatenate([decode_stream(b) for b in bufs])`` but with NO
+    per-block Python in the common path: streams advance block-by-block in
+    lock-step rounds, each round decoding every active stream's next block
+    with matrix kernels grouped by bit width; all tails varint-decode in a
+    single flat pass. (Round-2 finding: per-block ``itertuples`` decode was
+    the residual interpreter cost in the 8v32 profile.)
+    """
+    n_streams = len(bufs)
+    if n_streams == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    lens = np.fromiter((len(b) for b in bufs), np.int64, n_streams)
+    data = np.frombuffer(b"".join(bufs) + b"\x00" * 10, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+    counts_u, consumed = _vlongs_at(data, starts)
+    counts = counts_u.astype(np.int64)
+    pos = starts + consumed
+    n_blocks = counts // BLOCK_SIZE
+    tail_lens = counts - n_blocks * BLOCK_SIZE
+
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+    out_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    wp = out_starts.copy()  # per-stream write cursor
+    remaining = n_blocks.copy()
+
+    while True:
+        idx = np.nonzero(remaining > 0)[0]
+        if not len(idx):
+            break
+        tokens = data[pos[idx]]
+        bpv_all = tokens & 0x1F
+        nexc_all = (tokens >> 5).astype(np.int64)
+        for b in np.unique(bpv_all):
+            b = int(b)
+            sel = idx[bpv_all == b]
+            nexc = nexc_all[bpv_all == b]
+            if b == 31:
+                # escape blocks (raw 128 vlongs) — rare; per-stream fallback
+                for s in sel:
+                    block, newpos = _decode_block(memoryview(data), int(pos[s]))
+                    out[wp[s] : wp[s] + BLOCK_SIZE] = block
+                    pos[s] = newpos
+                continue
+            if b == 0:
+                vals1, vnb = _vlongs_at(data, pos[sel] + 1)
+                dst = wp[sel][:, None] + np.arange(BLOCK_SIZE)[None, :]
+                out[dst] = vals1[:, None]
+                exc_base = pos[sel] + 1 + vnb
+                shift = 0  # RLE stores exception high bits pre-shifted
+                blk_len = 1 + vnb + 2 * nexc
+            else:
+                nbytes = (BLOCK_SIZE * b + 7) // 8
+                src = pos[sel][:, None] + 1 + np.arange(nbytes)[None, :]
+                vals = _unpack_bits_matrix(data[src], b)
+                dst = wp[sel][:, None] + np.arange(BLOCK_SIZE)[None, :]
+                out[dst] = vals
+                exc_base = pos[sel] + 1 + nbytes
+                shift = b
+                blk_len = 1 + nbytes + 2 * nexc
+            if nexc.any():
+                rows = np.repeat(np.arange(len(sel)), nexc)
+                j = _ranges(nexc)
+                p = data[exc_base[rows] + 2 * j].astype(np.int64)
+                h = data[exc_base[rows] + 2 * j + 1].astype(np.uint64)
+                # (row, p) pairs are unique within a block: no index collisions
+                out[wp[sel][rows] + p] |= h << np.uint64(shift)
+            pos[sel] += blk_len
+        wp[idx] += BLOCK_SIZE
+        remaining[idx] -= 1
+
+    # tails: whole varints at [pos_i, start_i+len_i); concatenated they form
+    # one contiguous varint sequence → a single flat decode
+    total_tail = int(tail_lens.sum())
+    if total_tail:
+        has_tail = tail_lens > 0
+        t_pos, t_len = pos[has_tail], (starts + lens - pos)[has_tail]
+        src = np.repeat(t_pos, t_len) + _ranges(t_len)
+        tvals, _ = decode_vlongs_np(data[src], total_tail)
+        dst = np.repeat(wp[has_tail], tail_lens[has_tail]) + _ranges(tail_lens[has_tail])
+        out[dst] = tvals
+    return out, counts
 
 
 def _ranges(lengths: np.ndarray) -> np.ndarray:

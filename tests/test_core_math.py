@@ -128,6 +128,39 @@ class TestPFor:
         data = encode_stream(gaps)
         assert len(data) < 4096 * 1.0  # ~4 bits/value expected vs 8 bytes raw
 
+    def test_batch_decode_matches_per_stream(self):
+        # every stream shape at once: empty, tail-only, all-equal RLE,
+        # exception patches, multi-block, vlong-escape wide values
+        from lucene_spark.functions.pfor import batch_decode_streams
+
+        bufs, refs = [], []
+        for i in range(200):
+            n = int(RNG.integers(0, 600))
+            kind = i % 5
+            if kind == 0:
+                v = RNG.integers(0, 100, n)
+            elif kind == 1:
+                v = RNG.integers(0, 2**40, n)
+            elif kind == 2:
+                v = np.full(n, int(RNG.integers(0, 200)))
+            elif kind == 3:
+                v = RNG.integers(0, 50, n)
+                if n:
+                    k = min(7, n)
+                    v[RNG.integers(0, n, k)] = RNG.integers(2**30, 2**35, k)
+            else:
+                v = RNG.integers(0, 2**62, n)
+            v = v.astype(np.uint64)
+            bufs.append(encode_stream(v))
+            refs.append(v)
+        flat, counts = batch_decode_streams(bufs)
+        assert (counts == np.array([len(r) for r in refs])).all()
+        off = 0
+        for r in refs:
+            assert (flat[off : off + len(r)] == r).all()
+            off += len(r)
+        assert off == len(flat)
+
 
 # ------------------------------------------------------------------- Impacts
 class TestImpacts:
