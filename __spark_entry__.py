@@ -614,12 +614,67 @@ def _q_quality(spark, sf_dir):
 
 
 def _q_near_topk(spark, sf_dir):
-    return _topk_df(spark, sf_dir, f'"{PHRASE[0]} {PHRASE[1]}"~{NEAR_SLOP}')
+    """Explicit ordered-span proximity (NearQ API; the string syntax ~N is
+    now Lucene's sloppy phrase — see _q_sloppy_unordered_topk)."""
+    from lucene_spark.plans.query import NearQ
+
+    return _topk_df(spark, sf_dir, NearQ(terms=PHRASE, slop=NEAR_SLOP))
 
 
 def _q_sloppy3_topk(spark, sf_dir):
     """3-term ordered proximity (generalized NearQ kernel)."""
+    from lucene_spark.plans.query import NearQ
+
+    return _topk_df(spark, sf_dir, NearQ(terms=SLOPPY3, slop=SLOPPY3_SLOP))
+
+
+def _q_sloppy_unordered_topk(spark, sf_dir):
+    """Lucene-default ``"..."~N``: sloppy PhraseQuery, unordered within
+    slop, freq = float32 Σ 1/(1+matchLength) (SloppyPhraseMatcher)."""
     return _topk_df(spark, sf_dir, f'"{" ".join(SLOPPY3)}"~{SLOPPY3_SLOP}')
+
+
+def _q_sloppy_match(spark, sf_dir):
+    """Positions reproduction for the sloppy matcher: per-doc float32 sloppy
+    freq for every matching doc (no scoring on top)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lucene_spark.operators.search import (
+        _positional_candidates,
+        decode_term_blocks,
+        sloppy_freqs,
+    )
+    from lucene_spark.plans.query import SloppyQ
+
+    s = _searcher(spark, sf_dir)
+    node = SloppyQ(terms=PHRASE, offsets=(0, 1), slop=NEAR_SLOP)
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "freq": pd.Series(dtype="float64")}
+    )
+
+    def kernel(key, pdf):
+        postings = {
+            t: decode_term_blocks(grp, need_positions=True)
+            for t, grp in pdf.groupby("term", sort=False)
+        }
+        c = _positional_candidates(node, postings)
+        if c is None:
+            return empty
+        tps, gids, idxs = c
+        freqs = sloppy_freqs(tps, idxs, node.offsets, node.slop)
+        hit = freqs > 0
+        return pd.DataFrame(
+            {"doc_id": gids[hit], "freq": freqs[hit].astype("float64")}
+        )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("freq", T.DoubleType())]
+    )
+    scan = s._postings_df().select(
+        "seg", "term", "first_gid", "gids", "freqs", "norms", "positions"
+    ).filter(F.col("term").isin(list(PHRASE)))
+    return scan.groupBy("seg").applyInPandas(kernel, schema=schema)
 
 
 def _q_complete(spark, sf_dir):
@@ -796,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "near_topk": _q_near_topk,
         "sloppy3_topk": _q_sloppy3_topk,
+        "sloppy_unordered_topk": _q_sloppy_unordered_topk,
+        "sloppy_match": _q_sloppy_match,
         "complete": _q_complete,
         "quality_metrics": _q_quality,
         "page2_topk": _q_page2,
@@ -872,6 +929,10 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggest": osql.spell_suggest_sql(FUZZY_TERM),
         "near_topk": osql.near_topk_sql(*PHRASE, NEAR_SLOP),
         "sloppy3_topk": osql.near_n_topk_sql(list(SLOPPY3), SLOPPY3_SLOP),
+        "sloppy_unordered_topk": osql.sloppy_topk_sql(
+            list(SLOPPY3), [0, 1, 2], SLOPPY3_SLOP
+        ),
+        "sloppy_match": osql.sloppy_match_sql(list(PHRASE), [0, 1], NEAR_SLOP),
         "complete": osql.complete_sql(PREFIX),
         "quality_metrics": osql.quality_or_vs_and_sql(T_HOT, T_MID),
         "page2_topk": osql.page2_or_sql(T_HOT, T_MID),

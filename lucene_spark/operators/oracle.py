@@ -18,7 +18,7 @@ import numpy as np
 
 from ..functions.analysis import analyze_batch
 from ..functions.smallfloat import LENGTH_TABLE, int_to_byte4
-from ..plans.query import BoolQ, NearQ, PhraseQ, TermQ
+from ..plans.query import BoolQ, NearQ, PhraseQ, SloppyQ, TermQ
 
 
 def _f32(x: float) -> np.float32:
@@ -84,6 +84,13 @@ class BruteForceIndex:
                 return None
             w = _f32(sum(float(self._idf(t)) for t in node.terms))
             return self._score_tf(w, freq, self.norm[g], cache)
+        if isinstance(node, SloppyQ):
+            freq = self._sloppy_freq(node, g)
+            if freq == 0:
+                return None
+            w = _f32(sum(float(self._idf(t)) for t in node.terms))
+            one = _f32(1.0)
+            return w - w / (one + freq * cache[self.norm[g]])
         if isinstance(node, BoolQ):
             total = 0.0  # double accumulation, float32 cast at the end
             if node.must:
@@ -118,6 +125,8 @@ class BruteForceIndex:
             return self._phrase_freq(node, g) > 0
         if isinstance(node, NearQ):
             return self._near_freq(node, g) > 0
+        if isinstance(node, SloppyQ):
+            return self._sloppy_freq(node, g) > 0
         if isinstance(node, BoolQ):
             return self._doc_score(node, g, self._cache()) is not None
         raise TypeError(node)
@@ -141,6 +150,76 @@ class BruteForceIndex:
                 return 0
             prev = cur
         return sum(prev.values())
+
+    def _sloppy_freq(self, node: SloppyQ, g: int) -> np.float32:
+        """Greedy sloppy-phrase traversal (SloppyPhraseMatcher semantics),
+        written plainly: pop the min-(position, offset, ord) PhrasePositions,
+        advance it past the runner-up while shrinking the window, count a
+        match of weight 1/(1+matchLength) when the window closes (or the
+        stream ends) within slop. Repeating terms start staggered and
+        collisions advance the lesser of the pair."""
+        n = len(node.terms)
+        plists = []
+        for t, off in zip(node.terms, node.offsets):
+            ps = self.positions.get((t, g))
+            if not ps:
+                return np.float32(0.0)
+            plists.append([p - off for p in sorted(ps)])
+        ptr = [0] * n
+        groups: dict[str, list[int]] = {}
+        for i, t in enumerate(node.terms):
+            groups.setdefault(t, []).append(i)
+        rpt = [sorted(m, key=lambda i: node.offsets[i])
+               for m in groups.values() if len(m) > 1]
+        for rg in rpt:
+            for j in range(1, len(rg)):
+                ptr[rg[j]] += j
+                if ptr[rg[j]] >= len(plists[rg[j]]):
+                    return np.float32(0.0)
+        in_rpt = {i: rg for rg in rpt for i in rg}
+
+        def pos(i):
+            return plists[i][ptr[i]]
+
+        end = max(pos(i) for i in range(n))
+
+        def advance(i):
+            nonlocal end
+            ptr[i] += 1
+            if ptr[i] >= len(plists[i]):
+                return False
+            end = max(end, pos(i))
+            return True
+
+        def resolve(i):
+            c = i
+            while True:
+                hit = [j for j in in_rpt.get(c, ()) if j != c
+                       and pos(j) + node.offsets[j] == pos(c) + node.offsets[c]]
+                if not hit:
+                    return True
+                k = hit[0]
+                c = min(c, k, key=lambda x: (pos(x), node.offsets[x]))
+                if not advance(c):
+                    return False
+
+        one = _f32(1.0)
+        freq = _f32(0.0)
+        p = min(range(n), key=lambda i: (pos(i), node.offsets[i], i))
+        ml = end - pos(p)
+        nxt = min(pos(i) for i in range(n) if i != p)
+        while advance(p) and (not in_rpt or resolve(p)):
+            if pos(p) > nxt:
+                if ml <= node.slop:
+                    freq = _f32(freq + one / (one + _f32(ml)))
+                p = min(range(n), key=lambda i: (pos(i), node.offsets[i], i))
+                nxt = min(pos(i) for i in range(n) if i != p)
+                ml = end - pos(p)
+            else:
+                ml = min(ml, end - pos(p))
+        if ml <= node.slop:
+            freq = _f32(freq + one / (one + _f32(ml)))
+        return freq
 
     def _phrase_freq(self, node: PhraseQ, g: int) -> int:
         sets = []

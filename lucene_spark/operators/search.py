@@ -71,6 +71,7 @@ from ..plans.query import (
     PrefixQ,
     RangeQ,
     RegexpQ,
+    SloppyQ,
     SynonymQ,
     TermInSetQ,
     TermQ,
@@ -264,6 +265,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_phrase(node, postings, ctx)
     if isinstance(node, NearQ):
         return _eval_near(node, postings, ctx)
+    if isinstance(node, SloppyQ):
+        return _eval_sloppy(node, postings, ctx)
     if isinstance(node, BoolQ):
         return _eval_bool(node, postings, ctx)
     if isinstance(node, SynonymQ):
@@ -484,6 +487,200 @@ def near_freqs(tps: "list[TermPostings]", idxs: "list[np.ndarray]", slop: int) -
     return np.bincount(keys >> _POS_SHIFT, weights=cnt, minlength=ncand).astype(np.int64)
 
 
+def sloppy_freqs(tps: "list[TermPostings]", idxs: "list[np.ndarray]",
+                 offsets: "tuple[int, ...]", slop: int) -> np.ndarray:
+    """Per-candidate sloppy-phrase freq (float32) for DISTINCT-term phrases.
+
+    Lock-step vectorized simulation of SloppyPhraseMatcher's greedy
+    min-position traversal (``core/search/SloppyPhraseMatcher.java:174-206``
+    semantics): every round advances exactly one PhrasePositions per active
+    candidate, so each round is a handful of numpy ops over all candidates
+    at once — no per-doc Python. freq accumulates match weights
+    1/(1+matchLength) in float32, in match order, exactly as
+    PhraseScorer.score() does.
+    """
+    n = len(tps)
+    ncand = len(idxs[0])
+    if ncand == 0:
+        return np.zeros(0, np.float32)
+    one = np.float32(1.0)
+    flats: list[np.ndarray] = []
+    ptr = np.empty((n, ncand), np.int64)  # absolute index into flats[i]
+    lim = np.empty((n, ncand), np.int64)
+    cur = np.empty((n, ncand), np.int64)
+    for i, (tp, idx, off) in enumerate(zip(tps, idxs, offsets)):
+        pos, _ = _gather_positions(tp, idx)
+        lengths = tp.pos_starts[idx + 1] - tp.pos_starts[idx]
+        cstart = np.concatenate(([0], np.cumsum(lengths)))
+        flats.append(pos - int(off))  # pp.position = tpPos - offset
+        ptr[i] = cstart[:-1]
+        lim[i] = cstart[1:]
+        cur[i] = flats[i][ptr[i]]  # every candidate has >=1 position per term
+    rows = np.arange(ncand)
+    end = cur.max(axis=0)
+    # pq order is (position, offset, ord); pp index == offset order == ord,
+    # so numpy's first-wins argmin IS the PhraseQueue pop (PhraseQueue.java)
+    p = np.argmin(cur, axis=0)
+    # next = the min among the remaining pps = the 2nd order statistic
+    nxt = np.partition(cur, 1, axis=0)[1]
+    ml = end - cur[p, rows]
+    freq = np.zeros(ncand, np.float32)
+    active = np.ones(ncand, bool)
+
+    def _count_match(docs, ok):
+        hit = docs[ok]
+        if len(hit):
+            w = one / (one + ml[hit].astype(np.float32))
+            freq[hit] = freq[hit] + w  # float32 += float32, match order
+
+    while active.any():
+        d = rows[active]
+        pi = p[d]
+        np_ptr = ptr[pi, d] + 1
+        exhausted = np_ptr >= lim[pi, d]
+        fin = d[exhausted]
+        if len(fin):
+            # positioned=false path: the last window is a match iff ml<=slop
+            _count_match(fin, ml[fin] <= slop)
+            active[fin] = False
+        live = d[~exhausted]
+        if not len(live):
+            continue
+        pl = pi[~exhausted]
+        newptr = np_ptr[~exhausted]
+        ptr[pl, live] = newptr
+        newcur = np.empty(len(live), np.int64)
+        for i in range(n):
+            m = pl == i
+            if m.any():
+                newcur[m] = flats[i][newptr[m]]
+        cur[pl, live] = newcur
+        end[live] = np.maximum(end[live], newcur)
+        gt = newcur > nxt[live]
+        g = live[gt]
+        if len(g):
+            # done minimizing this window: count the match, pop the next min
+            _count_match(g, ml[g] <= slop)
+            cg = cur[:, g]
+            p[g] = np.argmin(cg, axis=0)
+            nxt[g] = np.partition(cg, 1, axis=0)[1]
+            ml[g] = end[g] - cg[p[g], np.arange(len(g))]
+        s = live[~gt]
+        if len(s):
+            ml[s] = np.minimum(ml[s], end[s] - newcur[~gt])
+    return freq
+
+
+def _sloppy_freq_doc(plists: "list[np.ndarray]", offsets: "tuple[int, ...]",
+                     group_of: "list[int]", slop: int) -> np.float32:
+    """One doc's sloppy freq with REPEATING phrase terms — the
+    initComplex/advanceRpts path (SloppyPhraseMatcher.java:286-467, simple
+    single-term-per-PP case). plists are ADJUSTED (pos - offset) arrays;
+    PPs of the same term share a repeat group id in ``group_of`` (-1 = not
+    repeating). Python per doc, used only for the rare repeated-term phrase."""
+    n = len(plists)
+    ptr = [0] * n
+
+    def pos(i):
+        return int(plists[i][ptr[i]])
+
+    groups: dict[int, list[int]] = {}
+    for i, g in enumerate(group_of):
+        if g >= 0:
+            groups.setdefault(g, []).append(i)
+    # advanceRepeatGroups (no multi-term): the j-th member by query offset
+    # starts j positions in, so the group begins collision-free
+    for rg in groups.values():
+        rg.sort(key=lambda i: offsets[i])
+        for j in range(1, len(rg)):
+            for _ in range(j):
+                ptr[rg[j]] += 1
+                if ptr[rg[j]] >= len(plists[rg[j]]):
+                    return np.float32(0.0)  # PPs exhausted: no match
+    end = max(pos(i) for i in range(n))
+
+    def collide(i):
+        g = group_of[i]
+        if g < 0:
+            return None
+        tp = pos(i) + offsets[i]
+        for j in groups[g]:
+            if j != i and pos(j) + offsets[j] == tp:
+                return j
+        return None
+
+    def advance(i):
+        nonlocal end
+        ptr[i] += 1
+        if ptr[i] >= len(plists[i]):
+            return False
+        if pos(i) > end:
+            end = pos(i)
+        return True
+
+    def advance_rpts(i):
+        # a collision advances the LESSER of the colliding pair, repeatedly
+        c = i
+        while True:
+            k = collide(c)
+            if k is None:
+                return True
+            c = c if (pos(c), offsets[c]) < (pos(k), offsets[k]) else k
+            if not advance(c):
+                return False
+
+    def key(i):
+        return (pos(i), offsets[i], i)
+
+    freq = np.float32(0.0)
+    one = np.float32(1.0)
+    p = min(range(n), key=key)
+    ml = end - pos(p)
+    nxt = min(pos(i) for i in range(n) if i != p)
+    while True:
+        if not advance(p) or (groups and not advance_rpts(p)):
+            break
+        if pos(p) > nxt:
+            if ml <= slop:
+                freq = np.float32(freq + one / (one + np.float32(ml)))
+            p = min(range(n), key=key)
+            nxt = min(pos(i) for i in range(n) if i != p)
+            ml = end - pos(p)
+        else:
+            ml = min(ml, end - pos(p))
+    if ml <= slop:
+        freq = np.float32(freq + one / (one + np.float32(ml)))
+    return freq
+
+
+def sloppy_freqs_rpts(tps, idxs, offsets, terms, slop) -> np.ndarray:
+    """Per-candidate sloppy freqs for phrases with repeated terms (per-doc
+    reference simulation over the candidate set)."""
+    ncand = len(idxs[0])
+    first_of: dict[str, int] = {}
+    group_of = []
+    gid = 0
+    for t in terms:
+        if t in first_of:
+            i = first_of[t]
+            if group_of[i] < 0:
+                group_of[i] = gid
+                gid += 1
+            group_of.append(group_of[i])
+        else:
+            first_of[t] = len(group_of)
+            group_of.append(-1)
+    freqs = np.zeros(ncand, np.float32)
+    for c in range(ncand):
+        plists = []
+        for tp, idx, off in zip(tps, idxs, offsets):
+            r = int(idx[c])
+            s, e = int(tp.pos_starts[r]), int(tp.pos_starts[r + 1])
+            plists.append(tp.pos_flat[s:e] - int(off))
+        freqs[c] = _sloppy_freq_doc(plists, offsets, group_of, slop)
+    return freqs
+
+
 def _positional_candidates(node, postings: dict):
     """Shared prologue of the positional kernels: conjunction of the node's
     terms + per-term row indices of the surviving candidates."""
@@ -522,17 +719,30 @@ def _eval_phrase(node: PhraseQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarr
 
 def _eval_near(node: NearQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
     """Ordered N-term proximity: freq = count of position tuples with every
-    consecutive gap in [1, slop+1], scored like a phrase.
-
-    Deviation from Lucene (documented per ADVICE): the reference's "a b"~N
-    is SloppyPhraseMatcher — unordered, freq weighted 1/(1+matchLength).
-    This engine's ~N is the ordered-span flavor (NearSpansOrdered) with
-    tuple-count freq; the semantics are pinned by the SQL oracle."""
+    consecutive gap in [1, slop+1], scored like a phrase. This is the
+    EXPLICIT ordered-span API (NearSpansOrdered flavor); the parser's
+    ``"..."~N`` builds SloppyQ — Lucene's unordered sloppy matcher."""
     c = _positional_candidates(node, postings)
     if c is None:
         return np.empty(0, np.int64), np.empty(0, np.float32)
     tps, gids, idxs = c
     freqs = near_freqs(tps, idxs, node.slop)
+    return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
+
+
+def _eval_sloppy(node: SloppyQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """Sloppy PhraseQuery (SloppyPhraseMatcher analog): candidates = the
+    terms' conjunction (ConjunctionUtils.intersectIterators); freq = the
+    greedy matcher's float32 sum of 1/(1+matchLength) match weights; scored
+    like a phrase with the summed-idf weight."""
+    c = _positional_candidates(node, postings)
+    if c is None:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    tps, gids, idxs = c
+    if len(set(node.terms)) == len(node.terms):
+        freqs = sloppy_freqs(tps, idxs, node.offsets, node.slop)
+    else:
+        freqs = sloppy_freqs_rpts(tps, idxs, node.offsets, node.terms, node.slop)
     return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
 
 
@@ -555,10 +765,12 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         return float("-inf")
     if isinstance(node, TermQ):
         return term_maxes.get(node.term, float("-inf"))
-    if isinstance(node, (PhraseQ, NearQ)):
+    if isinstance(node, (PhraseQ, NearQ, SloppyQ)):
         if any(t not in term_maxes for t in node.terms):
             return float("-inf")
-        return float("inf")  # no cheap bound for phrase/proximity freq
+        # no cheap bound for phrase/proximity freq (the reference gives
+        # sloppy phrases dummy impacts too, SloppyPhraseMatcher.java:105-135)
+        return float("inf")
     if isinstance(node, BoolQ):
         ub = 0.0
         if node.must:
@@ -663,7 +875,7 @@ def _req_terms(node) -> set:
     """Terms that EVERY matching doc must contain (conjunctive closure)."""
     if isinstance(node, TermQ):
         return {node.term}
-    if isinstance(node, (PhraseQ, NearQ)):
+    if isinstance(node, (PhraseQ, NearQ, SloppyQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set = set()
@@ -968,7 +1180,7 @@ class Searcher:
         reproduce exactly.
         """
         if node is None or isinstance(
-            node, (TermQ, PhraseQ, NearQ, SynonymQ, MatchAllQ, TermInSetQ)
+            node, (TermQ, PhraseQ, NearQ, SloppyQ, SynonymQ, MatchAllQ, TermInSetQ)
         ):
             return node
         if isinstance(node, (PrefixQ, WildcardQ, FuzzyQ, RegexpQ)):
@@ -1040,7 +1252,7 @@ class Searcher:
                     raise TypeError(f"BoostQ supports leaf nodes, got {n.child!r}")
                 # float32 multiply, the BM25Scorer ctor's cast point
                 boost_weights[n] = np.float32(np.float32(n.boost) * base)
-            elif isinstance(n, (PhraseQ, NearQ)):
+            elif isinstance(n, (PhraseQ, NearQ, SloppyQ)):
                 # idf summed as double over float per-term idfs, cast to float
                 s = sum(
                     float(_idf(tstats[t][0], doc_count_of(t)))
@@ -1542,7 +1754,7 @@ class Searcher:
 
 
 def _has_phrase(node) -> bool:
-    if isinstance(node, (PhraseQ, NearQ)):
+    if isinstance(node, (PhraseQ, NearQ, SloppyQ)):
         return True
     if isinstance(node, BoolQ):
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)

@@ -318,6 +318,121 @@ def near_topk_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
     return near_n_topk_sql([t1, t2], slop, k)
 
 
+def sloppy_sim_cte(terms: "list[str]", offsets: "list[int]", slop: int) -> str:
+    """Recursive-CTE state machine reproducing SloppyPhraseMatcher's greedy
+    min-position traversal bit-for-bit (the same transition system as the
+    engine's ``sloppy_freqs`` kernel; SloppyPhraseMatcher.java:174-206
+    semantics, distinct terms).
+
+    Per doc (all phrase terms present), state = per-PP adjusted-position
+    lists ``ls``, cursors ``ptrs``/``curs``, the window (``end_``, current
+    min ``p``, runner-up ``nxt``, matchLength ``ml``) and the float32
+    match-weight sum ``freq``. One recursion step = one PhrasePositions
+    advance in every active doc (lock-step, like the numpy kernel); a step
+    that closes a window (advanced past ``nxt``) or exhausts a PP counts a
+    match iff ``ml <= slop`` with weight 1/(1+ml), accumulated in float32
+    in match order — exactly PhraseScorer.score()'s loop. Emits ``sfreq``:
+    (doc_id, freq FLOAT) for matching docs.
+    """
+    n = len(terms)
+    assert len(set(terms)) == n, "SQL sloppy oracle covers distinct terms"
+    plists = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS pp, list(pos - {int(off)} ORDER BY pos) AS pl "
+        f"FROM toks WHERE term = '{t}' GROUP BY doc_id"
+        for i, (t, off) in enumerate(zip(terms, offsets))
+    )
+    w_ml = _f4(f"1.0 / {_f4('1.0 + ml')}")
+    add_w = _f4(f"CAST(freq AS DOUBLE) + CAST({w_ml} AS DOUBLE)")
+    return f"""
+plists AS ({plists}),
+percand AS (
+  SELECT doc_id, list(pl ORDER BY pp) AS ls
+  FROM plists GROUP BY doc_id HAVING count(*) = {n}
+),
+sim AS (
+  SELECT doc_id, ls, curs, ptrs, end_, p,
+         list_min(list_filter(curs, (x, i) -> i <> p)) AS nxt,
+         end_ - curs[p] AS ml,
+         CAST(0.0 AS FLOAT) AS freq, FALSE AS done
+  FROM (
+    SELECT doc_id, ls, curs, ptrs, list_max(curs) AS end_,
+           list_position(curs, list_min(curs)) AS p
+    FROM (
+      SELECT doc_id, ls,
+             list_transform(ls, l -> l[1]) AS curs,
+             list_transform(ls, l -> CAST(1 AS BIGINT)) AS ptrs
+      FROM percand
+    )
+  )
+  UNION ALL
+  SELECT doc_id, ls, curs3 AS curs, ptrs3 AS ptrs, end3 AS end_, p3 AS p,
+         CASE WHEN exhausted OR NOT gt THEN nxt
+              ELSE list_min(list_filter(curs3, (x, i) -> i <> p3)) END AS nxt,
+         CASE WHEN exhausted THEN ml
+              WHEN gt THEN end3 - curs3[p3]
+              ELSE least(ml, end3 - newcur) END AS ml,
+         CASE WHEN (exhausted OR gt) AND ml <= {int(slop)}
+              THEN {add_w} ELSE freq END AS freq,
+         exhausted AS done
+  FROM (
+    SELECT *, CASE WHEN exhausted OR NOT gt THEN p
+                   ELSE list_position(curs3, list_min(curs3)) END AS p3
+    FROM (
+      SELECT *,
+             CASE WHEN exhausted THEN curs
+                  ELSE list_transform(curs, (x, i) ->
+                         CASE WHEN i = p THEN newcur ELSE x END) END AS curs3,
+             CASE WHEN exhausted THEN ptrs
+                  ELSE list_transform(ptrs, (x, i) ->
+                         CASE WHEN i = p THEN np ELSE x END) END AS ptrs3,
+             CASE WHEN exhausted THEN end_
+                  ELSE greatest(end_, newcur) END AS end3,
+             COALESCE(newcur > nxt, FALSE) AS gt
+      FROM (
+        SELECT *, CASE WHEN exhausted THEN NULL ELSE ls[p][np] END AS newcur
+        FROM (
+          SELECT *, ptrs[p] + 1 AS np,
+                 ptrs[p] + 1 > len(ls[p]) AS exhausted
+          FROM sim WHERE NOT done
+        )
+      )
+    )
+  )
+),
+sfreq AS (
+  SELECT doc_id, freq FROM sim WHERE done AND freq > 0
+)"""
+
+
+def sloppy_topk_sql(terms: "list[str]", offsets: "list[int]", slop: int,
+                    k: int = 10) -> str:
+    """Sloppy PhraseQuery top-k (the ``"..."~N`` default): unordered within
+    slop, freq = float32 Σ 1/(1+matchLength) from the greedy matcher,
+    scored as a phrase (summed-idf weight)."""
+    idfs = [
+        "CAST("
+        + idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{t}')", N_SQL)
+        + " AS DOUBLE)"
+        for t in terms
+    ]
+    w = _f4(" + ".join(idfs))
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    score = bm25_score_sql(w, "sf.freq", cache)
+    return f"""WITH RECURSIVE {base_ctes()},{sloppy_sim_cte(terms, offsets, slop)}
+SELECT sf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM sfreq sf
+JOIN dn ON dn.doc_id = sf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def sloppy_match_sql(terms: "list[str]", offsets: "list[int]", slop: int) -> str:
+    """Freq-level sloppy oracle: (doc_id, float32 freq) for every match —
+    the SloppyPhraseMatcher positions reproduction, no scoring on top."""
+    return f"""WITH RECURSIVE {base_ctes()},{sloppy_sim_cte(terms, offsets, slop)}
+SELECT doc_id, CAST(freq AS DOUBLE) AS freq FROM sfreq ORDER BY doc_id"""
+
+
 def complete_sql(prefix: str, n: int = 5) -> str:
     return f"""WITH {base_ctes()}
 SELECT term, total_term_freq AS weight FROM tstats

@@ -22,7 +22,7 @@ from .fields import DEFAULT_FIELD, qualify
 __all__ = [
     "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
     "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
-    "ConstScoreQ", "MatchAllQ", "TermInSetQ",
+    "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
 
@@ -113,16 +113,30 @@ class NearQ:
     """Ordered N-term proximity (NearSpansOrdered flavor, ``lucene/queries``
     spans): matches docs containing the terms in order with every
     consecutive gap in [1, slop+1]; freq = number of qualifying position
-    tuples, scored like a phrase with the summed-idf weight. Parsed from
-    ``"t1 t2 ..."~N``.
+    tuples, scored like a phrase with the summed-idf weight.
 
-    Documented deviation from the reference: Lucene's classic QueryParser
-    turns ``"..."~N`` into a *sloppy* PhraseQuery (SloppyPhraseMatcher —
-    unordered within slop, freq weighted by 1/(1+matchLength)); this engine
-    pins the ordered-span semantics above instead, reproduced exactly by
-    the SQL oracle (``oracle_sql.near_topk_sql``)."""
+    This is the EXPLICIT ordered-span API; the string syntax ``"..."~N``
+    parses to :class:`SloppyQ` (Lucene's sloppy PhraseQuery), matching the
+    reference QueryParser default."""
 
     terms: tuple[str, ...]
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class SloppyQ:
+    """Sloppy PhraseQuery (``core/search/PhraseQuery.java`` with slop > 0,
+    matched by ``core/search/SloppyPhraseMatcher.java``): unordered within
+    slop — the greedy min-position traversal counts each match with weight
+    1/(1+matchLength), freq = float32 sum of match weights, scored like a
+    phrase with the summed-idf weight. Parsed from ``"t1 t2 ..."~N``
+    (QueryParserBase.getFieldQuery sets the slop on the PhraseQuery).
+
+    ``offsets`` are the query positions of each term (stopword holes kept),
+    exactly PhraseQuery's positions array."""
+
+    terms: tuple[str, ...]
+    offsets: tuple[int, ...]
     slop: int = 0
 
 
@@ -428,7 +442,13 @@ class _Parser:
             if len(toks) == 1:
                 return TermQ(toks[0][0])
             if slop > 0:
-                return NearQ(terms=tuple(w for w, _ in toks), slop=slop)
+                # Lucene QueryParser: "..."~N is a sloppy PhraseQuery
+                # (unordered within slop, SloppyPhraseMatcher semantics)
+                return SloppyQ(
+                    terms=tuple(w for w, _ in toks),
+                    offsets=tuple(p for _, p in toks),
+                    slop=slop,
+                )
             return PhraseQ(
                 terms=tuple(w for w, _ in toks), offsets=tuple(p for _, p in toks)
             )
@@ -459,6 +479,11 @@ def qualify_node(node, field: str):
         )
     if isinstance(node, NearQ):
         return NearQ(terms=tuple(qualify(field, t) for t in node.terms), slop=node.slop)
+    if isinstance(node, SloppyQ):
+        return SloppyQ(
+            terms=tuple(qualify(field, t) for t in node.terms),
+            offsets=node.offsets, slop=node.slop,
+        )
     if isinstance(node, SynonymQ):
         return SynonymQ(terms=tuple(qualify(field, t) for t in node.terms))
     if isinstance(node, PrefixQ):
@@ -540,7 +565,7 @@ def query_terms(node) -> set[str]:
         return set()
     if isinstance(node, TermQ):
         return {node.term}
-    if isinstance(node, (PhraseQ, SynonymQ, NearQ)):
+    if isinstance(node, (PhraseQ, SynonymQ, NearQ, SloppyQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()

@@ -148,9 +148,10 @@ def test_match_all(searcher):
 def test_near_query(searcher):
     """Proximity: slop widens the match set monotonically; slop semantics
     verified against a brute-force pair count on one doc."""
-    from lucene_spark.plans.query import NearQ, parse_query as pq
+    from lucene_spark.plans.query import NearQ, SloppyQ, parse_query as pq
 
-    assert pq('"table scan"~3') == NearQ(("table", "scan"), 3)
+    # the string syntax is Lucene's sloppy phrase; NearQ is the explicit API
+    assert pq('"table scan"~3') == SloppyQ(("table", "scan"), (0, 1), 3)
     exact = searcher.search('"table scan"', k=10**6, prune=False)
     tight = searcher.search(NearQ(("table", "scan"), 1), k=10**6, prune=False)
     wide = searcher.search(NearQ(("table", "scan"), 8), k=10**6, prune=False)

@@ -105,6 +105,24 @@ def test_near_multiterm_matches_oracle(tiny_searcher, oracle):
     _check(tiny_searcher, oracle, NearQ(terms=(a, b, c), slop=4), msg="near3-hot")
 
 
+def test_sloppy_matches_oracle(tiny_searcher, oracle):
+    """Unordered sloppy phrase (SloppyPhraseMatcher semantics) vs the
+    brute-force per-doc greedy sim, across the multi-bucket kernel path —
+    including a repeated-term phrase (the initComplex/advanceRpts path)."""
+    from lucene_spark.plans.query import SloppyQ
+
+    by_df = _terms_by_df(oracle)
+    a, b, c = by_df[-1], by_df[-2], by_df[-3]
+    _check(tiny_searcher, oracle, SloppyQ(terms=(a, b), offsets=(0, 1), slop=3),
+           msg="sloppy2")
+    _check(tiny_searcher, oracle,
+           SloppyQ(terms=(a, b, c), offsets=(0, 1, 2), slop=4), msg="sloppy3")
+    _check(tiny_searcher, oracle,
+           SloppyQ(terms=(a, b, c), offsets=(0, 2, 3), slop=2), msg="sloppy-holes")
+    _check(tiny_searcher, oracle,
+           SloppyQ(terms=(a, b, a), offsets=(0, 1, 2), slop=3), msg="sloppy-rpt")
+
+
 def test_search_after_cursor_pages(tiny_searcher, oracle):
     by_df = _terms_by_df(oracle)
     hot, mid = by_df[-1], by_df[len(by_df) // 2]
@@ -156,7 +174,10 @@ def test_parse_fuzzy_variants():
 
 
 def test_parse_sloppy_three_terms():
+    from lucene_spark.plans.query import SloppyQ
+
     node = parse_query('"alpha beta gamma"~2')
-    assert isinstance(node, NearQ)
+    assert isinstance(node, SloppyQ)  # Lucene QueryParser: sloppy PhraseQuery
     assert node.terms == ("alpha", "beta", "gamma")
+    assert node.offsets == (0, 1, 2)
     assert node.slop == 2
