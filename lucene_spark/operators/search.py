@@ -93,6 +93,23 @@ MIN_BUCKET_POSTINGS = 1 << 10
 
 _UNSET = object()  # deleted-gids cache sentinel
 
+_REGEX_META = set("\\.^$*+?()[]{}|")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex — chars up to the first metachar,
+    excluding a char modified by a following quantifier. Used to push a
+    StartsWith into the sorted-terms scan before the full rlike (the FST
+    automaton-intersection seek analog)."""
+    out = []
+    for i, ch in enumerate(pattern):
+        if ch in _REGEX_META:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break
+        out.append(ch)
+    return "".join(out)
+
 
 @dataclass
 class TermPostings:
@@ -275,6 +292,17 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_dismax(node, postings, ctx)
     if isinstance(node, ConstScoreQ):
         gids, _ = eval_plan(node.child, postings, ctx)
+        return gids, np.full(len(gids), np.float32(node.boost), dtype=np.float32)
+    if isinstance(node, TermInSetQ):
+        # nested TermInSetQuery: constant-score union of member postings
+        gs = [
+            tp.gids
+            for tp in (postings.get(t) for t in node.terms)
+            if tp is not None and len(tp.gids)
+        ]
+        if not gs:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        gids = np.unique(np.concatenate(gs))
         return gids, np.full(len(gids), np.float32(node.boost), dtype=np.float32)
     if isinstance(node, BoostQ):
         return _eval_boost(node, postings, ctx)
@@ -811,6 +839,10 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
     if isinstance(node, ConstScoreQ):
         child = _plan_upper_bound(node.child, term_maxes, ctx)
         return float("-inf") if child == float("-inf") else float(node.boost)
+    if isinstance(node, TermInSetQ):
+        if not any(t in term_maxes for t in node.terms):
+            return float("-inf")
+        return float(node.boost)
     if isinstance(node, BoostQ):
         child = _plan_upper_bound(node.child, term_maxes, ctx)
         if child == float("-inf"):
@@ -1083,7 +1115,12 @@ class Searcher:
         if not terms:
             return {}
         tdf = self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
-        rows = tdf.filter(F.col("term").isin(list(terms))).collect()
+        if len(terms) <= 64:
+            tdf = tdf.filter(F.col("term").isin(list(terms)))
+        else:
+            probe = self.spark.createDataFrame(pd.DataFrame({"term": sorted(terms)}))
+            tdf = tdf.join(F.broadcast(probe), "term", "left_semi")
+        rows = tdf.collect()
         return {r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"])) for r in rows}
 
     # ---- multi-term rewrite (MultiTermQuery.java rewrite methods) ------
@@ -1094,11 +1131,14 @@ class Searcher:
             )
         return self._terms_df
 
-    def expand_terms(self, node) -> list[str]:
+    def expand_terms(self, node, capped: bool = False) -> list[str]:
         """Term-dictionary scan for one multi-term node. The filter pushes
         into the sorted terms Parquet (min/max row-group pruning = the
-        blocktree/FST seek analog); matches collect to the driver, capped
-        like BooleanQuery's maxClauseCount."""
+        blocktree/FST seek analog); matches collect to the driver.
+
+        ``capped`` applies BooleanQuery's maxClauseCount — only relevant for
+        SCORING boolean rewrites; the default constant-score-blended rewrite
+        has no clause cap (AbstractMultiTermQueryConstantScoreWrapper)."""
         tdf = self.terms_table()
         # default-field patterns must not leak into qualified keys of other
         # fields (e.g. wildcard ?a* would match "head\x1f..." otherwise)
@@ -1119,6 +1159,17 @@ class Searcher:
         elif isinstance(node, WildcardQ):
             import re as _re
 
+            # longest literal prefix before the first wildcard pushes a
+            # StartsWith into the sorted-terms Parquet scan (row-group
+            # min/max pruning) — the blocktree/FST automaton-intersection
+            # seek analog (Lucene90BlockTreeTermsReader.intersect); the
+            # rlike then only sees the pruned candidate range
+            cut = min(
+                [i for i, ch in enumerate(node.pattern) if ch in "*?"]
+                + [len(node.pattern)]
+            )
+            if cut:
+                tdf = tdf.filter(F.col("term").startswith(node.pattern[:cut]))
             rx = "".join(
                 ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
                 for ch in node.pattern
@@ -1126,14 +1177,52 @@ class Searcher:
             matched = tdf.filter(F.col("term").rlike(f"^{rx}$"))
         elif isinstance(node, FuzzyQ):
             # FuzzyQuery.java: candidates within maxEdits, keeping the
-            # maxExpansions highest-docFreq terms (exact-match always kept)
-            cand = tdf.filter(
-                F.levenshtein(F.col("term"), F.lit(node.term)) <= node.max_edits
+            # maxExpansions highest-docFreq terms (exact-match always kept).
+            # Candidate generation is bounded BEFORE the distance runs:
+            # |len(term) - len(q)| <= maxEdits (true for Levenshtein and
+            # Damerau alike), and a non-zero prefixLength pushes a
+            # StartsWith seek with the distance on the remainders
+            # (FuzzyQuery.java prefixLength semantics).
+            plen = int(getattr(node, "prefix_length", 0) or 0)
+            q = node.term
+            if plen > 0:
+                plen = min(plen, len(q))
+                tdf = tdf.filter(F.col("term").startswith(q[:plen]))
+            band = tdf.select("term", "doc_freq").filter(
+                F.length(F.col("term")).between(
+                    len(q) - node.max_edits, len(q) + node.max_edits
+                )
             )
+            if getattr(node, "transpositions", True):
+                # OSA (restricted Damerau) in an Arrow-vectorized kernel —
+                # one batched DP per partition, no per-term Python
+                from ..functions.editdist import osa_distances
+
+                qs, pl, me = q, plen, node.max_edits
+
+                def dist_kernel(batches):
+                    for pdf in batches:
+                        if pdf.empty:
+                            continue
+                        suf = [t[pl:] for t in pdf["term"]]
+                        d = osa_distances(suf, qs[pl:])
+                        keep = d <= me
+                        if keep.any():
+                            yield pdf[keep]
+
+                cand = band.mapInPandas(
+                    dist_kernel, schema="term string, doc_freq long"
+                )
+            else:
+                # classic Levenshtein stays JVM-side
+                suffix = F.col("term").substr(plen + 1, 1 << 20)
+                cand = band.filter(
+                    F.levenshtein(suffix, F.lit(q[plen:])) <= node.max_edits
+                )
             rows = (
                 cand.select("term", "doc_freq")
                 .orderBy(
-                    (F.col("term") == node.term).desc(),
+                    (F.col("term") == q).desc(),
                     F.desc("doc_freq"),
                     F.asc("term"),
                 )
@@ -1142,6 +1231,9 @@ class Searcher:
             )
             return sorted(r["term"] for r in rows)
         elif isinstance(node, RegexpQ):
+            lit = _regex_literal_prefix(node.pattern)
+            if lit:
+                tdf = tdf.filter(F.col("term").startswith(lit))
             matched = tdf.filter(F.col("term").rlike(f"^{node.pattern}$"))
         elif isinstance(node, RangeQ):
             c = F.lit(True)
@@ -1156,39 +1248,46 @@ class Searcher:
             matched = tdf.filter(c)
         else:
             raise TypeError(f"not a multi-term node: {node!r}")
-        terms = [r["term"] for r in matched.select("term").limit(MAX_CLAUSE_COUNT + 1).collect()]
-        if len(terms) > MAX_CLAUSE_COUNT:
-            raise ValueError(
-                f"multi-term query expands to >{MAX_CLAUSE_COUNT} terms "
-                "(maxClauseCount, IndexSearcher.java:81)"
-            )
+        if capped:
+            terms = [
+                r["term"]
+                for r in matched.select("term").limit(MAX_CLAUSE_COUNT + 1).collect()
+            ]
+            if len(terms) > MAX_CLAUSE_COUNT:
+                raise ValueError(
+                    f"multi-term query expands to >{MAX_CLAUSE_COUNT} terms "
+                    "(maxClauseCount, IndexSearcher.java:81)"
+                )
+        else:
+            terms = [r["term"] for r in matched.select("term").collect()]
         return sorted(terms)
 
     def rewrite(self, node):
         """Resolve multi-term nodes against the term dictionary
         (Query.rewrite fixpoint, IndexSearcher.java:761-768).
 
-        Prefix/wildcard → scoring boolean OR over matched terms
-        (MultiTermQuery.SCORING_BOOLEAN_REWRITE); range → constant-score
-        over the match set (Lucene's default for ranges). An empty
-        expansion becomes a match-nothing BoolQ (MatchNoDocsQuery analog).
-
-        Documented deviation: the reference's PrefixQuery/WildcardQuery
-        default to CONSTANT_SCORE_BLENDED_REWRITE, so default *rankings*
-        differ; this engine pins the scoring-boolean semantics (each
-        matched term contributes its own idf), which the SQL oracles
-        reproduce exactly.
+        Prefix/wildcard/regexp/range → CONSTANT_SCORE_BLENDED_REWRITE, the
+        reference default (PrefixQuery.java:32-34, AutomatonQuery.java:79,
+        TermRangeQuery.newStringRange): every doc containing ANY matched
+        term scores the boost (1.0), with NO clause cap — the match set
+        executes through the TermInSet semi-join machinery (the bitset/
+        postings-union execution of
+        MultiTermQueryConstantScoreBlendedWrapper, re-expressed as a scan
+        semi-join). Fuzzy keeps a scoring OR over the capped top-docFreq
+        expansion (deviation from TopTermsBlendedFreqScoringRewrite,
+        documented in COVERAGE.md). An empty expansion matches nothing
+        (MatchNoDocsQuery analog).
         """
         if node is None or isinstance(
             node, (TermQ, PhraseQ, NearQ, SloppyQ, SynonymQ, MatchAllQ, TermInSetQ)
         ):
             return node
-        if isinstance(node, (PrefixQ, WildcardQ, FuzzyQ, RegexpQ)):
+        if isinstance(node, FuzzyQ):
             terms = self.expand_terms(node)
             return BoolQ(should=tuple(TermQ(t) for t in terms)).simplified()
-        if isinstance(node, RangeQ):
+        if isinstance(node, (PrefixQ, WildcardQ, RegexpQ, RangeQ)):
             terms = self.expand_terms(node)
-            return ConstScoreQ(BoolQ(should=tuple(TermQ(t) for t in terms)), boost=1.0)
+            return ConstScoreQ(TermInSetQ(tuple(terms)), boost=1.0)
         if isinstance(node, BoolQ):
             return BoolQ(
                 must=tuple(self.rewrite(c) for c in node.must),
@@ -1384,7 +1483,18 @@ class Searcher:
         need_positions = _has_phrase(node)
         cols = ["seg", "term", "first_gid", "last_gid", "doc_count", "gids", "freqs", "norms",
                 "imp_freqs", "imp_norms"] + (["positions"] if need_positions else [])
-        scan = self._postings_df().select(*cols).filter(F.col("term").isin(list(terms)))
+        scan = self._postings_df().select(*cols)
+        if len(terms) <= 64:
+            # IN-filter pushes into the Parquet scan (row-group pruning)
+            scan = scan.filter(F.col("term").isin(list(terms)))
+        else:
+            # huge nested expansions (uncapped constant-score rewrites): an
+            # In expression with 100k literals blows up plan build — use a
+            # broadcast semi-join like TermInSetQuery's bulk path
+            tdf = self.spark.createDataFrame(
+                pd.DataFrame({"term": sorted(terms)})
+            )
+            scan = scan.join(F.broadcast(tdf), "term", "left_semi")
 
         qid = uuid.uuid4().hex
         if isinstance(node, TermQ):

@@ -117,11 +117,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, bands: int = 4) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over the signatures.
 
-    rows = N_MINHASH/bands per band; docs sharing a band key become a
-    candidate pair. Band keys are built from the wide signature row
-    (concat in fixed i order — no collect_list order nondeterminism).
-    Scale path: the join is per-bucket (band key), never all-pairs;
-    verification (exact Jaccard) only touches candidates.
+    rows = N_MINHASH/bands per band; docs sharing a band key become
+    candidates. Band keys are built from the wide signature row (concat in
+    fixed i order — no collect_list order nondeterminism).
+
+    Pairs are STARS, not cliques: each bucket emits (bucket-min doc ↔
+    member), so a degenerate band key (a template family where thousands of
+    near-identical docs share every band) is LINEAR in bucket size instead
+    of quadratic — the round-2 100-TB finding. Connected components are
+    preserved (every member links to the bucket min), so downstream
+    ``dedup_clusters`` labels are identical to the clique form.
     """
     wide = _minhash_wide(spark, sf_dir)
     rows_per_band = N_MINHASH // bands
@@ -138,12 +143,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, bands: int = 4) -> DataF
     keys = wide.select("doc_id", F.explode(band_structs).alias("p")).select(
         "doc_id", F.col("p.band").alias("band"), F.col("p.bkey").alias("bkey")
     )
-    a = keys.alias("a")
-    b = keys.alias("b")
+    bmin = (
+        keys.groupBy("band", "bkey")
+        .agg(F.min("doc_id").alias("doc_a"), F.count("*").alias("sz"))
+        .filter(F.col("sz") > 1)
+        .drop("sz")
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        keys.join(bmin, ["band", "bkey"])
+        .filter(F.col("doc_id") > F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
     )
 

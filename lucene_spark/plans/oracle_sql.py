@@ -175,7 +175,9 @@ def scored_pred_cte(name: str, term_pred: str) -> str:
 
 def multiterm_topk_sql(term_pred: str, k: int = 10) -> str:
     """Scoring-boolean rewrite: OR-sum over every matched term's clause
-    (MultiTermQuery.SCORING_BOOLEAN_REWRITE → DisjunctionSumScorer)."""
+    (MultiTermQuery.SCORING_BOOLEAN_REWRITE → DisjunctionSumScorer).
+    Kept for opt-in scoring rewrites; the engine default is now the
+    constant-score-blended form below."""
     return f"""WITH {base_ctes()},{scored_pred_cte('s', term_pred)}
 SELECT doc_id,
        CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
@@ -183,26 +185,97 @@ FROM s GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def const_multiterm_topk_sql(term_pred: str, k: int = 10) -> str:
+    """CONSTANT_SCORE_BLENDED_REWRITE (the PrefixQuery/WildcardQuery/
+    RegexpQuery/TermRangeQuery default): every doc containing ANY matched
+    term scores 1.0; deterministic (gid asc) page, no clause cap."""
+    return f"""WITH {base_ctes()}
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE {term_pred})
+ORDER BY doc_id ASC LIMIT {k}"""
+
+
 def prefix_topk_sql(prefix: str, k: int = 10) -> str:
-    return multiterm_topk_sql(f"tf.term LIKE '{prefix}%'", k)
+    return const_multiterm_topk_sql(f"tf.term LIKE '{prefix}%'", k)
 
 
 def wildcard_topk_sql(pattern: str, k: int = 10) -> str:
     like = pattern.replace("*", "%").replace("?", "_")
-    return multiterm_topk_sql(f"tf.term LIKE '{like}'", k)
+    return const_multiterm_topk_sql(f"tf.term LIKE '{like}'", k)
+
+
+def _sq(ch: str) -> str:
+    return ch.replace("'", "''")
+
+
+def osa_expand_ctes(q: str, max_edits: int = 2, max_expansions: int = 50) -> str:
+    """CTE chain computing the OSA (restricted-Damerau) distance from ``q``
+    to every dictionary term — Lucene's transpositions=true fuzzy distance
+    (FuzzyQuery.java:272; the DP with the d[i-2][j-2]+cost transposition
+    term, TestFuzzyQuery.java:730-793). NOT DuckDB's builtin
+    ``damerau_levenshtein`` (unrestricted Damerau differs, e.g. ca→abc).
+
+    One unrolled stage per query character, each MATERIALIZED (expression
+    inlining across stages otherwise compounds exponentially and OOMs the
+    optimizer); per stage the in-row left dependency is unwound as
+    new[k] = (k-1) + min_{m<=k}(base[m]-(m-1)).
+    Emits ``fterms``: the capped top-docFreq expansion (exact match kept
+    first)."""
+    e = int(max_edits)
+    stages = [
+        f"""
+f0 AS MATERIALIZED (
+  SELECT term, doc_freq, len(term) AS n,
+         list_transform(range(1, len(term) + 1), i -> term[i]) AS tc,
+         list_transform(range(0, len(term) + 1), i -> CAST(i AS BIGINT)) AS prev,
+         CAST(NULL AS BIGINT[]) AS pprev
+  FROM tstats
+  WHERE abs(len(term) - {len(q)}) <= {e}
+)"""
+    ]
+    for j in range(1, len(q) + 1):
+        qj = _sq(q[j - 1])
+        cost = f"(CASE WHEN tc[k0] = '{qj}' THEN 0 ELSE 1 END)"
+        trans = "999999"
+        if j >= 2:
+            qjm1 = _sq(q[j - 2])
+            trans = (
+                f"CASE WHEN k0 >= 2 AND tc[k0] = '{qjm1}' AND tc[k0-1] = '{qj}' "
+                f"THEN pprev[k0-1] + {cost} ELSE 999999 END"
+            )
+        base = (
+            f"list_transform(range(0, n + 1), k0 -> CASE WHEN k0 = 0 THEN CAST({j} AS BIGINT) "
+            f"ELSE least(prev[k0+1] + 1, prev[k0] + {cost}, {trans}) END)"
+        )
+        stages.append(
+            f"""
+f{j} AS MATERIALIZED (
+  SELECT term, doc_freq, n, tc,
+         list_transform(base, (x, k) ->
+           (k - 1) + list_min(list_transform(base[1:k], (y, m) -> y - (m - 1)))
+         ) AS prev,
+         prev AS pprev
+  FROM (SELECT *, {base} AS base FROM f{j - 1})
+)"""
+        )
+    stages.append(
+        f"""
+fterms AS (
+  SELECT term FROM f{len(q)}
+  WHERE prev[n + 1] <= {e}
+  ORDER BY (term = '{_sq(q)}') DESC, doc_freq DESC, term ASC
+  LIMIT {int(max_expansions)}
+)"""
+    )
+    return ",".join(stages)
 
 
 def fuzzy_topk_sql(q: str, max_edits: int = 2, max_expansions: int = 50, k: int = 10) -> str:
-    """Fuzzy rewrite: terms within edit distance, capped at the
+    """Fuzzy rewrite: terms within OSA (restricted-Damerau) distance —
+    transpositions=true like the reference default — capped at the
     highest-docFreq ``max_expansions`` (exact match always kept), scored as
-    a boolean OR. Both engines use classic Levenshtein distance."""
-    return f"""WITH {base_ctes()},
-fterms AS (
-  SELECT term FROM tstats
-  WHERE levenshtein(term, '{q}') <= {max_edits}
-  ORDER BY (term = '{q}') DESC, doc_freq DESC, term ASC
-  LIMIT {max_expansions}
-),{scored_pred_cte('s', 'tf.term IN (SELECT term FROM fterms)')}
+    a boolean OR."""
+    return f"""WITH {base_ctes()},{osa_expand_ctes(q, max_edits, max_expansions)},{scored_pred_cte('s', 'tf.term IN (SELECT term FROM fterms)')}
 SELECT doc_id,
        CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
 FROM s GROUP BY doc_id
@@ -210,7 +283,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
 def regexp_topk_sql(pattern: str, k: int = 10) -> str:
-    return multiterm_topk_sql(f"regexp_matches(tf.term, '^{pattern}$')", k)
+    return const_multiterm_topk_sql(f"regexp_matches(tf.term, '^{pattern}$')", k)
 
 
 def range_topk_sql(lo: str, hi: str, k: int = 10) -> str:

@@ -102,16 +102,22 @@ SELECT doc_id, i::INT AS i, sig FROM sig ORDER BY doc_id, i"""
 
 
 def minhash_lsh_pairs_sql(bands: int = 4) -> str:
+    """Star pairs per band bucket (bucket-min doc ↔ member): linear in
+    bucket size, components preserved — the textops star semantics."""
     rpb = N_MINHASH // bands
     return f"""WITH {_sig_ctes()},
 keys AS (
   SELECT doc_id, (i // {rpb})::INT AS band,
          string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS bkey
   FROM sig GROUP BY doc_id, i // {rpb}
+),
+bmin AS (
+  SELECT band, bkey, min(doc_id) AS doc_a
+  FROM keys GROUP BY band, bkey HAVING count(*) > 1
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM keys a JOIN keys b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+SELECT DISTINCT bm.doc_a, k.doc_id AS doc_b
+FROM bmin bm JOIN keys k
+  ON k.band = bm.band AND k.bkey = bm.bkey AND k.doc_id > bm.doc_a
 ORDER BY doc_a, doc_b"""
 
 
@@ -144,10 +150,14 @@ keys AS (
          string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS bkey
   FROM sig GROUP BY doc_id, i // {rpb}
 ),
+bmin AS (
+  SELECT band, bkey, min(doc_id) AS doc_a
+  FROM keys GROUP BY band, bkey HAVING count(*) > 1
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM keys a JOIN keys b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  SELECT DISTINCT bm.doc_a, k.doc_id AS doc_b
+  FROM bmin bm JOIN keys k
+    ON k.band = bm.band AND k.bkey = bm.bkey AND k.doc_id > bm.doc_a
 ),
 shf AS (SELECT doc_id, {md5i('sh')} AS h FROM shd),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shf GROUP BY doc_id),
@@ -220,10 +230,14 @@ keys AS (
          string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS bkey
   FROM sig GROUP BY doc_id, i // {rpb}
 ),
+bmin AS (
+  SELECT band, bkey, min(doc_id) AS mn
+  FROM keys GROUP BY band, bkey HAVING count(*) > 1
+),
 lsh_pairs AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM keys a JOIN keys b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  SELECT DISTINCT bm.mn AS a, k.doc_id AS b
+  FROM bmin bm JOIN keys k
+    ON k.band = bm.band AND k.bkey = bm.bkey AND k.doc_id > bm.mn
 ),
 texth AS (SELECT doc_id, {md5i('text')} AS h FROM documents),
 exact_pairs AS (

@@ -59,15 +59,22 @@ class WildcardQ:
 class FuzzyQ:
     """FuzzyQuery (core/search/FuzzyQuery.java): terms within edit distance
     ``max_edits`` of ``term``; expansion capped at ``max_expansions`` terms
-    picked by (doc_freq desc, term asc). Simplifications vs the reference
-    (documented deviations): matched terms score as a scoring-boolean OR
-    (per-term idf) instead of Lucene's blended-freq top-terms rewrite, and
-    distance is classic Levenshtein — Lucene defaults transpositions=true
-    (Damerau), so a transposed pair costs 2 edits here vs 1 there."""
+    picked by (doc_freq desc, term asc), exact match always kept.
+
+    ``transpositions`` defaults True like the reference (FuzzyQuery.java:
+    272): distance is OSA / restricted Damerau — a transposed adjacent pair
+    costs one edit (the brute-force contract in TestFuzzyQuery.java:
+    730-793). ``prefix_length`` requires that many leading chars to match
+    exactly, with the distance on the remainders (pushes a StartsWith seek).
+    Remaining documented deviation: matched terms score as a
+    scoring-boolean OR (per-term idf) rather than Lucene's
+    TopTermsBlendedFreqScoringRewrite."""
 
     term: str
     max_edits: int = 2
     max_expansions: int = 50
+    prefix_length: int = 0
+    transpositions: bool = True
 
 
 @dataclass(frozen=True)
@@ -491,7 +498,10 @@ def qualify_node(node, field: str):
     if isinstance(node, WildcardQ):
         return WildcardQ(qualify(field, node.pattern))
     if isinstance(node, FuzzyQ):
-        return FuzzyQ(qualify(field, node.term), node.max_edits, node.max_expansions)
+        return FuzzyQ(
+            qualify(field, node.term), node.max_edits, node.max_expansions,
+            node.prefix_length, node.transpositions,
+        )
     if isinstance(node, RegexpQ):
         return RegexpQ(qualify(field, node.pattern))
     if isinstance(node, RangeQ):
@@ -582,8 +592,7 @@ def query_terms(node) -> set[str]:
     if isinstance(node, (PrefixQ, WildcardQ, RangeQ, FuzzyQ, RegexpQ)):
         raise TypeError(f"{node!r} must be rewritten before planning")
     if isinstance(node, TermInSetQ):
-        raise TypeError(
-            "TermInSetQ is a top-level filter query (optionally under "
-            "ConstScoreQ); nesting it inside scoring composites is unsupported"
-        )
+        # legal as a nested constant-score clause (the blended-rewrite
+        # output); top-level instances take the gid-only semi-join fast path
+        return set(node.terms)
     raise TypeError(f"unknown node {node!r}")

@@ -74,6 +74,34 @@ def test_term_in_set_large_set_uses_broadcast_semi_join(searcher):
     )
 
 
+def test_wildcard_literal_prefix_pushes_startswith(searcher):
+    """Multi-term expansion must not scan the whole dictionary: a wildcard
+    with a literal prefix pushes StartsWith into the sorted-terms Parquet
+    (row-group min/max pruning — the FST-intersect seek analog)."""
+    from lucene_spark.plans.query import RegexpQ, WildcardQ
+
+    tdf = searcher.terms_table().filter(F.col("term").startswith("me"))
+    plan = _explain(tdf)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("StartsWith" in l for l in pushed), plan
+    # engine-level: pushdown prunes the expansion's input, results identical
+    assert searcher.expand_terms(WildcardQ("me*ge")) == ["merge"]
+    assert searcher.expand_terms(RegexpQ("mer.*")) == ["merge"]
+    assert searcher.expand_terms(WildcardQ("?erge")) == ["merge"]  # no prefix
+
+
+def test_fuzzy_expansion_is_length_banded(searcher):
+    """Fuzzy candidates are bounded by |len(term) - len(q)| <= maxEdits
+    before any distance runs, and prefix_length pushes a StartsWith seek."""
+    from lucene_spark.plans.query import FuzzyQ
+
+    got = searcher.expand_terms(FuzzyQ("merge", max_edits=1))
+    assert "merge" in got
+    assert all(abs(len(t) - 5) <= 1 for t in got)
+    pref = searcher.expand_terms(FuzzyQ("merge", max_edits=2, prefix_length=2))
+    assert all(t.startswith("me") for t in pref)
+
+
 def test_pushdown_survives_live_unit_union(spark, tmp_path_factory):
     """After a tiered merge the scan is a union of live units; the term
     filter must still reach every branch's Parquet scan."""

@@ -57,27 +57,32 @@ def searcher(spark):
     return Searcher(spark, entry._index_for(spark, "/root/testdata/sf0.001"))
 
 
-def test_rewrite_prefix_to_scoring_boolean(searcher):
+def test_rewrite_prefix_constant_score_blended(searcher):
+    """Reference default: CONSTANT_SCORE_BLENDED_REWRITE (PrefixQuery.java:
+    32-34) — constant-score over the uncapped match set."""
+    from lucene_spark.plans.query import TermInSetQ
+
     node = searcher.rewrite(PrefixQ("s"))
-    assert isinstance(node, BoolQ)
-    terms = {c.term for c in node.should}
-    assert terms == {"scan", "slow", "small", "sort", "spark", "stream"}
+    assert isinstance(node, ConstScoreQ) and isinstance(node.child, TermInSetQ)
+    assert set(node.child.terms) == {"scan", "slow", "small", "sort", "spark", "stream"}
 
 
 def test_rewrite_wildcard(searcher):
+    from lucene_spark.plans.query import TermInSetQ
+
     node = searcher.rewrite(WildcardQ("?a*"))
-    terms = {c.term for c in node.should}
-    assert terms == {"batch", "data", "fast", "hash", "part", "table", "value"}
+    assert isinstance(node, ConstScoreQ) and isinstance(node.child, TermInSetQ)
+    assert set(node.child.terms) == {
+        "batch", "data", "fast", "hash", "part", "table", "value"
+    }
 
 
 def test_rewrite_range_constant_score(searcher):
     node = searcher.rewrite(RangeQ("query", "sort"))
     assert isinstance(node, ConstScoreQ)
-    terms = {c.term for c in node.child.should}
-    assert terms == {"query", "row", "scan", "slow", "small", "sort"}
+    assert set(node.child.terms) == {"query", "row", "scan", "slow", "small", "sort"}
     excl = searcher.rewrite(RangeQ("query", "sort", include_lo=False, include_hi=False))
-    terms_excl = {c.term for c in excl.child.should}
-    assert terms_excl == {"row", "scan", "slow", "small"}
+    assert set(excl.child.terms) == {"row", "scan", "slow", "small"}
 
 
 def test_rewrite_empty_expansion_matches_nothing(searcher):
@@ -85,20 +90,42 @@ def test_rewrite_empty_expansion_matches_nothing(searcher):
     assert searcher.search(node, k=5).empty
 
 
-def test_multiterm_clause_cap(searcher, monkeypatch):
+def test_multiterm_clause_cap_scoring_only(searcher, monkeypatch):
+    """maxClauseCount applies to SCORING boolean expansions only; the
+    default constant-score rewrite is uncapped (blended wrapper)."""
     import lucene_spark.operators.search as srch
 
     monkeypatch.setattr(srch, "MAX_CLAUSE_COUNT", 3)
     with pytest.raises(ValueError, match="maxClauseCount"):
-        searcher.expand_terms(PrefixQ("s"))
+        searcher.expand_terms(PrefixQ("s"), capped=True)
+    assert len(searcher.expand_terms(PrefixQ("s"))) == 6  # uncapped default
 
 
-def test_prefix_equals_explicit_or(searcher):
-    """Rewritten prefix must score identically to the hand-built OR."""
+def test_prefix_constant_score_results(searcher):
+    """Prefix top-k = first-k docs (gid asc) of the union match set, all
+    scoring exactly 1.0."""
     got = searcher.search(PrefixQ("s"), k=10)
-    want = searcher.search("scan OR slow OR small OR sort OR spark OR stream", k=10)
-    assert got["gid"].tolist() == want["gid"].tolist()
-    assert got["score"].tolist() == want["score"].tolist()
+    assert (got["score"] == 1.0).all()
+    union = searcher.search("scan OR slow OR small OR sort OR spark OR stream",
+                            k=10**6, prune=False)
+    want = sorted(int(g) for g in union["gid"])[:10]
+    assert got["gid"].tolist() == want
+
+
+def test_prefix_nested_in_boolean(searcher):
+    """A multi-term clause nested in a boolean scores as constant 1.0 added
+    to the other clauses (BooleanQuery over the blended wrapper)."""
+    node = parse_query("merge AND sp*")
+    got = searcher.search(node, k=200, prune=False)
+    base = searcher.search("merge", k=10**6, prune=False).set_index("gid")["score"]
+    spark_docs = set(
+        searcher.search("spark", k=10**6, prune=False)["gid"].astype(int)
+    )
+    assert not got.empty
+    for gid, score in zip(got["gid"], got["score"]):
+        assert int(gid) in spark_docs
+        # double sum of (term f32 score + 1.0f), cast to f32 once
+        assert score == np.float32(float(base[gid]) + 1.0)
 
 
 def test_dismax_tie_zero_is_max_of_clauses(searcher):

@@ -66,6 +66,32 @@ def test_minhash_lsh_catches_high_jaccard_pairs(spark):
     assert len(missed) <= max(1, len(true_pairs) // 10), missed
 
 
+def test_lsh_template_family_is_linear(spark, tmp_path_factory):
+    """A 1k-doc template family (near-identical, NOT byte-identical docs
+    sharing every band key) must produce O(n) star pairs, not an O(n^2)
+    clique — the degenerate-band-bucket cap — and still collapse to ONE
+    dedup cluster."""
+    import os
+
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("tmpl"))
+    base = " ".join(f"tw{i}" for i in range(60))
+    n = 1000
+    rows = [(i, base + f" uniq{i}") for i in range(n)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    pairs = textops.minhash_lsh_pairs(spark, d, bands=4).collect()
+    # star form: <= (bands * n) pre-distinct, so far under the ~n^2/2 clique
+    assert 0 < len(pairs) <= 4 * n, len(pairs)
+    # the family still collapses into one component (min-doc canonical)
+    clusters = textops.dedup_clusters(spark, d, bands=4).toPandas()
+    fam = clusters[clusters["doc_id"] < n]
+    assert (fam["cluster_id"] == 0).all()
+
+
 def test_dedup_exact_flags_injected_duplicates(spark, tmp_path):
     docs = textops.docs(spark, SF).limit(20)
     dup = docs.limit(5).selectExpr("doc_id + 100000 AS doc_id", "text", "lang",
