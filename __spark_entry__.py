@@ -152,6 +152,99 @@ def _q_purge_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+_TPURGE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_tiered_purge(spark: SparkSession, sf_dir: str) -> str:
+    """Deletes reclaimed by PARTIAL (tiered) purge merges — each fold
+    purges exactly its own units' deletes (per-merge purged_gids records,
+    exactly-once stat subtraction); a final full purge covers any units
+    the tier structure left unfolded, so the end state equals the
+    survivor corpus."""
+    from lucene_spark.operators.indexer import build_index, delete_docs, read_manifest
+    from lucene_spark.operators.merge import live_units, merge_index, tiered_merge
+
+    if sf_dir in _TPURGE_INDEX_CACHE:
+        return _TPURGE_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_tpurge_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if not any(r.get("purged") for r in read_manifest(index_dir)
+               if r.get("type") == "merge"):
+        for i in range(3):  # three appends -> six live units
+            part = docs.filter(F.col("doc_id") % 3 == i)
+            build_index(
+                spark, part, index_dir, key_col="doc_id", text_col="text",
+                gid_col="doc_id", n_segments=2, batch_segments=1, append=(i > 0),
+            )
+        dels = [int(r["doc_id"]) for r in docs.select("doc_id").collect()
+                if int(r["doc_id"]) % DELETE_MOD == 0]
+        delete_docs(spark, index_dir, gids=dels)
+        while tiered_merge(spark, index_dir, segs_per_tier=2,
+                           max_merge_at_once=2, floor_postings=10,
+                           purge=True) is not None:
+            pass
+        if any(u["uid"].startswith("b") for u in live_units(index_dir)):
+            merge_index(spark, index_dir, purge=True)
+    _TPURGE_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _q_purge_tiered_topk(spark, sf_dir):
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_tiered_purge(spark, sf_dir))
+    pdf = s.search(f"{T_HOT} OR {T_B}", k=10, with_keys=False)
+    out = pdf.rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+_FPURGE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_field_purge(spark: SparkSession, sf_dir: str) -> str:
+    """Multi-field index purged after deletes: per-field docCount/sumTTF
+    re-derive over survivors (fdoc metadata deltas, no postings decode)."""
+    from lucene_spark.operators.indexer import build_index, delete_docs, read_manifest
+    from lucene_spark.operators.merge import merge_index
+
+    if sf_dir in _FPURGE_INDEX_CACHE:
+        return _FPURGE_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_fpurge_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "head",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, HEAD_TOKS), " "),
+    )
+    if not any(r.get("purged") for r in read_manifest(index_dir)
+               if r.get("type") == "merge"):
+        n = docs.count()
+        build_index(
+            spark, docs, index_dir, key_col="doc_id", text_col="text",
+            gid_col="doc_id", n_segments=max(2, min(16, n // 250)),
+            extra_fields={"head": "head"},
+        )
+        dels = [int(r["doc_id"]) for r in docs.select("doc_id").collect()
+                if int(r["doc_id"]) % DELETE_MOD == 0]
+        delete_docs(spark, index_dir, gids=dels)
+        merge_index(spark, index_dir, purge=True)
+    _FPURGE_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _q_purge_field_topk(spark, sf_dir):
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_field_purge(spark, sf_dir))
+    pdf = s.search(f"head:{T_HOT}", k=10, with_keys=False)
+    out = pdf.rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_delete_topk(spark, sf_dir):
     from lucene_spark.operators.search import Searcher
 
@@ -831,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": _q_synonym_topk,
         "dismax_topk": _q_dismax_topk,
         "field_topk": _q_field_topk,
+        "purge_tiered_topk": _q_purge_tiered_topk,
+        "purge_field_topk": _q_purge_field_topk,
         "blockjoin_topk": _q_blockjoin_topk,
         "blockjoin_total": _q_blockjoin_total,
         "delete_topk": _q_delete_topk,
@@ -914,6 +1009,11 @@ def oracle_sql() -> dict[str, str]:
         "delete_topk": osql.delete_topk_sql(T_HOT, T_MID, DELETE_MOD),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),
+        "purge_tiered_topk": osql.purge_topk_sql(T_HOT, T_B, DELETE_MOD),
+        "purge_field_topk": osql.field_topk_sql(
+            T_HOT, max_toks=HEAD_TOKS,
+            table=f"(SELECT * FROM documents WHERE doc_id % {DELETE_MOD} <> 0)",
+        ),
         "term_in_set_topk": osql.term_in_set_topk_sql(TERM_SET),
         "term_in_set_count": osql.term_in_set_count_sql(TERM_SET),
         "msm_topk": osql.topk_msm_sql(list(MSM_TERMS), 2),

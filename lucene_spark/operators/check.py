@@ -155,23 +155,31 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     report.update({k: int(agg[k] or 0) for k in agg.asDict()})
 
     # 3: docs table. Doc rows of PURGED deletes still exist on disk (only
-    # postings + stats were reclaimed), so exclude exactly the delete sets
-    # consumed by a purged merge before comparing against stats.json;
-    # unpurged deletes still count in stats (Lucene pre-merge semantics).
+    # postings + stats were reclaimed), so exclude exactly the docs purging
+    # merges reclaimed before comparing against stats.json; unpurged
+    # deletes still count in stats (Lucene pre-merge semantics). New-format
+    # purge records carry their exact ``purged_gids``; legacy full-merge
+    # purges (no such record) consumed every delete set committed before
+    # them.
     docs = s.doc_rows()
-    purged_paths: list = []
+    purged_gid_paths: list = []
+    legacy_delete_paths: list = []
     pending: list = []
     for rec in read_manifest(index_dir):
         if rec.get("type") == "delete" and rec.get("status") == "committed":
             pending.append(rec["path"])
         if (rec.get("type") == "merge" and rec.get("status") == "committed"
                 and rec.get("purged")):
-            purged_paths.extend(pending)
-            pending = []
-    if purged_paths:
+            if rec.get("purged_gids"):
+                purged_gid_paths.append(rec["purged_gids"])
+            else:
+                legacy_delete_paths.extend(pending)
+                pending = []
+    all_paths = purged_gid_paths + legacy_delete_paths
+    if all_paths:
         from .merge import read_delete_paths
 
-        gids = read_delete_paths(index_dir, purged_paths)
+        gids = read_delete_paths(index_dir, all_paths)
         ddf = spark.createDataFrame(pd.DataFrame({"gid": gids.astype("int64")}))
         docs = docs.join(F.broadcast(ddf), "gid", "left_anti")
     n_docs = docs.count()

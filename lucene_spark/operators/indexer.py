@@ -256,6 +256,26 @@ def invert_segment(
             }
         )
         rows.append(seg_stat)
+    else:
+        # per-(doc, field) length rows for EXTRA fields (docs with >=1 token
+        # only): lets a purging merge subtract exactly the reclaimed docs'
+        # contribution from the field's docCount/sumTotalTermFreq without
+        # decoding postings (the per-field liveDocs stats the SegmentMerger
+        # recomputes by streaming; here a tiny metadata row instead)
+        nz = doc_lens > 0
+        if nz.any():
+            fdoc_rows = pd.DataFrame(
+                {
+                    "row_type": "fdoc",
+                    "seg": np.int64(seg_id),
+                    "gid": gids[nz],
+                    "term": pd.Series(
+                        np.full(int(nz.sum()), field, dtype=object), dtype="string"
+                    ),  # column reused: field name
+                    "doc_len": doc_lens[nz].astype(np.int32),
+                }
+            )
+            rows.append(fdoc_rows)
     # per-field collection stats (idf docCount + avgdl inputs are PER FIELD:
     # BM25Similarity.computeWeight uses the field's CollectionStatistics)
     field_stat = pd.DataFrame(
@@ -562,24 +582,66 @@ def build_index(
     }
 
 
+def _sum_field_stats(into: "dict[str, dict]", add: "dict[str, dict]") -> None:
+    for f, s in add.items():
+        cur = into.setdefault(f, {"doc_count": 0, "sum_ttf": 0})
+        cur["doc_count"] += int(s["doc_count"])
+        cur["sum_ttf"] += int(s["sum_ttf"])
+
+
+def _batch_field_stats(index_dir: str, batch: int) -> "dict[str, dict]":
+    """Per-field stats of one build batch, from its fieldstat rows."""
+    fagg = _read_fieldstats(
+        os.path.join(index_dir, "segments", f"batch={int(batch)}")
+    )
+    return {
+        str(field): {
+            "doc_count": int(grp["s_doc_count"].sum()),
+            "sum_ttf": int(grp["s_sum_dl"].sum()),
+        }
+        for field, grp in fagg.groupby("term")
+    }
+
+
+def unit_field_stats(index_dir: str, unit: dict) -> "dict[str, dict]":
+    """Per-field stat contribution of one live unit.
+
+    Batch units read their fieldstat rows; merge units carry
+    ``unit_field_stats`` in their manifest record (inputs' sum, minus the
+    purged docs' per-field contribution for purging merges). Legacy merge
+    records without the field fall back to their covered batches' sums —
+    exact for them, since legacy purges rejected multi-field indexes and
+    the default field is overridden from global doc stats anyway.
+    """
+    from .merge import _merge_rec_by_uid
+
+    if unit["uid"].startswith("b"):
+        return _batch_field_stats(index_dir, int(unit["uid"][1:]))
+    rec = _merge_rec_by_uid(index_dir, unit["uid"]) or {}
+    fs = rec.get("unit_field_stats")
+    if fs is not None:
+        return {str(k): dict(v) for k, v in fs.items()}
+    out: dict[str, dict] = {}
+    for b in rec.get("merged_batches", []):
+        _sum_field_stats(out, _batch_field_stats(index_dir, int(b)))
+    return out
+
+
 def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
     """Live-unit stats view (used once any purged merge exists).
 
-    Per-field stats for EXTRA fields aggregate from live batch units'
-    fieldstat rows (the only place extra fields can live right after a
-    purge — purge rejects multi-field indexes). Known limitation: a
-    tiered merge that consumes post-purge multi-field batches folds their
-    extra-field postings into an m-unit whose fieldstat contribution is
-    lost; keep multi-field appends unmerged on a purged index.
+    Every live unit contributes its own term rows / survivor aggregates,
+    its doc stats, and its per-field stats: batch units from their
+    term/fieldstat rows (deleted-but-unpurged docs still count — Lucene
+    pre-merge semantics), merged units from their block metadata and
+    manifest-recorded ``unit_doc_stats`` / ``unit_field_stats``.
     """
     from .merge import _merge_rec_by_uid, live_units
 
     units = live_units(index_dir)
     term_parts = []
     doc_stats = {"n_rows": 0, "doc_count": 0, "sum_dl": 0}
-    field_rows = []  # per-field stats of live batch units (extra fields
-    # only exist in batches — purge rejects multi-field indexes, so merged
-    # units carry default-field data only)
+    field_stats: dict[str, dict] = {}
     for u in units:
         if u["uid"].startswith("b"):
             p = os.path.join(
@@ -592,11 +654,6 @@ def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
             from .merge import _batch_doc_stats
 
             s = _batch_doc_stats(index_dir, int(u["uid"][1:]))
-            field_rows.append(
-                _read_fieldstats(
-                    os.path.join(index_dir, "segments", f"batch={int(u['uid'][1:])}")
-                )
-            )
         else:
             mp = os.path.join(index_dir, u["path"])
             term_parts.append(
@@ -611,6 +668,7 @@ def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
             s = (rec or {}).get("unit_doc_stats") or {
                 "n_rows": 0, "doc_count": 0, "sum_dl": 0
             }
+        _sum_field_stats(field_stats, unit_field_stats(index_dir, u))
         for k in doc_stats:
             doc_stats[k] += s[k]
     df = term_parts[0]
@@ -653,18 +711,8 @@ def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
     )
     from ..plans.fields import DEFAULT_FIELD
 
-    fagg = (
-        pd.concat(field_rows, ignore_index=True)
-        if field_rows else pd.DataFrame(columns=["term", "s_doc_count", "s_sum_dl"])
-    )
-    fields = {
-        str(field): {
-            "doc_count": int(grp["s_doc_count"].sum()),
-            "sum_ttf": int(grp["s_sum_dl"].sum()),
-        }
-        for field, grp in fagg.groupby("term")
-    } if len(fagg) else dict(stats.get("fields") or {})
-    # the default field spans merged units too: use the global survivor view
+    fields = field_stats if field_stats else dict(stats.get("fields") or {})
+    # the default field's doc rows are the authoritative survivor view
     fields[DEFAULT_FIELD] = {
         "doc_count": stats["doc_count"],
         "sum_ttf": stats["sum_total_term_freq"],
@@ -692,6 +740,17 @@ def _read_fieldstats(path: str) -> pd.DataFrame:
         return pd.DataFrame(columns=["term", "s_doc_count", "s_sum_dl"])
     cols = ["term", "s_doc_count", "s_sum_dl"]
     return ds.dataset(sub, format="parquet").to_table(columns=cols).to_pandas()
+
+
+def fdoc_paths(index_dir: str, batches: "Iterable[int]") -> "list[str]":
+    """Existing per-(doc, extra-field) length row dirs for the batches
+    (absent on single-field indexes and pre-fdoc layouts)."""
+    out = []
+    for b in batches:
+        p = os.path.join(index_dir, "segments", f"batch={int(b)}", "row_type=fdoc")
+        if os.path.isdir(p):
+            out.append(p)
+    return out
 
 
 def delete_docs(

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..functions.impacts import competitive_impacts_grouped
 from ..functions.pfor import BLOCK_SIZE, batch_encode_streams, decode_stream
-from .indexer import _append_manifest, read_manifest
+from .indexer import _append_manifest, finalize_index, read_manifest
 
 # force a block cut when consecutive docIDs are further apart than this:
 # far larger than any dense-region gap, far smaller than the 2^40 sparse
@@ -261,6 +261,139 @@ def load_deleted_gids(index_dir: str) -> "np.ndarray | None":
     ])
 
 
+def _covered_batches(index_dir: str, units: "list[dict]") -> "list[int]":
+    """Batches covered TRANSITIVELY by the given units (a merge-of-merges
+    input expands through its own inputs)."""
+    recs = {}
+    for i, r in enumerate(read_manifest(index_dir)):
+        if r.get("type") == "merge" and r.get("status") == "committed":
+            recs[f"m{r.get('merge_id', i)}"] = r
+    out: set[int] = set()
+
+    def walk(uid: str) -> None:
+        if uid.startswith("b"):
+            out.add(int(uid[1:]))
+            return
+        rec = recs.get(uid, {})
+        inputs = rec.get("inputs")
+        if inputs is None:
+            out.update(int(b) for b in rec.get("merged_batches", []))
+            return
+        for u in inputs:
+            walk(u)
+
+    for u in units:
+        walk(u["uid"])
+    return sorted(out)
+
+
+def _prior_purged_paths(index_dir: str, units: "list[dict]") -> "list[str]":
+    """purged_gids parquet rel-paths of every purging merge in the units'
+    transitive input chains — docs those purges reclaimed must not be
+    subtracted (or dropped from stats) a second time."""
+    recs = {}
+    for i, r in enumerate(read_manifest(index_dir)):
+        if r.get("type") == "merge" and r.get("status") == "committed":
+            recs[f"m{r.get('merge_id', i)}"] = r
+    paths: list[str] = []
+
+    def walk(uid: str) -> None:
+        rec = recs.get(uid)
+        if rec is None:
+            return
+        if rec.get("purged") and rec.get("purged_gids"):
+            paths.append(rec["purged_gids"])
+        for u in rec.get("inputs") or []:
+            walk(u)
+
+    for u in units:
+        walk(u["uid"])
+    return paths
+
+
+def _sum_unit_field_stats(index_dir: str, units: "list[dict]") -> "dict[str, dict]":
+    from .indexer import _sum_field_stats, unit_field_stats
+
+    out: dict[str, dict] = {}
+    for u in units:
+        _sum_field_stats(out, unit_field_stats(index_dir, u))
+    return out
+
+
+def _purge_delta(
+    spark: SparkSession, index_dir: str, units: "list[dict]", mid: int
+) -> "tuple[str, dict, dict]":
+    """Identify + record the docs this purging merge actually reclaims.
+
+    newly-purged = (committed delete set) ∩ (doc rows of the inputs'
+    transitively covered batches) − (gids already reclaimed by purging
+    merges in the input chain). Their gids are written to
+    ``purged_gids_m<mid>`` so a later merge-of-merges subtracts each doc
+    exactly once. Returns (rel_path, doc-stat delta, per-field delta) —
+    the per-field delta for EXTRA fields comes from the batches' fdoc
+    rows (one metadata row per (doc, field), no postings decode).
+    """
+    from .indexer import fdoc_paths
+
+    cov = _covered_batches(index_dir, units)
+    del_paths = [
+        os.path.join(index_dir, r["path"])
+        for r in read_manifest(index_dir)
+        if r.get("type") == "delete" and r.get("status") == "committed"
+    ]
+    rel = f"purged_gids_m{mid}"
+    out_path = os.path.join(index_dir, rel)
+    doc_dirs = [
+        os.path.join(index_dir, "segments", f"batch={b}", "row_type=doc")
+        for b in cov
+    ]
+    docs = spark.read.parquet(*doc_dirs).select("gid", "doc_len")
+    if del_paths:
+        dels = spark.read.parquet(*del_paths).select("gid").distinct()
+        newly = docs.join(dels, "gid", "left_semi")
+    else:
+        newly = docs.limit(0)
+    prior = _prior_purged_paths(index_dir, units)
+    if prior:
+        pg = spark.read.parquet(*[os.path.join(index_dir, p) for p in prior])
+        newly = newly.join(pg.select("gid"), "gid", "left_anti")
+    newly.write.mode("overwrite").parquet(out_path)
+    newly = spark.read.parquet(out_path)
+    agg = newly.agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.sum((F.col("doc_len") > 0).cast("long")), F.lit(0)).alias("dc"),
+        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+    ).collect()[0]
+    ddelta = {
+        "n_rows": int(agg["n_rows"]),
+        "doc_count": int(agg["dc"]),
+        "sum_dl": int(agg["dl"]),
+    }
+    from ..plans.fields import DEFAULT_FIELD
+
+    fdelta: dict[str, dict] = {
+        DEFAULT_FIELD: {"doc_count": ddelta["doc_count"], "sum_ttf": ddelta["sum_dl"]}
+    }
+    fd = fdoc_paths(index_dir, cov)
+    if fd and ddelta["n_rows"]:
+        frows = (
+            spark.read.parquet(*fd)
+            .select(F.col("term").alias("field"), "gid", "doc_len")
+            .join(newly.select("gid"), "gid", "left_semi")
+            .groupBy("field")
+            .agg(
+                F.count("*").alias("dc"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+            )
+            .collect()
+        )
+        for r in frows:
+            fdelta[str(r["field"])] = {
+                "doc_count": int(r["dc"]), "sum_ttf": int(r["dl"])
+            }
+    return rel, ddelta, fdelta
+
+
 def _merge_units(
     spark: SparkSession,
     index_dir: str,
@@ -272,11 +405,14 @@ def _merge_units(
 ) -> dict:
     """Merge the given live units into one new merge unit (commits it).
 
-    ``purge=True`` additionally DROPS deleted docs' postings and, having
-    rewritten the whole index (callers must pass ALL live units), re-derives
-    the terms table and collection stats from the survivors — the
-    SegmentMerger behavior that makes post-merge idf/avgdl reflect live
-    docs only.
+    ``purge=True`` additionally DROPS deleted docs' postings found in the
+    inputs (SegmentMerger skipping non-live docs via MergeState liveDocs)
+    and re-derives the terms table + collection/field stats over the live
+    units — reclaimed docs stop counting toward idf/avgdl, while deleted
+    docs still sitting in unmerged units keep counting (Lucene's
+    per-segment reclaim semantics). Works for PARTIAL (tiered) merges:
+    each doc's stats are subtracted exactly once via per-merge
+    ``purged_gids`` records.
     """
     t0 = time.time()
     deleted = load_deleted_gids(index_dir) if purge else None
@@ -326,13 +462,22 @@ def _merge_units(
     out_path = os.path.join(index_dir, out_rel)
     merged.sortWithinPartitions("term", "first_gid").write.mode("overwrite").parquet(out_path)
 
+    # driver arithmetic: the unit's stat contribution = Σ inputs' (minus,
+    # for a purge, exactly the docs this merge reclaimed) — keeps finalize
+    # able to re-derive global stats from live units without re-scanning
+    unit_doc_stats = _sum_unit_doc_stats(index_dir, units)
+    unit_fields = _sum_unit_field_stats(index_dir, units)
+    purged_rel = None
+    n_newly = 0
     if purge:
-        unit_doc_stats = _refresh_survivor_stats(spark, index_dir, out_path, deleted)
-    else:
-        # driver arithmetic: the unit's doc-stat contribution = Σ inputs'
-        # (keeps post-purge finalize able to re-derive global stats from
-        # live units without re-scanning doc rows)
-        unit_doc_stats = _sum_unit_doc_stats(index_dir, units)
+        purged_rel, ddelta, fdelta = _purge_delta(spark, index_dir, units, mid)
+        n_newly = ddelta["n_rows"]
+        for k in unit_doc_stats:
+            unit_doc_stats[k] -= ddelta[k]
+        for f, d in fdelta.items():
+            if f in unit_fields:
+                unit_fields[f]["doc_count"] -= d["doc_count"]
+                unit_fields[f]["sum_ttf"] -= d["sum_ttf"]
 
     wall = time.time() - t0
     rec = {
@@ -342,19 +487,23 @@ def _merge_units(
         "inputs": [u["uid"] for u in units],
         "out": out_rel,
         "n_postings": int(sum(u["n_postings"] for u in units)),
-        # legacy field kept for older readers: batches covered transitively
-        "merged_batches": sorted(
-            int(u["uid"][1:]) for u in units if u["uid"].startswith("b")
-        ),
+        # batches covered transitively (merge-of-merges inputs expanded)
+        "merged_batches": _covered_batches(index_dir, units),
         "salt_docs": salt_docs,
         "n_hot_terms": len(n_salts),
         "purged": bool(purge),
-        "n_deleted_purged": int(len(deleted)) if deleted is not None else 0,
+        "n_deleted_purged": int(n_newly),
+        "purged_gids": purged_rel,
         "unit_doc_stats": unit_doc_stats,
+        "unit_field_stats": unit_fields,
         "wall_sec": round(wall, 3),
         "ts": time.time(),
     }
     _append_manifest(index_dir, rec)
+    if purge:
+        # global terms table + collection/field stats re-derive from the
+        # post-merge live units (idf/avgdl drop the reclaimed docs)
+        finalize_index(spark, index_dir)
     return rec
 
 
@@ -399,71 +548,6 @@ def _sum_unit_doc_stats(index_dir: str, units: "list[dict]") -> dict:
     return out
 
 
-def _refresh_survivor_stats(spark, index_dir: str, merged_path: str,
-                            deleted: "np.ndarray | None") -> dict:
-    """Rewrite the terms table + stats.json from purged postings.
-
-    Terms: groupBy(term) over the merged blocks' metadata (doc_count +
-    freq_sum — no payload decode). Collection stats: doc rows minus the
-    delete set. After this, idf/avgdl reflect survivors only — the
-    post-merge Lucene view.
-    """
-    terms = (
-        spark.read.parquet(merged_path)
-        .groupBy("term")
-        .agg(
-            F.sum("doc_count").cast("long").alias("doc_freq"),
-            F.sum("freq_sum").cast("long").alias("total_term_freq"),
-        )
-        .sortWithinPartitions("term")
-    )
-    tmp_terms = os.path.join(index_dir, "terms_new")
-    terms.write.mode("overwrite").parquet(tmp_terms)
-    final_terms = os.path.join(index_dir, "terms")
-    import shutil
-
-    shutil.rmtree(final_terms, ignore_errors=True)
-    os.rename(tmp_terms, final_terms)
-
-    docs = spark.read.parquet(
-        os.path.join(index_dir, "segments", "batch=*", "row_type=doc")
-    ).select("gid", "doc_len")
-    if deleted is not None and len(deleted):
-        ddf = spark.createDataFrame(pd.DataFrame({"gid": deleted.astype("int64")}))
-        docs = docs.join(F.broadcast(ddf), "gid", "left_anti")
-    agg = docs.agg(
-        F.count("*").alias("n_rows"),
-        F.sum((F.col("doc_len") > 0).cast("long")).alias("dc"),
-        F.sum("doc_len").alias("ttf"),
-        F.max("gid").alias("mg"),
-    ).collect()[0]
-    stats_path = os.path.join(index_dir, "stats.json")
-    with open(stats_path) as f:
-        stats = json.load(f)
-    stats.update(
-        {
-            "n_rows": int(agg["n_rows"] or 0),
-            "doc_count": int(agg["dc"] or 0),
-            "sum_total_term_freq": int(agg["ttf"] or 0),
-            "max_gid": int(agg["mg"]) if agg["mg"] is not None else -1,
-        }
-    )
-    if "fields" in stats:
-        from ..plans.fields import DEFAULT_FIELD
-
-        stats["fields"][DEFAULT_FIELD] = {
-            "doc_count": stats["doc_count"],
-            "sum_ttf": stats["sum_total_term_freq"],
-        }
-    with open(stats_path, "w") as f:
-        json.dump(stats, f)
-    return {
-        "n_rows": stats["n_rows"],
-        "doc_count": stats["doc_count"],
-        "sum_dl": stats["sum_total_term_freq"],
-    }
-
-
 def merge_index(
     spark: SparkSession,
     index_dir: str,
@@ -478,20 +562,14 @@ def merge_index(
     are split into gid-range salts of roughly this many docs each.
 
     ``purge=True`` reclaims deleted docs' postings during the rewrite and
-    re-derives the terms table + collection stats from the survivors
-    (idf/avgdl change accordingly — the post-merge Lucene view). Only the
-    FULL merge may purge: a partial purge would leave units whose stats
-    mix pre/post views. Multi-field purge is not supported (per-field
-    docCount is not re-derivable without a decode pass).
+    re-derives the terms table + collection/field stats from the survivors
+    (idf/avgdl change accordingly — the post-merge Lucene view).
+    Multi-field indexes purge too: per-field docCount/sumTotalTermFreq
+    deltas come from the batches' fdoc metadata rows.
     """
     units = live_units(index_dir)
     if not units:
         raise ValueError("nothing to merge: no committed batches")
-    if purge:
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            fields = json.load(f).get("fields") or {}
-        if len(fields) > 1:
-            raise NotImplementedError("purge on a multi-field index")
     return _merge_units(
         spark, index_dir, units, salt_docs=salt_docs,
         with_positions=with_positions, purge=purge,
@@ -507,6 +585,7 @@ def tiered_merge(
     floor_postings: int = 100_000,
     salt_docs: int = 1_000_000,
     with_positions: bool = True,
+    purge: bool = False,
 ) -> "dict | None":
     """One incremental tiered-merge step (TieredMergePolicy.java:89-95).
 
@@ -518,6 +597,10 @@ def tiered_merge(
     budget — so a continuously appended 100-TB index re-merges only a
     bounded tier per refresh instead of the whole index, and each unit is
     rewritten O(log_tier(total)) times over its life.
+
+    ``purge=True`` reclaims deleted docs found in the merged tier's units
+    (every Lucene merge reclaims its segments' deletes); deletes in
+    untouched units keep counting toward stats until their own merge.
     """
     units = live_units(index_dir)
     if len(units) < segs_per_tier:
@@ -539,5 +622,6 @@ def tiered_merge(
             return _merge_units(
                 spark, index_dir, picked,
                 salt_docs=salt_docs, with_positions=with_positions,
+                purge=purge,
             )
     return None

@@ -698,11 +698,13 @@ def term_in_set_count_sql(terms: "list[str]") -> str:
 SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tf WHERE term IN ({in_list})"""
 
 
-def field_topk_sql(term: str, max_toks: int = 8, k: int = 10) -> str:
+def field_topk_sql(term: str, max_toks: int = 8, k: int = 10,
+                   table: str = "documents") -> str:
     """BM25 top-k on a secondary field (``head`` = first ``max_toks``
     whitespace tokens of ``text``), scored with the FIELD's own docFreq,
     docCount, avgdl and norms — the per-field CollectionStatistics model
-    (``core/index/FieldInfos.java``; BM25Similarity.computeWeight)."""
+    (``core/index/FieldInfos.java``; BM25Similarity.computeWeight).
+    ``table`` lets purge oracles score over the survivor corpus."""
     w = idf_sql(f"(SELECT doc_freq FROM htstats WHERE term = '{term}')",
                 "(SELECT doc_count FROM hcstats)")
     avgdl = ("CAST((SELECT sum_ttf FROM hcstats) / "
@@ -715,13 +717,13 @@ def field_topk_sql(term: str, max_toks: int = 8, k: int = 10) -> str:
     SELECT doc_id,
            unnest(string_split(text, ' ')) AS tok,
            generate_subscripts(string_split(text, ' '), 1) AS ord
-    FROM documents
+    FROM {table}
   )
   WHERE tok <> '' AND ord <= {max_toks} AND tok NOT IN ({STOPLIST_SQL})
 ),
 hdl AS (
   SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
-  FROM documents d LEFT JOIN htoks t ON d.doc_id = t.doc_id
+  FROM {table} d LEFT JOIN htoks t ON d.doc_id = t.doc_id
   GROUP BY d.doc_id
 ),
 {NORM_TABLE_SQL},

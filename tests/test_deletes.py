@@ -101,6 +101,98 @@ def test_paging_respects_deletes(searcher, oracle):
     assert list(p2["gid"].astype(int)) == [g for g, _ in want[5:10]]
 
 
+def test_tiered_purge_reclaims_incrementally(spark, tmp_path_factory):
+    """Purge on PARTIAL (tiered) merges: each merge reclaims exactly the
+    deletes sitting in the units it folds (every Lucene merge reclaims its
+    segments' deletes, SegmentMerger + MergeState liveDocs); deletes in
+    untouched units keep counting toward stats until their own merge. Each
+    doc's stats are subtracted exactly once across merge-of-merges
+    (purged_gids records), and once every unit has been folded the index
+    equals the survivor corpus exactly."""
+    from lucene_spark.operators.check import check_index
+    from lucene_spark.operators.merge import live_units, tiered_merge
+
+    d = str(tmp_path_factory.mktemp("idx_tpurge"))
+    frames = []
+    base = 0
+    for i in range(3):
+        pdf = generate_pages_pdf(1000 * i, 1000 * i + 150, seed=11).sort_values(
+            "url"
+        ).reset_index(drop=True)
+        pdf["gid"] = np.arange(base, base + len(pdf), dtype=np.int64)
+        base += 10_000
+        frames.append(pdf)
+        df = spark.createDataFrame(pdf[["gid", "url", "text"]])
+        indexer.build_index(
+            spark, df, d, key_col="url", text_col="text", gid_col="gid",
+            n_segments=2, batch_segments=1, append=(i > 0),
+        )
+    all_pdf = pd.concat(frames, ignore_index=True)
+    deleted = {int(g) for g in all_pdf["gid"] if g % DEL_MOD == 0}
+    indexer.delete_docs(spark, d, gids=sorted(deleted))
+    assert len(live_units(d)) == 6
+
+    import os
+
+    import pyarrow.dataset as ds
+
+    total_dc = int((all_pdf["text"].str.len() > 0).sum())
+    seen_purged: set = set()
+    recs = []
+    while True:
+        rec = tiered_merge(spark, d, segs_per_tier=2, max_merge_at_once=2,
+                           floor_postings=10, purge=True)
+        if rec is None:
+            break
+        recs.append(rec)
+        assert rec["purged"] and rec["purged_gids"]
+        got = set(
+            ds.dataset(os.path.join(d, rec["purged_gids"]), format="parquet")
+            .to_table(columns=["gid"]).column("gid").to_pylist()
+        )
+        # exactly-once: no doc reclaimed twice across the merge sequence
+        assert not (got & seen_purged), rec["inputs"]
+        seen_purged |= got
+        assert got <= deleted
+        # MIXED intermediate state: stats count everything except the docs
+        # reclaimed so far (unpurged deletes still count — pre-merge view)
+        s = Searcher(spark, d)
+        assert s.stats["doc_count"] == total_dc - len(seen_purged)
+        report = check_index(spark, d)
+        assert report["healthy"], report
+
+    assert len(recs) >= 3  # folds cascade through tiers
+    assert any(any(u.startswith("m") for u in r["inputs"]) for r in recs), (
+        "expected a purge merge consuming a previous merge's output"
+    )
+    if seen_purged != deleted:
+        # tiers drifted apart before every unit folded: finish with a full
+        # purge merge — same delta path, reclaims exactly the remainder
+        from lucene_spark.operators.merge import merge_index
+
+        rec = merge_index(spark, d, purge=True)
+        got = set(
+            ds.dataset(os.path.join(d, rec["purged_gids"]), format="parquet")
+            .to_table(columns=["gid"]).column("gid").to_pylist()
+        )
+        assert not (got & seen_purged)
+        seen_purged |= got
+    assert seen_purged == deleted
+    alive = all_pdf[all_pdf["gid"] % DEL_MOD != 0].reset_index(drop=True)
+    surv = BruteForceIndex(alive["gid"], alive["url"], alive["text"])
+    s = Searcher(spark, d)
+    assert s.stats["doc_count"] == surv.doc_count
+    assert s.stats["sum_total_term_freq"] == surv.sum_ttf
+    by_df = sorted(surv.postings, key=lambda t: (len(surv.postings[t]), t))
+    hot, mid = by_df[-1], by_df[len(by_df) // 2]
+    for node in (TermQ(hot), BoolQ(should=(TermQ(hot), TermQ(mid)))):
+        want = surv.search(node, 10)
+        got = s.search(node, k=10, with_keys=False)
+        assert list(got["gid"].astype(int)) == [g for g, _, _ in want], node
+        for gs, (_, _, ws) in zip(got["score"], want):
+            assert np.float32(gs) == np.float32(ws), node
+
+
 def test_purge_merge_reclaims_and_rescores(spark, corpus_pdf, tmp_path_factory):
     """Full merge with purge: deleted postings vanish from disk and
     idf/avgdl/stats re-derive from survivors — results must now equal a

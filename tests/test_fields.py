@@ -167,3 +167,46 @@ def test_parse_multi_field(searcher, text_oracle, head_oracle):
 
     b = parse_multi_field(t, ["text", "head"], boosts={"head": 2.0})
     assert any(isinstance(c, BoostQ) for c in b.should)
+
+
+def test_multifield_purge_rederives_field_stats(spark, corpus_pdf, tmp_path_factory):
+    """Purge on a MULTI-FIELD index: each field's docCount/sumTotalTermFreq
+    re-derives over the survivors (per-field deltas from the fdoc metadata
+    rows, no postings decode), so field-scoped BM25 after the purge equals
+    a fresh index built over the survivor corpus alone — float32-exact."""
+    from lucene_spark.operators.check import check_index
+    from lucene_spark.operators.merge import merge_index
+
+    mod = 4
+    d = str(tmp_path_factory.mktemp("idx_fpurge"))
+    df = spark.createDataFrame(corpus_pdf[["gid", "url", "text", "head"]])
+    indexer.build_index(
+        spark, df, d, key_col="url", text_col="text", gid_col="gid",
+        n_segments=4, extra_fields={"head": "head"},
+    )
+    indexer.delete_docs(spark, d, gids=range(0, N_DOCS, mod))
+    merge_index(spark, d, purge=True)
+
+    alive = corpus_pdf[corpus_pdf["gid"] % mod != 0].reset_index(drop=True)
+    fresh = str(tmp_path_factory.mktemp("idx_fpurge_fresh"))
+    indexer.build_index(
+        spark, spark.createDataFrame(alive[["gid", "url", "text", "head"]]),
+        fresh, key_col="url", text_col="text", gid_col="gid",
+        n_segments=4, extra_fields={"head": "head"},
+    )
+    s_purged = Searcher(spark, d)
+    s_fresh = Searcher(spark, fresh)
+    assert s_purged.field_stats("text") == s_fresh.field_stats("text")
+    assert s_purged.field_stats("head") == s_fresh.field_stats("head")
+
+    head_surv = BruteForceIndex(alive["gid"], alive["url"], alive["head"])
+    t = _hot(head_surv)
+    for q in (f"head:{t}", t):
+        want = s_fresh.search(q, k=10, with_keys=False)
+        got = s_purged.search(q, k=10, with_keys=False)
+        assert list(got["gid"].astype(int)) == list(want["gid"].astype(int)), q
+        for gs, ws in zip(got["score"], want["score"]):
+            assert np.float32(gs) == np.float32(ws), q
+
+    report = check_index(spark, d)
+    assert report["healthy"], report
