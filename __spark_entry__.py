@@ -799,6 +799,17 @@ def _q_match_all_count(spark, sf_dir):
     return spark.createDataFrame([(int(n),)], schema="n long")
 
 
+def _q_matchall_must_topk(spark, sf_dir):
+    """Nested MatchAll as a MUST scoring clause: '<term> AND *'."""
+    return _topk_df(spark, sf_dir, f"{T_HOT} AND *")
+
+
+def _q_matchall_univ_topk(spark, sf_dir):
+    """Required MatchAll + exclusion: '* NOT <term>' — universe completion
+    from the doc table at constant score."""
+    return _topk_df(spark, sf_dir, f"* NOT {T_HOT}")
+
+
 def _q_sort_by_len(spark, sf_dir):
     df = _searcher(spark, sf_dir).search_sorted(T_HOT, by="doc_len", k=10)
     return df.select(
@@ -952,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": _q_quality,
         "page2_topk": _q_page2,
         "match_all_count": _q_match_all_count,
+        "matchall_must_topk": _q_matchall_must_topk,
+        "matchall_univ_topk": _q_matchall_univ_topk,
         "sort_by_len": _q_sort_by_len,
         "facet_lang": _q_facet_lang,
         "grouped_topk": _q_grouped_topk,
@@ -1037,6 +1050,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_metrics": osql.quality_or_vs_and_sql(T_HOT, T_MID),
         "page2_topk": osql.page2_or_sql(T_HOT, T_MID),
         "match_all_count": osql.match_all_count_sql(),
+        "matchall_must_topk": osql.matchall_must_topk_sql(T_HOT),
+        "matchall_univ_topk": osql.matchall_univ_topk_sql(T_HOT),
         "sort_by_len": osql.sort_by_len_sql(T_HOT),
         "facet_lang": osql.facet_lang_sql(T_HOT),
         "grouped_topk": osql.grouped_topk_sql(T_HOT),

@@ -377,12 +377,15 @@ def _eval_dismax(node: DisMaxQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarr
 
 
 def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
-    # evaluate children
+    # evaluate children. const_add / n_free_opt carry folded MatchAll
+    # scoring clauses: +const_add on every matching doc's double sum,
+    # n_free_opt free optional matches toward msm (docs matching NO real
+    # clause are completed DataFrame-side by the searcher's universe fill).
     musts = [eval_plan(c, postings, ctx) for c in node.must]
     shoulds = [eval_plan(c, postings, ctx) for c in node.should]
     nots = [eval_plan(c, postings, ctx) for c in node.must_not]
     msm = max(int(node.msm), 0)
-    if msm > len(node.should):
+    if msm > len(node.should) + int(node.n_free_opt):
         return np.empty(0, np.int64), np.empty(0, np.float32)
 
     if node.must:
@@ -391,8 +394,8 @@ def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, 
             gids = np.intersect1d(gids, g, assume_unique=True)
         if not len(gids):
             return gids, np.empty(0, np.float32)
-        total = np.zeros(len(gids), dtype=np.float64)
-        n_opt = np.zeros(len(gids), dtype=np.int64)
+        total = np.full(len(gids), float(node.const_add), dtype=np.float64)
+        n_opt = np.full(len(gids), int(node.n_free_opt), dtype=np.int64)
         for g, s in musts:
             idx = np.searchsorted(g, gids)
             total += s[idx].astype(np.float64)
@@ -415,14 +418,15 @@ def _eval_bool(node: BoolQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, 
         if not len(all_g):
             return np.empty(0, np.int64), np.empty(0, np.float32)
         gids, inv = np.unique(all_g, return_inverse=True)
-        total = np.zeros(len(gids), dtype=np.float64)
+        total = np.full(len(gids), float(node.const_add), dtype=np.float64)
         np.add.at(total, inv, all_s)
-        if msm > 1:
+        msm_eff = msm - int(node.n_free_opt)
+        if msm_eff > 1:
             # WANDScorer's minShouldMatch mode: keep docs matching >= msm
             # optional clauses (TestWANDScorer's brute-force contract)
             cnt = np.zeros(len(gids), dtype=np.int64)
             np.add.at(cnt, inv, 1)
-            keep = cnt >= msm
+            keep = cnt >= msm_eff
             gids, total = gids[keep], total[keep]
 
     for g, _ in nots:
@@ -800,7 +804,7 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         # sloppy phrases dummy impacts too, SloppyPhraseMatcher.java:105-135)
         return float("inf")
     if isinstance(node, BoolQ):
-        ub = 0.0
+        ub = float(node.const_add)  # folded MatchAll clauses score 1.0 each
         if node.must:
             for c in node.must:
                 b = _plan_upper_bound(c, term_maxes, ctx)
@@ -878,6 +882,7 @@ def _term_block_slack(node, term_maxes: dict) -> "dict[str, float] | None":
     ]
     if len(set(all_terms)) != len(all_terms):
         return None  # a term feeds several clauses: contribution not additive
+    const = float(node.const_add)  # folded MatchAll clauses add to every doc
     if node.must:
         must_sum = 0.0
         for c in node.must:
@@ -888,16 +893,21 @@ def _term_block_slack(node, term_maxes: dict) -> "dict[str, float] | None":
         should_pos = sum(
             max(term_maxes[c.term], 0.0) for c in node.should if c.term in term_maxes
         )
-        slack = {c.term: must_sum - term_maxes[c.term] + should_pos for c in node.must}
+        slack = {
+            c.term: const + must_sum - term_maxes[c.term] + should_pos
+            for c in node.must
+        }
         for c in node.should:
             if c.term in term_maxes:
-                slack[c.term] = must_sum + should_pos - max(term_maxes[c.term], 0.0)
+                slack[c.term] = (
+                    const + must_sum + should_pos - max(term_maxes[c.term], 0.0)
+                )
         return slack
     should_pos = sum(
         max(term_maxes[c.term], 0.0) for c in node.should if c.term in term_maxes
     )
     return {
-        c.term: should_pos - max(term_maxes[c.term], 0.0)
+        c.term: const + should_pos - max(term_maxes[c.term], 0.0)
         for c in node.should
         if c.term in term_maxes
     }
@@ -1294,6 +1304,8 @@ class Searcher:
                 should=tuple(self.rewrite(c) for c in node.should),
                 must_not=tuple(self.rewrite(c) for c in node.must_not),
                 msm=node.msm,
+                const_add=node.const_add,
+                n_free_opt=node.n_free_opt,
             ).simplified()
         if isinstance(node, DisMaxQ):
             return DisMaxQ(
@@ -1467,14 +1479,19 @@ class Searcher:
             return self._term_in_set(node, node.boost)
         if isinstance(node, ConstScoreQ) and isinstance(node.child, TermInSetQ):
             return self._term_in_set(node.child, node.boost)
+        if isinstance(node, BoolQ) and any(
+            isinstance(c, MatchAllQ)
+            for c in node.must + node.should + node.must_not
+        ):
+            return self._bool_matchall(node, k, prune, after)
         if _contains_matchall(node):
-            # BooleanQuery.rewrite keeps MatchAllDocsQuery as a scoring
-            # clause; supporting that here needs the full doc table per
-            # bucket. Fail fast at plan time (ADVICE: no TypeError deep in
-            # the executor).
+            # MatchAll below the top boolean level (inside DisMax / a nested
+            # bool / Boost) stays unsupported: fail fast at plan time
+            # (ADVICE: no TypeError deep in the executor).
             raise ValueError(
-                "MatchAllQ nested inside a composite query is not supported; "
-                "use it top-level (optionally under ConstScoreQ)"
+                "MatchAllQ below the top boolean level is not supported; "
+                "use it top-level, under ConstScoreQ, or as a direct "
+                "BooleanQuery clause"
             )
         ctx = self.make_ctx(node)
         terms = {t for t in query_terms(node) if t in ctx.weights}
@@ -1501,6 +1518,57 @@ class Searcher:
             return self._single_term(scan, node, ctx, k, prune, qid, after)
         return self._bucketed(scan, node, ctx, k, prune, qid, need_positions,
                               terms, after)
+
+    def _bool_matchall(self, node: BoolQ, k: int, prune: bool,
+                       after: "tuple[float, int] | None") -> DataFrame:
+        """BooleanQuery with direct MatchAllDocsQuery scoring clauses
+        (BooleanQuery.rewrite keeps MatchAll as a clause; its scorer yields
+        1.0 per doc — core/search/MatchAllDocsQuery.java:41-74).
+
+        MatchAll clauses fold into the reduced boolean's ``const_add`` /
+        ``n_free_opt`` so kernels add the constant INSIDE the double score
+        sum (bit-exact float32 vs Lucene's BooleanScorer accumulation).
+        When the required side is only MatchAll, the query matches every
+        live doc: docs containing none of the real terms never reach a
+        postings kernel, so they are completed from the doc table at
+        exactly the constant score — always <= any kernel candidate's
+        score (real matches add >= 0), so kernel-side θ-pruning stays
+        valid. A MUST_NOT MatchAll matches nothing.
+        """
+        if any(isinstance(c, MatchAllQ) for c in node.must_not):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        must_ma = [c for c in node.must if isinstance(c, MatchAllQ)]
+        should_ma = [c for c in node.should if isinstance(c, MatchAllQ)]
+        reduced = BoolQ(
+            must=tuple(c for c in node.must if not isinstance(c, MatchAllQ)),
+            should=tuple(c for c in node.should if not isinstance(c, MatchAllQ)),
+            must_not=node.must_not,
+            msm=node.msm,
+            const_add=node.const_add + float(len(must_ma) + len(should_ma)),
+            n_free_opt=node.n_free_opt + len(should_ma),
+        )
+        base = self.candidates(reduced, k=k, prune=prune, after=after)
+        free_opt = reduced.n_free_opt
+        universe = not reduced.must and (
+            (bool(must_ma) and node.msm <= free_opt)
+            or (not node.must and max(node.msm, 1) <= free_opt)
+        )
+        if not universe:
+            return base
+        fill = self.doc_rows().select("gid")
+        if node.must_not:
+            neg = self.candidates(
+                BoolQ(should=tuple(node.must_not)).simplified(), prune=False
+            )
+            fill = fill.join(neg.select("gid"), "gid", "left_anti")
+        fill = fill.join(base.select("gid"), "gid", "left_anti")
+        fill = self._anti_join_deleted(fill)
+        # n float32 1.0s summed in double == n.0 exactly; f32 cast exact
+        fill = fill.select(
+            "gid",
+            F.lit(float(np.float32(reduced.const_add))).cast("float").alias("score"),
+        )
+        return base.unionByName(fill)
 
     def _term_in_set(self, node: TermInSetQ, boost: float) -> DataFrame:
         """TermInSetQuery execution (core/search/TermInSetQuery.java): a

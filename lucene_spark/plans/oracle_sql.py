@@ -751,6 +751,27 @@ WHERE htf.term = '{term}'
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def matchall_must_topk_sql(term: str, k: int = 10) -> str:
+    """BooleanQuery with a MUST MatchAllDocsQuery scoring clause
+    (BooleanQuery.rewrite keeps it; MatchAllDocsQuery.score() == 1.0):
+    the term's match set, each double sum gaining 1.0 before the single
+    float32 cast."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s', term)}
+SELECT doc_id, CAST(CAST(score + 1.0 AS FLOAT) AS DOUBLE) AS score
+FROM s ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def matchall_univ_topk_sql(term: str, k: int = 10) -> str:
+    """'* NOT term': a required MatchAll makes the match set the whole
+    corpus minus the excluded docs, every doc scoring exactly 1.0
+    (gid-ascending ties)."""
+    return f"""WITH {base_ctes()}
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{term}')
+ORDER BY doc_id ASC LIMIT {k}"""
+
+
 def term_postings_sql(term: str) -> str:
     return f"""WITH {base_ctes()}
 SELECT doc_id, freq FROM tf WHERE term = '{term}' ORDER BY doc_id"""

@@ -190,18 +190,27 @@ class BoolQ:
     must_not: tuple = ()
     # minimumNumberShouldMatch (BooleanQuery.Builder.setMinimumNumberShouldMatch)
     msm: int = 0
+    # MatchAllDocsQuery scoring clauses, folded by the searcher
+    # (BooleanQuery.rewrite keeps MatchAll as a scoring clause;
+    # MatchAllDocsQuery.score() == 1.0): ``const_add`` MUST/SHOULD
+    # MatchAlls contribute that many float32 1.0 terms to every matching
+    # doc's double score sum; ``n_free_opt`` of them were SHOULD clauses
+    # and count toward minimumNumberShouldMatch on every doc.
+    const_add: float = 0.0
+    n_free_opt: int = 0
 
     def simplified(self):
         """1-clause collapse + dedupe (BooleanQuery.rewrite subset)."""
         must = tuple(dict.fromkeys(self.must))
         should = tuple(dict.fromkeys(self.should))
         must_not = tuple(dict.fromkeys(self.must_not))
-        if self.msm <= 1:
+        if self.msm <= 1 and self.const_add == 0.0 and self.n_free_opt == 0:
             if len(must) == 1 and not should and not must_not:
                 return must[0]
             if len(should) == 1 and not must and not must_not:
                 return should[0]
-        return BoolQ(must, should, must_not, self.msm)
+        return BoolQ(must, should, must_not, self.msm,
+                     self.const_add, self.n_free_opt)
 
 
 def _analyze_word(word: str) -> list[tuple[str, int]]:
@@ -518,6 +527,8 @@ def qualify_node(node, field: str):
             should=tuple(qualify_node(c, field) for c in node.should),
             must_not=tuple(qualify_node(c, field) for c in node.must_not),
             msm=node.msm,
+            const_add=node.const_add,
+            n_free_opt=node.n_free_opt,
         )
     if isinstance(node, DisMaxQ):
         return DisMaxQ(

@@ -251,3 +251,91 @@ def test_pruned_equals_exhaustive_on_rewrites(searcher):
         b = searcher.search(q, k=10, prune=False)
         assert a["gid"].tolist() == b["gid"].tolist()
         assert a["score"].tolist() == b["score"].tolist()
+
+
+# --------------------------------------------- nested MatchAll (BooleanQuery)
+
+
+def test_matchall_must_adds_constant(searcher):
+    """BooleanQuery.rewrite keeps MatchAllDocsQuery as a scoring clause
+    (score 1.0/doc): 'merge AND *' = merge's match set, each double sum
+    gaining exactly one f32 1.0 before the final f32 cast."""
+    got = searcher.search(parse_query("merge AND *"), k=10**6, prune=False)
+    base = searcher.search("merge", k=10**6, prune=False)
+    assert sorted(got["gid"].astype(int)) == sorted(base["gid"].astype(int))
+    bmap = dict(zip(base["gid"].astype(int), base["score"]))
+    for gid, sc in zip(got["gid"].astype(int), got["score"]):
+        assert np.float32(sc) == np.float32(np.float64(bmap[gid]) + 1.0)
+
+
+def test_matchall_should_universe(searcher):
+    """'merge OR *' matches EVERY live doc: docs without the term score
+    exactly 1.0 (completed from the doc table), the rest f32(s + 1)."""
+    got = searcher.search(parse_query("merge OR *"), k=10**6, prune=False)
+    n_docs = searcher.count(MatchAllQ())
+    assert len(got) == n_docs
+    base = searcher.search("merge", k=10**6, prune=False)
+    bmap = dict(zip(base["gid"].astype(int), base["score"]))
+    for gid, sc in zip(got["gid"].astype(int), got["score"]):
+        want = np.float32(np.float64(bmap.get(gid, 0.0)) + 1.0)
+        assert np.float32(sc) == want, gid
+    assert searcher.count(parse_query("merge OR *")) == n_docs
+
+
+def test_matchall_universe_with_not(searcher):
+    """'* NOT merge' = every doc minus the excluded set, constant 1.0,
+    gid-ascending ties."""
+    got = searcher.search(parse_query("* NOT merge"), k=10, with_keys=False)
+    merged = set(
+        searcher.search("merge", k=10**6, prune=False)["gid"].astype(int)
+    )
+    n_docs = searcher.count(MatchAllQ())
+    assert searcher.count(parse_query("* NOT merge")) == n_docs - len(merged)
+    want = sorted(g for g in range(10**6) if g not in merged)[:10]
+    got_g = list(got["gid"].astype(int))
+    assert got_g == [g for g in want if g < 10**6][: len(got_g)]
+    assert (got["score"] == 1.0).all()
+
+
+def test_matchall_must_not_matches_nothing(searcher):
+    assert searcher.search(
+        BoolQ(must=(TermQ("merge"),), must_not=(MatchAllQ(),)), k=5
+    ).empty
+
+
+def test_matchall_counts_toward_msm(searcher):
+    """A SHOULD MatchAll matches every doc, so it counts toward
+    minimumNumberShouldMatch: msm=2 over (merge, window, *) keeps docs
+    matching EITHER real term (1 real + 1 free >= 2)."""
+    node = BoolQ(should=(TermQ("merge"), TermQ("window"), MatchAllQ()), msm=2)
+    got = searcher.search(node, k=10**6, prune=False)
+    union = searcher.search("merge OR window", k=10**6, prune=False)
+    assert sorted(got["gid"].astype(int)) == sorted(union["gid"].astype(int))
+    # per-clause f32 scores sum in DOUBLE with the +1.0 inside, one final
+    # f32 cast (BooleanScorer accumulation) — not +1 on the rounded sum
+    m1 = dict(zip(*(searcher.search("merge", k=10**6, prune=False)
+                    [c].tolist() for c in ("gid", "score"))))
+    m2 = dict(zip(*(searcher.search("window", k=10**6, prune=False)
+                    [c].tolist() for c in ("gid", "score"))))
+    for gid, sc in zip(got["gid"].astype(int), got["score"]):
+        want = np.float32(
+            np.float64(m1.get(gid, 0.0)) + np.float64(m2.get(gid, 0.0)) + 1.0
+        )
+        assert np.float32(sc) == want, gid
+
+
+def test_matchall_pruned_equals_exhaustive(searcher):
+    """θ/impact pruning must account for the +const (upper bounds and
+    block slack include it): pruned == exhaustive on a matchall boolean."""
+    node = parse_query("merge AND *")
+    ex = searcher.search(node, k=10, prune=False)
+    pr = searcher.search(node, k=10, prune=True)
+    assert list(ex["gid"]) == list(pr["gid"])
+    assert list(ex["score"]) == list(pr["score"])
+
+
+def test_matchall_deeper_nesting_still_rejected(searcher):
+    with pytest.raises(ValueError, match="MatchAll"):
+        searcher.search(
+            DisMaxQ(clauses=(TermQ("merge"), MatchAllQ()), tie=0.1), k=5
+        )

@@ -141,11 +141,18 @@ def test_search_after_cursor_pages(tiny_searcher, oracle):
         rank += k
 
 
-def test_nested_matchall_raises(tiny_searcher):
+def test_deeply_nested_matchall_raises(tiny_searcher):
+    """Direct BooleanQuery MatchAll clauses are supported (folded into
+    const_add / universe completion); BELOW the top boolean level the
+    fail-fast plan error remains."""
+    from lucene_spark.plans.query import DisMaxQ
+
     with pytest.raises(ValueError, match="MatchAllQ"):
-        tiny_searcher.candidates(BoolQ(must=(TermQ("x"), MatchAllQ())))
+        tiny_searcher.candidates(DisMaxQ(clauses=(TermQ("x"), MatchAllQ()), tie=0.0))
     with pytest.raises(ValueError, match="MatchAllQ"):
-        tiny_searcher.candidates(BoolQ(should=(MatchAllQ(), TermQ("x"))))
+        tiny_searcher.candidates(
+            BoolQ(must=(BoolQ(should=(MatchAllQ(), TermQ("x"))), TermQ("x")))
+        )
 
 
 def test_block_metrics_prune_reduces_decode(tiny_searcher, oracle):
