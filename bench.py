@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": "indexing_docs_per_sec", "value": <docs/sec at local[CPUS]>,
-   "unit": "sec", "queries": {...per-query seconds...}, "sf": <sf>,
+   "unit": "docs/sec", "queries": {...per-query seconds...}, "sf": <sf>,
    "scaling": {"cores_n":8,"cores_4n":32,"docs_per_sec_n":..,
                "docs_per_sec_4n":..,"efficiency":..}}
 
@@ -268,7 +268,7 @@ def main() -> None:
     result = {
         "metric": "indexing_docs_per_sec",
         "value": best,
-        "unit": "sec",
+        "unit": "docs/sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "corpus_docs": n_docs,

@@ -58,8 +58,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..functions.bm25 import BM25Scorer, avgdl as _avgdl, idf as _idf, norm_cache
 from ..functions.pfor import batch_decode_streams
-from ..plans.fields import DEFAULT_FIELD, FIELD_SEP, field_of as _field_of
+from ..plans.fields import (
+    DEFAULT_FIELD, FIELD_SEP, field_of as _field_of, local_term,
+)
 from ..plans.query import (
+    BlendedQ,
     BoolQ,
     BoostQ,
     ConstScoreQ,
@@ -250,6 +253,7 @@ class ScoreCtx:
     phrase_weights: dict  # PhraseQ -> np.float32
     syn_weights: dict = None  # SynonymQ -> np.float32 (blended stats)
     boost_weights: dict = None  # BoostQ -> np.float32 (boost * idf, f32 mult)
+    blended_weights: dict = None  # BlendedQ -> tuple[np.float32] per member
     doc_freqs: dict = None  # term key -> global docFreq (bucket-width targeting)
     caches: dict = None  # field -> float32[256] cache (per-field avgdl)
 
@@ -288,6 +292,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_bool(node, postings, ctx)
     if isinstance(node, SynonymQ):
         return _eval_synonym(node, postings, ctx)
+    if isinstance(node, BlendedQ):
+        return _eval_blended(node, postings, ctx)
     if isinstance(node, DisMaxQ):
         return _eval_dismax(node, postings, ctx)
     if isinstance(node, ConstScoreQ):
@@ -319,7 +325,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
         if tp is None or not len(tp.gids):
             return np.empty(0, np.int64), np.empty(0, np.float32)
         return tp.gids, _score_term(tp, w, ctx.cache_for(child.term))
-    if isinstance(child, (PhraseQ, SynonymQ)):
+    if isinstance(child, (PhraseQ, SynonymQ, BlendedQ)):
         # temporarily rebind the child's weight to the boosted one
         sub = ScoreCtx(
             weights=ctx.weights,
@@ -329,6 +335,8 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
             syn_weights={**(ctx.syn_weights or {}), child: w}
             if isinstance(child, SynonymQ) else ctx.syn_weights,
             boost_weights=ctx.boost_weights,
+            blended_weights={**(ctx.blended_weights or {}), child: w}
+            if isinstance(child, BlendedQ) else ctx.blended_weights,
             caches=ctx.caches,
         )
         return eval_plan(child, postings, sub)
@@ -355,6 +363,29 @@ def _eval_synonym(node: SynonymQ, postings: dict, ctx: ScoreCtx) -> tuple[np.nda
     one = np.float32(1.0)
     scores = w - w / (one + freqs.astype(np.float32) * ctx.cache_for(node.terms[0])[norms])
     return gids, scores
+
+
+def _eval_blended(node: BlendedQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """BlendedTermQuery BOOLEAN_REWRITE kernel: each member scored as its
+    own TermQuery with the blended weight (boost_i * idf(max member df),
+    folded float32 in make_ctx), per-term float32 scores summed as SHOULD
+    clauses — double accumulate, one float32 cast
+    (BlendedTermQuery.java:269-301 + DisjunctionSumScorer)."""
+    ws = ctx.blended_weights[node]
+    evs = []
+    for t, w in zip(node.terms, ws):
+        tp = postings.get(t)
+        if tp is None or not len(tp.gids):
+            continue
+        evs.append((tp.gids, _score_term(tp, w, ctx.cache_for(t))))
+    if not evs:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    all_g = np.concatenate([g for g, _ in evs])
+    all_s = np.concatenate([s for _, s in evs]).astype(np.float64)
+    gids, inv = np.unique(all_g, return_inverse=True)
+    total = np.zeros(len(gids))
+    np.add.at(total, inv, all_s)
+    return gids, total.astype(np.float32)
 
 
 def _eval_dismax(node: DisMaxQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
@@ -828,6 +859,14 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
             return float("-inf")
         # score is bounded above by the blended weight (w - w/(1+x) < w)
         return float(ctx.syn_weights[node])
+    if isinstance(node, BlendedQ):
+        ws = (ctx.blended_weights or {}).get(node)
+        if ws is None or not any(t in term_maxes for t in node.terms):
+            return float("-inf")
+        # SHOULD sum of member terms, each bounded by its blended weight
+        return sum(
+            float(w) for t, w in zip(node.terms, ws) if t in term_maxes
+        )
     if isinstance(node, DisMaxQ):
         bounds = [_plan_upper_bound(c, term_maxes, ctx) for c in node.clauses]
         bounds = [b for b in bounds if b != float("-inf")]
@@ -851,7 +890,12 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         child = _plan_upper_bound(node.child, term_maxes, ctx)
         if child == float("-inf"):
             return float("-inf")
-        return float(ctx.boost_weights[node])  # score < weight always
+        w = ctx.boost_weights[node]
+        if isinstance(w, tuple):  # BoostQ(BlendedQ): per-member weights
+            return sum(
+                float(x) for t, x in zip(node.child.terms, w) if t in term_maxes
+            )
+        return float(w)  # score < weight always
     return float("inf")
 
 
@@ -1186,60 +1230,7 @@ class Searcher:
             )
             matched = tdf.filter(F.col("term").rlike(f"^{rx}$"))
         elif isinstance(node, FuzzyQ):
-            # FuzzyQuery.java: candidates within maxEdits, keeping the
-            # maxExpansions highest-docFreq terms (exact-match always kept).
-            # Candidate generation is bounded BEFORE the distance runs:
-            # |len(term) - len(q)| <= maxEdits (true for Levenshtein and
-            # Damerau alike), and a non-zero prefixLength pushes a
-            # StartsWith seek with the distance on the remainders
-            # (FuzzyQuery.java prefixLength semantics).
-            plen = int(getattr(node, "prefix_length", 0) or 0)
-            q = node.term
-            if plen > 0:
-                plen = min(plen, len(q))
-                tdf = tdf.filter(F.col("term").startswith(q[:plen]))
-            band = tdf.select("term", "doc_freq").filter(
-                F.length(F.col("term")).between(
-                    len(q) - node.max_edits, len(q) + node.max_edits
-                )
-            )
-            if getattr(node, "transpositions", True):
-                # OSA (restricted Damerau) in an Arrow-vectorized kernel —
-                # one batched DP per partition, no per-term Python
-                from ..functions.editdist import osa_distances
-
-                qs, pl, me = q, plen, node.max_edits
-
-                def dist_kernel(batches):
-                    for pdf in batches:
-                        if pdf.empty:
-                            continue
-                        suf = [t[pl:] for t in pdf["term"]]
-                        d = osa_distances(suf, qs[pl:])
-                        keep = d <= me
-                        if keep.any():
-                            yield pdf[keep]
-
-                cand = band.mapInPandas(
-                    dist_kernel, schema="term string, doc_freq long"
-                )
-            else:
-                # classic Levenshtein stays JVM-side
-                suffix = F.col("term").substr(plen + 1, 1 << 20)
-                cand = band.filter(
-                    F.levenshtein(suffix, F.lit(q[plen:])) <= node.max_edits
-                )
-            rows = (
-                cand.select("term", "doc_freq")
-                .orderBy(
-                    (F.col("term") == q).desc(),
-                    F.desc("doc_freq"),
-                    F.asc("term"),
-                )
-                .limit(node.max_expansions)
-                .collect()
-            )
-            return sorted(r["term"] for r in rows)
+            return sorted(t for t, _ in self._fuzzy_candidates(node, tdf))
         elif isinstance(node, RegexpQ):
             lit = _regex_literal_prefix(node.pattern)
             if lit:
@@ -1272,6 +1263,97 @@ class Searcher:
             terms = [r["term"] for r in matched.select("term").collect()]
         return sorted(terms)
 
+    def _fuzzy_candidates(self, node: FuzzyQ, tdf=None) -> "list[tuple[str, float]]":
+        """FuzzyQuery candidate collection: (term, boost) pairs in
+        TopTermsRewrite priority order.
+
+        Candidate generation is bounded BEFORE any distance runs:
+        |len(term) - len(q)| <= maxEdits (true for Levenshtein and Damerau
+        alike), and a non-zero prefixLength pushes a StartsWith seek with
+        the distance on the remainders (FuzzyQuery.java prefixLength).
+        Each candidate's boost is float32 ``1 - ed / min(|term|, |query|)``
+        — exact match 1.0, lengths of the field-local terms
+        (FuzzyTermsEnum.java:247-255) — and the top ``max_expansions``
+        (capped by maxClauseCount) are kept by (boost desc, term asc), the
+        TopTermsRewrite queue order (TopTermsRewrite.java:109-155); the
+        build truncates negative boosts to 0 (TopTermsRewrite.java:169-171).
+        """
+        if tdf is None:
+            tdf = self.terms_table()
+            if FIELD_SEP not in node.term:
+                tdf = tdf.filter(~F.col("term").contains(FIELD_SEP))
+            else:
+                tdf = tdf.filter(F.col("term").startswith(
+                    node.term.split(FIELD_SEP, 1)[0] + FIELD_SEP
+                ))
+        plen = int(getattr(node, "prefix_length", 0) or 0)
+        q = node.term
+        if plen > 0:
+            plen = min(plen, len(q))
+            tdf = tdf.filter(F.col("term").startswith(q[:plen]))
+        band = tdf.select("term", "doc_freq").filter(
+            F.length(F.col("term")).between(
+                len(q) - node.max_edits, len(q) + node.max_edits
+            )
+        )
+        if getattr(node, "transpositions", True):
+            # OSA (restricted Damerau) in an Arrow-vectorized kernel —
+            # one batched DP per partition, no per-term Python
+            from ..functions.editdist import osa_distances
+
+            qs, pl, me = q, plen, node.max_edits
+
+            def dist_kernel(batches):
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    suf = [t[pl:] for t in pdf["term"]]
+                    d = osa_distances(suf, qs[pl:])
+                    keep = d <= me
+                    if keep.any():
+                        out = pdf[keep].copy()
+                        out["ed"] = d[keep]
+                        yield out
+
+            cand = band.mapInPandas(
+                dist_kernel, schema="term string, doc_freq long, ed long"
+            )
+        else:
+            # classic Levenshtein stays JVM-side
+            suffix = F.col("term").substr(plen + 1, 1 << 20)
+            cand = band.withColumn(
+                "ed", F.levenshtein(suffix, F.lit(q[plen:]))
+            ).filter(F.col("ed") <= node.max_edits)
+        # Top-k selection runs distributed (TakeOrdered), so the driver
+        # only ever sees max_expansions rows — no unbounded collect at a
+        # billion-term dictionary. All candidates share one field prefix
+        # (tdf is pre-filtered), so the field-local length is
+        # length(term) - const, and the boost float32 arithmetic is IEEE
+        # single-precision on the JVM exactly as np.float32 is here.
+        prefix_len = len(q) - len(local_term(q))
+        min_len = F.greatest(
+            F.least(
+                F.length("term") - F.lit(prefix_len),
+                F.lit(len(local_term(q))),
+            ),
+            F.lit(1),
+        )
+        boost_col = (
+            F.lit(1.0).cast("float")
+            - F.col("ed").cast("float") / min_len.cast("float")
+        ).cast("float")
+        rows = (
+            cand.withColumn("boost", boost_col)
+            .select("term", "boost")
+            .orderBy(F.desc("boost"), F.asc("term"))
+            .limit(min(int(node.max_expansions), MAX_CLAUSE_COUNT))
+            .collect()
+        )
+        return [
+            (r["term"], float(max(np.float32(0.0), np.float32(r["boost"]))))
+            for r in rows
+        ]
+
     def rewrite(self, node):
         """Resolve multi-term nodes against the term dictionary
         (Query.rewrite fixpoint, IndexSearcher.java:761-768).
@@ -1283,18 +1365,31 @@ class Searcher:
         executes through the TermInSet semi-join machinery (the bitset/
         postings-union execution of
         MultiTermQueryConstantScoreBlendedWrapper, re-expressed as a scan
-        semi-join). Fuzzy keeps a scoring OR over the capped top-docFreq
-        expansion (deviation from TopTermsBlendedFreqScoringRewrite,
-        documented in COVERAGE.md). An empty expansion matches nothing
-        (MatchNoDocsQuery analog).
+        semi-join). Fuzzy rewrites to the reference-default
+        TopTermsBlendedFreqScoringRewrite (MultiTermQuery.java:197-236):
+        the top-boost expansion becomes a BlendedQ — every member scored
+        with the blended max docFreq times its distance boost, summed as a
+        boolean. An empty expansion matches nothing (MatchNoDocsQuery
+        analog).
         """
         if node is None or isinstance(
-            node, (TermQ, PhraseQ, NearQ, SloppyQ, SynonymQ, MatchAllQ, TermInSetQ)
+            node,
+            (TermQ, PhraseQ, NearQ, SloppyQ, SynonymQ, MatchAllQ, TermInSetQ,
+             BlendedQ),
         ):
             return node
         if isinstance(node, FuzzyQ):
-            terms = self.expand_terms(node)
-            return BoolQ(should=tuple(TermQ(t) for t in terms)).simplified()
+            pairs = self._fuzzy_candidates(node)
+            if not pairs:
+                return BoolQ()
+            if len(pairs) == 1 and pairs[0][1] == 1.0:
+                # single exact match: BlendedTermQuery over one term with
+                # boost 1 collapses to the plain TermQuery
+                return TermQ(pairs[0][0])
+            return BlendedQ(
+                terms=tuple(t for t, _ in pairs),
+                boosts=tuple(b for _, b in pairs),
+            )
         if isinstance(node, (PrefixQ, WildcardQ, RegexpQ, RangeQ)):
             terms = self.expand_terms(node)
             return ConstScoreQ(TermInSetQ(tuple(terms)), boost=1.0)
@@ -1349,6 +1444,7 @@ class Searcher:
         phrase_weights = {}
         syn_weights = {}
         boost_weights = {}
+        blended_weights = {}
 
         def walk(n):
             if isinstance(n, BoostQ):
@@ -1359,6 +1455,14 @@ class Searcher:
                     base = phrase_weights.get(n.child, np.float32(0.0))
                 elif isinstance(n.child, SynonymQ):
                     base = syn_weights.get(n.child, np.float32(0.0))
+                elif isinstance(n.child, BlendedQ):
+                    # BoostQuery cascades: each member weight multiplied by
+                    # the outer boost at the same float32 fold point
+                    boost_weights[n] = tuple(
+                        np.float32(np.float32(n.boost) * w)
+                        for w in blended_weights[n.child]
+                    )
+                    return
                 else:
                     raise TypeError(f"BoostQ supports leaf nodes, got {n.child!r}")
                 # float32 multiply, the BM25Scorer ctor's cast point
@@ -1376,6 +1480,18 @@ class Searcher:
                 syn_weights[n] = (
                     _idf(max(dfs), doc_count_of(n.terms[0])) if dfs else np.float32(0.0)
                 )
+            elif isinstance(n, BlendedQ):
+                # adjustFrequencies: every member's df replaced by the max
+                # across members (BlendedTermQuery.java:281-290); each
+                # TermQuery weight = float32(boost_i) * blended idf, the
+                # BM25Scorer ctor fold
+                dfs = [tstats[t][0] for t in n.terms if t in tstats]
+                base = (
+                    _idf(max(dfs), doc_count_of(n.terms[0])) if dfs else np.float32(0.0)
+                )
+                blended_weights[n] = tuple(
+                    np.float32(np.float32(b) * base) for b in n.boosts
+                )
             elif isinstance(n, BoolQ):
                 for c in n.must + n.should + n.must_not:
                     walk(c)
@@ -1389,7 +1505,7 @@ class Searcher:
         return ScoreCtx(
             weights=weights, cache=cache,
             phrase_weights=phrase_weights, syn_weights=syn_weights,
-            boost_weights=boost_weights,
+            boost_weights=boost_weights, blended_weights=blended_weights,
             doc_freqs={t: tstats[t][0] for t in terms if t in tstats},
             caches=caches,
         )

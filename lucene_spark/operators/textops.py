@@ -683,22 +683,93 @@ def stratified_sample(
     ).select("doc_id", "lang", "bucket")
 
 
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list
+    (``a``/``b`` columns; both orientations expected), for all ``doc_id``
+    in ``nodes``. Returns (doc_id, label) with label = component minimum.
+
+    Each round does (1) a neighbor-min label exchange (one hop of label
+    travel) and (2) a pointer-doubling compression — every node adopts its
+    label's own label (``l[v] ← min(l[v], l[l[v]])``), which halves
+    label-chain depth per round (Shiloach–Vishkin hook-and-compress; the
+    same convergence class as large-star/small-star in Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"). Convergence is
+    O(log diameter), so a 1M-doc chain needs ~20 rounds, not 1M — the
+    shape that matters at 100 TB where template families can chain.
+
+    The invariant (every label is a node id inside the same component,
+    ≥ the component min) holds for both steps, and at fixpoint every
+    edge's endpoints carry equal labels = the component min. The loop
+    runs to the exact fixpoint (changed == 0) and FAILS LOUDLY if
+    ``max_iters`` is hit first rather than returning silently-wrong
+    components. Each round is three bounded shuffles (|edges| join,
+    |nodes| self-join, |nodes| compare); the driver only sees counts.
+    Lineage is truncated per round with an eager ``localCheckpoint`` —
+    ``hooked`` feeds two branches of the doubling join, so without the
+    cut the logical plan doubles every round and Catalyst blows up
+    exponentially (the classic iterative-algorithm trap)."""
+    edges = edges.cache()
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    converged = False
+    for _ in range(max_iters):
+        # (1) neighbor minimum label — one hop
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        hooked = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        ).localCheckpoint()
+        # (2) pointer doubling: adopt the label's own label
+        parent = hooked.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            hooked.join(parent, hooked["label"] == parent["p_id"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("p_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(O(log diameter) with pointer doubling); raise max_iters"
+        )
+    return labels
+
+
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, bands: int = 4, max_iters: int = 20
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the union of
     exact-dup pairs and MinHash-LSH candidate pairs; canonical = min doc_id
     in the component — the actual dedup endpoint a curation pipeline keeps.
-
-    Distributed label propagation: every doc starts labeled with itself;
-    each iteration joins labels across edges and takes the min. One hop of
-    label travel per round, so convergence is O(component diameter) —
-    near-clique dup clusters take 2-3 rounds; a pathological chain takes
-    its length. The loop runs to an exact fixpoint (changed == 0) and
-    FAILS LOUDLY if ``max_iters`` is hit first rather than returning
-    silently-wrong components. Each round is two shuffles bounded by
-    |edges|; the driver only sees the converged-or-not count. Docs in no
-    pair keep themselves as canonical."""
+    Components via :func:`connected_components` (pointer-doubled min-label,
+    O(log diameter) rounds). Docs in no pair keep themselves as canonical."""
     exact = dedup_exact(spark, sf_dir).filter(F.col("is_duplicate")).select(
         F.col("canonical_id").alias("a"), F.col("doc_id").alias("b")
     )
@@ -709,45 +780,10 @@ def dedup_clusters(
     # undirected: both directions
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().cache()
-    labels = (
-        docs(spark, sf_dir)
-        .select(F.col("doc_id"), F.col("doc_id").alias("label"))
-        .cache()
+    ).distinct()
+    labels = connected_components(
+        edges, docs(spark, sf_dir).select("doc_id"), max_iters=max_iters
     )
-    converged = False
-    for _ in range(max_iters):
-        # neighbor minimum label
-        neigh = (
-            edges.join(labels, edges["b"] == labels["doc_id"])
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()  # one live copy + bounded lineage, not max_iters
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
-    if not converged:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iters} rounds — a "
-            "component's diameter exceeds the iteration cap; raise max_iters"
-        )
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id"),
         (F.col("doc_id") != F.col("label")).alias("is_duplicate"),

@@ -219,8 +219,11 @@ def osa_expand_ctes(q: str, max_edits: int = 2, max_expansions: int = 50) -> str
     inlining across stages otherwise compounds exponentially and OOMs the
     optimizer); per stage the in-row left dependency is unwound as
     new[k] = (k-1) + min_{m<=k}(base[m]-(m-1)).
-    Emits ``fterms``: the capped top-docFreq expansion (exact match kept
-    first)."""
+    Emits ``fterms``: (term, boost) — the top ``max_expansions`` candidates
+    in TopTermsRewrite queue order (boost desc, term asc;
+    TopTermsRewrite.java:109-155), boost = float32
+    ``1 - ed / min(|term|, |q|)`` (FuzzyTermsEnum.java:247-255), truncated
+    to >= 0 after selection (TopTermsRewrite.java:169-171)."""
     e = int(max_edits)
     stages = [
         f"""
@@ -258,24 +261,56 @@ f{j} AS MATERIALIZED (
   FROM (SELECT *, {base} AS base FROM f{j - 1})
 )"""
         )
+    boost = (
+        f"CASE WHEN prev[n + 1] = 0 THEN {_f4('1.0')} ELSE "
+        + _f4(
+            f"{_f4('1.0')} - "
+            + _f4(
+                f"{_f4('prev[n + 1]')} / "
+                f"{_f4(f'greatest(least(n, {len(q)}), 1)')}"
+            )
+        )
+        + " END"
+    )
     stages.append(
         f"""
 fterms AS (
-  SELECT term FROM f{len(q)}
-  WHERE prev[n + 1] <= {e}
-  ORDER BY (term = '{_sq(q)}') DESC, doc_freq DESC, term ASC
-  LIMIT {int(max_expansions)}
+  SELECT term, CAST(greatest(boost, {_f4('0.0')}) AS FLOAT) AS boost
+  FROM (
+    SELECT term, {boost} AS boost FROM f{len(q)}
+    WHERE prev[n + 1] <= {e}
+    ORDER BY boost DESC, term ASC
+    LIMIT {int(max_expansions)}
+  )
 )"""
     )
     return ",".join(stages)
 
 
 def fuzzy_topk_sql(q: str, max_edits: int = 2, max_expansions: int = 50, k: int = 10) -> str:
-    """Fuzzy rewrite: terms within OSA (restricted-Damerau) distance —
-    transpositions=true like the reference default — capped at the
-    highest-docFreq ``max_expansions`` (exact match always kept), scored as
-    a boolean OR."""
-    return f"""WITH {base_ctes()},{osa_expand_ctes(q, max_edits, max_expansions)},{scored_pred_cte('s', 'tf.term IN (SELECT term FROM fterms)')}
+    """Fuzzy default rewrite, TopTermsBlendedFreqScoringRewrite
+    (MultiTermQuery.java:197-236 + FuzzyQuery.java:272): terms within OSA
+    (restricted-Damerau) distance, top ``max_expansions`` by distance boost,
+    executed as a BlendedTermQuery — every member's docFreq REPLACED by the
+    max across members (BlendedTermQuery.java:281-290), per-term weight =
+    float32(boost * blended idf), per-term float32 scores summed as SHOULD
+    clauses (double sum, one float32 cast)."""
+    w_blend = idf_sql(
+        "(SELECT max(ts2.doc_freq) FROM tstats ts2 "
+        "WHERE ts2.term IN (SELECT term FROM fterms))",
+        N_SQL,
+    )
+    w = _f4(f"{_f4('ft.boost')} * {w_blend}")
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    score = bm25_score_sql(w, "tf.freq", cache)
+    return f"""WITH {base_ctes()},{osa_expand_ctes(q, max_edits, max_expansions)},
+s AS (
+  SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+  FROM tf
+  JOIN fterms ft ON ft.term = tf.term
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+)
 SELECT doc_id,
        CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
 FROM s GROUP BY doc_id

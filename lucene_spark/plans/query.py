@@ -22,7 +22,7 @@ from .fields import DEFAULT_FIELD, qualify
 __all__ = [
     "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
     "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
-    "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ",
+    "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "BlendedQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
 
@@ -181,6 +181,22 @@ class TermInSetQ:
 
     terms: tuple[str, ...]
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BlendedQ:
+    """BlendedTermQuery with BOOLEAN_REWRITE (core/search/BlendedTermQuery.
+    java:269-301) — the execution form of FuzzyQuery's default
+    TopTermsBlendedFreqScoringRewrite (MultiTermQuery.java:197-236):
+    every member term is scored as a TermQuery whose docFreq is REPLACED by
+    the max docFreq across members (``adjustFrequencies``), each weight
+    multiplied by its per-term boost (for fuzzy: float32
+    ``1 - ed / min(|term|, |query|)``, FuzzyTermsEnum.java:247-255), and
+    the per-term float32 scores sum as SHOULD clauses (double accumulate,
+    one float32 cast)."""
+
+    terms: tuple
+    boosts: tuple
 
 
 @dataclass(frozen=True)
@@ -502,6 +518,11 @@ def qualify_node(node, field: str):
         )
     if isinstance(node, SynonymQ):
         return SynonymQ(terms=tuple(qualify(field, t) for t in node.terms))
+    if isinstance(node, BlendedQ):
+        return BlendedQ(
+            terms=tuple(qualify(field, t) for t in node.terms),
+            boosts=node.boosts,
+        )
     if isinstance(node, PrefixQ):
         return PrefixQ(qualify(field, node.prefix))
     if isinstance(node, WildcardQ):
@@ -586,7 +607,7 @@ def query_terms(node) -> set[str]:
         return set()
     if isinstance(node, TermQ):
         return {node.term}
-    if isinstance(node, (PhraseQ, SynonymQ, NearQ, SloppyQ)):
+    if isinstance(node, (PhraseQ, SynonymQ, NearQ, SloppyQ, BlendedQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()

@@ -140,3 +140,20 @@ def test_dedup_clusters_chain_transitivity(spark, tmp_path_factory):
     assert int(out.loc[1, "cluster_id"]) == 0
     assert int(out.loc[2, "cluster_id"]) == 0  # needs 2 propagation rounds
     assert int(out.loc[3, "cluster_id"]) == 3 and not bool(out.loc[3, "is_duplicate"])
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 400-node path graph must converge well inside O(log n) rounds —
+    one-hop label propagation alone would need ~400; pointer doubling
+    makes 12 plenty. Labels must all collapse to the chain minimum."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 400
+    e = pd.DataFrame({"a": range(n - 1), "b": range(1, n)})
+    edges = spark.createDataFrame(e)
+    edges = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    labels = textops.connected_components(edges, nodes, max_iters=12).toPandas()
+    assert (labels["label"] == 0).all()
+    assert len(labels) == n
