@@ -48,12 +48,14 @@ def cmd_index(args) -> int:
     from lucene_spark.operators.indexer import build_index
     from lucene_spark.operators.merge import merge_index
 
+    from lucene_spark.sources.tables import read_pages
+
     spark = _spark("lucene_spark_index")
-    pages = spark.read.parquet(args.input)
+    pages = read_pages(spark, args.input)
     if args.from_html:
         pages = _with_extracted_text(pages)
-        if args.check_extraction and "text" in spark.read.parquet(args.input).columns:
-            orig = spark.read.parquet(args.input).select(
+        if args.check_extraction and "text" in read_pages(spark, args.input).columns:
+            orig = read_pages(spark, args.input).select(
                 args.key_col, F.col("text").alias("text_orig")
             )
             mismatches = (
@@ -176,7 +178,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("index", help="build (or resume/append) an index")
-    pi.add_argument("--input", required=True)
+    pi.add_argument(
+        "--input", required=True,
+        help="pages source: a Parquet directory path, or a catalog table "
+             "identifier like catalog.db.pages (Iceberg on a cluster with "
+             "the Iceberg runtime registered)",
+    )
     pi.add_argument("--index-dir", required=True)
     pi.add_argument("--key-col", default="url")
     pi.add_argument("--n-segments", type=int, default=64)
