@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import heapq
 import json
+import math
 import os
 import uuid
 from dataclasses import dataclass
@@ -817,6 +818,27 @@ def _max_score_of_impacts(imp_freqs, imp_norms, weight, cache) -> float:
     one = np.float32(1.0)
     s = weight - weight / (one + f.astype(np.float32) * cache[n])
     return float(s.max())
+
+
+def _float_safe_ub(ub: float) -> float:
+    """Float-safe score-sum upper bound, the MaxScoreSumPropagator
+    discipline (core/search/MaxScoreSumPropagator.java:80-105 /
+    MathUtil.sumUpperBound): per-clause bounds accumulate here in double,
+    but the kernels' final per-doc score is cast to float32, and that cast
+    can round UP past the double sum. Widening the bound by one float32
+    ulp before any theta comparison restores a true bound over every
+    representable score — monotone, so it can only prune less, never a
+    float32-tied competitor."""
+    if not math.isfinite(ub):
+        return ub
+    return float(np.nextafter(np.float32(ub), np.float32(np.inf)))
+
+
+def _float_safe_ub_arr(ub: np.ndarray) -> np.ndarray:
+    """Vector form of :func:`_float_safe_ub` for per-block bound arrays."""
+    f = ub.astype(np.float32)
+    out = np.nextafter(f, np.float32(np.inf)).astype(np.float64)
+    return np.where(np.isfinite(ub), out, ub)
 
 
 def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
@@ -1897,7 +1919,7 @@ class Searcher:
                 t_arr = pdf["term"].to_numpy()
                 for t in np.unique(t_arr):
                     term_maxes[t] = float(block_maxes[t_arr == t].max())
-                if _plan_upper_bound(node, term_maxes, ctx) < theta:
+                if _float_safe_ub(_plan_upper_bound(node, term_maxes, ctx)) < theta:
                     return empty
                 if theta > float("-inf"):
                     slack = _term_block_slack(node, term_maxes)
@@ -1905,7 +1927,7 @@ class Searcher:
                         s_arr = np.array(
                             [slack.get(t, float("inf")) for t in t_arr]
                         )
-                        pdf = pdf[block_maxes + s_arr >= theta]
+                        pdf = pdf[_float_safe_ub_arr(block_maxes + s_arr) >= theta]
                         if pdf.empty:
                             return empty
                         # re-run the leapfrog: score-filtering may have
