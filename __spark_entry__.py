@@ -721,6 +721,52 @@ def _q_sloppy3_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, NearQ(terms=SLOPPY3, slop=SLOPPY3_SLOP))
 
 
+MULTIPHRASE = (("table", "hash"), ("scan",))
+MULTIPHRASE_OFFSETS = (0, 1)
+SPAN_FIRST_END = 5
+SPAN_NOT_DIST = 1
+SPAN_OR_TERMS = ("table", "hash")
+
+
+def _q_span_first_topk(spark, sf_dir):
+    """SpanFirstQuery(term span, end): positions ending at or before
+    ``end`` count 1.0 each toward freq; weight = the term's idf."""
+    from lucene_spark.plans.query import SpanFirstQ
+
+    return _topk_df(spark, sf_dir, SpanFirstQ(T_MID, SPAN_FIRST_END))
+
+
+def _q_span_not_topk(spark, sf_dir):
+    """SpanNotQuery over term spans: include positions with no exclude
+    position within ``pre``/``post`` tokens; include-side stats only."""
+    from lucene_spark.plans.query import SpanNotQ
+
+    return _topk_df(
+        spark, sf_dir,
+        SpanNotQ(T_HOT, T_MID, pre=SPAN_NOT_DIST, post=SPAN_NOT_DIST),
+    )
+
+
+def _q_span_or_topk(spark, sf_dir):
+    """SpanOrQuery over term spans: union of member spans; freq = count of
+    all member positions; weight = summed member idfs (no df blend)."""
+    from lucene_spark.plans.query import SpanOrQ
+
+    return _topk_df(spark, sf_dir, SpanOrQ(SPAN_OR_TERMS))
+
+
+def _q_multiphrase_topk(spark, sf_dir):
+    """MultiPhraseQuery (core/search/MultiPhraseQuery.java): exact phrase
+    with alternative terms per position — matches "table scan" OR
+    "hash scan"; weight = idf summed over every termArrays entry."""
+    from lucene_spark.plans.query import MultiPhraseQ
+
+    return _topk_df(
+        spark, sf_dir,
+        MultiPhraseQ(termss=MULTIPHRASE, offsets=MULTIPHRASE_OFFSETS),
+    )
+
+
 def _q_sloppy_unordered_topk(spark, sf_dir):
     """Lucene-default ``"..."~N``: sloppy PhraseQuery, unordered within
     slop, freq = float32 Σ 1/(1+matchLength) (SloppyPhraseMatcher)."""
@@ -958,6 +1004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": _q_near_topk,
         "sloppy3_topk": _q_sloppy3_topk,
         "sloppy_unordered_topk": _q_sloppy_unordered_topk,
+        "multiphrase_topk": _q_multiphrase_topk,
+        "span_first_topk": _q_span_first_topk,
+        "span_not_topk": _q_span_not_topk,
+        "span_or_topk": _q_span_or_topk,
         "sloppy_match": _q_sloppy_match,
         "complete": _q_complete,
         "quality_metrics": _q_quality,
@@ -1042,6 +1092,14 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggest": osql.spell_suggest_sql(FUZZY_TERM),
         "near_topk": osql.near_topk_sql(*PHRASE, NEAR_SLOP),
         "sloppy3_topk": osql.near_n_topk_sql(list(SLOPPY3), SLOPPY3_SLOP),
+        "multiphrase_topk": osql.multiphrase_topk_sql(
+            MULTIPHRASE, MULTIPHRASE_OFFSETS
+        ),
+        "span_first_topk": osql.span_first_topk_sql(T_MID, SPAN_FIRST_END),
+        "span_not_topk": osql.span_not_topk_sql(
+            T_HOT, T_MID, SPAN_NOT_DIST, SPAN_NOT_DIST
+        ),
+        "span_or_topk": osql.span_or_topk_sql(SPAN_OR_TERMS),
         "sloppy_unordered_topk": osql.sloppy_topk_sql(
             list(SLOPPY3), [0, 1, 2], SLOPPY3_SLOP
         ),

@@ -70,12 +70,16 @@ from ..plans.query import (
     DisMaxQ,
     FuzzyQ,
     MatchAllQ,
+    MultiPhraseQ,
     NearQ,
     PhraseQ,
     PrefixQ,
     RangeQ,
     RegexpQ,
     SloppyQ,
+    SpanFirstQ,
+    SpanNotQ,
+    SpanOrQ,
     SynonymQ,
     TermInSetQ,
     TermQ,
@@ -289,6 +293,14 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_near(node, postings, ctx)
     if isinstance(node, SloppyQ):
         return _eval_sloppy(node, postings, ctx)
+    if isinstance(node, MultiPhraseQ):
+        return _eval_multiphrase(node, postings, ctx)
+    if isinstance(node, SpanFirstQ):
+        return _eval_span_first(node, postings, ctx)
+    if isinstance(node, SpanNotQ):
+        return _eval_span_not(node, postings, ctx)
+    if isinstance(node, SpanOrQ):
+        return _eval_span_or(node, postings, ctx)
     if isinstance(node, BoolQ):
         return _eval_bool(node, postings, ctx)
     if isinstance(node, SynonymQ):
@@ -810,6 +822,154 @@ def _eval_sloppy(node: SloppyQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarr
     return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
 
 
+def _slot_union(tps: "list[TermPostings]", gids: np.ndarray,
+                offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Union one MultiPhrase slot's postings over the candidate set.
+
+    Returns (sorted offset-shifted (cand,pos) keys, per-candidate presence
+    mask, per-candidate norms where present) — the UnionPostingsEnum merge
+    (MultiPhraseQuery.java:419-465) collapsed to array passes. Positions
+    are distinct within a (doc, slot): two terms cannot occupy one token
+    position, so the merged stream needs no dedup.
+    """
+    parts = []
+    present = np.zeros(len(gids), dtype=bool)
+    norms = np.zeros(len(gids), dtype=np.int64)
+    for tp in tps:
+        if tp is None or not len(tp.gids):
+            continue
+        idx = np.minimum(np.searchsorted(tp.gids, gids), len(tp.gids) - 1)
+        pres = tp.gids[idx] == gids
+        if not pres.any():
+            continue
+        cand_ids = np.nonzero(pres)[0]
+        present[cand_ids] = True
+        norms[cand_ids] = tp.norms[idx[pres]]
+        pos, sub_cand = _gather_positions(tp, idx[pres])
+        parts.append(
+            (cand_ids[sub_cand] << _POS_SHIFT) + (pos - int(offset) + _POS_PAD)
+        )
+    if not parts:
+        return np.empty(0, np.int64), present, norms
+    keys = np.concatenate(parts)
+    keys.sort()
+    return keys, present, norms
+
+
+def _eval_multiphrase(node: MultiPhraseQ, postings: dict,
+                      ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery: per slot, the member postings merge into one
+    positions stream (UnionPostingsEnum); candidates = docs with at least
+    one member present per slot; freq = the exact-phrase flat intersection
+    over the merged streams; scored like a phrase whose weight is the idf
+    sum over every termArrays entry (MultiPhraseQuery.java:221-246)."""
+    empty = np.empty(0, np.int64), np.empty(0, np.float32)
+    slot_tps = []
+    for slot in node.termss:
+        tps = [postings.get(t) for t in slot]
+        tps = [tp for tp in tps if tp is not None and len(tp.gids)]
+        if not tps:
+            return empty
+        slot_tps.append(tps)
+    # candidate docs: intersection over slots of the union of member gids
+    gids = None
+    for tps in slot_tps:
+        u = (
+            tps[0].gids
+            if len(tps) == 1
+            else np.unique(np.concatenate([tp.gids for tp in tps]))
+        )
+        gids = u if gids is None else np.intersect1d(gids, u, assume_unique=True)
+        if not len(gids):
+            return empty
+    keys = None
+    norms0 = None
+    for tps, off in zip(slot_tps, node.offsets):
+        k, present, norms = _slot_union(tps, gids, off)
+        if norms0 is None:
+            norms0 = norms
+        if keys is None:
+            keys = k
+        else:
+            if not len(k):
+                return empty
+            loc = np.minimum(np.searchsorted(k, keys), len(k) - 1)
+            keys = keys[k[loc] == keys]
+        if not len(keys):
+            return empty
+    freqs = np.bincount(keys >> _POS_SHIFT, minlength=len(gids))
+    return _score_positional(node, gids, freqs, norms0, ctx)
+
+
+def _eval_span_first(node: SpanFirstQ, postings: dict,
+                     ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """SpanFirstQuery(term span, end): accepted spans are positions with
+    pos+1 <= end (SpanFirstQuery.java:38-44); freq = accepted count as
+    float32 (SpanScorer.java:106 with width 0); weight = the term's idf."""
+    tp = postings.get(node.term)
+    if tp is None or not len(tp.gids):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    idx = np.arange(len(tp.gids), dtype=np.int64)
+    pos, cand = _gather_positions(tp, idx)
+    keep = pos <= node.end - 1
+    freqs = np.bincount(cand[keep], minlength=len(tp.gids))
+    return _score_positional(node, tp.gids, freqs, tp.norms, ctx)
+
+
+def _eval_span_not(node: SpanNotQ, postings: dict,
+                   ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """SpanNotQuery over term spans: include positions with no exclude
+    position in [p-pre, p+post] (SpanNotQuery.java:63-71); the exclude side
+    contributes no stats (COMPLETE_NO_SCORES). With the exclude term absent
+    every include span survives, so freq degrades to the plain tf."""
+    tp = postings.get(node.include)
+    if tp is None or not len(tp.gids):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    idx = np.arange(len(tp.gids), dtype=np.int64)
+    pos, cand = _gather_positions(tp, idx)
+    keys = (cand << _POS_SHIFT) + pos + _POS_PAD
+    te = postings.get(node.exclude)
+    if te is not None and len(te.gids):
+        # exclude positions in the include candidates' (cand, pos) key space
+        eidx = np.minimum(np.searchsorted(te.gids, tp.gids), len(te.gids) - 1)
+        pres = te.gids[eidx] == tp.gids
+        if pres.any():
+            cand_ids = np.nonzero(pres)[0]
+            epos, ecand = _gather_positions(te, eidx[pres])
+            ekeys = (cand_ids[ecand] << _POS_SHIFT) + epos + _POS_PAD
+            # _POS_PAD (2^20) keeps [key-pre, key+post] inside one cand
+            lo = np.searchsorted(ekeys, keys - int(node.pre))
+            hi = np.searchsorted(ekeys, keys + int(node.post), side="right")
+            keys = keys[hi == lo]
+            cand = keys >> _POS_SHIFT
+    freqs = np.bincount(cand, minlength=len(tp.gids))
+    return _score_positional(node, tp.gids, freqs, tp.norms, ctx)
+
+
+def _eval_span_or(node: SpanOrQ, postings: dict,
+                  ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """SpanOrQuery over term spans: the union of member spans — freq =
+    float32 count of all member positions per doc; weight = idf summed
+    over the members (SpanWeight.buildSimWeight, no df blending)."""
+    tps = [postings.get(t) for t in node.terms]
+    tps = [tp for tp in tps if tp is not None and len(tp.gids)]
+    if not tps:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    gids = (
+        tps[0].gids
+        if len(tps) == 1
+        else np.unique(np.concatenate([tp.gids for tp in tps]))
+    )
+    freqs = np.zeros(len(gids), dtype=np.int64)
+    norms = np.zeros(len(gids), dtype=np.int64)
+    for tp in tps:
+        idx = np.minimum(np.searchsorted(tp.gids, gids), len(tp.gids) - 1)
+        pres = tp.gids[idx] == gids
+        freqs[pres] += tp.freqs[idx[pres]]
+        norms[pres] = tp.norms[idx[pres]]
+    return _score_positional(node, gids, freqs, norms, ctx)
+
+
 def _max_score_of_impacts(imp_freqs, imp_norms, weight, cache) -> float:
     f = np.asarray(imp_freqs, dtype=np.int64)
     n = np.asarray(imp_norms, dtype=np.int64).astype(np.uint8)
@@ -850,6 +1010,20 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         return float("-inf")
     if isinstance(node, TermQ):
         return term_maxes.get(node.term, float("-inf"))
+    if isinstance(node, MultiPhraseQ):
+        # impossible only when an entire slot is absent from the range
+        if any(all(t not in term_maxes for t in slot) for slot in node.termss):
+            return float("-inf")
+        return float("inf")
+    if isinstance(node, (SpanFirstQ, SpanNotQ)):
+        # span freq <= the include term's tf, so its max score bounds ours
+        if node.terms[0] not in term_maxes:
+            return float("-inf")
+        return float("inf")
+    if isinstance(node, SpanOrQ):
+        if not any(t in term_maxes for t in node.terms):
+            return float("-inf")
+        return float("inf")
     if isinstance(node, (PhraseQ, NearQ, SloppyQ)):
         if any(t not in term_maxes for t in node.terms):
             return float("-inf")
@@ -985,6 +1159,13 @@ def _req_terms(node) -> set:
         return {node.term}
     if isinstance(node, (PhraseQ, NearQ, SloppyQ)):
         return set(node.terms)
+    if isinstance(node, MultiPhraseQ):
+        # only single-alternative slots are required in every match
+        return {slot[0] for slot in node.termss if len(slot) == 1}
+    if isinstance(node, (SpanFirstQ, SpanNotQ)):
+        return {node.terms[0]}
+    if isinstance(node, SpanOrQ):
+        return set(node.terms) if len(node.terms) == 1 else set()
     if isinstance(node, BoolQ):
         out: set = set()
         for c in node.must:
@@ -1396,7 +1577,8 @@ class Searcher:
         """
         if node is None or isinstance(
             node,
-            (TermQ, PhraseQ, NearQ, SloppyQ, SynonymQ, MatchAllQ, TermInSetQ,
+            (TermQ, PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SynonymQ,
+             SpanFirstQ, SpanNotQ, SpanOrQ, MatchAllQ, TermInSetQ,
              BlendedQ),
         ):
             return node
@@ -1489,8 +1671,26 @@ class Searcher:
                     raise TypeError(f"BoostQ supports leaf nodes, got {n.child!r}")
                 # float32 multiply, the BM25Scorer ctor's cast point
                 boost_weights[n] = np.float32(np.float32(n.boost) * base)
-            elif isinstance(n, (PhraseQ, NearQ, SloppyQ)):
-                # idf summed as double over float per-term idfs, cast to float
+            elif isinstance(n, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ)):
+                # idf summed as double over float per-term idfs, cast to
+                # float; for MultiPhraseQ ``terms`` flattens termArrays in
+                # order with duplicates kept — one idf per array entry,
+                # exactly MultiPhraseWeight.getStats
+                s = sum(
+                    float(_idf(tstats[t][0], doc_count_of(t)))
+                    for t in n.terms if t in tstats
+                )
+                phrase_weights[n] = np.float32(s)
+            elif isinstance(n, (SpanFirstQ, SpanNotQ)):
+                # SpanWeight.buildSimWeight over the match side's term
+                # states only — the exclude side scores nothing
+                t = n.terms[0]
+                phrase_weights[n] = (
+                    _idf(tstats[t][0], doc_count_of(t))
+                    if t in tstats else np.float32(0.0)
+                )
+            elif isinstance(n, SpanOrQ):
+                # idf per member term state, summed (no df blending)
                 s = sum(
                     float(_idf(tstats[t][0], doc_count_of(t)))
                     for t in n.terms if t in tstats
@@ -2070,7 +2270,9 @@ class Searcher:
 
 
 def _has_phrase(node) -> bool:
-    if isinstance(node, (PhraseQ, NearQ, SloppyQ)):
+    # SpanOrQ needs no positions: width-0 spans make freq == Σ member tfs
+    if isinstance(node, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
+                         SpanFirstQ, SpanNotQ)):
         return True
     if isinstance(node, BoolQ):
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)

@@ -426,6 +426,116 @@ def near_topk_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
     return near_n_topk_sql([t1, t2], slop, k)
 
 
+def multiphrase_topk_sql(termss: "list[list[str]]", offsets: "list[int]",
+                         k: int = 10) -> str:
+    """MultiPhraseQuery oracle: exact phrase whose position i admits any
+    term in ``termss[i]`` (UnionPostingsEnum merge — positions within a
+    (doc, slot) are distinct, so plain joins don't multiply); weight = idf
+    summed over EVERY termArrays entry, duplicates included
+    (MultiPhraseQuery.java:221-246), scored as a phrase."""
+    idfs = [
+        "CAST("
+        + idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{t}')", N_SQL)
+        + " AS DOUBLE)"
+        for slot in termss
+        for t in slot
+    ]
+    w = _f4(" + ".join(idfs))
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    score = bm25_score_sql(w, "nf.freq", cache)
+    als = [chr(ord("a") + i) for i in range(len(termss))]
+
+    def in_pred(al: str, slot: "list[str]") -> str:
+        lst = ", ".join(f"'{t}'" for t in slot)
+        return f"{al}.term IN ({lst})"
+
+    joins = "".join(
+        f"\n  JOIN toks {als[i]} ON {als[i]}.doc_id = a.doc_id"
+        f" AND {als[i]}.pos - {int(offsets[i])} = a.pos - {int(offsets[0])}"
+        for i in range(1, len(termss))
+    )
+    preds = " AND ".join(
+        in_pred(al, slot) for al, slot in zip(als, termss)
+    )
+    return f"""WITH {base_ctes()},
+nf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM toks a{joins}
+  WHERE {preds}
+  GROUP BY a.doc_id
+)
+SELECT nf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM nf
+JOIN dn ON dn.doc_id = nf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def _span_score_sql(weight_idfs: "list[str]", freq_cte: str, k: int) -> str:
+    """Shared tail for the span-family oracles: BM25 over a per-doc freq
+    CTE named ``nf`` with weight = float32(sum of the given idf exprs)."""
+    w = _f4(" + ".join(weight_idfs))
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    score = bm25_score_sql(w, "nf.freq", cache)
+    return f"""WITH {base_ctes()},
+{freq_cte}
+SELECT nf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM nf
+JOIN dn ON dn.doc_id = nf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def _term_idf(t: str) -> str:
+    return (
+        "CAST("
+        + idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{t}')", N_SQL)
+        + " AS DOUBLE)"
+    )
+
+
+def span_first_topk_sql(term: str, end: int, k: int = 10) -> str:
+    """SpanFirstQuery oracle: freq = count of ``term`` positions with
+    pos+1 <= end (width-0 spans each weigh 1.0, SpanScorer.java:106);
+    weight = the term's idf."""
+    cte = f"""nf AS (
+  SELECT doc_id, count(*)::BIGINT AS freq
+  FROM toks WHERE term = '{term}' AND pos <= {int(end) - 1}
+  GROUP BY doc_id
+)"""
+    return _span_score_sql([_term_idf(term)], cte, k)
+
+
+def span_not_topk_sql(include: str, exclude: str, pre: int = 0,
+                      post: int = 0, k: int = 10) -> str:
+    """SpanNotQuery oracle: include positions with no exclude position in
+    [p-pre, p+post]; only the include term's idf weighs in
+    (SpanNotQuery.java:110-118)."""
+    cte = f"""nf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM toks a
+  WHERE a.term = '{include}' AND NOT EXISTS (
+    SELECT 1 FROM toks b
+    WHERE b.doc_id = a.doc_id AND b.term = '{exclude}'
+      AND b.pos BETWEEN a.pos - {int(pre)} AND a.pos + {int(post)}
+  )
+  GROUP BY a.doc_id
+)"""
+    return _span_score_sql([_term_idf(include)], cte, k)
+
+
+def span_or_topk_sql(terms: "list[str]", k: int = 10) -> str:
+    """SpanOrQuery oracle: freq = count of all member positions per doc;
+    weight = idf summed over the members (no df blending)."""
+    lst = ", ".join(f"'{t}'" for t in terms)
+    cte = f"""nf AS (
+  SELECT doc_id, count(*)::BIGINT AS freq
+  FROM toks WHERE term IN ({lst})
+  GROUP BY doc_id
+)"""
+    return _span_score_sql([_term_idf(t) for t in terms], cte, k)
+
+
 def sloppy_sim_cte(terms: "list[str]", offsets: "list[int]", slop: int) -> str:
     """Recursive-CTE state machine reproducing SloppyPhraseMatcher's greedy
     min-position traversal bit-for-bit (the same transition system as the

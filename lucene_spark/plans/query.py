@@ -20,9 +20,10 @@ from ..functions.analysis import analyze_batch
 from .fields import DEFAULT_FIELD, qualify
 
 __all__ = [
-    "TermQ", "PhraseQ", "BoolQ", "PrefixQ", "WildcardQ", "RangeQ",
-    "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
+    "TermQ", "PhraseQ", "MultiPhraseQ", "BoolQ", "PrefixQ", "WildcardQ",
+    "RangeQ", "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
     "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "BlendedQ",
+    "SpanFirstQ", "SpanNotQ", "SpanOrQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
 
@@ -37,6 +38,84 @@ class PhraseQ:
     terms: tuple[str, ...]
     # relative positions of each term in the phrase (stopword holes kept)
     offsets: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class MultiPhraseQ:
+    """MultiPhraseQuery (core/search/MultiPhraseQuery.java): an exact
+    phrase where each position admits a SET of alternative terms — the
+    query the classic QueryParser builds when the analyzer stacks tokens
+    (synonyms) at one position.
+
+    Matching: per position the member postings merge into one stream
+    (UnionPostingsEnum, MultiPhraseQuery.java:419-465; positions merged
+    during freq()), then the exact-phrase matcher runs over the merged
+    streams. Scoring: the weight is the idf sum over ALL terms of ALL
+    positions in termArrays order, duplicates included
+    (MultiPhraseWeight.getStats, MultiPhraseQuery.java:221-246 adds one
+    TermStatistics per array entry), scored like a phrase. Slop > 0 is
+    not supported (Lucene routes that to SloppyPhraseMatcher with repeat
+    groups; use :class:`SloppyQ` for sloppy semantics).
+
+    ``terms`` flattens the slots (for postings fetch / field caches);
+    per-slot structure lives in ``termss``.
+    """
+
+    termss: tuple[tuple[str, ...], ...]
+    # query position of each slot (stopword holes kept), like PhraseQ
+    offsets: tuple[int, ...]
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return tuple(t for slot in self.termss for t in slot)
+
+
+@dataclass(frozen=True)
+class SpanFirstQ:
+    """SpanFirstQuery over a term span (queries/spans/SpanFirstQuery.java:
+    38-44): matches positions of ``term`` whose span ends at or before
+    ``end`` — startPosition < end and endPosition (pos+1) <= end, i.e.
+    pos <= end-1. freq = float32 sum of 1/(1+width) over accepted spans
+    (SpanScorer.java:106; term spans have width 0, TermSpans.java:107), so
+    freq = the accepted-position count; weight = the term's idf
+    (SpanWeight.buildSimWeight over the match side's term states)."""
+
+    term: str
+    end: int
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return (self.term,)
+
+
+@dataclass(frozen=True)
+class SpanNotQ:
+    """SpanNotQuery over term spans (queries/spans/SpanNotQuery.java:63-71):
+    matches positions of ``include`` with no ``exclude`` position within
+    ``pre`` tokens before or ``post`` tokens after (exclude pos in
+    [p-pre, p+post]). Scoring uses ONLY the include side's term states
+    (SpanNotQuery.java:110-118 builds excludeWeight with
+    COMPLETE_NO_SCORES); freq = surviving-position count as float32."""
+
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return (self.include, self.exclude)
+
+
+@dataclass(frozen=True)
+class SpanOrQ:
+    """SpanOrQuery over term spans (queries/spans/SpanOrQuery.java): the
+    union of the member spans. freq = float32 count of all member
+    positions (each width-0 span adds 1.0, SpanScorer.java:106); weight =
+    idf summed over every member's term states (SpanWeight.buildSimWeight)
+    — unlike SynonymQuery there is no df blending."""
+
+    terms: tuple[str, ...]
 
 
 @dataclass(frozen=True)
@@ -509,6 +588,13 @@ def qualify_node(node, field: str):
         return PhraseQ(
             terms=tuple(qualify(field, t) for t in node.terms), offsets=node.offsets
         )
+    if isinstance(node, MultiPhraseQ):
+        return MultiPhraseQ(
+            termss=tuple(
+                tuple(qualify(field, t) for t in slot) for slot in node.termss
+            ),
+            offsets=node.offsets,
+        )
     if isinstance(node, NearQ):
         return NearQ(terms=tuple(qualify(field, t) for t in node.terms), slop=node.slop)
     if isinstance(node, SloppyQ):
@@ -518,6 +604,16 @@ def qualify_node(node, field: str):
         )
     if isinstance(node, SynonymQ):
         return SynonymQ(terms=tuple(qualify(field, t) for t in node.terms))
+    if isinstance(node, SpanFirstQ):
+        return SpanFirstQ(term=qualify(field, node.term), end=node.end)
+    if isinstance(node, SpanNotQ):
+        return SpanNotQ(
+            include=qualify(field, node.include),
+            exclude=qualify(field, node.exclude),
+            pre=node.pre, post=node.post,
+        )
+    if isinstance(node, SpanOrQ):
+        return SpanOrQ(terms=tuple(qualify(field, t) for t in node.terms))
     if isinstance(node, BlendedQ):
         return BlendedQ(
             terms=tuple(qualify(field, t) for t in node.terms),
@@ -607,7 +703,8 @@ def query_terms(node) -> set[str]:
         return set()
     if isinstance(node, TermQ):
         return {node.term}
-    if isinstance(node, (PhraseQ, SynonymQ, NearQ, SloppyQ, BlendedQ)):
+    if isinstance(node, (PhraseQ, MultiPhraseQ, SynonymQ, NearQ, SloppyQ,
+                         BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()

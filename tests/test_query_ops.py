@@ -190,6 +190,103 @@ def test_near_query(searcher):
     assert a["score"].tolist() == b["score"].tolist()
 
 
+def test_multiphrase_query(searcher):
+    """MultiPhraseQuery: per-slot union then exact-phrase matching. A
+    single-alternative MultiPhraseQ matches PhraseQ's docs exactly (same
+    freq, same weight), and a two-alternative slot matches exactly the
+    union of the member phrases' match sets; pruned equals exhaustive."""
+    from lucene_spark.plans.query import MultiPhraseQ, PhraseQ
+
+    big = 10**6
+    plain = searcher.search(
+        PhraseQ(("table", "scan"), (0, 1)), k=big, prune=False
+    )
+    single = searcher.search(
+        MultiPhraseQ((("table",), ("scan",)), (0, 1)), k=big, prune=False
+    )
+    assert plain["gid"].tolist() == single["gid"].tolist()
+    assert plain["score"].tolist() == single["score"].tolist()
+
+    multi = searcher.search(
+        MultiPhraseQ((("table", "hash"), ("scan",)), (0, 1)), k=big, prune=False
+    )
+    alt = searcher.search(PhraseQ(("hash", "scan"), (0, 1)), k=big, prune=False)
+    assert set(multi["gid"]) == set(plain["gid"]) | set(alt["gid"])
+
+    a = searcher.search(
+        MultiPhraseQ((("table", "hash"), ("scan",)), (0, 1)), k=10, prune=True
+    )
+    b = multi.head(10)
+    assert a["gid"].tolist() == b["gid"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
+def test_multiphrase_in_boolean(searcher):
+    """MultiPhraseQ composes as a boolean clause (BooleanQuery accepts any
+    scoring sub-query); MUST conjunction intersects the match sets."""
+    from lucene_spark.plans.query import BoolQ, MultiPhraseQ
+
+    big = 10**6
+    mp = MultiPhraseQ((("table", "hash"), ("scan",)), (0, 1))
+    both = searcher.search(
+        BoolQ(must=(mp, TermQ("merge"))), k=big, prune=False
+    )
+    mp_only = searcher.search(mp, k=big, prune=False)
+    term_only = searcher.search(TermQ("merge"), k=big, prune=False)
+    assert set(both["gid"]) == set(mp_only["gid"]) & set(term_only["gid"])
+
+
+def test_span_first(searcher):
+    """SpanFirstQuery: end bound widens the match set monotonically, and a
+    bound past the longest doc equals the plain TermQuery match set with
+    identical scores (every span accepted → freq == tf)."""
+    from lucene_spark.plans.query import SpanFirstQ
+
+    big = 10**6
+    tight = searcher.search(SpanFirstQ("window", 3), k=big, prune=False)
+    wide = searcher.search(SpanFirstQ("window", 50), k=big, prune=False)
+    assert set(tight["gid"]) <= set(wide["gid"])
+    all_span = searcher.search(SpanFirstQ("window", 10**6), k=big, prune=False)
+    term = searcher.search(TermQ("window"), k=big, prune=False)
+    assert all_span["gid"].tolist() == term["gid"].tolist()
+    assert all_span["score"].tolist() == term["score"].tolist()
+
+
+def test_span_not(searcher):
+    """SpanNotQuery: with the exclude term absent from the corpus every
+    include span survives (== TermQuery); a real exclude term only ever
+    shrinks or reweights the match set, never adds docs."""
+    from lucene_spark.plans.query import SpanNotQ
+
+    big = 10**6
+    term = searcher.search(TermQ("merge"), k=big, prune=False)
+    noop = searcher.search(
+        SpanNotQ("merge", "zzzznothere", 1, 1), k=big, prune=False
+    )
+    assert noop["gid"].tolist() == term["gid"].tolist()
+    assert noop["score"].tolist() == term["score"].tolist()
+    real = searcher.search(SpanNotQ("merge", "window", 1, 1), k=big, prune=False)
+    assert set(real["gid"]) <= set(term["gid"])
+    a = searcher.search(SpanNotQ("merge", "window", 1, 1), k=10, prune=True)
+    assert a["gid"].tolist() == real.head(10)["gid"].tolist()
+    assert a["score"].tolist() == real.head(10)["score"].tolist()
+
+
+def test_span_or(searcher):
+    """SpanOrQuery: match set is the union of the member terms' docs; a
+    single-member SpanOr equals the plain TermQuery exactly."""
+    from lucene_spark.plans.query import SpanOrQ
+
+    big = 10**6
+    single = searcher.search(SpanOrQ(("merge",)), k=big, prune=False)
+    term = searcher.search(TermQ("merge"), k=big, prune=False)
+    assert single["gid"].tolist() == term["gid"].tolist()
+    assert single["score"].tolist() == term["score"].tolist()
+    union = searcher.search(SpanOrQ(("merge", "window")), k=big, prune=False)
+    t2 = searcher.search(TermQ("window"), k=big, prune=False)
+    assert set(union["gid"]) == set(term["gid"]) | set(t2["gid"])
+
+
 def test_boost_query(searcher):
     """Boost folds into the weight as float32 (BM25Scorer ctor), so a
     boosted term's score equals scoring with weight' = f32(boost * idf)."""
