@@ -747,6 +747,17 @@ def _q_span_not_topk(spark, sf_dir):
     )
 
 
+SPAN_NEAR_SLOP = 4
+
+
+def _q_span_near_topk(spark, sf_dir):
+    """SpanNearQuery(inOrder=true): NearSpansOrdered greedy chain; freq =
+    float32 fold of 1/(1+width) over accepted spans."""
+    from lucene_spark.plans.query import SpanNearQ
+
+    return _topk_df(spark, sf_dir, SpanNearQ(SLOPPY3, SPAN_NEAR_SLOP))
+
+
 def _q_span_or_topk(spark, sf_dir):
     """SpanOrQuery over term spans: union of member spans; freq = count of
     all member positions; weight = summed member idfs (no df blend)."""
@@ -1008,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_topk": _q_span_first_topk,
         "span_not_topk": _q_span_not_topk,
         "span_or_topk": _q_span_or_topk,
+        "span_near_topk": _q_span_near_topk,
         "sloppy_match": _q_sloppy_match,
         "complete": _q_complete,
         "quality_metrics": _q_quality,
@@ -1100,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
             T_HOT, T_MID, SPAN_NOT_DIST, SPAN_NOT_DIST
         ),
         "span_or_topk": osql.span_or_topk_sql(SPAN_OR_TERMS),
+        "span_near_topk": osql.span_near_topk_sql(SLOPPY3, SPAN_NEAR_SLOP),
         "sloppy_unordered_topk": osql.sloppy_topk_sql(
             list(SLOPPY3), [0, 1, 2], SLOPPY3_SLOP
         ),

@@ -78,6 +78,7 @@ from ..plans.query import (
     RegexpQ,
     SloppyQ,
     SpanFirstQ,
+    SpanNearQ,
     SpanNotQ,
     SpanOrQ,
     SynonymQ,
@@ -301,6 +302,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_span_not(node, postings, ctx)
     if isinstance(node, SpanOrQ):
         return _eval_span_or(node, postings, ctx)
+    if isinstance(node, SpanNearQ):
+        return _eval_span_near(node, postings, ctx)
     if isinstance(node, BoolQ):
         return _eval_bool(node, postings, ctx)
     if isinstance(node, SynonymQ):
@@ -946,6 +949,57 @@ def _eval_span_not(node: SpanNotQ, postings: dict,
     return _score_positional(node, tp.gids, freqs, tp.norms, ctx)
 
 
+def span_near_freqs(tps: "list[TermPostings]", idxs: "list[np.ndarray]",
+                    slop: int) -> np.ndarray:
+    """Per-candidate NearSpansOrdered freq (float32), vectorized.
+
+    For every first-term position p0: chain q_i = first position of term i
+    at or after q_{i-1}+1 (NearSpansOrdered.stretchToOrder's forward-only
+    advancePosition, state-free because targets are monotone in p0);
+    width = q_last − p0 − (n−1); accepted spans (width ≤ slop) each add
+    float32 1/(1+width) in match order (SpanScorer.java:106 — ``freq`` is
+    a float, so the accumulation is float32 step-wise)."""
+    ncand = len(idxs[0])
+    pos0, cand0 = _gather_positions(tps[0], idxs[0])
+    keys = (cand0 << _POS_SHIFT) + pos0 + _POS_PAD
+    q = keys.copy()
+    alive = np.ones(len(keys), dtype=bool)
+    for tp, idx in zip(tps[1:], idxs[1:]):
+        p2, c2 = _gather_positions(tp, idx)
+        k2 = (c2 << _POS_SHIFT) + p2 + _POS_PAD
+        if not len(k2):
+            return np.zeros(ncand, np.float32)
+        loc = np.searchsorted(k2, q + 1)
+        ok = loc < len(k2)
+        loc_c = np.minimum(loc, len(k2) - 1)
+        alive &= ok & ((k2[loc_c] >> _POS_SHIFT) == (keys >> _POS_SHIFT))
+        q = np.where(alive, k2[loc_c], q)
+    width = (q - keys) - (len(tps) - 1)
+    good = alive & (width <= slop)
+    acc = np.zeros(ncand, dtype=np.float32)
+    if good.any():
+        # weight computed in double then narrowed once (the oracle's
+        # CAST(1.0/(1.0+width) AS FLOAT))
+        w = (1.0 / (1.0 + width[good].astype(np.float64))).astype(np.float32)
+        # keys ascend, so np.add.at applies per-candidate adds in match
+        # order with float32 intermediate rounding — SpanScorer's loop
+        np.add.at(acc, keys[good] >> _POS_SHIFT, w)
+    return acc
+
+
+def _eval_span_near(node: SpanNearQ, postings: dict,
+                    ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """SpanNearQuery(inOrder=true): candidates = the terms' conjunction
+    (ConjunctionSpans); freq from the NearSpansOrdered chain; weight =
+    summed member idfs."""
+    c = _positional_candidates(node, postings)
+    if c is None:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    tps, gids, idxs = c
+    freqs = span_near_freqs(tps, idxs, node.slop)
+    return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
+
+
 def _eval_span_or(node: SpanOrQ, postings: dict,
                   ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
     """SpanOrQuery over term spans: the union of member spans — freq =
@@ -1024,7 +1078,7 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         if not any(t in term_maxes for t in node.terms):
             return float("-inf")
         return float("inf")
-    if isinstance(node, (PhraseQ, NearQ, SloppyQ)):
+    if isinstance(node, (PhraseQ, NearQ, SloppyQ, SpanNearQ)):
         if any(t not in term_maxes for t in node.terms):
             return float("-inf")
         # no cheap bound for phrase/proximity freq (the reference gives
@@ -1157,7 +1211,7 @@ def _req_terms(node) -> set:
     """Terms that EVERY matching doc must contain (conjunctive closure)."""
     if isinstance(node, TermQ):
         return {node.term}
-    if isinstance(node, (PhraseQ, NearQ, SloppyQ)):
+    if isinstance(node, (PhraseQ, NearQ, SloppyQ, SpanNearQ)):
         return set(node.terms)
     if isinstance(node, MultiPhraseQ):
         # only single-alternative slots are required in every match
@@ -1578,7 +1632,7 @@ class Searcher:
         if node is None or isinstance(
             node,
             (TermQ, PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SynonymQ,
-             SpanFirstQ, SpanNotQ, SpanOrQ, MatchAllQ, TermInSetQ,
+             SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ, MatchAllQ, TermInSetQ,
              BlendedQ),
         ):
             return node
@@ -1671,7 +1725,8 @@ class Searcher:
                     raise TypeError(f"BoostQ supports leaf nodes, got {n.child!r}")
                 # float32 multiply, the BM25Scorer ctor's cast point
                 boost_weights[n] = np.float32(np.float32(n.boost) * base)
-            elif isinstance(n, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ)):
+            elif isinstance(n, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
+                                SpanNearQ)):
                 # idf summed as double over float per-term idfs, cast to
                 # float; for MultiPhraseQ ``terms`` flattens termArrays in
                 # order with duplicates kept — one idf per array entry,
@@ -2272,7 +2327,7 @@ class Searcher:
 def _has_phrase(node) -> bool:
     # SpanOrQ needs no positions: width-0 spans make freq == Σ member tfs
     if isinstance(node, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
-                         SpanFirstQ, SpanNotQ)):
+                         SpanFirstQ, SpanNotQ, SpanNearQ)):
         return True
     if isinstance(node, BoolQ):
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)

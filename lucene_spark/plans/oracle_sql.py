@@ -524,6 +524,41 @@ def span_not_topk_sql(include: str, exclude: str, pre: int = 0,
     return _span_score_sql([_term_idf(include)], cte, k)
 
 
+def span_near_topk_sql(terms: "list[str]", slop: int, k: int = 10) -> str:
+    """SpanNearQuery(inOrder=true) oracle: for each first-term position p0
+    the greedy chain q_i = min pos(term_i) >= q_{i-1}+1
+    (NearSpansOrdered.stretchToOrder, state-free form); accepted spans
+    (width = q_last - q0 - (n-1) <= slop) fold 1/(1+width) as float32 in
+    match order (SpanScorer.java:106); weight = summed member idfs."""
+    n = len(terms)
+    inner = f"SELECT doc_id, pos AS q0 FROM toks WHERE term = '{terms[0]}'"
+    for i in range(1, n):
+        inner = f"""SELECT t{i}.*, (
+      SELECT min(b.pos) FROM toks b
+      WHERE b.doc_id = t{i}.doc_id AND b.term = '{terms[i]}'
+        AND b.pos >= t{i}.q{i - 1} + 1
+    ) AS q{i} FROM ({inner}) t{i}"""
+    width = f"(q{n - 1} - q0 - {n - 1})"
+    # float32 weight per span, then a float32 step-wise fold — each step
+    # f32(f64(a)+f64(x)) == IEEE float32 addition, the engine kernel's
+    # np.add.at discipline
+    w32 = _f4(f"1.0 / (1.0 + CAST({width} AS DOUBLE))")
+    cte = f"""spans AS (
+  SELECT doc_id, q0, CAST({w32} AS FLOAT) AS w
+  FROM ({inner})
+  WHERE q{n - 1} IS NOT NULL AND {width} <= {int(slop)}
+),
+nf AS (
+  SELECT doc_id,
+         list_reduce(
+           list(w ORDER BY q0),
+           (a, x) -> CAST(CAST(a AS DOUBLE) + CAST(x AS DOUBLE) AS FLOAT)
+         ) AS freq
+  FROM spans GROUP BY doc_id
+)"""
+    return _span_score_sql([_term_idf(t) for t in terms], cte, k)
+
+
 def span_or_topk_sql(terms: "list[str]", k: int = 10) -> str:
     """SpanOrQuery oracle: freq = count of all member positions per doc;
     weight = idf summed over the members (no df blending)."""

@@ -23,7 +23,7 @@ __all__ = [
     "TermQ", "PhraseQ", "MultiPhraseQ", "BoolQ", "PrefixQ", "WildcardQ",
     "RangeQ", "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
     "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "BlendedQ",
-    "SpanFirstQ", "SpanNotQ", "SpanOrQ",
+    "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
 
@@ -105,6 +105,25 @@ class SpanNotQ:
     @property
     def terms(self) -> tuple[str, ...]:
         return (self.include, self.exclude)
+
+
+@dataclass(frozen=True)
+class SpanNearQ:
+    """SpanNearQuery(inOrder=true) over term spans
+    (queries/spans/SpanNearQuery.java + NearSpansOrdered.java:64-120):
+    for every position p0 of the first term, the matcher greedily chains
+    q_i = first position of term i at or after q_{i-1}+1 (advancePosition
+    past the previous span's end); the span matches iff
+    width = q_last − p0 − (n−1) ≤ slop, and freq accumulates
+    1/(1+width) per accepted span in match order as float32
+    (SpanScorer.java:106). The forward-only subspan pointers make the
+    stateful matcher equivalent to this state-free first-at-or-after
+    chain. Weight = idf summed over the member terms
+    (SpanWeight.buildSimWeight). Unordered (inOrder=false) is not
+    implemented — use :class:`SloppyQ` for unordered proximity."""
+
+    terms: tuple[str, ...]
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -614,6 +633,10 @@ def qualify_node(node, field: str):
         )
     if isinstance(node, SpanOrQ):
         return SpanOrQ(terms=tuple(qualify(field, t) for t in node.terms))
+    if isinstance(node, SpanNearQ):
+        return SpanNearQ(
+            terms=tuple(qualify(field, t) for t in node.terms), slop=node.slop
+        )
     if isinstance(node, BlendedQ):
         return BlendedQ(
             terms=tuple(qualify(field, t) for t in node.terms),
@@ -704,7 +727,7 @@ def query_terms(node) -> set[str]:
     if isinstance(node, TermQ):
         return {node.term}
     if isinstance(node, (PhraseQ, MultiPhraseQ, SynonymQ, NearQ, SloppyQ,
-                         BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ)):
+                         BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()

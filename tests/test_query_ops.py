@@ -287,6 +287,81 @@ def test_span_or(searcher):
     assert set(union["gid"]) == set(term["gid"]) | set(t2["gid"])
 
 
+def test_span_near_ordered(searcher):
+    """SpanNearQuery(inOrder=true): slop widens the match set
+    monotonically; an adjacent-only span near (slop 0) matches exactly the
+    exact-phrase docs; a brute-force per-doc replay of the
+    NearSpansOrdered chain reproduces the kernel's freqs."""
+    from lucene_spark.plans.query import SpanNearQ
+
+    big = 10**6
+    s0 = searcher.search(SpanNearQ(("table", "scan"), 0), k=big, prune=False)
+    phrase = searcher.search('"table scan"', k=big, prune=False)
+    assert set(s0["gid"]) == set(phrase["gid"])
+    s2 = searcher.search(SpanNearQ(("table", "scan"), 2), k=big, prune=False)
+    s8 = searcher.search(SpanNearQ(("table", "scan"), 8), k=big, prune=False)
+    assert set(s0["gid"]) <= set(s2["gid"]) <= set(s8["gid"])
+    a = searcher.search(SpanNearQ(("table", "merge", "scan"), 4), k=10,
+                        prune=True)
+    b = searcher.search(SpanNearQ(("table", "merge", "scan"), 4), k=10,
+                        prune=False)
+    assert a["gid"].tolist() == b["gid"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
+def test_span_near_kernel_brute_force():
+    """Kernel vs a literal per-doc transcription of NearSpansOrdered:
+    iterate p0, advance forward-only pointers, accept width <= slop."""
+    import numpy as np
+
+    from lucene_spark.operators.search import TermPostings, span_near_freqs
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        nterms = int(rng.integers(2, 4))
+        ndocs = int(rng.integers(1, 6))
+        slop = int(rng.integers(0, 5))
+        tps, plists = [], []
+        for _ in range(nterms):
+            per_doc = [
+                np.unique(rng.integers(0, 30, size=rng.integers(1, 6)))
+                for _ in range(ndocs)
+            ]
+            plists.append(per_doc)
+            freqs = np.array([len(p) for p in per_doc], dtype=np.int64)
+            starts = np.zeros(ndocs + 1, np.int64)
+            np.cumsum(freqs, out=starts[1:])
+            tps.append(TermPostings(
+                np.arange(ndocs, dtype=np.int64), freqs,
+                np.full(ndocs, 100, np.uint8),
+                np.concatenate(per_doc), starts,
+            ))
+        idxs = [np.arange(ndocs, dtype=np.int64) for _ in range(nterms)]
+        got = span_near_freqs(tps, idxs, slop)
+        for d in range(ndocs):
+            ptrs = [0] * nterms
+            freq = np.float32(0.0)
+            pos = [plists[i][d] for i in range(nterms)]
+            for i0 in range(len(pos[0])):
+                prev_end = pos[0][i0] + 1
+                dead = False
+                for i in range(1, nterms):
+                    while ptrs[i] < len(pos[i]) and pos[i][ptrs[i]] < prev_end:
+                        ptrs[i] += 1
+                    if ptrs[i] == len(pos[i]):
+                        dead = True
+                        break
+                    prev_end = pos[i][ptrs[i]] + 1
+                if dead:
+                    break
+                width = (prev_end - 1) - pos[0][i0] - (nterms - 1)
+                if width <= slop:
+                    freq = np.float32(
+                        freq + np.float32(1.0 / (1.0 + float(width)))
+                    )
+            assert got[d] == freq, (trial, d, got[d], freq)
+
+
 def test_boost_query(searcher):
     """Boost folds into the weight as float32 (BM25Scorer ctor), so a
     boosted term's score equals scoring with weight' = f32(boost * idf)."""
