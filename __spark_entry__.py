@@ -758,6 +758,16 @@ def _q_span_near_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, SpanNearQ(SLOPPY3, SPAN_NEAR_SLOP))
 
 
+def _q_span_near_unordered_topk(spark, sf_dir):
+    """SpanNearQuery(inOrder=false): NearSpansUnordered window; freq =
+    float32 fold of 1/(1+width) over matching window states."""
+    from lucene_spark.plans.query import SpanNearQ
+
+    return _topk_df(
+        spark, sf_dir, SpanNearQ(SLOPPY3, SPAN_NEAR_SLOP, in_order=False)
+    )
+
+
 def _q_span_or_topk(spark, sf_dir):
     """SpanOrQuery over term spans: union of member spans; freq = count of
     all member positions; weight = summed member idfs (no df blend)."""
@@ -1020,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_topk": _q_span_not_topk,
         "span_or_topk": _q_span_or_topk,
         "span_near_topk": _q_span_near_topk,
+        "span_near_unordered_topk": _q_span_near_unordered_topk,
         "sloppy_match": _q_sloppy_match,
         "complete": _q_complete,
         "quality_metrics": _q_quality,
@@ -1113,6 +1124,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_or_topk": osql.span_or_topk_sql(SPAN_OR_TERMS),
         "span_near_topk": osql.span_near_topk_sql(SLOPPY3, SPAN_NEAR_SLOP),
+        "span_near_unordered_topk": osql.span_near_unordered_topk_sql(
+            SLOPPY3, SPAN_NEAR_SLOP
+        ),
         "sloppy_unordered_topk": osql.sloppy_topk_sql(
             list(SLOPPY3), [0, 1, 2], SLOPPY3_SLOP
         ),

@@ -987,16 +987,72 @@ def span_near_freqs(tps: "list[TermPostings]", idxs: "list[np.ndarray]",
     return acc
 
 
+def span_near_unordered_freqs(tps: "list[TermPostings]",
+                              idxs: "list[np.ndarray]",
+                              slop: int) -> np.ndarray:
+    """Per-candidate NearSpansUnordered freq (float32), vectorized.
+
+    The priority-queue window (NearSpansUnordered.java:41-93) consumes
+    per-doc positions in globally sorted order, so the visited states are
+    the merged positions up to (and including) the first term-final one;
+    at each state minStart = that merged position, every term's current
+    position = its first position >= minStart, and the running
+    maxEndPosition = 1 + max of those currents (cursors only move
+    forward). Match iff maxEnd - minStart - n <= slop (totalSpanLength =
+    n for width-1 term spans); accepted states fold 1/(1+width) as
+    float32 in state order (SpanScorer.java:106). Distinct terms assumed.
+    """
+    ncand = len(idxs[0])
+    n = len(tps)
+    keys_per_term = []
+    stop = None  # per-candidate min over terms of the term's last position
+    for tp, idx in zip(tps, idxs):
+        pos, cand = _gather_positions(tp, idx)
+        k = (cand << _POS_SHIFT) + pos + _POS_PAD
+        keys_per_term.append(k)
+        # last position of this term per candidate (pos_starts boundaries)
+        starts = tp.pos_starts
+        last = tp.pos_flat[starts[idx + 1] - 1]
+        stop = last if stop is None else np.minimum(stop, last)
+    merged = np.concatenate(keys_per_term)
+    merged.sort()
+    mc = merged >> _POS_SHIFT
+    # states: merged positions at or before the candidate's stop position
+    states = merged[merged <= (mc << _POS_SHIFT) + stop[mc] + _POS_PAD]
+    if not len(states):
+        return np.zeros(ncand, np.float32)
+    maxcur = None
+    for k in keys_per_term:
+        # first position of this term >= minStart — exists for every
+        # state because states stop at the earliest term-final position
+        cur = k[np.searchsorted(k, states)]
+        maxcur = cur if maxcur is None else np.maximum(maxcur, cur)
+    width = (maxcur - states) + 1 - n
+    good = width <= slop
+    acc = np.zeros(ncand, dtype=np.float32)
+    if good.any():
+        w = (1.0 / (1.0 + width[good].astype(np.float64))).astype(np.float32)
+        np.add.at(acc, states[good] >> _POS_SHIFT, w)
+    return acc
+
+
 def _eval_span_near(node: SpanNearQ, postings: dict,
                     ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
-    """SpanNearQuery(inOrder=true): candidates = the terms' conjunction
-    (ConjunctionSpans); freq from the NearSpansOrdered chain; weight =
-    summed member idfs."""
+    """SpanNearQuery: candidates = the terms' conjunction
+    (ConjunctionSpans); freq from the NearSpansOrdered chain (in_order)
+    or the NearSpansUnordered window; weight = summed member idfs."""
     c = _positional_candidates(node, postings)
     if c is None:
         return np.empty(0, np.int64), np.empty(0, np.float32)
     tps, gids, idxs = c
-    freqs = span_near_freqs(tps, idxs, node.slop)
+    if getattr(node, "in_order", True):
+        freqs = span_near_freqs(tps, idxs, node.slop)
+    else:
+        if len(set(node.terms)) != len(node.terms):
+            raise ValueError(
+                "SpanNearQ(in_order=False) requires distinct terms"
+            )
+        freqs = span_near_unordered_freqs(tps, idxs, node.slop)
     return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
 
 

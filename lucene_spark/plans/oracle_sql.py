@@ -559,6 +559,57 @@ nf AS (
     return _span_score_sql([_term_idf(t) for t in terms], cte, k)
 
 
+def span_near_unordered_topk_sql(terms: "list[str]", slop: int,
+                                 k: int = 10) -> str:
+    """SpanNearQuery(inOrder=false) oracle: states = merged positions of
+    the member terms in order, up to the earliest term-final position;
+    per state, each term's current = min pos >= minStart, width =
+    greatest(currents) + 1 - minStart - n; accepted states fold
+    1/(1+width) as float32 in state order (NearSpansUnordered.java:41-93,
+    SpanScorer.java:106)."""
+    n = len(terms)
+    lst = ", ".join(f"'{t}'" for t in terms)
+    curs = "".join(
+        f""",
+         (SELECT min(b.pos) FROM toks b
+          WHERE b.doc_id = s.doc_id AND b.term = '{t}'
+            AND b.pos >= s.minstart) AS c{i}"""
+        for i, t in enumerate(terms)
+    )
+    width = f"(greatest({', '.join(f'c{i}' for i in range(n))}) + 1 - minstart - {n})"
+    w32 = _f4(f"1.0 / (1.0 + CAST({width} AS DOUBLE))")
+    cte = f"""pres AS (
+  SELECT doc_id, term, max(pos) AS maxp FROM toks
+  WHERE term IN ({lst}) GROUP BY doc_id, term
+),
+cand AS (
+  SELECT doc_id, min(maxp) AS stop FROM pres
+  GROUP BY doc_id HAVING count(*) = {n}
+),
+states AS (
+  SELECT m.doc_id, m.pos AS minstart
+  FROM toks m JOIN cand c ON c.doc_id = m.doc_id AND m.pos <= c.stop
+  WHERE m.term IN ({lst})
+),
+widths AS (
+  SELECT s.doc_id, s.minstart{curs}
+  FROM states s
+),
+spans AS (
+  SELECT doc_id, minstart, CAST({w32} AS FLOAT) AS w
+  FROM widths WHERE {width} <= {int(slop)}
+),
+nf AS (
+  SELECT doc_id,
+         list_reduce(
+           list(w ORDER BY minstart),
+           (a, x) -> CAST(CAST(a AS DOUBLE) + CAST(x AS DOUBLE) AS FLOAT)
+         ) AS freq
+  FROM spans GROUP BY doc_id
+)"""
+    return _span_score_sql([_term_idf(t) for t in terms], cte, k)
+
+
 def span_or_topk_sql(terms: "list[str]", k: int = 10) -> str:
     """SpanOrQuery oracle: freq = count of all member positions per doc;
     weight = idf summed over the members (no df blending)."""

@@ -119,11 +119,23 @@ class SpanNearQ:
     (SpanScorer.java:106). The forward-only subspan pointers make the
     stateful matcher equivalent to this state-free first-at-or-after
     chain. Weight = idf summed over the member terms
-    (SpanWeight.buildSimWeight). Unordered (inOrder=false) is not
-    implemented — use :class:`SloppyQ` for unordered proximity."""
+    (SpanWeight.buildSimWeight).
+
+    ``in_order=False`` is NearSpansUnordered (NearSpansUnordered.java:
+    29-147): the window advances by consuming the globally-minimal
+    current position (the priority-queue pop visits merged positions in
+    sorted order), stopping at the first term-final position; each state
+    k matches iff maxEnd − minStart − totalSpanLength ≤ slop with
+    minStart = the k-th merged position, maxEnd = 1 + max over terms of
+    their first position ≥ minStart (the running max end equals the
+    current max because per-term cursors only move forward), and
+    totalSpanLength = n for width-1 term spans. Distinct terms only (two
+    subspans sharing one postings cursor need Lucene's repeat handling).
+    """
 
     terms: tuple[str, ...]
     slop: int = 0
+    in_order: bool = True
 
 
 @dataclass(frozen=True)

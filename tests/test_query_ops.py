@@ -362,6 +362,92 @@ def test_span_near_kernel_brute_force():
             assert got[d] == freq, (trial, d, got[d], freq)
 
 
+def test_span_near_unordered_kernel_brute_force():
+    """Kernel vs a literal transcription of NearSpansUnordered's priority
+    queue: pop the min-start span, advance it, track the running max end,
+    match when maxEnd - minStart - totalSpanLength <= slop."""
+    import heapq
+
+    import numpy as np
+
+    from lucene_spark.operators.search import (
+        TermPostings, span_near_unordered_freqs,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(50):
+        nterms = int(rng.integers(2, 4))
+        ndocs = int(rng.integers(1, 6))
+        slop = int(rng.integers(0, 6))
+        tps, plists = [], []
+        used = [set() for _ in range(ndocs)]
+        for _ in range(nterms):
+            per_doc = []
+            for d in range(ndocs):
+                # distinct positions across terms: one token per position
+                avail = [p for p in range(30) if p not in used[d]]
+                take = sorted(rng.choice(avail, size=int(rng.integers(1, 6)),
+                                         replace=False).tolist())
+                used[d].update(take)
+                per_doc.append(np.array(take, dtype=np.int64))
+            plists.append(per_doc)
+            freqs = np.array([len(p) for p in per_doc], dtype=np.int64)
+            starts = np.zeros(ndocs + 1, np.int64)
+            np.cumsum(freqs, out=starts[1:])
+            tps.append(TermPostings(
+                np.arange(ndocs, dtype=np.int64), freqs,
+                np.full(ndocs, 100, np.uint8),
+                np.concatenate(per_doc), starts,
+            ))
+        idxs = [np.arange(ndocs, dtype=np.int64) for _ in range(nterms)]
+        got = span_near_unordered_freqs(tps, idxs, slop)
+        for d in range(ndocs):
+            heap = []  # (startpos, term_idx, ptr)
+            max_end = -1
+            for i in range(nterms):
+                p = int(plists[i][d][0])
+                heapq.heappush(heap, (p, i, 0))
+                max_end = max(max_end, p + 1)
+            freq = np.float32(0.0)
+            while True:
+                minstart = heap[0][0]
+                width = max_end - minstart - nterms
+                if width <= slop:
+                    freq = np.float32(
+                        freq + np.float32(1.0 / (1.0 + float(width)))
+                    )
+                _, i, ptr = heapq.heappop(heap)
+                if ptr + 1 == len(plists[i][d]):
+                    break
+                p = int(plists[i][d][ptr + 1])
+                heapq.heappush(heap, (p, i, ptr + 1))
+                max_end = max(max_end, p + 1)
+            assert got[d] == freq, (trial, d, got[d], freq)
+
+
+def test_span_near_unordered_vs_ordered(searcher):
+    """Unordered span-near is a superset of ordered at the same slop, and
+    pruned equals exhaustive."""
+    from lucene_spark.plans.query import SpanNearQ
+
+    big = 10**6
+    uo = searcher.search(
+        SpanNearQ(("table", "scan"), 3, in_order=False), k=big, prune=False
+    )
+    o = searcher.search(SpanNearQ(("table", "scan"), 3), k=big, prune=False)
+    assert set(o["gid"]) <= set(uo["gid"])
+    a = searcher.search(
+        SpanNearQ(("table", "merge", "scan"), 4, in_order=False),
+        k=10, prune=True,
+    )
+    b = searcher.search(
+        SpanNearQ(("table", "merge", "scan"), 4, in_order=False),
+        k=10, prune=False,
+    )
+    assert a["gid"].tolist() == b["gid"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
 def test_boost_query(searcher):
     """Boost folds into the weight as float32 (BM25Scorer ctor), so a
     boosted term's score equals scoring with weight' = f32(boost * idf)."""
