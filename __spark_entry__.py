@@ -84,6 +84,42 @@ def _index_for_fields(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+SORT_EXPR = "n_chars * 100000 + doc_id"  # unique -> deterministic order
+_SORTED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_sorted(spark: SparkSession, sf_dir: str) -> str:
+    """Index built with an index-time sort (IndexWriterConfig.setIndexSort
+    analog): per-segment docID order == (n_chars-derived key) order, so
+    sorted top-k early-terminates on per-segment head gid ranges."""
+    from lucene_spark.operators.indexer import build_index
+
+    if sf_dir in _SORTED_INDEX_CACHE:
+        return _SORTED_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_sorted_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    build_index(
+        spark, docs, index_dir, key_col="doc_id", text_col="text",
+        n_segments=max(2, min(16, n // 250)), sort_by=SORT_EXPR,
+    )
+    _SORTED_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _q_sorted_index_topk(spark, sf_dir):
+    """Early-terminating sorted top-k over the sort_by index: per-segment
+    head gid ranges (parquet row-group prunable), no global sort."""
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_sorted(spark, sf_dir))
+    return s.sorted_index_topk(k=10).select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.col("sort_val").cast("long").alias("sort_val"),
+    )
+
+
 DELETE_MOD = 7
 _DELETES_INDEX_CACHE: dict[str, str] = {}
 
@@ -1039,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matchall_must_topk": _q_matchall_must_topk,
         "matchall_univ_topk": _q_matchall_univ_topk,
         "sort_by_len": _q_sort_by_len,
+        "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
         "grouped_topk": _q_grouped_topk,
     }
@@ -1138,6 +1175,10 @@ def oracle_sql() -> dict[str, str]:
         "matchall_must_topk": osql.matchall_must_topk_sql(T_HOT),
         "matchall_univ_topk": osql.matchall_univ_topk_sql(T_HOT),
         "sort_by_len": osql.sort_by_len_sql(T_HOT),
+        "sorted_index_topk": (
+            f"SELECT doc_id, CAST({SORT_EXPR} AS BIGINT) AS sort_val "
+            "FROM documents ORDER BY sort_val ASC, doc_id ASC LIMIT 10"
+        ),
         "facet_lang": osql.facet_lang_sql(T_HOT),
         "grouped_topk": osql.grouped_topk_sql(T_HOT),
     }

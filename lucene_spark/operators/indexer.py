@@ -75,6 +75,9 @@ STAGING_SCHEMA = T.StructType(
         T.StructField("s_max_gid", T.LongType()),
         T.StructField("s_n_terms", T.LongType()),
         T.StructField("s_n_postings", T.LongType()),
+        # doc rows of a sort_by index: the doc's index-sort key
+        # (IndexWriterConfig.setIndexSort analog); null elsewhere
+        T.StructField("sort_val", T.LongType()),
     ]
 )
 
@@ -115,6 +118,7 @@ def _arrow_types():
                 "s_max_gid": pa.int64(),
                 "s_n_terms": pa.int64(),
                 "s_n_postings": pa.int64(),
+                "sort_val": pa.int64(),
             }
         )
     return _ARROW_TYPES
@@ -195,6 +199,7 @@ def invert_segment(
     with_positions: bool = True,
     field: str = DEFAULT_FIELD,
     as_frames: bool = False,
+    sort_vals: "np.ndarray | None" = None,
 ) -> "pd.DataFrame | list[pd.DataFrame]":
     """Analyze + invert one segment's docs into union-schema staging rows.
 
@@ -345,16 +350,19 @@ def invert_segment(
         rows.extend([post, term_rows])
 
     if is_default:
-        doc_rows = pd.DataFrame(
-            {
-                "row_type": "doc",
-                "seg": np.int64(seg_id),
-                "gid": gids,
-                "key": pd.Series(np.asarray(keys, dtype=object), dtype="string"),
-                "doc_len": doc_lens.astype(np.int32),
-                "norm_b": norms_by_doc.astype(np.int32),
-            }
-        )
+        doc_cols = {
+            "row_type": "doc",
+            "seg": np.int64(seg_id),
+            "gid": gids,
+            "key": pd.Series(np.asarray(keys, dtype=object), dtype="string"),
+            "doc_len": doc_lens.astype(np.int32),
+            "norm_b": norms_by_doc.astype(np.int32),
+        }
+        if sort_vals is not None:
+            # index-sort key per doc: gids were assigned in sort order, so
+            # gid order within the segment IS sort order (IndexSorter)
+            doc_cols["sort_val"] = np.asarray(sort_vals, dtype=np.int64)
+        doc_rows = pd.DataFrame(doc_cols)
         rows.append(doc_rows)
         seg_stat = pd.DataFrame(
             {
@@ -413,7 +421,7 @@ def invert_segment(
         "seg", "block_ord", "doc_count", "first_gid", "last_gid", "gid",
         "doc_len", "norm_b", "doc_freq", "total_term_freq",
         "s_n_docs", "s_doc_count", "s_sum_dl", "s_max_gid", "s_n_terms",
-        "s_n_postings",
+        "s_n_postings", "sort_val",
     }
     out: dict = {}
     sizes = [len(f) for f in rows]
@@ -480,6 +488,7 @@ def prepare_corpus(
     n_segments: int = 8,
     dense_gids: bool = False,
     extra_fields: "dict[str, str] | None" = None,
+    sort_by: "str | None" = None,
 ) -> tuple[DataFrame, dict]:
     """Attach deterministic (seg, gid) columns to a corpus.
 
@@ -510,10 +519,14 @@ def prepare_corpus(
         meta = {"mode": "gid", "lo": lo, "hi": hi, "n_docs": int(bounds["n"])}
         return df, meta
 
+    sv_cols = (
+        [F.expr(sort_by).cast("long").alias("sv")] if sort_by is not None else []
+    )
     with_seg = corpus.select(
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_segments)).cast("long").alias("seg"),
         F.col(key_col).cast("string").alias("key"),
         F.col(text_col).alias("text"),
+        *sv_cols,
         *xf_cols,
     )
     if not dense_gids:
@@ -546,6 +559,8 @@ def build_index(
     fail_after_batches: int | None = None,
     extra_fields: "dict[str, str] | None" = None,
     direct_write: bool | None = None,
+    sort_by: "str | None" = None,
+    sort_ascending: bool = True,
 ) -> dict:
     """Build (or resume) the index. Returns summary metrics.
 
@@ -575,8 +590,49 @@ def build_index(
 
     ``fail_after_batches`` injects a crash after N committed batches — the
     kill/resume test hook (FIXTURES.md §6).
+
+    ``sort_by``: index-time sort (IndexWriterConfig.setIndexSort,
+    ``core/index/IndexSorter.java``): a corpus column (or SQL expression
+    over the corpus) cast to long; each segment's docs are sorted by
+    (sort value, key) and gids assigned in that order, so gid order
+    within a segment IS sort order. The per-doc key is stored as
+    ``sort_val`` on the doc rows, and the first k docs of every segment
+    are exactly its k best by the sort — the early-terminating sorted
+    collection Lucene gets from TopFieldCollector over a sorted index
+    (``Searcher.sorted_index_topk``). Requires engine-assigned gids
+    (hash mode): an explicit ``gid_col`` fixes docID order and conflicts
+    with the sort. Merges preserve the invariant (gids never change and
+    doc rows are left in place); appends must pass the same ``sort_by``.
     """
+    if sort_by is not None and gid_col is not None:
+        raise ValueError("sort_by requires engine-assigned gids (no gid_col)")
+    if sort_by is not None and dense_gids:
+        raise ValueError(
+            "sort_by requires sparse gids (seg << SEG_SHIFT bases): the "
+            "early-terminating reader derives per-segment head ranges from "
+            "them"
+        )
     t_start = time.time()
+    # the index sort is fixed at creation (IndexWriterConfig.setIndexSort):
+    # reject a mismatched append BEFORE any batch is built/committed
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            prior_sort = json.load(f).get("index_sort")
+        if prior_sort is not None and (
+            prior_sort.get("field") != sort_by
+            or bool(prior_sort.get("ascending", True)) != bool(sort_ascending)
+        ):
+            raise ValueError(
+                f"index is sorted by {prior_sort}; append must pass the "
+                "same sort_by/sort_ascending (IndexWriterConfig."
+                "setIndexSort is fixed at index creation)"
+            )
+        if prior_sort is None and sort_by is not None:
+            raise ValueError(
+                "existing index is unsorted; sort_by cannot be added after "
+                "creation (IndexWriterConfig.setIndexSort is fixed)"
+            )
     committed_recs = [
         rec
         for rec in read_manifest(index_dir)
@@ -618,6 +674,7 @@ def build_index(
     df, meta = prepare_corpus(
         corpus, key_col=key_col, text_col=text_col, gid_col=gid_col,
         n_segments=n_segments, dense_gids=dense_gids, extra_fields=extra_fields,
+        sort_by=sort_by,
     )
     if seg_offset:
         df = df.withColumn("seg", F.col("seg") + F.lit(seg_offset))
@@ -637,15 +694,29 @@ def build_index(
         fields = sorted((extra_fields or {}).keys())
 
         def invert_all(pdf: pd.DataFrame, seg: int, as_frames: bool):
-            pdf = pdf.sort_values("key" if mode == "hash" else "gid", kind="mergesort")
+            if sort_by is not None:
+                # index sort: docID order within the segment = sort order
+                pdf = pdf.sort_values(
+                    ["sv", "key"], ascending=[sort_ascending, True],
+                    kind="mergesort",
+                )
+            else:
+                pdf = pdf.sort_values(
+                    "key" if mode == "hash" else "gid", kind="mergesort"
+                )
             if mode == "hash":
                 gids = (np.arange(len(pdf), dtype=np.int64) + int(pdf["base"].iloc[0]))
             else:
                 gids = pdf["gid"].to_numpy(dtype=np.int64)
             keys = pdf["key"].to_numpy()
+            sv = (
+                pdf["sv"].to_numpy(dtype=np.int64)
+                if sort_by is not None else None
+            )
             frames = invert_segment(
                 seg, gids, keys, pdf["text"],
                 with_positions=with_positions, as_frames=as_frames,
+                sort_vals=sv,
             )
             frames = frames if as_frames else [frames]
             for f in fields:
@@ -729,6 +800,14 @@ def build_index(
             raise RuntimeError(f"injected failure after batch {bi}")
 
     finalize_index(spark, index_dir)
+    if sort_by is not None:
+        with open(stats_path) as f:
+            stats = json.load(f)
+        stats["index_sort"] = {
+            "field": sort_by, "ascending": bool(sort_ascending),
+        }
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
     return {
         "n_docs_new": total_new,
         "n_batches": len(seg_batches),
@@ -997,12 +1076,20 @@ def finalize_index(spark: SparkSession, index_dir: str) -> None:
         if d.startswith("batch=")
     ]
     agg = pd.concat([_read_segstats(d) for d in batch_dirs], ignore_index=True)
-    stats = {
+    stats = {}
+    prior_stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(prior_stats_path):
+        # preserve build-time metadata (index_sort) across re-finalizes
+        with open(prior_stats_path) as f:
+            stats = {
+                k: v for k, v in json.load(f).items() if k == "index_sort"
+            }
+    stats.update({
         "n_rows": int(agg["s_n_docs"].sum()),
         "doc_count": int(agg["s_doc_count"].sum()),
         "sum_total_term_freq": int(agg["s_sum_dl"].sum()),
         "max_gid": int(agg["s_max_gid"].max()) if len(agg) else -1,
-    }
+    })
     fagg = pd.concat([_read_fieldstats(d) for d in batch_dirs], ignore_index=True)
     if len(fagg):
         stats["fields"] = {

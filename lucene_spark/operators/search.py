@@ -2340,6 +2340,72 @@ class Searcher:
             .limit(k)
         )
 
+    def sorted_index_topk(self, k: int = 10) -> DataFrame:
+        """Early-terminating sorted top-k over a sort_by index
+        (TopFieldCollector over IndexWriterConfig.setIndexSort: when the
+        query sort equals the index sort, each leaf needs only its first k
+        competitive docs — ``core/search/TopFieldCollector.java``
+        canEarlyTerminate).
+
+        Within every segment, gids were assigned in (sort_val, key) order,
+        so the segment's k best docs are exactly gids
+        [seg_base, seg_base + k): the scan carries an OR of per-segment
+        gid ranges, which Parquet row-group min/max stats prune to the
+        head of each segment's doc rows — no global sort, no shuffle,
+        O(k · n_segments) rows ever surface. With deletes, each range is
+        widened by the number of deleted gids inside it (fixpoint, driver
+        side) so k LIVE docs per segment are still covered. Merges never
+        renumber gids and leave doc rows in place, so the ranges stay
+        valid on merged indexes. Returns (gid, key, sort_val) in index
+        order, ties by gid asc.
+        """
+        info = self.stats.get("index_sort")
+        if not info:
+            raise ValueError(
+                "sorted_index_topk requires an index built with sort_by "
+                "(stats.json has no index_sort)"
+            )
+        from ..operators.indexer import SEG_SHIFT, read_manifest
+
+        segs = sorted({
+            int(s)
+            for rec in read_manifest(self.index_dir)
+            if rec.get("status") == "committed" and rec.get("per_segment")
+            for s in rec["per_segment"]
+        })
+        deleted = self.deleted_gids()
+        ranges = []
+        for s in segs:
+            base = s << SEG_SHIFT
+            width = k
+            if deleted is not None and len(deleted):
+                # widen until the range holds k live docs (usually 1 round)
+                while True:
+                    d = int(
+                        np.searchsorted(deleted, base + width)
+                        - np.searchsorted(deleted, base)
+                    )
+                    if width >= k + d:
+                        break
+                    width = k + d
+            ranges.append((base, base + width))
+        pred = None
+        for lo, hi in ranges:
+            clause = (F.col("gid") >= F.lit(lo)) & (F.col("gid") < F.lit(hi))
+            pred = clause if pred is None else (pred | clause)
+        path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=doc")
+        head = (
+            self.spark.read.parquet(path)
+            .select("gid", "key", "sort_val")
+            .filter(pred)
+        )
+        head = self._anti_join_deleted(head)
+        order = (
+            F.asc("sort_val") if info.get("ascending", True)
+            else F.desc("sort_val")
+        )
+        return head.orderBy(order, F.asc("gid")).limit(k)
+
     def facet_counts(self, query, dim_df: DataFrame, dim_col: str,
                      key_col: str = "key") -> DataFrame:
         """Per-dimension match counts (FacetsCollector + facet counting,
