@@ -70,6 +70,15 @@ def test_gid_order_is_sort_order(spark, sorted_idx):
                 == base + np.arange(len(grp), dtype=np.int64)).all()
 
 
+def test_check_index_passes_on_sorted(spark, sorted_idx):
+    """The integrity audit accepts a sort_by index (the extra doc-row
+    column and the sorted gid assignment change nothing it validates)."""
+    from lucene_spark.operators.check import check_index
+
+    report = check_index(spark, sorted_idx)
+    assert report.get("healthy", False), report
+
+
 def test_sorted_head_with_deletes(spark, sorted_idx, tmp_path):
     """Deleting docs widens the per-segment head ranges; the result still
     equals the live-docs brute-force sort."""
