@@ -333,6 +333,19 @@ def _q_topk_not(spark, sf_dir):
     return _topk_df(spark, sf_dir, f"{T_B} NOT {T_HOT}")
 
 
+def _q_explain_term(spark, sf_dir):
+    """IndexSearcher.explain analog: BM25 Explanation component values for
+    the term query's top-1 hit, float32-exact."""
+    pdf = _searcher(spark, sf_dir).explain(T_HOT)
+    return spark.createDataFrame(pdf, schema="component string, value double")
+
+
+def _q_modifier_topk(spark, sf_dir):
+    """Classic QueryParser +/- modifiers: ``+must should -prohibited``
+    builds one BooleanQuery with mixed occurs (QueryParserBase)."""
+    return _topk_df(spark, sf_dir, f"+{T_HOT} {T_MID} -{T_B}")
+
+
 def _q_term_postings(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return s.postings(T_MID).select(
@@ -1003,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_or": _q_topk_or,
         "topk_and": _q_topk_and,
         "topk_not": _q_topk_not,
+        "modifier_topk": _q_modifier_topk,
+        "explain_term": _q_explain_term,
         "term_postings": _q_term_postings,
         "term_stats": _q_term_stats,
         "doc_norms": _q_doc_norms,
@@ -1090,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_or": osql.topk_or_sql(T_HOT, T_MID),
         "topk_and": osql.topk_and_sql(T_HOT, T_MID),
         "topk_not": osql.topk_not_sql(T_B, T_HOT),
+        "modifier_topk": osql.req_opt_not_topk_sql(T_HOT, T_MID, T_B),
+        "explain_term": osql.explain_term_sql(T_HOT),
         "term_postings": osql.term_postings_sql(T_MID),
         "term_stats": osql.term_stats_sql(),
         "doc_norms": osql.doc_norms_sql(),

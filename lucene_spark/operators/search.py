@@ -2269,6 +2269,50 @@ class Searcher:
 
         return with_bucket.groupBy("bucket").applyInPandas(kernel, schema=RESULT_SCHEMA)
 
+    def explain(self, term: str, gid: "int | None" = None) -> pd.DataFrame:
+        """IndexSearcher.explain analog for a TermQuery: the BM25
+        Explanation tree flattened to (component, value) rows
+        (BM25Similarity.java:160-280 — idf with its n/N inputs, tf with
+        freq/k1/b/dl/avgdl, and the scorer's float32 score).
+
+        ``gid=None`` explains the query's own top-1 hit. Every value is
+        computed at the same float32 points as scoring, so rows are
+        value-exact against the SQL oracle twin.
+        """
+        from ..functions.smallfloat import LENGTH_TABLE
+
+        if gid is None:
+            top = self.search(TermQ(term), k=1, with_keys=False)
+            if not len(top):
+                raise ValueError(f"no hits for {term!r}")
+            gid = int(top["gid"].iloc[0])
+        row = self.postings(term).filter(F.col("gid") == gid).collect()
+        if not row:
+            raise ValueError(f"doc {gid} does not contain {term!r}")
+        freq, norm_b = int(row[0]["freq"]), int(row[0]["norm_b"])
+        dc, sttf = self.field_stats(_field_of(term))
+        df = int(self.term_stats({term})[term][0])
+        n_docs = max(dc, 1)
+        w = _idf(df, n_docs)
+        av = _avgdl(sttf, n_docs)
+        cache = norm_cache(av)[norm_b]
+        one = np.float32(1.0)
+        f32 = np.float32
+        denom = one + f32(freq) * cache
+        rows = [
+            ("n, number of documents containing term", float(df)),
+            ("N, total number of documents with field", float(n_docs)),
+            ("idf", float(w)),
+            ("freq, occurrences of term within document", float(freq)),
+            ("k1, term saturation parameter", float(f32(1.2))),
+            ("b, length normalization parameter", float(f32(0.75))),
+            ("dl, length of field", float(f32(LENGTH_TABLE[norm_b]))),
+            ("avgdl, average length of field", float(av)),
+            ("tf", float(one - one / denom)),
+            ("score", float(w - w / denom)),
+        ]
+        return pd.DataFrame(rows, columns=["component", "value"])
+
     def postings(self, term: str) -> DataFrame:
         """Decoded posting list of one term: (gid, freq, norm_b, doc_len-ish).
 

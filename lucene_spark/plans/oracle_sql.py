@@ -121,6 +121,47 @@ def scored_term_cte(name: str, term: str, boost: "float | None" = None) -> str:
 )"""
 
 
+def explain_term_sql(term: str) -> str:
+    """Explanation oracle: the BM25 explain tree's component values for
+    the term query's own top-1 hit, each computed at the same float32
+    points as scoring (BM25Similarity.java:160-280)."""
+    df_expr = f"(SELECT doc_freq FROM tstats WHERE term = '{term}')"
+    idf = idf_sql(df_expr, N_SQL)
+    cache = cache_sql("(SELECT dec FROM v)", AVGDL_SQL)
+    freq = "(SELECT freq FROM v)"
+    prod = _f4(f"{_f4(freq)} * {cache}")
+    denom = _f4(f"{_f4('1.0')} + {prod}")
+    one = _f4("1.0")
+    tf = _f4(f"{one} - {_f4(f'{one} / {denom}')}")
+    score = bm25_score_sql(idf, freq, cache)
+    rows = [
+        ("n, number of documents containing term", f"CAST({df_expr} AS DOUBLE)"),
+        ("N, total number of documents with field", f"CAST({N_SQL} AS DOUBLE)"),
+        ("idf", f"CAST({idf} AS DOUBLE)"),
+        ("freq, occurrences of term within document", f"CAST({freq} AS DOUBLE)"),
+        ("k1, term saturation parameter", "CAST(CAST(1.2 AS FLOAT) AS DOUBLE)"),
+        ("b, length normalization parameter", "CAST(CAST(0.75 AS FLOAT) AS DOUBLE)"),
+        ("dl, length of field", "CAST(CAST((SELECT dec FROM v) AS FLOAT) AS DOUBLE)"),
+        ("avgdl, average length of field", f"CAST({AVGDL_SQL} AS DOUBLE)"),
+        ("tf", f"CAST({tf} AS DOUBLE)"),
+        ("score", f"CAST({score} AS DOUBLE)"),
+    ]
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS component, {expr} AS value" for name, expr in rows
+    )
+    return f"""WITH {base_ctes()},{scored_term_cte('s', term)},
+top1 AS (SELECT doc_id FROM s ORDER BY score DESC, doc_id ASC LIMIT 1),
+v AS (
+  SELECT tf.freq AS freq, norm_tab.dec AS dec
+  FROM tf
+  JOIN top1 ON tf.doc_id = top1.doc_id
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+  WHERE tf.term = '{term}'
+)
+{selects}"""
+
+
 def topk_single_sql(term: str, k: int = 10) -> str:
     return f"""WITH {base_ctes()},{scored_term_cte('s', term)}
 SELECT doc_id, score FROM s
@@ -356,6 +397,19 @@ def dismax_topk_sql(t1: str, t2: str, k: int = 10) -> str:
 SELECT doc_id, CAST(max(score) AS DOUBLE) AS score
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
 GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def req_opt_not_topk_sql(must_t: str, should_t: str, not_t: str,
+                         k: int = 10) -> str:
+    """Classic-parser modifier mix ``+a b -c``: MUST a scores always,
+    SHOULD b adds when present (ReqOptSumScorer), MUST_NOT c filters;
+    per-clause float32 scores summed in double, one float32 cast."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', must_t)},{scored_term_cte('s2', should_t)}
+SELECT s1.doc_id AS doc_id,
+       CAST(CAST(s1.score + COALESCE(s2.score, 0.0) AS FLOAT) AS DOUBLE) AS score
+FROM s1 LEFT JOIN s2 ON s2.doc_id = s1.doc_id
+WHERE s1.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{not_t}')
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 

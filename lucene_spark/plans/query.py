@@ -410,6 +410,16 @@ class _Parser:
         clauses = [c for c in clauses if c is not None]
         if not clauses:
             return None
+        must = [c[1] for c in clauses if isinstance(c, tuple) and c[0] == "MUST"]
+        must_not = [c[1] for c in clauses if isinstance(c, tuple) and c[0] == "NOT"]
+        should = [c for c in clauses if not isinstance(c, tuple)]
+        if must or must_not:
+            # classic-parser occur mixing: +a b -c -> MUST a, SHOULD b,
+            # MUST_NOT c in ONE BooleanQuery (QueryParserBase.addClause)
+            return BoolQ(
+                must=tuple(must), should=tuple(should),
+                must_not=tuple(must_not),
+            ).simplified()
         if len(clauses) == 1:
             return clauses[0]
         return BoolQ(should=tuple(clauses)).simplified()
@@ -418,11 +428,13 @@ class _Parser:
         must: list = []
         must_not: list = []
         first = self.unary()
-        if isinstance(first, tuple) and first and first[0] == "NOT":
-            must_not.append(first[1])
+        ops = 0
+        if isinstance(first, tuple):
+            pass  # routed below: marker placement depends on chain presence
         elif first is not None:
             must.append(first)
         while self.peek() in ("AND", "NOT"):
+            ops += 1
             op = self.next()
             if op == "NOT":
                 c = self.unary_atom()
@@ -432,8 +444,19 @@ class _Parser:
                 c = self.unary()
                 if isinstance(c, tuple) and c and c[0] == "NOT":
                     must_not.append(c[1])
+                elif isinstance(c, tuple) and c and c[0] == "MUST":
+                    must.append(c[1])
                 elif c is not None:
                     must.append(c)
+        if isinstance(first, tuple):
+            if ops == 0:
+                # lone modifier clause: its occur is decided at the OR
+                # level (classic parser: +a b -> MUST a, SHOULD b)
+                return first
+            if first[0] == "NOT":
+                must_not.append(first[1])
+            else:
+                must.insert(0, first[1])
         if not must_not:
             if len(must) == 1:
                 return must[0]
@@ -446,6 +469,23 @@ class _Parser:
             self.next()
             c = self.unary_atom()
             return ("NOT", c) if c is not None else None
+        # classic QueryParser modifiers (QueryParserBase MOD_REQ/MOD_NOT):
+        # ``+x`` = MUST, ``-x`` = MUST_NOT; the modifier may be fused to the
+        # token (``+term``) or stand alone before a group/phrase (``+ (...)``
+        # tokenizes ``+`` separately before ``(`` and ``"``)
+        t = self.peek()
+        if t in ("+", "-"):
+            self.next()
+            c = self.unary_atom()
+            if c is None:
+                return None
+            return ("MUST", c) if t == "+" else ("NOT", c)
+        if t is not None and len(t) > 1 and t[0] in "+-":
+            self.toks[self.pos] = t[1:]
+            c = self.unary_atom()
+            if c is None:
+                return None
+            return ("MUST", c) if t[0] == "+" else ("NOT", c)
         return self.unary_atom()
 
     def _range_atom(self):

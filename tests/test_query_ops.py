@@ -39,6 +39,28 @@ def test_parse_range():
     assert parse_query("[query TO *]") == RangeQ("query", None, True, True)
 
 
+def test_parse_classic_modifiers():
+    """``+a b -c`` builds ONE BooleanQuery with mixed occurs, exactly the
+    classic parser (QueryParserBase MOD_REQ/MOD_NOT + addClause)."""
+    node = parse_query("+merge window -scan")
+    assert node == BoolQ(
+        must=(TermQ("merge"),), should=(TermQ("window"),),
+        must_not=(TermQ("scan"),),
+    )
+    assert parse_query("+merge") == TermQ("merge")
+    assert parse_query("-merge") == BoolQ(must_not=(TermQ("merge"),))
+    grp = parse_query("+(merge OR window) -scan")
+    assert grp.must and grp.must_not and not grp.should
+    # quoted phrase with a standalone modifier token
+    ph = parse_query('+"table scan" -merge')
+    assert ph.must[0].terms == ("table", "scan")
+    assert ph.must_not == (TermQ("merge"),)
+    # OR NOT routes the negation into the same boolean
+    assert parse_query("merge OR NOT window") == BoolQ(
+        should=(TermQ("merge"),), must_not=(TermQ("window"),)
+    )
+
+
 def test_parse_mixed_boolean_with_multiterm():
     node = parse_query("me* AND window")
     assert isinstance(node, BoolQ)
