@@ -121,7 +121,43 @@ def _q_sorted_index_topk(spark, sf_dir):
 
 
 DELETE_MOD = 7
+UPDATE_MOD = 9
+UPDATE_OFFSET = 1_000_000
 _DELETES_INDEX_CACHE: dict[str, str] = {}
+_UPDATES_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_updates(spark: SparkSession, sf_dir: str) -> str:
+    """Index where docs with doc_id %% UPDATE_MOD == 0 were replaced via
+    update_documents (IndexWriter.updateDocument analog): same key, text
+    doubled (``text || ' ' || text``), new docID = doc_id + UPDATE_OFFSET.
+    Old copies stay deleted-but-counted in stats (pre-merge semantics)."""
+    from lucene_spark.operators.indexer import (
+        build_index, read_manifest, update_documents,
+    )
+
+    if sf_dir in _UPDATES_INDEX_CACHE:
+        return _UPDATES_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_upd_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    build_index(
+        spark, docs, index_dir, key_col="doc_id", text_col="text",
+        gid_col="doc_id", n_segments=max(2, min(16, n // 250)),
+    )
+    if not any(r.get("type") == "delete" for r in read_manifest(index_dir)):
+        upd = docs.filter(F.col("doc_id") % UPDATE_MOD == 0).select(
+            F.col("doc_id"),
+            (F.col("doc_id") + UPDATE_OFFSET).alias("new_id"),
+            F.concat_ws(" ", F.col("text"), F.col("text")).alias("text"),
+        )
+        update_documents(
+            spark, upd, index_dir, key_col="doc_id", text_col="text",
+            gid_col="new_id", n_segments=2,
+        )
+    _UPDATES_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
 
 
 def _index_for_deletes(spark: SparkSession, sf_dir: str) -> str:
@@ -299,6 +335,69 @@ def _q_delete_count(spark, sf_dir):
     s = Searcher(spark, _index_for_deletes(spark, sf_dir))
     n = s.count(TermQ(T_HOT))
     return spark.createDataFrame([(int(n),)], schema="n long")
+
+
+_OFFSETS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_offsets(spark: SparkSession, sf_dir: str) -> str:
+    """Offsets-enabled index (IndexOptions ..._AND_OFFSETS), then a FULL
+    merge — so the gate reads offsets that survived the re-blocking merge
+    path, not just freshly inverted segments."""
+    from lucene_spark.operators.indexer import build_index, read_manifest
+    from lucene_spark.operators.merge import merge_index
+
+    if sf_dir in _OFFSETS_INDEX_CACHE:
+        return _OFFSETS_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_off_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    build_index(
+        spark, docs, index_dir, key_col="doc_id", text_col="text",
+        gid_col="doc_id", n_segments=max(2, min(16, n // 250)),
+        with_offsets=True,
+    )
+    if not any(r.get("type") == "merge" for r in read_manifest(index_dir)):
+        merge_index(spark, index_dir)
+    _OFFSETS_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _q_term_offsets(spark, sf_dir):
+    """PostingsEnum offsets (startOffset/endOffset) for every occurrence
+    of a term, read from merged offset-bearing postings."""
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_offsets(spark, sf_dir))
+    return s.term_offsets(T_MID).select(
+        F.col("gid").alias("doc_id"), "position", "start_off", "end_off"
+    )
+
+
+def _q_highlight_offsets(spark, sf_dir):
+    """UnifiedHighlighter OffsetSource.POSTINGS: passages cut by indexed
+    char offsets, stored text substring'd but never re-tokenized."""
+    from lucene_spark.operators.highlight import highlight_from_postings
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_offsets(spark, sf_dir))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return highlight_from_postings(s, docs, T_MID, char_window=30)
+
+
+def _q_update_topk(spark, sf_dir):
+    """Search after update_documents: replaced docs surface under their
+    NEW docIDs with doubled-text scores; old copies are gone from results
+    but still count in idf/avgdl (Lucene pre-merge update semantics)."""
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_updates(spark, sf_dir))
+    pdf = s.search(f"{T_HOT} OR {T_MID}", k=10, with_keys=False)
+    out = pdf.rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
 def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
@@ -1058,6 +1157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockjoin_topk": _q_blockjoin_topk,
         "blockjoin_total": _q_blockjoin_total,
         "delete_topk": _q_delete_topk,
+        "update_topk": _q_update_topk,
+        "term_offsets": _q_term_offsets,
+        "highlight_offsets": _q_highlight_offsets,
         "delete_count": _q_delete_count,
         "purge_topk": _q_purge_topk,
         "term_in_set_topk": _q_term_in_set_topk,
@@ -1147,6 +1249,11 @@ def oracle_sql() -> dict[str, str]:
         "blockjoin_topk": osql.blockjoin_topk_sql(T_HOT, T_MID, PARENT_GROUP, "max"),
         "blockjoin_total": osql.blockjoin_topk_sql(T_HOT, T_MID, PARENT_GROUP, "total"),
         "delete_topk": osql.delete_topk_sql(T_HOT, T_MID, DELETE_MOD),
+        "update_topk": osql.update_topk_sql(
+            T_HOT, T_MID, UPDATE_MOD, UPDATE_OFFSET
+        ),
+        "term_offsets": osql.term_offsets_sql(T_MID),
+        "highlight_offsets": osql.highlight_offsets_sql(T_MID, 30),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),
         "purge_tiered_topk": osql.purge_topk_sql(T_HOT, T_B, DELETE_MOD),

@@ -60,20 +60,27 @@ class AnalyzedBatch:
     tok_doc_idx   = doc index (0-based within batch) per surviving token
     tok_terms_pa  = surviving token strings as a pyarrow StringArray
     tok_positions = Lucene position of each surviving token (stop holes kept)
+    tok_starts/tok_ends = [start, end) char offsets of each surviving token
+        in the ORIGINAL text (OffsetAttribute semantics), or None unless
+        analyzed with ``with_offsets=True``
 
     Within one document, tokens appear in ascending position order; documents
     themselves may be interleaved (edge docs come after fast-path docs).
     ``tok_terms`` materializes numpy object strings on demand (tests/oracle).
     """
 
-    __slots__ = ("n_docs", "doc_lens", "tok_doc_idx", "tok_terms_pa", "tok_positions", "_np")
+    __slots__ = ("n_docs", "doc_lens", "tok_doc_idx", "tok_terms_pa",
+                 "tok_positions", "tok_starts", "tok_ends", "_np")
 
-    def __init__(self, n_docs, doc_lens, tok_doc_idx, tok_terms_pa, tok_positions):
+    def __init__(self, n_docs, doc_lens, tok_doc_idx, tok_terms_pa, tok_positions,
+                 tok_starts=None, tok_ends=None):
         self.n_docs = n_docs
         self.doc_lens = doc_lens
         self.tok_doc_idx = tok_doc_idx
         self.tok_terms_pa = tok_terms_pa
         self.tok_positions = tok_positions
+        self.tok_starts = tok_starts
+        self.tok_ends = tok_ends
         self._np = None
 
     @property
@@ -98,6 +105,154 @@ def _expand_doc_tokens(tokens: list[str]) -> list[str]:
     return out
 
 
+def _tokenize_doc_offsets(text: str) -> "tuple[list[str], list[int], list[int]]":
+    """One doc, Python path for offsets mode: lowercased tokens plus
+    [start, end) char offsets into the ORIGINAL text.
+
+    Mirrors StandardTokenizer's OffsetAttribute (offsets index the source
+    text, unchanged by LowerCaseFilter; ``StandardTokenizer.java:38-98``):
+    alnum runs (Unicode L*/N* categories = Arrow's ``\\pL\\pN``), CJK
+    singles split per character, >255-char runs chopped with per-chunk
+    offsets. Only non-[a-z0-9 ] docs and long-token docs take this path.
+    """
+    import unicodedata
+
+    toks: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    i, n = 0, len(text)
+    while i < n:
+        if unicodedata.category(text[i])[0] not in "LN":
+            i += 1
+            continue
+        j = i + 1
+        while j < n and unicodedata.category(text[j])[0] in "LN":
+            j += 1
+        pos0 = i
+        for part in _CJK_SPLIT_RE.split(text[i:j]):
+            if not part:
+                continue
+            if len(part) == 1 and _CJK_SPLIT_RE.match(part):
+                toks.append(part)
+                starts.append(pos0)
+                ends.append(pos0 + 1)
+            else:
+                k = 0
+                while k < len(part):
+                    chunk = part[k : k + MAX_TOKEN_LENGTH]
+                    toks.append(chunk.lower())
+                    starts.append(pos0 + k)
+                    ends.append(pos0 + k + len(chunk))
+                    k += len(chunk)
+            pos0 += len(part)
+        i = j
+    return toks, starts, ends
+
+
+def _analyze_with_offsets(arr: pa.Array, n_docs: int) -> AnalyzedBatch:
+    """Offsets-enabled analysis (IndexOptions ..._AND_OFFSETS).
+
+    Clean [a-z0-9 ] docs stay fully vectorized: a space split retaining
+    empties makes every part's start offset an exact prefix sum of
+    (len + 1) within its doc — no separator ambiguity, works with double
+    spaces. Docs with other characters (or >255-char tokens, whose chop
+    shifts offsets) take the per-document Python tokenizer.
+    """
+    doc_bad = (
+        pc.match_substring_regex(arr, "[^a-z0-9 ]").to_numpy(zero_copy_only=False)
+        if n_docs else np.zeros(0, dtype=bool)
+    )
+    idx_simple = np.nonzero(~doc_bad)[0]
+
+    flat_parts: list[np.ndarray] = []
+    parent_parts: list[np.ndarray] = []
+    start_parts: list[np.ndarray] = []
+    end_parts: list[np.ndarray] = []
+    py_docs: list[int] = []
+
+    if len(idx_simple):
+        sub = pc.filter(arr, pa.array(~doc_bad))
+        parts = pc.split_pattern(sub, pattern=" ")
+        f_all = pc.list_flatten(parts)
+        par_all = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(f_all).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(par_all):
+            step = lens + 1  # token chars + the single separator
+            prev = np.concatenate(([0], np.cumsum(step)[:-1]))
+            new_doc = np.empty(len(par_all), dtype=bool)
+            new_doc[0] = True
+            new_doc[1:] = par_all[1:] != par_all[:-1]
+            run_id = np.cumsum(new_doc) - 1
+            starts = prev - prev[new_doc][run_id]
+            keep = lens > 0
+            too_long = lens > MAX_TOKEN_LENGTH
+            if too_long.any():
+                # chop would shift offsets: send those docs to the Python path
+                bad_local = np.unique(par_all[too_long])
+                py_docs.extend(int(idx_simple[d]) for d in bad_local)
+                is_bad_doc = np.zeros(len(idx_simple), dtype=bool)
+                is_bad_doc[bad_local] = True
+                keep &= ~is_bad_doc[par_all]
+            keep_pa = pa.array(keep)
+            f_keep = pc.filter(f_all, keep_pa)
+            flat_parts.append(np.asarray(
+                f_keep.to_numpy(zero_copy_only=False), dtype=object
+            ))
+            parent_parts.append(idx_simple[par_all[keep]])
+            start_parts.append(starts[keep])
+            end_parts.append((starts + lens)[keep])
+
+    py_docs.extend(int(d) for d in np.nonzero(doc_bad)[0])
+    if py_docs:
+        texts_py = arr.take(pa.array(py_docs, type=pa.int64())).to_pylist()
+        for d, text in zip(py_docs, texts_py):
+            toks, st, en = _tokenize_doc_offsets(text or "")
+            if not toks:
+                continue
+            flat_parts.append(np.asarray(toks, dtype=object))
+            parent_parts.append(np.full(len(toks), d, dtype=np.int64))
+            start_parts.append(np.asarray(st, dtype=np.int64))
+            end_parts.append(np.asarray(en, dtype=np.int64))
+
+    if flat_parts:
+        flat_np = np.concatenate(flat_parts)
+        parent = np.concatenate(parent_parts).astype(np.int64)
+        tok_starts = np.concatenate(start_parts).astype(np.int32)
+        tok_ends = np.concatenate(end_parts).astype(np.int32)
+    else:
+        flat_np = np.empty(0, dtype=object)
+        parent = np.empty(0, dtype=np.int64)
+        tok_starts = np.empty(0, dtype=np.int32)
+        tok_ends = np.empty(0, dtype=np.int32)
+
+    positions = _positions_within_docs(parent, n_docs)
+    flat = pa.array(flat_np, type=pa.string())
+    if len(flat):
+        is_stop = pc.is_in(flat, value_set=_STOP_ARRAY)
+        keep_np = ~is_stop.to_numpy(zero_copy_only=False)
+        flat = pc.filter(flat, pa.array(keep_np))
+        parent = parent[keep_np]
+        positions = positions[keep_np]
+        tok_starts = tok_starts[keep_np]
+        tok_ends = tok_ends[keep_np]
+    doc_lens = (
+        np.bincount(parent, minlength=n_docs).astype(np.int32)
+        if len(parent)
+        else np.zeros(n_docs, dtype=np.int32)
+    )
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return AnalyzedBatch(
+        n_docs=n_docs,
+        doc_lens=doc_lens,
+        tok_doc_idx=parent,
+        tok_terms_pa=flat,
+        tok_positions=positions,
+        tok_starts=tok_starts,
+        tok_ends=tok_ends,
+    )
+
+
 def _positions_within_docs(parent: np.ndarray, n_docs: int) -> np.ndarray:
     """0-based index of each token within its doc (tokens doc-contiguous)."""
     if not len(parent):
@@ -112,8 +267,15 @@ def _positions_within_docs(parent: np.ndarray, n_docs: int) -> np.ndarray:
     return (np.arange(len(parent), dtype=np.int64) - run_starts[run_id]).astype(np.int32)
 
 
-def analyze_batch(texts: "pd.Series | pa.Array | list[str]") -> AnalyzedBatch:
-    """Run the full chain over a batch of texts. Vectorized via Arrow."""
+def analyze_batch(
+    texts: "pd.Series | pa.Array | list[str]", with_offsets: bool = False
+) -> AnalyzedBatch:
+    """Run the full chain over a batch of texts. Vectorized via Arrow.
+
+    ``with_offsets=True`` additionally yields per-token [start, end) char
+    offsets into the original text (OffsetAttribute) on a dedicated path;
+    the default path stays offset-free and maximally vectorized.
+    """
     if isinstance(texts, pd.Series):
         arr = pa.Array.from_pandas(texts.astype("string"))
     elif isinstance(texts, (pa.Array, pa.ChunkedArray)):
@@ -122,6 +284,8 @@ def analyze_batch(texts: "pd.Series | pa.Array | list[str]") -> AnalyzedBatch:
         arr = pa.array(texts, type=pa.string())
     n_docs = len(arr)
     arr = pc.fill_null(arr, "")
+    if with_offsets:
+        return _analyze_with_offsets(arr, n_docs)
 
     def _tokenize(sub: pa.Array, simple: bool):
         """(flat tokens, local parent idx, needs_cjk_scan) for a doc subset.

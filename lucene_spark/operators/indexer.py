@@ -59,6 +59,11 @@ STAGING_SCHEMA = T.StructType(
         T.StructField("freqs", T.BinaryType()),
         T.StructField("norms", T.BinaryType()),
         T.StructField("positions", T.BinaryType()),
+        # offsets mode (IndexOptions ..._AND_OFFSETS): per-token start-offset
+        # delta stream + raw token-length stream, position-aligned; null
+        # when the index stores no offsets
+        T.StructField("off_starts", T.BinaryType()),
+        T.StructField("off_lens", T.BinaryType()),
         T.StructField("imp_freqs", T.ArrayType(T.LongType())),
         T.StructField("imp_norms", T.ArrayType(T.IntegerType())),
         T.StructField("gid", T.LongType()),
@@ -104,6 +109,8 @@ def _arrow_types():
                 "freqs": pa.binary(),
                 "norms": pa.binary(),
                 "positions": pa.binary(),
+                "off_starts": pa.binary(),
+                "off_lens": pa.binary(),
                 "imp_freqs": pa.list_(pa.int64()),
                 "imp_norms": pa.list_(pa.int32()),
                 "gid": pa.int64(),
@@ -200,6 +207,7 @@ def invert_segment(
     field: str = DEFAULT_FIELD,
     as_frames: bool = False,
     sort_vals: "np.ndarray | None" = None,
+    with_offsets: bool = False,
 ) -> "pd.DataFrame | list[pd.DataFrame]":
     """Analyze + invert one segment's docs into union-schema staging rows.
 
@@ -221,7 +229,9 @@ def invert_segment(
     assert len(gids) == 0 or (np.diff(gids) > 0).all(), "gids must be strictly increasing"
     is_default = field == DEFAULT_FIELD
     prefix = "" if is_default else f"{field}{FIELD_SEP}"
-    batch = analyze_batch(texts)
+    if with_offsets and not with_positions:
+        raise ValueError("with_offsets requires with_positions")
+    batch = analyze_batch(texts, with_offsets=with_offsets)
     doc_lens = batch.doc_lens.astype(np.int64)
     norms_by_doc = int_to_byte4_np(doc_lens)
 
@@ -315,29 +325,47 @@ def invert_segment(
             positions_payload = batch_encode_streams(pos_delta.astype(np.uint64), pos_rl)
         else:
             positions_payload = [None] * n_blocks
+        off_starts_payload = off_lens_payload = None
+        if with_offsets:
+            # start offsets ascend with positions within a (term, doc) pair,
+            # so the same delta-with-per-pair-absolute-reset encoding applies
+            # (Lucene90PostingsWriter startOffset deltas + length stream)
+            st_s = batch.tok_starts[order].astype(np.int64)
+            en_s = batch.tok_ends[order].astype(np.int64)
+            st_delta = st_s.copy()
+            st_delta[1:] -= st_s[:-1]
+            st_delta[pair_start] = st_s[pair_start]
+            off_starts_payload = batch_encode_streams(
+                st_delta.astype(np.uint64), pos_rl
+            )
+            off_lens_payload = batch_encode_streams(
+                (en_s - st_s).astype(np.uint64), pos_rl
+            )
 
         # ---- impacts per block (vectorized across all blocks)
         imp_freqs, imp_norms = competitive_impacts_grouped(
             block_id_of_pair, freq_p, norm_p, n_blocks
         )
 
-        post = pd.DataFrame(
-            {
-                "row_type": "post",
-                "seg": np.int64(seg_id),
-                "term": pd.Series(uniq_terms[block_term], dtype="string"),
-                "block_ord": block_ord.astype(np.int32),
-                "doc_count": docs_per_block.astype(np.int32),
-                "first_gid": first_gid_b,
-                "last_gid": last_gid_b,
-                "gids": gids_payload,
-                "freqs": freqs_payload,
-                "norms": norms_payload,
-                "positions": positions_payload,
-                "imp_freqs": imp_freqs,
-                "imp_norms": imp_norms,
-            }
-        )
+        post_cols = {
+            "row_type": "post",
+            "seg": np.int64(seg_id),
+            "term": pd.Series(uniq_terms[block_term], dtype="string"),
+            "block_ord": block_ord.astype(np.int32),
+            "doc_count": docs_per_block.astype(np.int32),
+            "first_gid": first_gid_b,
+            "last_gid": last_gid_b,
+            "gids": gids_payload,
+            "freqs": freqs_payload,
+            "norms": norms_payload,
+            "positions": positions_payload,
+            "imp_freqs": imp_freqs,
+            "imp_norms": imp_norms,
+        }
+        if with_offsets:
+            post_cols["off_starts"] = off_starts_payload
+            post_cols["off_lens"] = off_lens_payload
+        post = pd.DataFrame(post_cols)
         term_rows = pd.DataFrame(
             {
                 "row_type": "term",
@@ -554,6 +582,7 @@ def build_index(
     n_segments: int = 8,
     batch_segments: int | None = None,
     with_positions: bool = True,
+    with_offsets: bool = False,
     dense_gids: bool = False,
     append: bool = False,
     fail_after_batches: int | None = None,
@@ -618,7 +647,13 @@ def build_index(
     stats_path = os.path.join(index_dir, "stats.json")
     if os.path.exists(stats_path):
         with open(stats_path) as f:
-            prior_sort = json.load(f).get("index_sort")
+            _prior_stats = json.load(f)
+        prior_sort = _prior_stats.get("index_sort")
+        if bool(_prior_stats.get("with_offsets")) != bool(with_offsets):
+            raise ValueError(
+                "with_offsets must match the existing index (IndexOptions "
+                "are fixed per field at creation, FieldInfos)"
+            )
         if prior_sort is not None and (
             prior_sort.get("field") != sort_by
             or bool(prior_sort.get("ascending", True)) != bool(sort_ascending)
@@ -716,13 +751,14 @@ def build_index(
             frames = invert_segment(
                 seg, gids, keys, pdf["text"],
                 with_positions=with_positions, as_frames=as_frames,
-                sort_vals=sv,
+                sort_vals=sv, with_offsets=with_offsets,
             )
             frames = frames if as_frames else [frames]
             for f in fields:
                 more = invert_segment(
                     seg, gids, keys, pdf[f"xf_{f}"],
                     with_positions=with_positions, field=f, as_frames=as_frames,
+                    with_offsets=with_offsets,
                 )
                 frames.extend(more if as_frames else [more])
             return frames
@@ -800,12 +836,15 @@ def build_index(
             raise RuntimeError(f"injected failure after batch {bi}")
 
     finalize_index(spark, index_dir)
-    if sort_by is not None:
+    if sort_by is not None or with_offsets:
         with open(stats_path) as f:
             stats = json.load(f)
-        stats["index_sort"] = {
-            "field": sort_by, "ascending": bool(sort_ascending),
-        }
+        if sort_by is not None:
+            stats["index_sort"] = {
+                "field": sort_by, "ascending": bool(sort_ascending),
+            }
+        if with_offsets:
+            stats["with_offsets"] = True
         with open(stats_path, "w") as f:
             json.dump(stats, f)
     return {
@@ -1023,6 +1062,12 @@ def delete_docs(
 
             node = parse_query(query)
         df = s.candidates(node, k=1 << 62, prune=False).select("gid").distinct()
+    return _commit_delete_df(spark, index_dir, df, rel, out_path)
+
+
+def _commit_delete_df(spark, index_dir: str, df: DataFrame, rel: str,
+                      out_path: str) -> dict:
+    """Write a gid DataFrame as a committed delete record (.liv analog)."""
     df.write.mode("overwrite").parquet(out_path)
     n = spark.read.parquet(out_path).count()
     rec = {
@@ -1034,6 +1079,66 @@ def delete_docs(
     }
     _append_manifest(index_dir, rec)
     return rec
+
+
+def update_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    key_col: str,
+    text_col: str,
+    gid_col: str | None = None,
+    n_segments: int = 4,
+    with_positions: bool = True,
+    with_offsets: bool = False,
+    extra_fields: "dict[str, str] | None" = None,
+    sort_by: "str | None" = None,
+    sort_ascending: bool = True,
+) -> dict:
+    """IndexWriter.updateDocument analog: replace every indexed doc whose
+    key matches an incoming row's key, then add the incoming rows as new
+    segments (``core/index/IndexWriter.java`` updateDocument = atomic
+    delete-by-term + add; the replaced doc keeps its application key but
+    gets a NEW docID, and its old copy stays deleted-but-counted in
+    collection stats until a merge reclaims it).
+
+    Keys absent from the index are plain adds (upsert semantics). The old
+    gids are resolved DISTRIBUTED — incoming keys broadcast against the
+    doc table, no collect — so an update batch of any size works.
+
+    Crash window: the delete commits before the append job. A crash
+    between them leaves the keys absent until the same call is re-run
+    (the append resumes from its manifest record); Lucene's single-writer
+    commit makes the pair atomic, this two-record form is the documented
+    deviation.
+    """
+    from ..operators.search import Searcher
+
+    keys = docs.select(
+        F.col(key_col).cast("string").alias("key")
+    ).distinct()
+    old_gids = (
+        Searcher(spark, index_dir)
+        .doc_rows()
+        .join(F.broadcast(keys), on="key", how="left_semi")
+        .select("gid")
+        .distinct()
+    )
+    recs = read_manifest(index_dir)
+    n_prev = sum(1 for r in recs if r.get("type") == "delete")
+    rel = os.path.join("deletes", f"del_{n_prev}")
+    del_rec = _commit_delete_df(
+        spark, index_dir, old_gids, rel, os.path.join(index_dir, rel)
+    )
+    add_stats = build_index(
+        spark, docs, index_dir,
+        key_col=key_col, text_col=text_col, gid_col=gid_col,
+        n_segments=n_segments, with_positions=with_positions,
+        with_offsets=with_offsets, extra_fields=extra_fields, append=True,
+        sort_by=sort_by, sort_ascending=sort_ascending,
+    )
+    return {"n_deleted": del_rec["n_docs"], "add": add_stats}
 
 
 def finalize_index(spark: SparkSession, index_dir: str) -> None:

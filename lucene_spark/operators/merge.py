@@ -55,6 +55,9 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("freqs", T.BinaryType()),
         T.StructField("norms", T.BinaryType()),
         T.StructField("positions", T.BinaryType()),
+        # offsets mode: char-offset delta + length streams (null otherwise)
+        T.StructField("off_starts", T.BinaryType()),
+        T.StructField("off_lens", T.BinaryType()),
         T.StructField("imp_freqs", T.ArrayType(T.LongType())),
         T.StructField("imp_norms", T.ArrayType(T.IntegerType())),
         # per-block freq sum: lets survivor term stats (totalTermFreq) be
@@ -78,15 +81,21 @@ def _empty_merged_frame() -> pd.DataFrame:
 
 
 def _reblock_term(rows: pd.DataFrame, with_positions: bool,
-                  deleted: "np.ndarray | None" = None) -> pd.DataFrame:
+                  deleted: "np.ndarray | None" = None,
+                  with_offsets: bool = False) -> pd.DataFrame:
     """Re-chunk one (term, salt) group's blocks into full 128-doc blocks.
 
     ``deleted``: sorted gid array — those docs' postings are DROPPED
     (purge: the SegmentMerger path that skips non-live docs,
     ``core/index/SegmentMerger.java`` via MergeState liveDocs).
+
+    ``with_offsets``: carry the char-offset streams through — their
+    per-doc delta runs are as self-contained as positions', so the same
+    permute/filter/re-cut applies.
     """
     rows = rows.sort_values("first_gid", kind="mergesort")
     gids_l, freqs_l, norms_l, pos_l = [], [], [], []
+    offs_l, lens_l = [], []
     for r in rows.itertuples(index=False):
         gaps = decode_stream(r.gids).astype(np.int64)
         g = np.empty(len(gaps) + 1, dtype=np.int64)
@@ -98,6 +107,9 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
         norms_l.append(decode_stream(r.norms).astype(np.int64))
         if with_positions:
             pos_l.append(decode_stream(r.positions).astype(np.int64))
+        if with_offsets:
+            offs_l.append(decode_stream(r.off_starts).astype(np.int64))
+            lens_l.append(decode_stream(r.off_lens).astype(np.int64))
     gid = np.concatenate(gids_l)
     freq = np.concatenate(freqs_l)
     norm = np.concatenate(norms_l)
@@ -107,13 +119,24 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
     from .search import sort_postings
 
     pos_all = np.concatenate(pos_l) if with_positions else None
-    gid, freq, norm, pos_all = sort_postings(gid, freq, norm, pos_all)
+    off_all = len_all = None
+    if with_offsets:
+        off_all = np.concatenate(offs_l)
+        len_all = np.concatenate(lens_l)
+        gid, freq, norm, pos_all, (off_all, len_all) = sort_postings(
+            gid, freq, norm, pos_all, [off_all, len_all]
+        )
+    else:
+        gid, freq, norm, pos_all = sort_postings(gid, freq, norm, pos_all)
     if deleted is not None and len(deleted) and len(gid):
         di = np.minimum(np.searchsorted(deleted, gid), len(deleted) - 1)
         live = deleted[di] != gid
         if pos_all is not None:
             pos_keep = np.repeat(live, freq)
             pos_all = pos_all[pos_keep]
+            if with_offsets:
+                off_all = off_all[pos_keep]
+                len_all = len_all[pos_keep]
         gid, freq, norm = gid[live], freq[live], norm[live]
     n = len(gid)
     if n == 0:
@@ -152,6 +175,11 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
         positions_payload = batch_encode_streams(pos_all.astype(np.uint64), pos_rl)
     else:
         positions_payload = [None] * n_blocks
+    if with_offsets:
+        off_starts_payload = batch_encode_streams(off_all.astype(np.uint64), pos_rl)
+        off_lens_payload = batch_encode_streams(len_all.astype(np.uint64), pos_rl)
+    else:
+        off_starts_payload = off_lens_payload = [None] * n_blocks
     imp_f, imp_n = competitive_impacts_grouped(block_id, freq, norm, n_blocks)
     term = rows["term"].iloc[0]
     return pd.DataFrame(
@@ -166,6 +194,8 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
             "freqs": freqs_payload,
             "norms": norms_payload,
             "positions": positions_payload,
+            "off_starts": off_starts_payload,
+            "off_lens": off_lens_payload,
             "imp_freqs": imp_f,
             "imp_norms": imp_n,
             "freq_sum": np.add.reduceat(freq, starts).astype(np.int64),
@@ -416,11 +446,16 @@ def _merge_units(
     """
     t0 = time.time()
     deleted = load_deleted_gids(index_dir) if purge else None
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    with_offsets = bool(stats.get("with_offsets"))
     parts = []
     cols = ["term", "seg", "block_ord", "doc_count", "first_gid", "last_gid",
             "gids", "freqs", "norms", "imp_freqs", "imp_norms"]
     if with_positions:
         cols.append("positions")
+    if with_offsets:
+        cols += ["off_starts", "off_lens"]
     for u in units:
         p = spark.read.parquet(os.path.join(index_dir, u["path"])).select(*cols)
         parts.append(p)
@@ -429,6 +464,9 @@ def _merge_units(
         post = post.unionByName(p)
     if not with_positions:
         post = post.withColumn("positions", F.lit(None).cast("binary"))
+    if not with_offsets:
+        post = post.withColumn("off_starts", F.lit(None).cast("binary"))
+        post = post.withColumn("off_lens", F.lit(None).cast("binary"))
 
     # hot-term salt map from the global term stats (Zipf skew defusal)
     terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
@@ -437,8 +475,6 @@ def _merge_units(
         .select("term", "doc_freq")
         .collect()
     )
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        stats = json.load(f)
     gid_span = max(stats.get("max_gid", 0), 0) + 1
     n_salts = {r["term"]: int(-(-r["doc_freq"] // salt_docs)) for r in hot}
     if n_salts:
@@ -454,7 +490,8 @@ def _merge_units(
     post = post.withColumn("salt", salt.cast("long"))
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _reblock_term(pdf, with_positions, deleted=deleted)
+        return _reblock_term(pdf, with_positions, deleted=deleted,
+                             with_offsets=with_offsets)
 
     merged = post.groupBy("term", "salt").applyInPandas(fn, schema=MERGED_SCHEMA)
     mid = _next_merge_id(index_dir)

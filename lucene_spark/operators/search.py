@@ -135,6 +135,10 @@ class TermPostings:
     norms: np.ndarray  # uint8
     pos_flat: "np.ndarray | None" = None  # int64, all docs' positions concat'd
     pos_starts: "np.ndarray | None" = None  # int64[n_docs+1] offsets into pos_flat
+    # offsets mode only (IndexOptions ..._AND_OFFSETS): char offsets per
+    # occurrence, aligned with pos_flat
+    off_start_flat: "np.ndarray | None" = None
+    off_end_flat: "np.ndarray | None" = None
 
     @property
     def positions(self) -> "list[np.ndarray] | None":
@@ -157,7 +161,8 @@ class TermPostings:
 
 
 def sort_postings(gid: np.ndarray, freq: np.ndarray, norm: np.ndarray,
-                  pos_flat: "np.ndarray | None" = None):
+                  pos_flat: "np.ndarray | None" = None,
+                  extra_flats: "list[np.ndarray] | None" = None):
     """Ensure postings are gid-sorted; permute per-doc position runs along.
 
     Needed when merge units interleave in gid space: a tiered (partial)
@@ -165,10 +170,14 @@ def sort_postings(gid: np.ndarray, freq: np.ndarray, norm: np.ndarray,
     still occupied by unmerged units, so concatenating units in first_gid
     order is no longer globally sorted. No-op (one vectorized check) in the
     common disjoint case.
+
+    ``extra_flats``: additional position-aligned streams (offset starts /
+    lengths) permuted with the same gather; returned as a 5th element when
+    given.
     """
     if len(gid) and not (np.diff(gid) > 0).all():
         order = np.argsort(gid, kind="mergesort")
-        if pos_flat is not None:
+        if pos_flat is not None or extra_flats:
             starts = np.concatenate(([0], np.cumsum(freq)))
             lengths = freq[order]
             src = starts[order]
@@ -179,9 +188,14 @@ def sort_postings(gid: np.ndarray, freq: np.ndarray, norm: np.ndarray,
                 - np.repeat(out_starts, lengths)
                 + np.repeat(src, lengths)
             )
-            pos_flat = pos_flat[ids]
+            if pos_flat is not None:
+                pos_flat = pos_flat[ids]
+            if extra_flats:
+                extra_flats = [x[ids] for x in extra_flats]
         gid, freq, norm = gid[order], freq[order], norm[order]
-    return gid, freq, norm, pos_flat
+    if extra_flats is None:
+        return gid, freq, norm, pos_flat
+    return gid, freq, norm, pos_flat, extra_flats
 
 
 def _decode_gid_rows(first_gids: np.ndarray, gid_bufs: "list[bytes]"):
@@ -207,13 +221,18 @@ def _decode_gid_rows(first_gids: np.ndarray, gid_bufs: "list[bytes]"):
     return gid, doc_cnt
 
 
-def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False) -> TermPostings:
+def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False,
+                       need_offsets: bool = False) -> TermPostings:
     """Decode all block rows of ONE term into flat posting arrays.
 
     Rows are concatenated in first_gid order; if unit gid ranges interleave
     (tiered partial merges), ``sort_postings`` restores global order.
     Decoding is a single ``batch_decode_streams`` pass per column — no
     per-block Python (the round-2 8v32-profile finding).
+
+    ``need_offsets`` additionally decodes the char-offset streams of an
+    offsets-enabled index (same delta math as positions: per-doc runs are
+    self-contained, so one global cumsum minus each doc's base suffices).
     """
     block_rows = block_rows.sort_values("first_gid", kind="mergesort")
     if not len(block_rows):
@@ -221,6 +240,8 @@ def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False) -
             np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8),
             np.empty(0, np.int64) if need_positions else None,
             np.zeros(1, np.int64) if need_positions else None,
+            np.empty(0, np.int64) if need_offsets else None,
+            np.empty(0, np.int64) if need_offsets else None,
         )
     gid, _ = _decode_gid_rows(
         block_rows["first_gid"].to_numpy(np.int64), list(block_rows["gids"])
@@ -229,24 +250,40 @@ def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False) -
     freqs = freqs.astype(np.int64)
     norms, _ = batch_decode_streams(list(block_rows["norms"]))
     norms = norms.astype(np.uint8)
-    pos_flat = None
-    if need_positions:
-        deltas, _ = batch_decode_streams(list(block_rows["positions"]))
+    pstarts = np.concatenate(([0], np.cumsum(freqs)[:-1]))
+
+    def _undelta(bufs: "list[bytes]") -> np.ndarray:
         # per-row delta streams are within-row running sums; a global cumsum
-        # minus the value at each doc's start reproduces per-doc positions
+        # minus the value at each doc's start reproduces per-doc values
         # (row boundaries cancel because every doc subtracts its own base)
+        deltas, _ = batch_decode_streams(bufs)
         cs = np.cumsum(deltas.astype(np.int64))
-        pstarts = np.concatenate(([0], np.cumsum(freqs)[:-1]))
         base = np.where(pstarts > 0, cs[pstarts - 1], 0)
-        pos_flat = cs - np.repeat(base, freqs)
-    gid, freqs, norms, pos_flat = sort_postings(gid, freqs, norms, pos_flat)
+        return cs - np.repeat(base, freqs)
+
+    pos_flat = _undelta(list(block_rows["positions"])) if need_positions else None
+    off_start = off_end = None
+    if need_offsets:
+        if "off_starts" not in block_rows.columns or block_rows["off_starts"].isna().any():
+            raise ValueError(
+                "index stores no offsets (build with with_offsets=True)"
+            )
+        off_start = _undelta(list(block_rows["off_starts"]))
+        lens, _ = batch_decode_streams(list(block_rows["off_lens"]))
+        off_end = off_start + lens.astype(np.int64)
+    if need_offsets:
+        gid, freqs, norms, pos_flat, (off_start, off_end) = sort_postings(
+            gid, freqs, norms, pos_flat, [off_start, off_end]
+        )
+    else:
+        gid, freqs, norms, pos_flat = sort_postings(gid, freqs, norms, pos_flat)
     if need_positions:
         starts = np.empty(len(freqs) + 1, dtype=np.int64)
         starts[0] = 0
         np.cumsum(freqs, out=starts[1:])
     else:
         starts = None
-    return TermPostings(gid, freqs, norms, pos_flat, starts)
+    return TermPostings(gid, freqs, norms, pos_flat, starts, off_start, off_end)
 
 
 # ------------------------------------------------------------ plan evaluation
@@ -1466,6 +1503,8 @@ class Searcher:
             "term", "seg", "block_ord", "doc_count", "first_gid", "last_gid",
             "gids", "freqs", "norms", "positions", "imp_freqs", "imp_norms",
         ]
+        if self.stats.get("with_offsets"):
+            cols += ["off_starts", "off_lens"]
         if not units:
             path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=post")
             return self.spark.read.parquet(path).select(*cols)
@@ -2337,6 +2376,51 @@ class Searcher:
                 T.StructField("gid", T.LongType()),
                 T.StructField("freq", T.LongType()),
                 T.StructField("norm_b", T.IntegerType()),
+            ]
+        )
+        return scan.mapInPandas(kernel, schema=schema)
+
+    def term_offsets(self, term: str) -> DataFrame:
+        """PostingsEnum over an offsets-enabled index (IndexOptions
+        DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS): one row per occurrence —
+        (gid, position, start_off, end_off), offsets being [start, end)
+        char indexes into the original field text
+        (``PostingsEnum.startOffset/endOffset``,
+        ``Lucene90PostingsReader`` EverythingEnum).
+
+        Distributed decode: the term filter pushes into the Parquet scan,
+        one Arrow kernel expands blocks to occurrence rows.
+        """
+        if not self.stats.get("with_offsets"):
+            raise ValueError(
+                "index stores no offsets (build with with_offsets=True)"
+            )
+        scan = self._postings_df().select(
+            "term", "first_gid", "gids", "freqs", "norms", "positions",
+            "off_starts", "off_lens",
+        ).filter(F.col("term") == term)
+
+        def kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                tp = decode_term_blocks(pdf, need_positions=True,
+                                        need_offsets=True)
+                yield pd.DataFrame(
+                    {
+                        "gid": np.repeat(tp.gids, tp.freqs),
+                        "position": tp.pos_flat,
+                        "start_off": tp.off_start_flat,
+                        "end_off": tp.off_end_flat,
+                    }
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("gid", T.LongType()),
+                T.StructField("position", T.LongType()),
+                T.StructField("start_off", T.LongType()),
+                T.StructField("end_off", T.LongType()),
             ]
         )
         return scan.mapInPandas(kernel, schema=schema)

@@ -937,6 +937,74 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+OFFSETS_CTE = """u AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+off AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS position,
+         CAST(COALESCE(sum(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_off
+  FROM u
+)"""
+
+
+def term_offsets_sql(term: str) -> str:
+    """Offsets oracle: each occurrence's [start, end) char offsets equal
+    the prefix sum of (token length + 1 separator) over the single-space
+    corpus — exactly what the engine's offset streams store."""
+    return f"""WITH {OFFSETS_CTE}
+SELECT doc_id, CAST(position AS BIGINT) AS position,
+       start_off,
+       CAST(start_off + length(tok) AS BIGINT) AS end_off
+FROM off WHERE tok = '{term}'
+ORDER BY doc_id, position"""
+
+
+def highlight_offsets_sql(term: str, window: int = 30) -> str:
+    """OffsetSource.POSTINGS highlighter oracle: first occurrence per doc,
+    ±window chars substring'd from the stored text."""
+    return f"""WITH {OFFSETS_CTE},
+hit AS (
+  SELECT doc_id, start_off,
+         CAST(start_off + length(tok) AS BIGINT) AS end_off,
+         row_number() OVER (PARTITION BY doc_id ORDER BY position) AS rn
+  FROM off WHERE tok = '{term}'
+)
+SELECT h.doc_id, h.start_off, h.end_off,
+       substr(d.text, GREATEST(h.start_off + 1 - {window}, 1),
+              (h.end_off - h.start_off) + {2 * window}) AS snippet
+FROM hit h JOIN documents d ON d.doc_id = h.doc_id
+WHERE rn = 1"""
+
+
+def update_topk_sql(t1: str, t2: str, mod: int, offset: int,
+                    k: int = 10) -> str:
+    """updateDocument oracle: docs with doc_id %% mod == 0 were replaced —
+    new copy has doubled text and docID doc_id + offset; the old copy is
+    excluded from results but its tokens still feed idf/avgdl/docCount
+    (pre-merge stats over old AND new copies, exactly the engine's
+    batch-stat sum after delete + append)."""
+    both = (
+        f"(SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + {offset} AS doc_id, "
+        f"text || ' ' || text AS text "
+        f"FROM documents WHERE doc_id % {mod} = 0)"
+    )
+    return f"""WITH {base_ctes(both)},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+WHERE NOT (doc_id % {mod} = 0 AND doc_id < {offset})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def delete_count_sql(term: str, mod: int) -> str:
     return f"""WITH {base_ctes()}
 SELECT count(DISTINCT doc_id)::BIGINT AS n

@@ -251,3 +251,52 @@ def test_purge_merge_reclaims_and_rescores(spark, corpus_pdf, tmp_path_factory):
     assert list(got["gid"].astype(int)) == [g for g, _, _ in want]
     for gs, (_, _, ws) in zip(got["score"], want):
         assert np.float32(gs) == np.float32(ws)
+
+
+def test_update_documents(spark, corpus_pdf, tmp_path_factory):
+    """IndexWriter.updateDocument analog: same key, new docID, new text;
+    old copies leave results but still feed stats until a merge."""
+    d = str(tmp_path_factory.mktemp("idx_upd"))
+    df = spark.createDataFrame(corpus_pdf[["gid", "url", "text"]])
+    indexer.build_index(
+        spark, df, d, key_col="url", text_col="text", gid_col="gid", n_segments=4
+    )
+    upd = corpus_pdf[corpus_pdf["gid"] % 4 == 0][["gid", "url", "text"]].copy()
+    upd["gid"] = upd["gid"] + 10_000
+    upd["text"] = upd["text"] + " " + upd["text"]
+    res = indexer.update_documents(
+        spark, spark.createDataFrame(upd), d,
+        key_col="url", text_col="text", gid_col="gid", n_segments=2,
+    )
+    assert res["n_deleted"] == len(upd)
+
+    # oracle: stats over old+new copies, hits exclude the replaced old gids
+    both = pd.concat([corpus_pdf[["gid", "url", "text"]], upd], ignore_index=True)
+    oracle2 = BruteForceIndex(both["gid"], both["url"], both["text"])
+    replaced = set(int(g) for g in corpus_pdf["gid"] if g % 4 == 0)
+    s = Searcher(spark, d)
+    assert s.stats["doc_count"] == oracle2.doc_count
+    assert s.stats["sum_total_term_freq"] == oracle2.sum_ttf
+    by_df = sorted(oracle2.postings, key=lambda t: (len(oracle2.postings[t]), t))
+    hot, mid = by_df[-1], by_df[len(by_df) // 2]
+    for node in (TermQ(hot), BoolQ(should=(TermQ(hot), TermQ(mid)))):
+        want = [(g, sc) for g, _, sc in oracle2.search(node, N_DOCS)
+                if g not in replaced][:10]
+        got = s.search(node, k=10, with_keys=False)
+        assert list(got["gid"].astype(int)) == [g for g, _ in want], node
+        for gs, (_, ws) in zip(got["score"], want):
+            assert np.float32(gs) == np.float32(ws), node
+
+    # updating an unseen key is a plain add (upsert)
+    new_doc = pd.DataFrame(
+        {"gid": [20_000], "url": ["zz-new-doc"], "text": [f"{hot} {hot} {mid}"]}
+    )
+    res2 = indexer.update_documents(
+        spark, spark.createDataFrame(new_doc), d,
+        key_col="url", text_col="text", gid_col="gid", n_segments=1,
+    )
+    assert res2["n_deleted"] == 0
+    assert 20_000 in set(
+        s.__class__(spark, d).search(TermQ(hot), k=400,
+                                     with_keys=False)["gid"].astype(int)
+    )
