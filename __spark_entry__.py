@@ -400,6 +400,67 @@ def _q_update_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+_PAYLOADS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Payloads-enabled index: every non-empty token of documents.text gets
+    ``|((pos + len(tok)) % 97 + 1)`` appended (a deterministic
+    DelimitedPayloadTokenFilter corpus), indexed with the payload chain,
+    then a FULL merge so the gate reads payloads that survived re-blocking."""
+    from lucene_spark.operators.indexer import build_index, read_manifest
+    from lucene_spark.operators.merge import merge_index
+
+    if sf_dir in _PAYLOADS_INDEX_CACHE:
+        return _PAYLOADS_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_pay_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    delim = F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.concat(
+                x, F.lit("|"), ((i + F.length(x)) % 97 + 1).cast("string")
+            ),
+        ),
+        " ",
+    )
+    build_index(
+        spark, docs.select("doc_id", delim.alias("text")), index_dir,
+        key_col="doc_id", text_col="text", gid_col="doc_id",
+        n_segments=max(2, min(16, n // 250)), with_payloads=True,
+    )
+    if not any(r.get("type") == "merge" for r in read_manifest(index_dir)):
+        merge_index(spark, index_dir)
+    _PAYLOADS_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _q_term_payloads(spark, sf_dir):
+    """PostingsEnum.getPayload: each occurrence's integer payload, parsed
+    by the delimited analyzer, stored beside positions, read back after a
+    full merge."""
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_payloads(spark, sf_dir))
+    return s.term_payloads(T_MID).select(
+        F.col("gid").alias("doc_id"), "position", "payload"
+    )
+
+
+def _q_payload_topk(spark, sf_dir):
+    """PayloadScoreQuery(SpanTermQuery, SumPayloadFunction,
+    includeSpanScore=true): hit score = BM25 span score x float32 sum of
+    the doc's occurrence payloads."""
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_payloads(spark, sf_dir))
+    return s.payload_score_topk(T_HOT, func="sum", include_span_score=True) \
+        .select(F.col("gid").alias("doc_id"), "score")
+
+
 def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     pdf = _searcher(spark, sf_dir).search(query, k=k, with_keys=False)
     out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
@@ -1160,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_topk": _q_update_topk,
         "term_offsets": _q_term_offsets,
         "highlight_offsets": _q_highlight_offsets,
+        "term_payloads": _q_term_payloads,
+        "payload_topk": _q_payload_topk,
         "delete_count": _q_delete_count,
         "purge_topk": _q_purge_topk,
         "term_in_set_topk": _q_term_in_set_topk,
@@ -1254,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_offsets": osql.term_offsets_sql(T_MID),
         "highlight_offsets": osql.highlight_offsets_sql(T_MID, 30),
+        "term_payloads": osql.term_payloads_sql(T_MID),
+        "payload_topk": osql.payload_topk_sql(T_HOT, "sum", True),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),
         "purge_tiered_topk": osql.purge_topk_sql(T_HOT, T_B, DELETE_MOD),

@@ -70,10 +70,11 @@ class AnalyzedBatch:
     """
 
     __slots__ = ("n_docs", "doc_lens", "tok_doc_idx", "tok_terms_pa",
-                 "tok_positions", "tok_starts", "tok_ends", "_np")
+                 "tok_positions", "tok_starts", "tok_ends", "tok_payloads",
+                 "_np")
 
     def __init__(self, n_docs, doc_lens, tok_doc_idx, tok_terms_pa, tok_positions,
-                 tok_starts=None, tok_ends=None):
+                 tok_starts=None, tok_ends=None, tok_payloads=None):
         self.n_docs = n_docs
         self.doc_lens = doc_lens
         self.tok_doc_idx = tok_doc_idx
@@ -81,6 +82,7 @@ class AnalyzedBatch:
         self.tok_positions = tok_positions
         self.tok_starts = tok_starts
         self.tok_ends = tok_ends
+        self.tok_payloads = tok_payloads
         self._np = None
 
     @property
@@ -253,6 +255,66 @@ def _analyze_with_offsets(arr: pa.Array, n_docs: int) -> AnalyzedBatch:
     )
 
 
+PAYLOAD_DELIM = "|"
+# RE2: split the token at its LAST delimiter (greedy .*), payload = trailing
+# digit run (1-9 digits keeps the int64 cast safe; a longer digit tail is
+# not treated as a payload, same spirit as DelimitedPayloadTokenFilter
+# leaving undecodable suffixes in the term)
+_PAYLOAD_RE2 = r"^(?s)(?P<t>.*)\|(?P<p>[0-9]{1,9})$"
+
+
+def _analyze_payload_delim(arr: pa.Array, n_docs: int) -> AnalyzedBatch:
+    """Payload analysis chain: WhitespaceTokenizer -> DelimitedPayloadTokenFilter
+    -> LowerCaseFilter (no stop filter).
+
+    Re-expresses the reference's payload field chain
+    (``analysis/common/.../payloads/DelimitedPayloadTokenFilter.java:30-77``):
+    each whitespace token of the form ``term|N`` carries integer payload N
+    (an IntegerEncoder analog of the float PayloadEncoder); tokens without a
+    trailing ``|digits`` get no payload (stored as 0). The delimiter is
+    looked up from the END of the token, like the filter's backwards scan.
+
+    Fully vectorized: one split, one regex-extract, one cast — token strings
+    stay in Arrow throughout.
+    """
+    parts = pc.split_pattern(arr, pattern=" ")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    ne = pc.not_equal(flat, "")
+    ne_np = ne.to_numpy(zero_copy_only=False)
+    flat = pc.filter(flat, ne)
+    parent = parent[ne_np]
+    if len(flat):
+        ex = pc.extract_regex(flat, _PAYLOAD_RE2)
+        has_pay = pc.is_valid(ex)
+        terms = pc.if_else(has_pay, pc.struct_field(ex, "t"), flat)
+        pays = pc.if_else(
+            has_pay,
+            pc.cast(pc.struct_field(ex, "p"), pa.int64()),
+            pa.scalar(0, type=pa.int64()),
+        )
+        flat = pc.utf8_lower(terms)
+        payloads = pays.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        payloads = np.empty(0, dtype=np.int64)
+    positions = _positions_within_docs(parent, n_docs)
+    doc_lens = (
+        np.bincount(parent, minlength=n_docs).astype(np.int32)
+        if len(parent)
+        else np.zeros(n_docs, dtype=np.int32)
+    )
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return AnalyzedBatch(
+        n_docs=n_docs,
+        doc_lens=doc_lens,
+        tok_doc_idx=parent,
+        tok_terms_pa=flat,
+        tok_positions=positions,
+        tok_payloads=payloads,
+    )
+
+
 def _positions_within_docs(parent: np.ndarray, n_docs: int) -> np.ndarray:
     """0-based index of each token within its doc (tokens doc-contiguous)."""
     if not len(parent):
@@ -268,13 +330,18 @@ def _positions_within_docs(parent: np.ndarray, n_docs: int) -> np.ndarray:
 
 
 def analyze_batch(
-    texts: "pd.Series | pa.Array | list[str]", with_offsets: bool = False
+    texts: "pd.Series | pa.Array | list[str]", with_offsets: bool = False,
+    payload_delim: bool = False,
 ) -> AnalyzedBatch:
     """Run the full chain over a batch of texts. Vectorized via Arrow.
 
     ``with_offsets=True`` additionally yields per-token [start, end) char
     offsets into the original text (OffsetAttribute) on a dedicated path;
     the default path stays offset-free and maximally vectorized.
+
+    ``payload_delim=True`` switches to the payload chain (whitespace +
+    delimited-payload + lowercase, no stop filter) — see
+    ``_analyze_payload_delim``. Mutually exclusive with ``with_offsets``.
     """
     if isinstance(texts, pd.Series):
         arr = pa.Array.from_pandas(texts.astype("string"))
@@ -284,6 +351,10 @@ def analyze_batch(
         arr = pa.array(texts, type=pa.string())
     n_docs = len(arr)
     arr = pc.fill_null(arr, "")
+    if payload_delim:
+        if with_offsets:
+            raise ValueError("payload_delim and with_offsets are exclusive")
+        return _analyze_payload_delim(arr, n_docs)
     if with_offsets:
         return _analyze_with_offsets(arr, n_docs)
 

@@ -64,6 +64,10 @@ STAGING_SCHEMA = T.StructType(
         # when the index stores no offsets
         T.StructField("off_starts", T.BinaryType()),
         T.StructField("off_lens", T.BinaryType()),
+        # payloads mode: per-occurrence integer payload stream, position-
+        # aligned (PayloadAttribute / .pay file analog); null when the
+        # index stores no payloads
+        T.StructField("payloads", T.BinaryType()),
         T.StructField("imp_freqs", T.ArrayType(T.LongType())),
         T.StructField("imp_norms", T.ArrayType(T.IntegerType())),
         T.StructField("gid", T.LongType()),
@@ -111,6 +115,7 @@ def _arrow_types():
                 "positions": pa.binary(),
                 "off_starts": pa.binary(),
                 "off_lens": pa.binary(),
+                "payloads": pa.binary(),
                 "imp_freqs": pa.list_(pa.int64()),
                 "imp_norms": pa.list_(pa.int32()),
                 "gid": pa.int64(),
@@ -208,6 +213,7 @@ def invert_segment(
     as_frames: bool = False,
     sort_vals: "np.ndarray | None" = None,
     with_offsets: bool = False,
+    with_payloads: bool = False,
 ) -> "pd.DataFrame | list[pd.DataFrame]":
     """Analyze + invert one segment's docs into union-schema staging rows.
 
@@ -231,7 +237,11 @@ def invert_segment(
     prefix = "" if is_default else f"{field}{FIELD_SEP}"
     if with_offsets and not with_positions:
         raise ValueError("with_offsets requires with_positions")
-    batch = analyze_batch(texts, with_offsets=with_offsets)
+    if with_payloads and not with_positions:
+        raise ValueError("with_payloads requires with_positions")
+    batch = analyze_batch(
+        texts, with_offsets=with_offsets, payload_delim=with_payloads
+    )
     doc_lens = batch.doc_lens.astype(np.int64)
     norms_by_doc = int_to_byte4_np(doc_lens)
 
@@ -341,6 +351,13 @@ def invert_segment(
             off_lens_payload = batch_encode_streams(
                 (en_s - st_s).astype(np.uint64), pos_rl
             )
+        payloads_payload = None
+        if with_payloads:
+            # raw per-occurrence values, position-aligned — no delta (values
+            # are arbitrary, not monotone; PFOR handles small ints directly)
+            payloads_payload = batch_encode_streams(
+                batch.tok_payloads[order].astype(np.uint64), pos_rl
+            )
 
         # ---- impacts per block (vectorized across all blocks)
         imp_freqs, imp_norms = competitive_impacts_grouped(
@@ -365,6 +382,8 @@ def invert_segment(
         if with_offsets:
             post_cols["off_starts"] = off_starts_payload
             post_cols["off_lens"] = off_lens_payload
+        if with_payloads:
+            post_cols["payloads"] = payloads_payload
         post = pd.DataFrame(post_cols)
         term_rows = pd.DataFrame(
             {
@@ -583,6 +602,7 @@ def build_index(
     batch_segments: int | None = None,
     with_positions: bool = True,
     with_offsets: bool = False,
+    with_payloads: bool = False,
     dense_gids: bool = False,
     append: bool = False,
     fail_after_batches: int | None = None,
@@ -652,6 +672,11 @@ def build_index(
         if bool(_prior_stats.get("with_offsets")) != bool(with_offsets):
             raise ValueError(
                 "with_offsets must match the existing index (IndexOptions "
+                "are fixed per field at creation, FieldInfos)"
+            )
+        if bool(_prior_stats.get("with_payloads")) != bool(with_payloads):
+            raise ValueError(
+                "with_payloads must match the existing index (IndexOptions "
                 "are fixed per field at creation, FieldInfos)"
             )
         if prior_sort is not None and (
@@ -752,13 +777,14 @@ def build_index(
                 seg, gids, keys, pdf["text"],
                 with_positions=with_positions, as_frames=as_frames,
                 sort_vals=sv, with_offsets=with_offsets,
+                with_payloads=with_payloads,
             )
             frames = frames if as_frames else [frames]
             for f in fields:
                 more = invert_segment(
                     seg, gids, keys, pdf[f"xf_{f}"],
                     with_positions=with_positions, field=f, as_frames=as_frames,
-                    with_offsets=with_offsets,
+                    with_offsets=with_offsets, with_payloads=with_payloads,
                 )
                 frames.extend(more if as_frames else [more])
             return frames
@@ -836,7 +862,7 @@ def build_index(
             raise RuntimeError(f"injected failure after batch {bi}")
 
     finalize_index(spark, index_dir)
-    if sort_by is not None or with_offsets:
+    if sort_by is not None or with_offsets or with_payloads:
         with open(stats_path) as f:
             stats = json.load(f)
         if sort_by is not None:
@@ -845,6 +871,8 @@ def build_index(
             }
         if with_offsets:
             stats["with_offsets"] = True
+        if with_payloads:
+            stats["with_payloads"] = True
         with open(stats_path, "w") as f:
             json.dump(stats, f)
     return {
@@ -1092,6 +1120,7 @@ def update_documents(
     n_segments: int = 4,
     with_positions: bool = True,
     with_offsets: bool = False,
+    with_payloads: bool = False,
     extra_fields: "dict[str, str] | None" = None,
     sort_by: "str | None" = None,
     sort_ascending: bool = True,
@@ -1135,7 +1164,8 @@ def update_documents(
         spark, docs, index_dir,
         key_col=key_col, text_col=text_col, gid_col=gid_col,
         n_segments=n_segments, with_positions=with_positions,
-        with_offsets=with_offsets, extra_fields=extra_fields, append=True,
+        with_offsets=with_offsets, with_payloads=with_payloads,
+        extra_fields=extra_fields, append=True,
         sort_by=sort_by, sort_ascending=sort_ascending,
     )
     return {"n_deleted": del_rec["n_docs"], "add": add_stats}

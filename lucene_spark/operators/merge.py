@@ -58,6 +58,8 @@ MERGED_SCHEMA = T.StructType(
         # offsets mode: char-offset delta + length streams (null otherwise)
         T.StructField("off_starts", T.BinaryType()),
         T.StructField("off_lens", T.BinaryType()),
+        # payloads mode: per-occurrence integer payload stream (null otherwise)
+        T.StructField("payloads", T.BinaryType()),
         T.StructField("imp_freqs", T.ArrayType(T.LongType())),
         T.StructField("imp_norms", T.ArrayType(T.IntegerType())),
         # per-block freq sum: lets survivor term stats (totalTermFreq) be
@@ -82,7 +84,8 @@ def _empty_merged_frame() -> pd.DataFrame:
 
 def _reblock_term(rows: pd.DataFrame, with_positions: bool,
                   deleted: "np.ndarray | None" = None,
-                  with_offsets: bool = False) -> pd.DataFrame:
+                  with_offsets: bool = False,
+                  with_payloads: bool = False) -> pd.DataFrame:
     """Re-chunk one (term, salt) group's blocks into full 128-doc blocks.
 
     ``deleted``: sorted gid array — those docs' postings are DROPPED
@@ -95,7 +98,7 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
     """
     rows = rows.sort_values("first_gid", kind="mergesort")
     gids_l, freqs_l, norms_l, pos_l = [], [], [], []
-    offs_l, lens_l = [], []
+    offs_l, lens_l, pays_l = [], [], []
     for r in rows.itertuples(index=False):
         gaps = decode_stream(r.gids).astype(np.int64)
         g = np.empty(len(gaps) + 1, dtype=np.int64)
@@ -110,6 +113,8 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
         if with_offsets:
             offs_l.append(decode_stream(r.off_starts).astype(np.int64))
             lens_l.append(decode_stream(r.off_lens).astype(np.int64))
+        if with_payloads:
+            pays_l.append(decode_stream(r.payloads).astype(np.int64))
     gid = np.concatenate(gids_l)
     freq = np.concatenate(freqs_l)
     norm = np.concatenate(norms_l)
@@ -119,13 +124,23 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
     from .search import sort_postings
 
     pos_all = np.concatenate(pos_l) if with_positions else None
-    off_all = len_all = None
+    off_all = len_all = pay_all = None
+    extra = []
     if with_offsets:
         off_all = np.concatenate(offs_l)
         len_all = np.concatenate(lens_l)
-        gid, freq, norm, pos_all, (off_all, len_all) = sort_postings(
-            gid, freq, norm, pos_all, [off_all, len_all]
+        extra += [off_all, len_all]
+    if with_payloads:
+        pay_all = np.concatenate(pays_l)
+        extra.append(pay_all)
+    if extra:
+        gid, freq, norm, pos_all, extra = sort_postings(
+            gid, freq, norm, pos_all, extra
         )
+        if with_offsets:
+            off_all, len_all = extra[0], extra[1]
+        if with_payloads:
+            pay_all = extra[-1]
     else:
         gid, freq, norm, pos_all = sort_postings(gid, freq, norm, pos_all)
     if deleted is not None and len(deleted) and len(gid):
@@ -137,6 +152,8 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
             if with_offsets:
                 off_all = off_all[pos_keep]
                 len_all = len_all[pos_keep]
+            if with_payloads:
+                pay_all = pay_all[pos_keep]
         gid, freq, norm = gid[live], freq[live], norm[live]
     n = len(gid)
     if n == 0:
@@ -180,6 +197,10 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
         off_lens_payload = batch_encode_streams(len_all.astype(np.uint64), pos_rl)
     else:
         off_starts_payload = off_lens_payload = [None] * n_blocks
+    if with_payloads:
+        payloads_payload = batch_encode_streams(pay_all.astype(np.uint64), pos_rl)
+    else:
+        payloads_payload = [None] * n_blocks
     imp_f, imp_n = competitive_impacts_grouped(block_id, freq, norm, n_blocks)
     term = rows["term"].iloc[0]
     return pd.DataFrame(
@@ -196,6 +217,7 @@ def _reblock_term(rows: pd.DataFrame, with_positions: bool,
             "positions": positions_payload,
             "off_starts": off_starts_payload,
             "off_lens": off_lens_payload,
+            "payloads": payloads_payload,
             "imp_freqs": imp_f,
             "imp_norms": imp_n,
             "freq_sum": np.add.reduceat(freq, starts).astype(np.int64),
@@ -449,6 +471,7 @@ def _merge_units(
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     with_offsets = bool(stats.get("with_offsets"))
+    with_payloads = bool(stats.get("with_payloads"))
     parts = []
     cols = ["term", "seg", "block_ord", "doc_count", "first_gid", "last_gid",
             "gids", "freqs", "norms", "imp_freqs", "imp_norms"]
@@ -456,6 +479,8 @@ def _merge_units(
         cols.append("positions")
     if with_offsets:
         cols += ["off_starts", "off_lens"]
+    if with_payloads:
+        cols.append("payloads")
     for u in units:
         p = spark.read.parquet(os.path.join(index_dir, u["path"])).select(*cols)
         parts.append(p)
@@ -467,6 +492,8 @@ def _merge_units(
     if not with_offsets:
         post = post.withColumn("off_starts", F.lit(None).cast("binary"))
         post = post.withColumn("off_lens", F.lit(None).cast("binary"))
+    if not with_payloads:
+        post = post.withColumn("payloads", F.lit(None).cast("binary"))
 
     # hot-term salt map from the global term stats (Zipf skew defusal)
     terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
@@ -491,7 +518,8 @@ def _merge_units(
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _reblock_term(pdf, with_positions, deleted=deleted,
-                             with_offsets=with_offsets)
+                             with_offsets=with_offsets,
+                             with_payloads=with_payloads)
 
     merged = post.groupBy("term", "salt").applyInPandas(fn, schema=MERGED_SCHEMA)
     mid = _next_merge_id(index_dir)

@@ -139,6 +139,9 @@ class TermPostings:
     # occurrence, aligned with pos_flat
     off_start_flat: "np.ndarray | None" = None
     off_end_flat: "np.ndarray | None" = None
+    # payloads mode only: integer payload per occurrence, aligned with
+    # pos_flat (PostingsEnum.getPayload analog)
+    pay_flat: "np.ndarray | None" = None
 
     @property
     def positions(self) -> "list[np.ndarray] | None":
@@ -222,7 +225,8 @@ def _decode_gid_rows(first_gids: np.ndarray, gid_bufs: "list[bytes]"):
 
 
 def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False,
-                       need_offsets: bool = False) -> TermPostings:
+                       need_offsets: bool = False,
+                       need_payloads: bool = False) -> TermPostings:
     """Decode all block rows of ONE term into flat posting arrays.
 
     Rows are concatenated in first_gid order; if unit gid ranges interleave
@@ -233,6 +237,8 @@ def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False,
     ``need_offsets`` additionally decodes the char-offset streams of an
     offsets-enabled index (same delta math as positions: per-doc runs are
     self-contained, so one global cumsum minus each doc's base suffices).
+    ``need_payloads`` decodes the per-occurrence payload stream (raw
+    values, no delta).
     """
     block_rows = block_rows.sort_values("first_gid", kind="mergesort")
     if not len(block_rows):
@@ -242,6 +248,7 @@ def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False,
             np.zeros(1, np.int64) if need_positions else None,
             np.empty(0, np.int64) if need_offsets else None,
             np.empty(0, np.int64) if need_offsets else None,
+            np.empty(0, np.int64) if need_payloads else None,
         )
     gid, _ = _decode_gid_rows(
         block_rows["first_gid"].to_numpy(np.int64), list(block_rows["gids"])
@@ -271,10 +278,27 @@ def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False,
         off_start = _undelta(list(block_rows["off_starts"]))
         lens, _ = batch_decode_streams(list(block_rows["off_lens"]))
         off_end = off_start + lens.astype(np.int64)
+    pay_flat = None
+    if need_payloads:
+        if "payloads" not in block_rows.columns or block_rows["payloads"].isna().any():
+            raise ValueError(
+                "index stores no payloads (build with with_payloads=True)"
+            )
+        pays, _ = batch_decode_streams(list(block_rows["payloads"]))
+        pay_flat = pays.astype(np.int64)
+    extra = []
     if need_offsets:
-        gid, freqs, norms, pos_flat, (off_start, off_end) = sort_postings(
-            gid, freqs, norms, pos_flat, [off_start, off_end]
+        extra += [off_start, off_end]
+    if need_payloads:
+        extra.append(pay_flat)
+    if extra:
+        gid, freqs, norms, pos_flat, extra = sort_postings(
+            gid, freqs, norms, pos_flat, extra
         )
+        if need_offsets:
+            off_start, off_end = extra[0], extra[1]
+        if need_payloads:
+            pay_flat = extra[-1]
     else:
         gid, freqs, norms, pos_flat = sort_postings(gid, freqs, norms, pos_flat)
     if need_positions:
@@ -283,7 +307,8 @@ def decode_term_blocks(block_rows: pd.DataFrame, need_positions: bool = False,
         np.cumsum(freqs, out=starts[1:])
     else:
         starts = None
-    return TermPostings(gid, freqs, norms, pos_flat, starts, off_start, off_end)
+    return TermPostings(gid, freqs, norms, pos_flat, starts, off_start, off_end,
+                        pay_flat)
 
 
 # ------------------------------------------------------------ plan evaluation
@@ -1505,6 +1530,8 @@ class Searcher:
         ]
         if self.stats.get("with_offsets"):
             cols += ["off_starts", "off_lens"]
+        if self.stats.get("with_payloads"):
+            cols.append("payloads")
         if not units:
             path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=post")
             return self.spark.read.parquet(path).select(*cols)
@@ -2424,6 +2451,113 @@ class Searcher:
             ]
         )
         return scan.mapInPandas(kernel, schema=schema)
+
+    def term_payloads(self, term: str) -> DataFrame:
+        """PostingsEnum.getPayload over a payloads-enabled index: one row
+        per occurrence — (gid, position, payload), the integer payload the
+        delimited analyzer attached (``PayloadAttribute``,
+        ``Lucene90PostingsReader`` EverythingEnum payload stream).
+        """
+        if not self.stats.get("with_payloads"):
+            raise ValueError(
+                "index stores no payloads (build with with_payloads=True)"
+            )
+        scan = self._postings_df().select(
+            "term", "first_gid", "gids", "freqs", "norms", "positions",
+            "payloads",
+        ).filter(F.col("term") == term)
+
+        def kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                tp = decode_term_blocks(pdf, need_positions=True,
+                                        need_payloads=True)
+                yield pd.DataFrame(
+                    {
+                        "gid": np.repeat(tp.gids, tp.freqs),
+                        "position": tp.pos_flat,
+                        "payload": tp.pay_flat,
+                    }
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("gid", T.LongType()),
+                T.StructField("position", T.LongType()),
+                T.StructField("payload", T.LongType()),
+            ]
+        )
+        return scan.mapInPandas(kernel, schema=schema)
+
+    def payload_score_topk(self, term: str, func: str = "sum",
+                           include_span_score: bool = True,
+                           k: int = 10) -> DataFrame:
+        """PayloadScoreQuery(SpanTermQuery, PayloadFunction) analog
+        (``queries/.../payloads/PayloadScoreQuery.java:47-100,210-225``):
+        per matching doc, payloadScore = func over the doc's occurrence
+        payloads (Sum/Max/Min/AveragePayloadFunction), and the hit score is
+        ``spanScore * payloadScore`` when ``include_span_score`` else
+        ``payloadScore`` — spanScore being the BM25 score of the term span
+        (freq = number of spans). float32 at every Lucene cast point.
+
+        Exhaustive by design: Lucene's span scorers carry no impacts, so
+        there is no block-max pruning to mirror — the scan is one
+        distributed decode + per-partition aggregate, then a global top-k.
+        """
+        if not self.stats.get("with_payloads"):
+            raise ValueError(
+                "index stores no payloads (build with with_payloads=True)"
+            )
+        if func not in ("sum", "max", "min", "avg"):
+            raise ValueError(f"unknown payload function: {func}")
+        node = TermQ(term)
+        ctx = self.make_ctx(node)
+        w = ctx.weights.get(term, np.float32(0.0))
+        cache = ctx.cache_for(term)
+        deleted = self.deleted_gids()
+        scan = self._postings_df().select(
+            "term", "first_gid", "gids", "freqs", "norms", "positions",
+            "payloads",
+        ).filter(F.col("term") == term)
+
+        def kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                tp = decode_term_blocks(pdf, need_positions=True,
+                                        need_payloads=True)
+                if not len(tp.gids):
+                    continue
+                pay = tp.pay_flat.astype(np.float32)
+                starts = tp.pos_starts[:-1]
+                if func == "sum":
+                    pays = np.add.reduceat(pay, starts)
+                elif func == "max":
+                    pays = np.maximum.reduceat(pay, starts)
+                elif func == "min":
+                    pays = np.minimum.reduceat(pay, starts)
+                else:  # avg = float32 sum / float32 count
+                    pays = (
+                        np.add.reduceat(pay, starts)
+                        / tp.freqs.astype(np.float32)
+                    ).astype(np.float32)
+                if include_span_score:
+                    span = _score_term(tp, w, cache)
+                    scores = (span * pays).astype(np.float32)
+                else:
+                    scores = pays.astype(np.float32)
+                gids, scores = _live_mask(tp.gids, scores, deleted)
+                yield pd.DataFrame({"gid": gids, "score": scores.astype(np.float64)})
+
+        schema = T.StructType(
+            [
+                T.StructField("gid", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        out = scan.mapInPandas(kernel, schema=schema)
+        return out.orderBy(F.desc("score"), F.asc("gid")).limit(k)
 
     def count(self, query) -> int:
         """TotalHitCountCollector analog."""

@@ -1154,3 +1154,99 @@ def total_hits_or_sql(t1: str, t2: str) -> str:
     return f"""WITH {base_ctes()}
 SELECT count(DISTINCT doc_id)::BIGINT AS n
 FROM tf WHERE term IN ('{t1}', '{t2}')"""
+
+# ------------------------------------------------------------------ payloads
+#
+# Payload-chain oracles (whitespace + DelimitedPayloadTokenFilter +
+# lowercase, NO stop filter): the gate feeds the engine text where every
+# non-empty token carries "|((pos + len(tok)) % 97 + 1)", so the oracle can
+# recompute each occurrence's payload analytically from the ORIGINAL text
+# while the engine must parse, store, merge and decode it.
+
+
+def payload_ctes(table: str = "documents") -> str:
+    """Self-contained CTEs for the payload chain: per-occurrence payloads,
+    doc lengths WITHOUT stop removal, per-term stats, collection stats."""
+    return f"""
+ptoks AS (
+  SELECT doc_id, tok AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM {table}
+  )
+  WHERE tok <> ''
+),
+ppay AS (
+  SELECT doc_id, term, pos,
+         CAST((pos + length(term)) % 97 + 1 AS BIGINT) AS payload
+  FROM ptoks
+),
+pdl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
+  FROM {table} d LEFT JOIN ptoks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+{NORM_TABLE_SQL},
+pdn AS (
+  SELECT pdl.doc_id, pdl.doc_len,
+         (SELECT max(b) FROM norm_tab WHERE norm_tab.dec <= pdl.doc_len) AS norm_b
+  FROM pdl
+),
+pcstats AS (
+  SELECT sum(CASE WHEN doc_len > 0 THEN 1 ELSE 0 END)::BIGINT AS doc_count,
+         sum(doc_len)::BIGINT AS sum_ttf
+  FROM pdl
+),
+ptf AS (
+  SELECT term, doc_id, count(*)::BIGINT AS freq FROM ptoks GROUP BY term, doc_id
+),
+ptstats AS (
+  SELECT term, count(*)::BIGINT AS doc_freq FROM ptf GROUP BY term
+)"""
+
+
+def term_payloads_sql(term: str) -> str:
+    """Raw payload-stream oracle: each occurrence's (position, payload)."""
+    return f"""WITH {payload_ctes()}
+SELECT doc_id, CAST(pos AS BIGINT) AS position, payload
+FROM ppay WHERE term = '{term}'
+ORDER BY doc_id, position"""
+
+
+P_AVGDL_SQL = (
+    "CAST((SELECT sum_ttf FROM pcstats) / "
+    "CAST((SELECT doc_count FROM pcstats) AS DOUBLE) AS FLOAT)"
+)
+
+
+def payload_topk_sql(term: str, func: str = "sum",
+                     include_span_score: bool = True, k: int = 10) -> str:
+    """PayloadScoreQuery oracle: per-doc payloadScore = func over occurrence
+    payloads (float32 — sums of small ints are f32-exact), times the BM25
+    span score (freq = span count) when include_span_score."""
+    agg = {
+        "sum": _f4("sum(payload)"),
+        "max": _f4("max(payload)"),
+        "min": _f4("min(payload)"),
+        "avg": _f4(f"{_f4('sum(payload)')} / {_f4('count(*)')}"),
+    }[func]
+    w = idf_sql(
+        f"(SELECT doc_freq FROM ptstats WHERE term = '{term}')",
+        "(SELECT doc_count FROM pcstats)",
+    )
+    cache = cache_sql("norm_tab.dec", P_AVGDL_SQL)
+    span = bm25_score_sql(w, "agg.freq", cache)
+    score = _f4(f"{span} * agg.pay") if include_span_score else "agg.pay"
+    return f"""WITH {payload_ctes()},
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS freq, {agg} AS pay
+  FROM ppay WHERE term = '{term}' GROUP BY doc_id
+)
+SELECT agg.doc_id, CAST({score} AS DOUBLE) AS score
+FROM agg
+JOIN pdn ON pdn.doc_id = agg.doc_id
+JOIN norm_tab ON norm_tab.b = pdn.norm_b
+ORDER BY score DESC, agg.doc_id ASC LIMIT {k}"""
