@@ -6,7 +6,10 @@ Verifies, distributed (one pass over postings + docs, no collect of data):
      gids strictly ascending WITHIN each block and no doc repeated across a
      term's blocks (block RANGES may interleave after tiered partial
      merges; the reader restores global order), freqs >= 1, every
-     (freq, norm) bounded by the block's impact frontier;
+     (freq, norm) bounded by the block's impact frontier; the position
+     stream decodes to exactly sum(freq) entries, and any offset/payload
+     streams are position-aligned (CheckIndex.checkFields' postings/
+     positions/payload consistency pass);
   2. term stats consistent: sum of per-block doc counts == terms.doc_freq,
      sum of freqs == terms.total_term_freq;
   3. docs table: gids unique, norm_b == int_to_byte4(doc_len);
@@ -40,14 +43,18 @@ _BLOCK_REPORT = T.StructType(
         T.StructField("bad_order", T.LongType()),
         T.StructField("bad_freq", T.LongType()),
         T.StructField("bad_impact", T.LongType()),
+        T.StructField("bad_streams", T.LongType()),
     ]
 )
 
 
 def _check_term_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("first_gid", kind="mergesort")
-    bad_doc_count = bad_order = bad_freq = bad_impact = 0
+    bad_doc_count = bad_order = bad_freq = bad_impact = bad_streams = 0
     doc_count_sum = freq_sum = 0
+    has_pos = "positions" in pdf.columns
+    has_off = "off_starts" in pdf.columns
+    has_pay = "payloads" in pdf.columns
     all_gids = []
     for r in pdf.itertuples(index=False):
         gaps = decode_stream(r.gids).astype(np.int64)
@@ -79,6 +86,26 @@ def _check_term_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
             if not ((imp_f >= freq) & (imp_n <= norm)).any():
                 bad_impact += 1
                 break
+        # stream alignment: positions/offsets/payloads must decode to
+        # exactly sum(freq) entries per block
+        want = int(f.sum())
+
+        def _stream_len(buf) -> int:
+            try:
+                return len(decode_stream(buf))
+            except Exception:
+                return -1
+
+        if has_pos and r.positions is not None:
+            if _stream_len(r.positions) != want:
+                bad_streams += 1
+        if has_off and r.off_starts is not None:
+            if (_stream_len(r.off_starts) != want
+                    or _stream_len(r.off_lens) != want):
+                bad_streams += 1
+        if has_pay and r.payloads is not None:
+            if _stream_len(r.payloads) != want:
+                bad_streams += 1
     if all_gids:
         merged = np.concatenate(all_gids)
         if len(np.unique(merged)) != len(merged):
@@ -93,6 +120,7 @@ def _check_term_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
                 "bad_order": bad_order,
                 "bad_freq": bad_freq,
                 "bad_impact": bad_impact,
+                "bad_streams": bad_streams,
             }
         ]
     )
@@ -121,6 +149,7 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         report.update(
             {k: -1 for k in (
                 "bad_doc_count", "bad_order", "bad_freq", "bad_impact",
+                "bad_streams",
                 "term_doc_freq_mismatch", "term_ttf_mismatch", "dup_gids",
                 "bad_norms", "stats_doc_count_mismatch", "stats_ttf_mismatch",
             )}
@@ -129,10 +158,15 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         return report
 
     # 1+2: per-term block audit, then join against the terms table
+    audit_cols = ["term", "doc_count", "first_gid", "gids", "freqs",
+                  "norms", "positions", "imp_freqs", "imp_norms"]
+    if s.stats.get("with_offsets"):
+        audit_cols += ["off_starts", "off_lens"]
+    if s.stats.get("with_payloads"):
+        audit_cols.append("payloads")
     per_term = (
         s._postings_df()
-        .select("term", "doc_count", "first_gid", "gids", "freqs", "norms",
-                "imp_freqs", "imp_norms")
+        .select(*audit_cols)
         .groupBy("term")
         .applyInPandas(lambda pdf: _check_term_blocks(pdf), schema=_BLOCK_REPORT)
     )
@@ -143,6 +177,7 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         F.sum("bad_order").alias("bad_order"),
         F.sum("bad_freq").alias("bad_freq"),
         F.sum("bad_impact").alias("bad_impact"),
+        F.sum("bad_streams").alias("bad_streams"),
         F.sum(
             (F.coalesce("doc_count_sum", F.lit(-1)) != F.coalesce("doc_freq", F.lit(-2)))
             .cast("long")

@@ -66,3 +66,46 @@ def test_detects_bad_stats(spark, idx, tmp_path):
     report = check_index(spark, bad)
     assert not report["healthy"]
     assert report["stats_ttf_mismatch"] == 1
+
+
+def test_detects_truncated_payload_stream(spark, tmp_path_factory):
+    """A payload stream whose decoded length disagrees with sum(freq) must
+    be flagged (CheckIndex's positions/payload consistency pass)."""
+    import numpy as np
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("chk_pay") / "idx")
+    pdf = generate_pages_pdf(0, 120)
+    pdf["ptext"] = pdf["text"].map(
+        lambda t: " ".join(
+            f"{w}|{i % 7 + 1}" for i, w in enumerate(t.split(" ")) if w
+        )
+    )
+    pages = spark.createDataFrame(pdf[["url", "ptext"]])
+    build_index(
+        spark, pages, d, key_col="url", text_col="ptext", n_segments=2,
+        with_payloads=True,
+    )
+    assert check_index(spark, d)["healthy"]
+
+    # truncate one block's payload stream in place
+    post_dir = None
+    for root, dirs, files in os.walk(os.path.join(d, "segments")):
+        if root.endswith("row_type=post"):
+            post_dir = root
+            break
+    assert post_dir
+    part = [f for f in os.listdir(post_dir) if f.endswith(".parquet")][0]
+    path = os.path.join(post_dir, part)
+    t = pd.read_parquet(path)
+    i = next(j for j in range(len(t)) if t["payloads"].iloc[j] is not None)
+    buf = t["payloads"].iloc[i]
+    t.at[t.index[i], "payloads"] = buf[: max(1, len(buf) // 2)]
+    t.to_parquet(path, index=False)
+    for f in os.listdir(post_dir):  # drop stale Hadoop checksum sidecars
+        if f.endswith(".crc"):
+            os.remove(os.path.join(post_dir, f))
+
+    report = check_index(spark, d)
+    assert not report["healthy"]
+    assert report["bad_streams"] >= 1
