@@ -692,6 +692,30 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_knn_filtered(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    # selective metadata filter (label = 0, ~10% of vectors) -> the engine
+    # takes Lucene's exact-over-filter branch (AbstractKnnVectorQuery's
+    # exact search when the filter cardinality is under the visit budget)
+    return textops.knn_filtered_topk(
+        spark, sf_dir, query_vec_id=0, k=10,
+        filter_pred=F.col("label") == 0,
+    )
+
+
+def _q_knn_filtered_probe(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    # exact_mult=0 forces the approximate branch; full probe == exact, so
+    # the cosine oracle value-checks the filtered IVF assign/probe path
+    return textops.knn_filtered_topk(
+        spark, sf_dir, query_vec_id=0, k=10,
+        filter_pred=F.col("label") == 0,
+        exact_mult=0, n_cells=16, n_probe=16,
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     from lucene_spark.operators import textops
 
@@ -1198,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine,
+        "knn_filtered_topk": _q_knn_filtered,
+        "knn_filtered_probe": _q_knn_filtered_probe,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_neardup": _q_emb_neardup,
@@ -1292,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": otx.token_counts_sql(),
         "lang_id": otx.lang_id_sql(),
         "ann_cosine_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
+        "knn_filtered_topk": otx.knn_filtered_topk_sql(query_vec_id=0, k=10, label=0),
+        "knn_filtered_probe": otx.knn_filtered_topk_sql(query_vec_id=0, k=10, label=0),
         "ann_lsh_topk": otx.ann_lsh_topk_sql(query_vec_id=0, k=10, n_planes=8, dim=64),
         "ann_ivf_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
         "embedding_neardup": otx.embedding_neardup_sql(threshold=NEARDUP_COS),

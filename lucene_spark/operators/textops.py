@@ -481,6 +481,104 @@ def ann_ivf_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def knn_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    filter_pred: "Column | None" = None,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    exact_mult: int = 20,
+    iters: int = 5,
+    sample_cap: int = 10_000,
+) -> DataFrame:
+    """Filtered KNN: cosine top-k restricted to a metadata predicate, with
+    Lucene's two-phase strategy (``core/search/AbstractKnnVectorQuery.java``
+    rewrite + ``KnnFloatVectorQuery.java``):
+
+      1. Evaluate the filter first (the BitSet pass). If its cardinality is
+         small — here <= ``exact_mult * k`` — search EXACTLY over just the
+         filtered vectors (Lucene's exact-search branch when filtered docs
+         <= k/visit budget). The predicate pushes into the Parquet scan, so
+         the exact branch reads only matching row groups.
+      2. Otherwise run the approximate path (IVF probe, the HNSW analog)
+         restricted to accepted vectors, with the fallback Lucene gets from
+         its visitedLimit: if the probed cells hold fewer than k accepted
+         candidates, re-run exactly over the full filtered set — never
+         return fewer than min(k, |filter|) hits.
+
+    Scores use the same deterministic double fold as the ANN family, so
+    every branch is oracle-exact for its candidate set.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = embeddings(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != query_vec_id)
+    filt = base.filter(filter_pred) if filter_pred is not None else base
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+
+    def exact_over(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(q)).select(
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                   * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+            ).alias("cos"),
+        )
+        return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+    n_filtered = filt.count()
+    if n_filtered <= exact_mult * k:
+        return exact_over(filt)
+
+    # approximate branch: IVF cells over the filtered set only
+    sample = np.array(
+        [r["embedding"] for r in e.orderBy("vec_id").limit(sample_cap).collect()],
+        dtype=np.float64,
+    )
+    cents = _ivf_centroids(sample, n_cells, iters)
+    bc = spark.sparkContext.broadcast(cents)
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cell": (x @ c.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    cells = filt.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
+    q_vec = np.array(
+        e.filter(F.col("vec_id") == query_vec_id).first()["embedding"],
+        dtype=np.float64,
+    )
+    qn = q_vec / np.linalg.norm(q_vec)
+    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
+    cand = filt.join(
+        cells.filter(F.col("cell").isin([int(p) for p in probe])).select("vec_id"),
+        "vec_id",
+    )
+    if cand.count() < min(k, n_filtered):
+        # visitedLimit-style fallback: approximate pass can't fill k
+        return exact_over(filt)
+    return exact_over(cand)
+
+
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.9, n_planes: int = 0
 ) -> DataFrame:

@@ -571,3 +571,18 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
 FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
 WHERE {cos} >= {threshold}
 ORDER BY vec_a, vec_b"""
+
+
+def knn_filtered_topk_sql(query_vec_id: int = 0, k: int = 10,
+                          label: int = 0) -> str:
+    """Filtered-KNN oracle: exact cosine top-k under the metadata filter —
+    the ground truth BOTH engine branches (exact-over-filter, and IVF probe
+    with its can't-fill-k fallback) must reproduce when the gate pins a
+    selective filter or a full/fallback probe."""
+    return f"""WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+)
+SELECT vec_id, {_cos('embedding', 'qv')} AS cos
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> {query_vec_id} AND label = {label}
+ORDER BY cos DESC, vec_id ASC LIMIT {k}"""

@@ -157,3 +157,68 @@ def test_connected_components_long_chain_log_rounds(spark):
     labels = textops.connected_components(edges, nodes, max_iters=12).toPandas()
     assert (labels["label"] == 0).all()
     assert len(labels) == n
+
+
+# ----------------------------------------------------- filtered KNN (Lucene)
+
+
+def _exact_filtered(spark, label, k=10):
+    from pyspark.sql import functions as F
+
+    return [
+        (int(r["vec_id"]), r["cos"])
+        for r in textops.knn_filtered_topk(
+            spark, SF, query_vec_id=0, k=k,
+            filter_pred=F.col("label") == label,
+            exact_mult=10**9,  # force the exact-over-filter branch
+        ).collect()
+    ]
+
+
+def test_knn_filter_respected(spark):
+    """Every hit satisfies the metadata filter; ranking is the exact
+    filtered cosine order."""
+    from pyspark.sql import functions as F
+
+    got = _exact_filtered(spark, label=3)
+    e = textops.embeddings(spark, SF)
+    allowed = {int(r["vec_id"]) for r in
+               e.filter(F.col("label") == 3).select("vec_id").collect()}
+    assert len(got) == 10
+    assert all(v in allowed for v, _ in got)
+    assert [c for _, c in got] == sorted((c for _, c in got), reverse=True)
+
+
+def test_knn_probe_fallback_fills_k(spark):
+    """n_probe=1 over ~50 filtered vectors leaves < k candidates in the
+    probed cell, so the visitedLimit-style fallback must kick in and return
+    exactly the exact-over-filter answer (AbstractKnnVectorQuery falls back
+    to exact search when the approximate pass can't meet the budget)."""
+    from pyspark.sql import functions as F
+
+    got = [
+        (int(r["vec_id"]), r["cos"])
+        for r in textops.knn_filtered_topk(
+            spark, SF, query_vec_id=0, k=25,
+            filter_pred=F.col("label") == 3,
+            exact_mult=0, n_cells=16, n_probe=1,
+        ).collect()
+    ]
+    assert got == _exact_filtered(spark, label=3, k=25)
+
+
+def test_knn_approx_results_are_true_filtered_cosines(spark):
+    """The approximate branch may lose recall but never breaks the filter
+    or fabricates scores: results are a subset of the deep exact filtered
+    ranking with identical cosines."""
+    from pyspark.sql import functions as F
+
+    deep = dict(_exact_filtered(spark, label=3, k=200))
+    got = textops.knn_filtered_topk(
+        spark, SF, query_vec_id=0, k=5,
+        filter_pred=F.col("label") == 3,
+        exact_mult=0, n_cells=4, n_probe=2,
+    ).collect()
+    assert len(got) == 5
+    for r in got:
+        assert deep[int(r["vec_id"])] == r["cos"]
