@@ -461,6 +461,36 @@ def _q_payload_topk(spark, sf_dir):
         .select(F.col("gid").alias("doc_id"), "score")
 
 
+def _q_filter_topk(spark, sf_dir):
+    """BooleanClause.Occur.FILTER: required non-scoring clause — docs must
+    contain both terms but only the MUST term scores (BooleanWeight's
+    non-scoring filter iterator)."""
+    from lucene_spark.plans.query import BoolQ, TermQ
+
+    node = BoolQ(must=(TermQ(T_HOT),), filter=(TermQ(T_MID),))
+    pdf = _searcher(spark, sf_dir).search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+CUSTOM_K1, CUSTOM_B = 0.9, 0.4
+
+
+def _q_custom_sim_topk(spark, sf_dir):
+    """BM25Similarity(0.9, 0.4) — IndexSearcher.setSimilarity analog: the
+    custom k1/b feed the norm-inverse cache, re-ranking the same index."""
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for(spark, sf_dir), k1=CUSTOM_K1, b=CUSTOM_B)
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     pdf = _searcher(spark, sf_dir).search(query, k=k, with_keys=False)
     out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
@@ -1249,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_offsets": _q_highlight_offsets,
         "term_payloads": _q_term_payloads,
         "payload_topk": _q_payload_topk,
+        "filter_topk": _q_filter_topk,
+        "custom_sim_topk": _q_custom_sim_topk,
         "delete_count": _q_delete_count,
         "purge_topk": _q_purge_topk,
         "term_in_set_topk": _q_term_in_set_topk,
@@ -1347,6 +1379,8 @@ def oracle_sql() -> dict[str, str]:
         "highlight_offsets": osql.highlight_offsets_sql(T_MID, 30),
         "term_payloads": osql.term_payloads_sql(T_MID),
         "payload_topk": osql.payload_topk_sql(T_HOT, "sum", True),
+        "filter_topk": osql.filter_topk_sql(T_HOT, T_MID),
+        "custom_sim_topk": osql.custom_sim_topk_sql(T_HOT, CUSTOM_K1, CUSTOM_B),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),
         "purge_tiered_topk": osql.purge_topk_sql(T_HOT, T_B, DELETE_MOD),

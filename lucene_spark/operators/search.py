@@ -1489,7 +1489,13 @@ class Searcher:
 
     def __init__(self, spark: SparkSession, index_dir: str, *,
                  target_bucket_postings: int = TARGET_BUCKET_POSTINGS,
-                 seed_min_df: int = 1 << 17, seed_min_buckets: int = 4):
+                 seed_min_df: int = 1 << 17, seed_min_buckets: int = 4,
+                 k1: float = 1.2, b: float = 0.75):
+        # IndexSearcher.setSimilarity analog: BM25Similarity(k1, b) — the
+        # parameters feed every norm-inverse cache this searcher builds
+        # (BM25Similarity.java ctor; idf is k1/b-independent)
+        self.k1 = np.float32(k1)
+        self.b = np.float32(b)
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
@@ -1774,8 +1780,15 @@ class Searcher:
             terms = self.expand_terms(node)
             return ConstScoreQ(TermInSetQ(tuple(terms)), boost=1.0)
         if isinstance(node, BoolQ):
+            # Occur.FILTER desugars to a required non-scoring clause
+            # (BooleanWeight's non-scoring iterator == MUST ConstantScore(0)):
+            # candidate generation, leapfrog and positions see a normal MUST,
+            # while its score contribution and pruning upper bound are 0.0
+            filt = tuple(
+                ConstScoreQ(self.rewrite(c), boost=0.0) for c in node.filter
+            )
             return BoolQ(
-                must=tuple(self.rewrite(c) for c in node.must),
+                must=tuple(self.rewrite(c) for c in node.must) + filt,
                 should=tuple(self.rewrite(c) for c in node.should),
                 must_not=tuple(self.rewrite(c) for c in node.must_not),
                 msm=node.msm,
@@ -1809,7 +1822,9 @@ class Searcher:
         def cache_of(field: str) -> np.ndarray:
             if field not in caches:
                 dc, sttf = self.field_stats(field)
-                caches[field] = norm_cache(_avgdl(sttf, max(dc, 1)))
+                caches[field] = norm_cache(
+                    _avgdl(sttf, max(dc, 1)), self.k1, self.b
+                )
             return caches[field]
 
         def doc_count_of(term_key: str) -> int:
@@ -2361,7 +2376,7 @@ class Searcher:
         n_docs = max(dc, 1)
         w = _idf(df, n_docs)
         av = _avgdl(sttf, n_docs)
-        cache = norm_cache(av)[norm_b]
+        cache = norm_cache(av, self.k1, self.b)[norm_b]
         one = np.float32(1.0)
         f32 = np.float32
         denom = one + f32(freq) * cache
@@ -2370,8 +2385,8 @@ class Searcher:
             ("N, total number of documents with field", float(n_docs)),
             ("idf", float(w)),
             ("freq, occurrences of term within document", float(freq)),
-            ("k1, term saturation parameter", float(f32(1.2))),
-            ("b, length normalization parameter", float(f32(0.75))),
+            ("k1, term saturation parameter", float(self.k1)),
+            ("b, length normalization parameter", float(self.b)),
             ("dl, length of field", float(f32(LENGTH_TABLE[norm_b]))),
             ("avgdl, average length of field", float(av)),
             ("tf", float(one - one / denom)),

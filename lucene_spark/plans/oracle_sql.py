@@ -85,11 +85,20 @@ def bm25_score_sql(weight_expr: str, freq_expr: str, cache_expr: str) -> str:
     return _f4(f"{fw} - {_f4(f'{fw} / {denom}')}")
 
 
-def cache_sql(dec_expr: str, avgdl_expr: str) -> str:
-    """float32 ``1 / (k1 * ((1-b) + b*dec/avgdl))`` — BM25Similarity.java:205-208."""
-    bdl = _f4(f"{_f4('0.75')} * {_f4(dec_expr)}")
-    inner = _f4(f"{_f4('0.25')} + {_f4(f'{bdl} / {avgdl_expr}')}")
-    k1_inner = _f4(f"{_f4('1.2')} * {inner}")
+def cache_sql(dec_expr: str, avgdl_expr: str,
+              k1: float = 1.2, b: float = 0.75) -> str:
+    """float32 ``1 / (k1 * ((1-b) + b*dec/avgdl))`` — BM25Similarity.java:205-208.
+
+    ``k1``/``b`` default to BM25Similarity's defaults; a custom similarity
+    (IndexSearcher.setSimilarity analog) pins them per query. (1-b) is
+    computed as a float32 subtraction IN SQL, mirroring the engine's
+    ``norm_cache`` fold — embedding the f32 result as a long decimal
+    literal is NOT equivalent (DuckDB parses it as DECIMAL, whose FLOAT
+    cast rounds differently)."""
+    one_minus_b = _f4(f"{_f4('1.0')} - {_f4(repr(float(b)))}")
+    bdl = _f4(f"{_f4(repr(float(b)))} * {_f4(dec_expr)}")
+    inner = _f4(f"{one_minus_b} + {_f4(f'{bdl} / {avgdl_expr}')}")
+    k1_inner = _f4(f"{_f4(repr(float(k1)))} * {inner}")
     return _f4(f"{_f4('1.0')} / {k1_inner}")
 
 
@@ -101,15 +110,16 @@ AVGDL_SQL = "CAST((SELECT sum_ttf FROM cstats) / CAST((SELECT doc_count FROM cst
 N_SQL = "(SELECT doc_count FROM cstats)"
 
 
-def scored_term_cte(name: str, term: str, boost: "float | None" = None) -> str:
+def scored_term_cte(name: str, term: str, boost: "float | None" = None,
+                    k1: float = 1.2, b: float = 0.75) -> str:
     """CTE scoring every doc containing `term` (float32-exact BM25).
 
     ``boost`` folds into the weight as float32 (BM25Scorer: weight =
-    boost * idf)."""
+    boost * idf); ``k1``/``b`` follow the searcher's similarity."""
     w = idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{term}')", N_SQL)
     if boost is not None:
         w = _f4(f"{_f4(repr(float(boost)))} * {w}")
-    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL, k1, b)
     score = bm25_score_sql(w, "tf.freq", cache)
     return f"""
 {name} AS (
@@ -1250,3 +1260,24 @@ FROM agg
 JOIN pdn ON pdn.doc_id = agg.doc_id
 JOIN norm_tab ON norm_tab.b = pdn.norm_b
 ORDER BY score DESC, agg.doc_id ASC LIMIT {k}"""
+
+
+# --------------------------------------------------- FILTER / custom sim
+
+
+def filter_topk_sql(must_t: str, filter_t: str, k: int = 10) -> str:
+    """BooleanClause.Occur.FILTER oracle: docs must contain both terms,
+    score comes from the MUST term only (the filter is non-scoring)."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', must_t)}
+SELECT s1.doc_id, s1.score
+FROM s1
+WHERE s1.doc_id IN (SELECT doc_id FROM tf WHERE term = '{filter_t}')
+ORDER BY s1.score DESC, s1.doc_id ASC LIMIT {k}"""
+
+
+def custom_sim_topk_sql(term: str, k1: float, b: float, k: int = 10) -> str:
+    """BM25Similarity(k1, b) with non-default parameters
+    (IndexSearcher.setSimilarity analog)."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s', term, k1=k1, b=b)}
+SELECT doc_id, score FROM s
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""

@@ -324,19 +324,26 @@ class BoolQ:
     # and count toward minimumNumberShouldMatch on every doc.
     const_add: float = 0.0
     n_free_opt: int = 0
+    # BooleanClause.Occur.FILTER: required like MUST but NON-SCORING
+    # (BooleanWeight wraps filters in non-scoring iterators; equivalently a
+    # required ConstantScore(0) clause, which is exactly how the searcher's
+    # rewrite desugars them). Filters never count toward msm.
+    filter: tuple = ()
 
     def simplified(self):
         """1-clause collapse + dedupe (BooleanQuery.rewrite subset)."""
         must = tuple(dict.fromkeys(self.must))
         should = tuple(dict.fromkeys(self.should))
         must_not = tuple(dict.fromkeys(self.must_not))
-        if self.msm <= 1 and self.const_add == 0.0 and self.n_free_opt == 0:
+        filt = tuple(dict.fromkeys(self.filter))
+        if (self.msm <= 1 and self.const_add == 0.0
+                and self.n_free_opt == 0 and not filt):
             if len(must) == 1 and not should and not must_not:
                 return must[0]
             if len(should) == 1 and not must and not must_not:
                 return should[0]
         return BoolQ(must, should, must_not, self.msm,
-                     self.const_add, self.n_free_opt)
+                     self.const_add, self.n_free_opt, filt)
 
 
 def _analyze_word(word: str) -> list[tuple[str, int]]:
@@ -721,6 +728,7 @@ def qualify_node(node, field: str):
             msm=node.msm,
             const_add=node.const_add,
             n_free_opt=node.n_free_opt,
+            filter=tuple(qualify_node(c, field) for c in node.filter),
         )
     if isinstance(node, DisMaxQ):
         return DisMaxQ(

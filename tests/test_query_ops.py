@@ -619,3 +619,81 @@ def test_matchall_deeper_nesting_still_rejected(searcher):
         searcher.search(
             DisMaxQ(clauses=(TermQ("merge"), MatchAllQ()), tie=0.1), k=5
         )
+
+
+# ------------------------------------------------- Occur.FILTER / similarity
+
+
+def test_filter_clause_required_but_nonscoring(searcher):
+    from lucene_spark.plans.query import BoolQ, TermQ
+
+    node = BoolQ(must=(TermQ("merge"),), filter=(TermQ("window"),))
+    got = searcher.search(node, k=10, with_keys=False)
+    # docs = merge AND window; scores = pure TermQuery(merge)
+    both = searcher.search(
+        BoolQ(must=(TermQ("merge"), TermQ("window"))),
+        k=1 << 30, prune=False, with_keys=False,
+    )
+    term_only = searcher.search(
+        TermQ("merge"), k=1 << 30, prune=False, with_keys=False
+    )
+    ts = dict(zip(term_only["gid"], term_only["score"]))
+    want = sorted(
+        ((g, ts[g]) for g in both["gid"]), key=lambda r: (-r[1], r[0])
+    )[:10]
+    assert list(zip(got["gid"], got["score"])) == want
+
+
+def test_filter_only_matches_with_zero_score(searcher):
+    from lucene_spark.plans.query import BoolQ, TermQ
+
+    node = BoolQ(filter=(TermQ("window"),))
+    got = searcher.search(node, k=5, with_keys=False)
+    assert (got["score"] == 0.0).all()
+    assert searcher.count(node) == searcher.count(TermQ("window"))
+
+
+def test_filter_does_not_count_toward_msm(searcher):
+    from lucene_spark.plans.query import BoolQ, TermQ
+
+    # msm=2 over two SHOULD clauses: the filter must not satisfy msm
+    node = BoolQ(
+        should=(TermQ("merge"), TermQ("scan")),
+        filter=(TermQ("window"),), msm=2,
+    )
+    got = set(searcher.search(node, k=1 << 30, prune=False,
+                              with_keys=False)["gid"])
+    want = set(searcher.search(
+        BoolQ(must=(TermQ("merge"), TermQ("scan"), TermQ("window"))),
+        k=1 << 30, prune=False, with_keys=False,
+    )["gid"])
+    assert got == want
+
+
+def test_custom_similarity_k1_b(spark):
+    """BM25Similarity(k1, b) with non-default parameters re-ranks via the
+    norm cache; k1=0 degenerates to pure idf (freq/length-independent)."""
+    import __spark_entry__ as entry
+    import numpy as np
+    from lucene_spark.functions.bm25 import BM25Scorer
+    from lucene_spark.functions.smallfloat import int_to_byte4_np
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    s = Searcher(spark, idx, k1=0.9, b=0.4)
+    got = s.search("merge", k=10, with_keys=False)
+    # brute oracle: score every posting with a k1=0.9/b=0.4 scorer
+    post = s.postings("merge").toPandas()
+    dc, sttf = s.field_stats("text")
+    from lucene_spark.functions.bm25 import idf, norm_cache, avgdl
+    w = idf(len(post), max(dc, 1))
+    cache = norm_cache(avgdl(sttf, max(dc, 1)), np.float32(0.9), np.float32(0.4))
+    one = np.float32(1.0)
+    scores = w - w / (one + post["freq"].to_numpy(np.float32)
+                      * cache[post["norm_b"].to_numpy(np.uint8)])
+    order = sorted(zip(post["gid"], scores), key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["gid"], got["score"])) == order
+    # k1=0: tf saturates to constant -> every hit scores f32(idf)
+    s0 = Searcher(spark, idx, k1=0.0, b=0.75)
+    got0 = s0.search("merge", k=5, with_keys=False)
+    assert set(np.float32(got0["score"])) == {np.float32(w)}
