@@ -51,7 +51,10 @@ def norm_cache(avg_dl: np.float32, k1: np.float32 = K1, b: np.float32 = B) -> np
     one = np.float32(1.0)
     dl = LENGTH_TABLE.astype(np.float32)  # float cast of decoded lengths
     inner = (one - b) + (b * dl) / avg_dl  # float32 ops, Java eval order
-    return (one / (k1 * inner)).astype(np.float32)
+    # k1=0 gives cache=+inf; score w - w/(1 + f*inf) = w, matching Java's
+    # 1f/0f = Infinity semantics — the inf is intentional, not an error.
+    with np.errstate(divide="ignore"):
+        return (one / (k1 * inner)).astype(np.float32)
 
 
 @dataclass
