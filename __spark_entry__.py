@@ -664,6 +664,12 @@ def _q_repetition_stats(spark, sf_dir):
     return textops.repetition_stats(spark, sf_dir, k=3)
 
 
+def _q_cross_doc_dup_ngrams(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.cross_doc_dup_ngrams(spark, sf_dir, k=5)
+
+
 def _q_contamination(spark, sf_dir):
     from lucene_spark.operators import textops
 
@@ -1246,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "doc_fingerprints": _q_doc_fingerprints,
         "repetition_stats": _q_repetition_stats,
+        "cross_doc_dup_ngrams": _q_cross_doc_dup_ngrams,
         "contamination_check": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
@@ -1344,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": otx.text_stats_sql(),
         "doc_fingerprints": otx.doc_fingerprints_sql(),
         "repetition_stats": otx.repetition_stats_sql(k=3),
+        "cross_doc_dup_ngrams": otx.cross_doc_dup_ngrams_sql(k=5),
         "contamination_check": otx.contamination_check_sql(CONTAM_PROBES, k=5),
         "stratified_sample": otx.stratified_sample_sql(SAMPLE_RATES),
         "dedup_clusters": otx.dedup_clusters_sql(),

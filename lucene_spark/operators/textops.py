@@ -28,13 +28,21 @@ def _toks(col: Column) -> Column:
 
 
 def _shingles(col: Column, k: int) -> Column:
-    """k-gram token shingles as strings (space-joined), in document order."""
+    """k-gram token shingles as strings (space-joined), in document order.
+
+    Docs with fewer than k tokens yield an empty array — guarded explicitly
+    because sequence(1, 0) is DESCENDING [1, 0] in Spark, and slice(_, 0, _)
+    then throws INVALID_PARAMETER_VALUE rather than producing nothing.
+    """
     toks = _toks(col)
     n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,6 +740,54 @@ def repetition_stats(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             F.coalesce(
                 F.col("top").cast("double") / F.col("n"), F.lit(0.0)
             ).alias("top_gram_ratio"),
+        )
+    )
+
+
+def cross_doc_dup_ngrams(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Cross-document duplicated k-gram fraction per doc — the measurement
+    behind substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"), re-expressed as fixed-k gram
+    occurrence duplication instead of a suffix array: a doc's k-gram
+    occurrence is "duplicated" iff the same gram occurs in >= 2 distinct
+    documents. High cross_dup_frac flags boilerplate/mirrored content for
+    span-level filtering.
+
+    Scale shape: explode -> groupBy(doc_id, h) count (map-side combine
+    collapses within-doc repeats early) -> groupBy(h) doc-frequency over the
+    already-distinct (doc, h) rows -> hash join back on h -> groupBy(doc_id).
+    All shuffles are keyed on the 64-bit gram hash; a boilerplate gram shared
+    by millions of docs is ONE row on the doc-frequency side (no skew
+    amplification), and grams travel as md5-int64, never strings.
+    """
+    d = docs(spark, sf_dir)
+    occ = (
+        d.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("g"))
+        .select("doc_id", _md5_int(F.col("g")).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    dfreq = occ.groupBy("h").agg(F.count("*").alias("n_docs"))
+    agg = (
+        occ.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup"
+            ),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("dup"), F.lit(0)).cast("long").alias("n_cross_dup_grams"),
+            F.coalesce(
+                F.col("dup").cast("double") / F.col("n"), F.lit(0.0)
+            ).alias("cross_dup_frac"),
         )
     )
 

@@ -300,6 +300,27 @@ SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, count(*)::BIGINT AS n_shingle
 FROM shh GROUP BY doc_id ORDER BY doc_id"""
 
 
+def cross_doc_dup_ngrams_sql(k: int = 5) -> str:
+    """Twin of textops.cross_doc_dup_ngrams: occurrence-weighted cross-doc
+    duplicated k-gram fraction. dup/n are BIGINT from identical gram sets on
+    both engines; the single BIGINT->DOUBLE division makes the frac exact."""
+    return f"""WITH {TOKS_CTE},{shingle_cte('sh', k)},
+hsh AS (SELECT doc_id, {md5i('sh')} AS h FROM sh),
+occ AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM hsh GROUP BY doc_id, h),
+dfreq AS (SELECT h, count(*)::BIGINT AS n_docs FROM occ GROUP BY h),
+agg AS (
+  SELECT o.doc_id, sum(o.c)::BIGINT AS n,
+         sum(CASE WHEN f.n_docs >= 2 THEN o.c ELSE 0 END)::BIGINT AS dup
+  FROM occ o JOIN dfreq f USING (h) GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n, 0)::BIGINT AS n_grams,
+       coalesce(a.dup, 0)::BIGINT AS n_cross_dup_grams,
+       coalesce(CAST(a.dup AS DOUBLE) / a.n, 0.0) AS cross_dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id"""
+
+
 def token_counts_sql() -> str:
     return f"""WITH {TOKS_CTE},
 ws AS (SELECT doc_id, count(*)::BIGINT AS ws_tokens FROM rtoks GROUP BY doc_id)

@@ -104,6 +104,27 @@ def test_dedup_exact_flags_injected_duplicates(spark, tmp_path):
     assert flagged == {100000 + int(r["doc_id"]) for r in docs.limit(5).collect()}
 
 
+def test_cross_doc_dup_ngrams_semantics(spark, tmp_path):
+    """Hand-built corpus: doc 0 and doc 1 share their full text (every gram
+    duplicated), doc 2 is unique (no gram duplicated), doc 3 is too short
+    for a 5-gram (zero grams, frac 0.0)."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (2, "one two three four five six seven", "en", "s", 1),
+        (3, "tiny doc", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars int")
+    out = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+    res = {int(r["doc_id"]): r for r in
+           textops.cross_doc_dup_ngrams(spark, out, k=5).collect()}
+    assert res[0]["n_grams"] == 2 and res[0]["cross_dup_frac"] == 1.0
+    assert res[1]["cross_dup_frac"] == 1.0
+    assert res[2]["n_grams"] == 3 and res[2]["cross_dup_frac"] == 0.0
+    assert res[3]["n_grams"] == 0 and res[3]["cross_dup_frac"] == 0.0
+
+
 def test_dedup_clusters_chain_transitivity(spark, tmp_path_factory):
     """A-B and B-C are near-dup pairs but A-C share nothing directly: the
     connected component must still collapse to one cluster — this takes >1
