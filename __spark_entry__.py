@@ -682,6 +682,12 @@ def _q_stratified_sample(spark, sf_dir):
     return textops.stratified_sample(spark, sf_dir, SAMPLE_RATES)
 
 
+def _q_dedup_keep(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.dedup_keep(spark, sf_dir)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from lucene_spark.operators import textops
 
@@ -1256,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep": _q_dedup_keep,
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine,
@@ -1355,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": otx.contamination_check_sql(CONTAM_PROBES, k=5),
         "stratified_sample": otx.stratified_sample_sql(SAMPLE_RATES),
         "dedup_clusters": otx.dedup_clusters_sql(),
+        "dedup_keep": otx.dedup_keep_sql(),
         "token_counts": otx.token_counts_sql(),
         "lang_id": otx.lang_id_sql(),
         "ann_cosine_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),

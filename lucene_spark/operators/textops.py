@@ -944,6 +944,29 @@ def dedup_clusters(
     )
 
 
+def dedup_keep(
+    spark: SparkSession, sf_dir: str, bands: int = 4, max_iters: int = 20
+) -> DataFrame:
+    """The deduplicated corpus: one canonical survivor (min doc_id) per
+    near-dup cluster from :func:`dedup_clusters`, with how many docs it
+    represents — what a curation pipeline actually writes out after dedup.
+
+    Scale shape: inherits the bucketed LSH + pointer-doubled components
+    plan; the survivor filter and size rollup add one cluster_id-keyed
+    aggregation (map-side combinable) and a join that AQE plans broadcast
+    when the cluster table is small relative to the corpus.
+    """
+    cl = dedup_clusters(spark, sf_dir, bands=bands, max_iters=max_iters)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_represented")
+    )
+    return (
+        cl.filter(~F.col("is_duplicate"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "n_represented")
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint per doc: min/max md5-int over 5-gram shingles
     (a 2-value winnowing-style sketch)."""

@@ -259,6 +259,14 @@ SELECT doc_id, min(label)::BIGINT AS cluster_id,
 FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
 
+def dedup_keep_sql(bands: int = 4, k: int = 3) -> str:
+    """Twin of textops.dedup_keep: canonical survivors + represented count,
+    derived from the same recursive-CTE clusters as dedup_clusters_sql."""
+    return f"""SELECT cluster_id AS doc_id, count(*)::BIGINT AS n_represented
+FROM ({dedup_clusters_sql(bands=bands, k=k)}) cl
+GROUP BY cluster_id ORDER BY doc_id"""
+
+
 def simhash_sql(bits: int = 16) -> str:
     bits_cte = "bits(b) AS (VALUES " + ", ".join(f"({b})" for b in range(bits)) + ")"
     return f"""WITH {TOKS_CTE},
