@@ -102,6 +102,19 @@ def test_fuzzy_expansion_is_length_banded(searcher):
     assert all(t.startswith("me") for t in pref)
 
 
+def test_cross_doc_dup_ngrams_plan_shape(spark):
+    """The dup-span plan must aggregate (no cartesian/broadcast-nested-loop)
+    and read only the columns it needs from documents (doc_id, text)."""
+    from lucene_spark.operators import textops
+
+    plan = _explain(textops.cross_doc_dup_ngrams(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    doc_scans = [l for l in scans if "text" in l]
+    assert doc_scans and all("lang" not in l and "source" not in l for l in doc_scans), scans
+
+
 def test_pushdown_survives_live_unit_union(spark, tmp_path_factory):
     """After a tiered merge the scan is a union of live units; the term
     filter must still reach every branch's Parquet scan."""
