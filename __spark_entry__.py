@@ -664,6 +664,12 @@ def _q_repetition_stats(spark, sf_dir):
     return textops.repetition_stats(spark, sf_dir, k=3)
 
 
+def _q_quality_filter(spark, sf_dir):
+    from lucene_spark.operators import textops
+
+    return textops.quality_filter(spark, sf_dir)
+
+
 def _q_cross_doc_dup_ngrams(spark, sf_dir):
     from lucene_spark.operators import textops
 
@@ -1259,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "repetition_stats": _q_repetition_stats,
         "cross_doc_dup_ngrams": _q_cross_doc_dup_ngrams,
+        "quality_filter": _q_quality_filter,
         "contamination_check": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
@@ -1359,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": otx.doc_fingerprints_sql(),
         "repetition_stats": otx.repetition_stats_sql(k=3),
         "cross_doc_dup_ngrams": otx.cross_doc_dup_ngrams_sql(k=5),
+        "quality_filter": otx.quality_filter_sql(),
         "contamination_check": otx.contamination_check_sql(CONTAM_PROBES, k=5),
         "stratified_sample": otx.stratified_sample_sql(SAMPLE_RATES),
         "dedup_clusters": otx.dedup_clusters_sql(),

@@ -792,6 +792,47 @@ def cross_doc_dup_ngrams(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFr
     )
 
 
+def quality_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_tok: float = 3.0,
+    max_mean_tok: float = 5.0,
+    min_stop_ratio: float = 0.04,
+    max_dup_gram_ratio: float = 0.05,
+    max_top_gram_ratio: float = 0.10,
+) -> DataFrame:
+    """Gopher/RefinedWeb-style document quality filter: per-rule booleans +
+    a combined keep decision, composed from :func:`text_stats` (length,
+    mean token length, stopword ratio) and :func:`repetition_stats`
+    (duplicate/top k-gram mass). The per-rule columns make the drop reasons
+    auditable, which is how curation pipelines tune thresholds.
+
+    Scale shape: both inputs are single groupBy(doc) aggregations; the
+    composite adds one doc_id equi-join (co-partitioned by the same key)
+    and pure column comparisons — no new shuffle classes.
+    """
+    st = text_stats(spark, sf_dir)
+    rep = repetition_stats(spark, sf_dir, k=3)
+    j = st.join(rep, "doc_id")
+    rules = {
+        "len_ok": (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens),
+        "tok_len_ok": (F.col("mean_token_len") >= min_mean_tok)
+        & (F.col("mean_token_len") <= max_mean_tok),
+        "stop_ok": F.col("stopword_ratio") >= min_stop_ratio,
+        "rep_ok": (F.col("dup_gram_ratio") <= max_dup_gram_ratio)
+        & (F.col("top_gram_ratio") <= max_top_gram_ratio),
+    }
+    out = j.select("doc_id", *[v.alias(k) for k, v in rules.items()])
+    return out.withColumn(
+        "keep",
+        F.col("len_ok") & F.col("tok_len_ok") & F.col("stop_ok") & F.col("rep_ok"),
+    )
+
+
 def contamination_check(
     spark: SparkSession, sf_dir: str, probe_doc_ids: "list[int]", k: int = 5
 ) -> DataFrame:

@@ -259,6 +259,31 @@ SELECT doc_id, min(label)::BIGINT AS cluster_id,
 FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
 
+def quality_filter_sql(
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_tok: float = 3.0,
+    max_mean_tok: float = 5.0,
+    min_stop_ratio: float = 0.04,
+    max_dup_gram_ratio: float = 0.05,
+    max_top_gram_ratio: float = 0.10,
+) -> str:
+    """Twin of textops.quality_filter: thresholds applied to the exact same
+    doubles the text_stats/repetition_stats oracles produce, so the boolean
+    comparisons are deterministic on both engines."""
+    return f"""SELECT st.doc_id,
+       (st.n_tokens >= {min_tokens} AND st.n_tokens <= {max_tokens}) AS len_ok,
+       (st.mean_token_len >= {min_mean_tok} AND st.mean_token_len <= {max_mean_tok}) AS tok_len_ok,
+       (st.stopword_ratio >= {min_stop_ratio}) AS stop_ok,
+       (rp.dup_gram_ratio <= {max_dup_gram_ratio} AND rp.top_gram_ratio <= {max_top_gram_ratio}) AS rep_ok,
+       ((st.n_tokens >= {min_tokens} AND st.n_tokens <= {max_tokens})
+        AND (st.mean_token_len >= {min_mean_tok} AND st.mean_token_len <= {max_mean_tok})
+        AND (st.stopword_ratio >= {min_stop_ratio})
+        AND (rp.dup_gram_ratio <= {max_dup_gram_ratio} AND rp.top_gram_ratio <= {max_top_gram_ratio})) AS keep
+FROM ({text_stats_sql()}) st JOIN ({repetition_stats_sql(k=3)}) rp USING (doc_id)
+ORDER BY st.doc_id"""
+
+
 def dedup_keep_sql(bands: int = 4, k: int = 3) -> str:
     """Twin of textops.dedup_keep: canonical survivors + represented count,
     derived from the same recursive-CTE clusters as dedup_clusters_sql."""
