@@ -48,6 +48,10 @@ QUERIES = {
     "q_not": "scan NOT merge",
     "q_phrase": '"table scan"',
     "q_near3": '"table merge scan"~2',
+    # round-3 multi-term paths: blended constant-score rewrite + literal-
+    # prefix pushdown (wildcard) and length-banded OSA expansion (fuzzy)
+    "q_wildcard": "mer*",
+    "q_fuzzy": "merge~1",
 }
 
 
