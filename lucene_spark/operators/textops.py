@@ -692,15 +692,18 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_uniq = F.size(F.array_distinct(toks))
     total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    # try_divide: a zero-token doc gets NULL ratios instead of an ANSI
+    # divide-by-zero crash (Spark 4 defaults ANSI on); the DuckDB twin's
+    # LEFT JOIN yields the same NULLs for token-less docs.
     return d.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         n_uniq.cast("long").alias("n_unique"),
         n_stop.cast("long").alias("n_stopwords"),
-        (n_uniq.cast("double") / n.cast("double")).alias("type_token_ratio"),
-        (total_chars.cast("double") / n.cast("double")).alias("mean_token_len"),
-        (n_stop.cast("double") / n.cast("double")).alias("stopword_ratio"),
-        (n_stop.cast("double") / n.cast("double") >= 0.15).alias("lang_en_guess"),
+        F.try_divide(n_uniq.cast("double"), n.cast("double")).alias("type_token_ratio"),
+        F.try_divide(total_chars.cast("double"), n.cast("double")).alias("mean_token_len"),
+        F.try_divide(n_stop.cast("double"), n.cast("double")).alias("stopword_ratio"),
+        (F.try_divide(n_stop.cast("double"), n.cast("double")) >= 0.15).alias("lang_en_guess"),
     )
 
 
@@ -810,19 +813,28 @@ def quality_filter(
     (duplicate/top k-gram mass). The per-rule columns make the drop reasons
     auditable, which is how curation pipelines tune thresholds.
 
-    Scale shape: both inputs are single groupBy(doc) aggregations; the
-    composite adds one doc_id equi-join (co-partitioned by the same key)
-    and pure column comparisons — no new shuffle classes.
+    Scale shape: text_stats is map-side-only column math and
+    repetition_stats is one explode + two doc-keyed aggregations; the
+    composite adds one doc_id equi-join of two NARROW per-doc stat tables
+    (the heavy text column is scanned twice map-side but never shuffled).
     """
     st = text_stats(spark, sf_dir)
     rep = repetition_stats(spark, sf_dir, k=3)
     j = st.join(rep, "doc_id")
+    # Zero-token docs: the ratio columns are NULL (0/0), so ratio rules
+    # coalesce to False — an empty doc is dropped with auditable reasons,
+    # identically on both engines (pinned by the empty-doc parity test).
     rules = {
         "len_ok": (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens),
-        "tok_len_ok": (F.col("mean_token_len") >= min_mean_tok)
-        & (F.col("mean_token_len") <= max_mean_tok),
-        "stop_ok": F.col("stopword_ratio") >= min_stop_ratio,
+        "tok_len_ok": F.coalesce(
+            (F.col("mean_token_len") >= min_mean_tok)
+            & (F.col("mean_token_len") <= max_mean_tok),
+            F.lit(False),
+        ),
+        "stop_ok": F.coalesce(
+            F.col("stopword_ratio") >= min_stop_ratio, F.lit(False)
+        ),
         "rep_ok": (F.col("dup_gram_ratio") <= max_dup_gram_ratio)
         & (F.col("top_gram_ratio") <= max_top_gram_ratio),
     }

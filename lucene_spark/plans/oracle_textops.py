@@ -273,13 +273,10 @@ def quality_filter_sql(
     comparisons are deterministic on both engines."""
     return f"""SELECT st.doc_id,
        (st.n_tokens >= {min_tokens} AND st.n_tokens <= {max_tokens}) AS len_ok,
-       (st.mean_token_len >= {min_mean_tok} AND st.mean_token_len <= {max_mean_tok}) AS tok_len_ok,
-       (st.stopword_ratio >= {min_stop_ratio}) AS stop_ok,
+       coalesce(st.mean_token_len >= {min_mean_tok} AND st.mean_token_len <= {max_mean_tok}, FALSE) AS tok_len_ok,
+       coalesce(st.stopword_ratio >= {min_stop_ratio}, FALSE) AS stop_ok,
        (rp.dup_gram_ratio <= {max_dup_gram_ratio} AND rp.top_gram_ratio <= {max_top_gram_ratio}) AS rep_ok,
-       ((st.n_tokens >= {min_tokens} AND st.n_tokens <= {max_tokens})
-        AND (st.mean_token_len >= {min_mean_tok} AND st.mean_token_len <= {max_mean_tok})
-        AND (st.stopword_ratio >= {min_stop_ratio})
-        AND (rp.dup_gram_ratio <= {max_dup_gram_ratio} AND rp.top_gram_ratio <= {max_top_gram_ratio})) AS keep
+       (len_ok AND tok_len_ok AND stop_ok AND rep_ok) AS keep
 FROM ({text_stats_sql()}) st JOIN ({repetition_stats_sql(k=3)}) rp USING (doc_id)
 ORDER BY st.doc_id"""
 
@@ -318,12 +315,15 @@ s AS (
          sum(length(tok))::BIGINT AS total_chars
   FROM rtoks GROUP BY doc_id
 )
-SELECT doc_id, n_tokens, n_unique, n_stopwords,
-       CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
-       CAST(total_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
-       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.15 AS lang_en_guess
-FROM s ORDER BY doc_id"""
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.n_unique, 0)::BIGINT AS n_unique,
+       coalesce(s.n_stopwords, 0)::BIGINT AS n_stopwords,
+       CAST(s.n_unique AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS type_token_ratio,
+       CAST(s.total_chars AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS mean_token_len,
+       CAST(s.n_stopwords AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS stopword_ratio,
+       CAST(s.n_stopwords AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) >= 0.15 AS lang_en_guess
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"""
 
 
 def doc_fingerprints_sql(k: int = 5) -> str:

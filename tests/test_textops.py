@@ -125,6 +125,67 @@ def test_cross_doc_dup_ngrams_semantics(spark, tmp_path):
     assert res[3]["n_grams"] == 0 and res[3]["cross_dup_frac"] == 0.0
 
 
+def test_dedup_keep_survivors(spark, tmp_path):
+    """Injected exact duplicates collapse to the min-doc_id survivor with
+    the right represented count; unique docs survive representing only
+    themselves."""
+    docs = textops.docs(spark, SF).limit(10)
+    dup = docs.limit(3).selectExpr(
+        "doc_id + 100000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = str(tmp_path / "sf")
+    docs.unionByName(dup).coalesce(1).write.parquet(out + "/documents.parquet")
+    res = {int(r["doc_id"]): int(r["n_represented"])
+           for r in textops.dedup_keep(spark, out).collect()}
+    originals = [int(r["doc_id"]) for r in docs.collect()]
+    assert all(100000 + d not in res for d in originals[:3])  # dups dropped
+    for d in originals[:3]:
+        assert res[d] >= 2  # survivor represents itself + its duplicate
+    assert sum(res.values()) == 13  # every doc represented exactly once
+
+
+def test_quality_filter_empty_doc_parity(spark, tmp_path):
+    """A whitespace-only doc (zero tokens) must appear in BOTH engines'
+    quality_filter output with keep=false and auditable reasons — the
+    Spark op emits every doc, so the oracle must too."""
+    import duckdb
+    import pandas as pd
+    from lucene_spark.plans import oracle_textops as otx
+
+    rows = [
+        (0, "   ", "en", "s", 3),                      # zero tokens
+        (1, "the " * 15 + "word " * 15, "en", "s", 1),  # 30 tokens: len boundary
+        (2, "alpha beta gamma", "en", "s", 1),          # short, no stopwords
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+
+    sdf = (
+        textops.quality_filter(spark, out)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{out}/documents.parquet/*.parquet'"
+    )
+    odf = con.sql(otx.quality_filter_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        sdf[sorted(sdf.columns)], odf[sorted(odf.columns)], check_dtype=False
+    )
+    # the text_stats oracle must also emit the zero-token doc
+    stdf = con.sql(otx.text_stats_sql()).df()
+    assert len(stdf) == 3 and int(stdf[stdf.doc_id == 0].n_tokens.iloc[0]) == 0
+
+    by_id = {int(r["doc_id"]): r for _, r in sdf.iterrows()}
+    assert not by_id[0]["keep"] and not by_id[0]["len_ok"] and not by_id[0]["tok_len_ok"]
+    assert by_id[1]["len_ok"]          # exactly min_tokens=30 is inclusive
+    assert by_id[1]["stop_ok"]         # 50% stopwords
+    assert not by_id[2]["keep"] and not by_id[2]["stop_ok"]
+
+
 def test_dedup_clusters_chain_transitivity(spark, tmp_path_factory):
     """A-B and B-C are near-dup pairs but A-C share nothing directly: the
     connected component must still collapse to one cluster — this takes >1
