@@ -268,6 +268,14 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity via try_divide: a zero vector yields NULL (dropped
+    by threshold filters, ordered after real scores) instead of an ANSI
+    divide-by-zero error. DuckDB's float division by zero is NULL too, so
+    the oracles agree on degenerate vectors."""
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
 def ann_cosine_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:
@@ -286,11 +294,7 @@ def ann_cosine_topk(
         .filter(F.col("vec_id") != query_vec_id)
         .select(
             "vec_id",
-            (
-                _dot(F.col("embedding"), F.col("qv"))
-                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                   * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-            ).alias("cos"),
+            _cosine(F.col("embedding"), F.col("qv")).alias("cos"),
         )
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
@@ -381,11 +385,7 @@ def ann_lsh_topk(
         .filter(F.col("vec_id") != query_vec_id)
         .select(
             "vec_id",
-            (
-                _dot(F.col("embedding"), F.col("qv"))
-                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                   * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-            ).alias("cos"),
+            _cosine(F.col("embedding"), F.col("qv")).alias("cos"),
         )
     )
     return cand.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
@@ -480,11 +480,7 @@ def ann_ivf_topk(
     q = e.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qv"))
     scored = cand.crossJoin(F.broadcast(q)).select(
         "vec_id",
-        (
-            _dot(F.col("embedding"), F.col("qv"))
-            / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-               * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-        ).alias("cos"),
+        _cosine(F.col("embedding"), F.col("qv")).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
@@ -533,11 +529,7 @@ def knn_filtered_topk(
     def exact_over(df: DataFrame) -> DataFrame:
         scored = df.crossJoin(F.broadcast(q)).select(
             "vec_id",
-            (
-                _dot(F.col("embedding"), F.col("qv"))
-                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                   * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-            ).alias("cos"),
+            _cosine(F.col("embedding"), F.col("qv")).alias("cos"),
         )
         return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
@@ -616,11 +608,7 @@ def embedding_neardup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            (
-                _dot(F.col("ea"), F.col("eb"))
-                / (F.sqrt(_dot(F.col("ea"), F.col("ea")))
-                   * F.sqrt(_dot(F.col("eb"), F.col("eb"))))
-            ).alias("cos"),
+            _cosine(F.col("ea"), F.col("eb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -664,7 +652,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pri, lang in enumerate(langs):
         arr = F.array(*[F.lit(w) for w in LANG_STOPS[lang]])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        ratio = hits.cast("double") / n.cast("double")
+        # coalesce(try_divide): a zero-token doc scores 0.0 for every
+        # language (argmax then falls to the highest-priority language)
+        # instead of an ANSI divide-by-zero error
+        ratio = F.coalesce(
+            F.try_divide(hits.cast("double"), n.cast("double")), F.lit(0.0)
+        )
         cands.append(
             F.struct(
                 ratio.alias("ratio"),

@@ -374,7 +374,12 @@ def lang_id_sql() -> str:
     return f"""WITH {TOKS_CTE},
 {langs_cte},
 {lw_cte},
-nt AS (SELECT doc_id, count(*)::BIGINT AS n FROM rtoks GROUP BY doc_id),
+nt AS (
+  SELECT d.doc_id, coalesce(x.n, 0)::BIGINT AS n
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*)::BIGINT AS n FROM rtoks GROUP BY doc_id
+  ) x USING (doc_id)
+),
 h AS (
   SELECT t.doc_id, lw.lang, count(*)::BIGINT AS c
   FROM rtoks t JOIN lw ON t.tok = lw.w
@@ -382,7 +387,7 @@ h AS (
 ),
 r AS (
   SELECT nt.doc_id, l.lang, l.pri,
-         CAST(COALESCE(h.c, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE) AS ratio
+         COALESCE(CAST(COALESCE(h.c, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE), 0.0) AS ratio
   FROM nt CROSS JOIN langs l
   LEFT JOIN h ON h.doc_id = nt.doc_id AND h.lang = l.lang
 ),

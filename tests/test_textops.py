@@ -125,6 +125,29 @@ def test_cross_doc_dup_ngrams_semantics(spark, tmp_path):
     assert res[3]["n_grams"] == 0 and res[3]["cross_dup_frac"] == 0.0
 
 
+def test_degenerate_inputs_no_ansi_crash(spark, tmp_path):
+    """Zero vectors and zero-token docs must not raise ANSI divide-by-zero
+    (Spark 4 defaults ANSI on): NULL cosines sort after real scores, and a
+    token-less doc language-ids to the first language with score 0.0."""
+    import numpy as np
+
+    vecs = [(0, [1.0, 0.0, 2.0]), (1, [0.0, 0.0, 0.0]), (2, [2.0, 0.0, 4.0])]
+    out = str(tmp_path / "sf")
+    spark.createDataFrame(vecs, "vec_id long, embedding array<double>") \
+        .coalesce(1).write.parquet(out + "/embeddings.parquet")
+    spark.createDataFrame(
+        [(0, " ", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.parquet(out + "/documents.parquet")
+
+    top = textops.ann_cosine_topk(spark, out, query_vec_id=0, k=3).collect()
+    assert [int(r["vec_id"]) for r in top] == [2, 1]  # zero vec last, NULL cos
+    assert abs(float(top[0]["cos"]) - 1.0) < 1e-12 and top[1]["cos"] is None
+
+    lid = textops.lang_id(spark, out).collect()
+    assert len(lid) == 1 and float(lid[0]["lang_score"]) == 0.0
+
+
 def test_dedup_keep_survivors(spark, tmp_path):
     """Injected exact duplicates collapse to the min-doc_id survivor with
     the right represented count; unique docs survive representing only
