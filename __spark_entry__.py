@@ -840,6 +840,14 @@ def _q_boost_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, f"{T_HOT}^{BOOST} OR {T_MID}")
 
 
+def _q_boost_bool_topk(spark, sf_dir):
+    """BoostQuery over a whole BooleanQuery (distributed to leaf weights)."""
+    from lucene_spark.plans.query import BoolQ, BoostQ, TermQ
+
+    q = BoostQ(BoolQ(should=(TermQ(T_HOT), TermQ(T_MID))), boost=BOOST)
+    return _topk_df(spark, sf_dir, q)
+
+
 def _q_event_range_agg(spark, sf_dir):
     from lucene_spark.operators import analytics
 
@@ -1310,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": _q_fuzzy_topk,
         "regexp_topk": _q_regexp_topk,
         "boost_topk": _q_boost_topk,
+        "boost_bool_topk": _q_boost_bool_topk,
         "event_range_agg": _q_event_range_agg,
         "event_hourly_rollup": _q_event_hourly,
         "event_json_stats": _q_event_json_stats,
@@ -1418,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": osql.fuzzy_topk_sql(FUZZY_TERM),
         "regexp_topk": osql.regexp_topk_sql(REGEXP_PAT),
         "boost_topk": osql.boosted_or_topk_sql(T_HOT, BOOST, T_MID),
+        "boost_bool_topk": osql.boosted_bool_topk_sql(T_HOT, T_MID, BOOST),
         "event_range_agg": otx.event_range_agg_sql(*TS_RANGE),
         "event_hourly_rollup": otx.event_hourly_rollup_sql(ROLLUP_TYPE),
         "event_json_stats": otx.event_json_stats_sql(),

@@ -1802,8 +1802,48 @@ class Searcher:
         if isinstance(node, ConstScoreQ):
             return ConstScoreQ(self.rewrite(node.child), boost=node.boost)
         if isinstance(node, BoostQ):
-            return BoostQ(self.rewrite(node.child), boost=node.boost)
+            return self._distribute_boost(
+                self.rewrite(node.child), np.float32(node.boost)
+            )
         raise TypeError(f"unknown node {node!r}")
+
+    def _distribute_boost(self, node, boost: "np.float32"):
+        """BoostQuery over ANY clause: Lucene propagates boost through
+        Weight creation (BoostQuery.java createWeight passes
+        ``boost * this.boost``, a float multiply) so it folds
+        multiplicatively into every scoring leaf's float32 weight. The same
+        fold here as a plan rewrite: composites distribute to their scoring
+        children; leaves keep a BoostQ wrapper whose weight the scorer
+        builds as float32(boost * idf)."""
+        if isinstance(node, BoostQ):
+            return self._distribute_boost(
+                node.child, np.float32(boost * np.float32(node.boost))
+            )
+        if isinstance(node, ConstScoreQ):
+            # ConstantScoreQuery's weight scores the accumulated boost
+            return ConstScoreQ(
+                node.child, boost=float(np.float32(boost * np.float32(node.boost)))
+            )
+        if isinstance(node, MatchAllQ):
+            return ConstScoreQ(node, boost=float(boost))
+        if isinstance(node, BoolQ):
+            # must_not never scores (COMPLETE_NO_SCORES); each folded
+            # MatchAll clause scores float32(boost) instead of 1.0
+            return BoolQ(
+                must=tuple(self._distribute_boost(c, boost) for c in node.must),
+                should=tuple(self._distribute_boost(c, boost) for c in node.should),
+                must_not=node.must_not,
+                msm=node.msm,
+                const_add=node.const_add * float(boost),
+                n_free_opt=node.n_free_opt,
+                filter=node.filter,
+            )
+        if isinstance(node, DisMaxQ):
+            return DisMaxQ(
+                clauses=tuple(self._distribute_boost(c, boost) for c in node.clauses),
+                tie=node.tie,
+            )
+        return BoostQ(node, boost=float(boost))
 
     def field_stats(self, field: str) -> tuple[int, int]:
         """(docCount, sumTotalTermFreq) of one field — the idf/avgdl inputs

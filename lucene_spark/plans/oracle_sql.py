@@ -446,6 +446,19 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def boosted_bool_topk_sql(t1: str, t2: str, boost: float, k: int = 10) -> str:
+    """BoostQuery over a composite: ``(t1 OR t2)^boost``. Lucene propagates
+    the boost through Weight creation (BoostQuery.java createWeight float
+    multiply), so each clause scores with weight = float32(boost * idf) —
+    identical to boosting every clause."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1, boost)},{scored_term_cte('s2', t2, boost)}
+SELECT doc_id,
+       CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def match_all_count_sql() -> str:
     return "SELECT count(*)::BIGINT AS n FROM documents"
 

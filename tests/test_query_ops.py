@@ -79,6 +79,34 @@ def searcher(spark):
     return Searcher(spark, entry._index_for(spark, "/root/testdata/sf0.001"))
 
 
+def test_boost_distributes_over_composites(searcher):
+    """BoostQuery over a BooleanQuery folds into every scoring leaf's f32
+    weight (BoostQuery.java createWeight boost multiply) — score-identical
+    to boosting each clause, and nested boosts fold as float32 products."""
+    from lucene_spark.plans.query import BoostQ
+
+    inner = parse_query("merge OR window")
+    r_b = searcher.search(BoostQ(inner, boost=2.0), k=10, with_keys=False)
+    manual = BoolQ(should=(BoostQ(TermQ("merge"), 2.0), BoostQ(TermQ("window"), 2.0)))
+    r_m = searcher.search(manual, k=10, with_keys=False)
+    assert list(r_b.gid) == list(r_m.gid)
+    assert list(r_b.score) == list(r_m.score)
+
+    nested = BoostQ(BoostQ(TermQ("merge"), 3.0), 2.0)
+    flat = BoostQ(TermQ("merge"), float(np.float32(np.float32(2.0) * np.float32(3.0))))
+    assert list(searcher.search(nested, k=5, with_keys=False).score) == list(
+        searcher.search(flat, k=5, with_keys=False).score
+    )
+
+    # boost over DisMax distributes into each arm
+    dm = DisMaxQ(clauses=(TermQ("merge"), TermQ("window")), tie=0.3)
+    r_dm = searcher.search(BoostQ(dm, boost=2.0), k=10, with_keys=False)
+    dm_b = DisMaxQ(
+        clauses=(BoostQ(TermQ("merge"), 2.0), BoostQ(TermQ("window"), 2.0)), tie=0.3
+    )
+    assert list(r_dm.score) == list(searcher.search(dm_b, k=10, with_keys=False).score)
+
+
 def test_rewrite_prefix_constant_score_blended(searcher):
     """Reference default: CONSTANT_SCORE_BLENDED_REWRITE (PrefixQuery.java:
     32-34) — constant-score over the uncapped match set."""
