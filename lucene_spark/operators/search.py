@@ -403,13 +403,15 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
         if tp is None or not len(tp.gids):
             return np.empty(0, np.int64), np.empty(0, np.float32)
         return tp.gids, _score_term(tp, w, ctx.cache_for(child.term))
-    if isinstance(child, (PhraseQ, SynonymQ, BlendedQ)):
+    _PHRASE_LIKE = (PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SpanNearQ,
+                    SpanFirstQ, SpanNotQ, SpanOrQ)
+    if isinstance(child, _PHRASE_LIKE + (SynonymQ, BlendedQ)):
         # temporarily rebind the child's weight to the boosted one
         sub = ScoreCtx(
             weights=ctx.weights,
             cache=ctx.cache,
             phrase_weights={**ctx.phrase_weights, child: w}
-            if isinstance(child, PhraseQ) else ctx.phrase_weights,
+            if isinstance(child, _PHRASE_LIKE) else ctx.phrase_weights,
             syn_weights={**(ctx.syn_weights or {}), child: w}
             if isinstance(child, SynonymQ) else ctx.syn_weights,
             boost_weights=ctx.boost_weights,
@@ -1886,7 +1888,9 @@ class Searcher:
                 walk(n.child)
                 if isinstance(n.child, TermQ):
                     base = weights.get(n.child.term, np.float32(0.0))
-                elif isinstance(n.child, PhraseQ):
+                elif isinstance(n.child, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
+                                          SpanNearQ, SpanFirstQ, SpanNotQ,
+                                          SpanOrQ)):
                     base = phrase_weights.get(n.child, np.float32(0.0))
                 elif isinstance(n.child, SynonymQ):
                     base = syn_weights.get(n.child, np.float32(0.0))

@@ -106,6 +106,16 @@ def test_boost_distributes_over_composites(searcher):
     )
     assert list(r_dm.score) == list(searcher.search(dm_b, k=10, with_keys=False).score)
 
+    # positional leaves: boost=1 is the identity, boost=2 scales in place
+    for qs in ('"table scan"', '"table scan"~2', '"table scan"~2 AND merge'):
+        q = parse_query(qs)
+        base = searcher.search(q, k=5, with_keys=False)
+        b1 = searcher.search(BoostQ(q, 1.0), k=5, with_keys=False)
+        b2 = searcher.search(BoostQ(q, 2.0), k=5, with_keys=False)
+        assert list(base.gid) == list(b1.gid) and list(base.score) == list(b1.score)
+        assert list(base.gid) == list(b2.gid)
+        assert all(x > y for x, y in zip(b2.score, base.score))
+
 
 def test_rewrite_prefix_constant_score_blended(searcher):
     """Reference default: CONSTANT_SCORE_BLENDED_REWRITE (PrefixQuery.java:
