@@ -84,6 +84,7 @@ from ..plans.query import (
     SynonymQ,
     TermInSetQ,
     TermQ,
+    TermSetRefQ,
     WildcardQ,
     parse_query,
     query_terms,
@@ -93,6 +94,12 @@ __all__ = ["Searcher", "TermPostings", "eval_plan", "decode_term_blocks"]
 
 # BooleanQuery clause cap for scoring rewrites (IndexSearcher.java:81)
 MAX_CLAUSE_COUNT = 1024
+
+# constant-score multi-term rewrites enumerate at most this many terms into
+# a driver-side TermInSet (AbstractMultiTermQueryConstantScoreWrapper
+# BOOLEAN_REWRITE_TERM_COUNT_THRESHOLD = 16); bigger match sets stay a
+# DataFrame plan (TermSetRefQ) and semi-join into the postings scan
+BOOL_REWRITE_TERM_LIMIT = 16
 
 # bucket sizing: target query-term postings per bucket task (the unit of
 # boolean/phrase scoring parallelism) and the floor below which extra
@@ -387,6 +394,15 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         if not gs:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         gids = np.unique(np.concatenate(gs))
+        return gids, np.full(len(gids), np.float32(node.boost), dtype=np.float32)
+    if isinstance(node, TermSetRefQ):
+        # lazy constant-score set: all member postings arrive pre-unioned
+        # under the node's virtual key (blocks of different member terms may
+        # interleave/duplicate gids; unique gives the match set)
+        tp = postings.get(node.name)
+        if tp is None or not len(tp.gids):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        gids = np.unique(tp.gids)
         return gids, np.full(len(gids), np.float32(node.boost), dtype=np.float32)
     if isinstance(node, BoostQ):
         return _eval_boost(node, postings, ctx)
@@ -1256,6 +1272,12 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         if not any(t in term_maxes for t in node.terms):
             return float("-inf")
         return float(node.boost)
+    if isinstance(node, TermSetRefQ):
+        # the virtual key appears in term_maxes iff any member postings
+        # block overlaps this bucket
+        if node.name not in term_maxes:
+            return float("-inf")
+        return float(node.boost)
     if isinstance(node, BoostQ):
         child = _plan_upper_bound(node.child, term_maxes, ctx)
         if child == float("-inf"):
@@ -1347,6 +1369,11 @@ def _req_terms(node) -> set:
         return out
     if isinstance(node, (ConstScoreQ, BoostQ)):
         return _req_terms(node.child)
+    if isinstance(node, TermSetRefQ):
+        # every matching doc contains SOME member term, and the virtual
+        # key's blocks union ALL member postings — so at block grain the
+        # virtual key behaves like one required term
+        return {node.name}
     return set()
 
 
@@ -1434,6 +1461,26 @@ def _live_mask(gids: np.ndarray, scores: np.ndarray,
     return gids[keep], scores[keep]
 
 
+def _set_refs(node) -> "list[TermSetRefQ]":
+    """All TermSetRefQ nodes in a rewritten tree (dedup, stable order)."""
+    out: dict = {}
+
+    def walk(n):
+        if isinstance(n, TermSetRefQ):
+            out[n] = None
+        elif isinstance(n, BoolQ):
+            for c in n.must + n.should + n.must_not + n.filter:
+                walk(c)
+        elif isinstance(n, DisMaxQ):
+            for c in n.clauses:
+                walk(c)
+        elif isinstance(n, (ConstScoreQ, BoostQ)):
+            walk(n.child)
+
+    walk(node)
+    return list(out)
+
+
 def _contains_matchall(node) -> bool:
     if isinstance(node, MatchAllQ):
         return True
@@ -1510,19 +1557,65 @@ class Searcher:
         self.seed_min_buckets = int(seed_min_buckets)
         self.metrics: "dict | None" = None
         self._deleted = _UNSET
+        self._deleted_bc = _UNSET
+        self._deleted_df = _UNSET
 
     # ---- planning -----------------------------------------------------
     def deleted_gids(self) -> "np.ndarray | None":
         """Sorted array of deleted docIDs, or None when the index has no
         deletes (the common case costs one manifest scan). Deletes are
         memory-resident like Lucene's per-segment live-docs bitsets; at 8
-        bytes per deleted doc the budget matches Lucene's own RAM model."""
+        bytes per deleted doc the budget matches Lucene's own RAM model —
+        but ONLY driver-side paths read this. Kernels take
+        :meth:`deleted_bc` (a Spark broadcast: shipped once per executor
+        over the torrent protocol, never pickled into task closures — the
+        r3 scale-killer at north-rule delete volumes)."""
         if self._deleted is not _UNSET:
             return self._deleted
         from ..operators.merge import load_deleted_gids
 
         self._deleted = load_deleted_gids(self.index_dir)
         return self._deleted
+
+    def deleted_bc(self):
+        """Broadcast handle over the sorted deleted-gid array, or None.
+        The handle itself serializes to a few hundred bytes regardless of
+        delete count (SparkContext.broadcast — TorrentBroadcast); workers
+        materialize the array once per executor on first ``.value``."""
+        if self._deleted_bc is not _UNSET:
+            return self._deleted_bc
+        arr = self.deleted_gids()
+        self._deleted_bc = (
+            None if arr is None else self.spark.sparkContext.broadcast(arr)
+        )
+        return self._deleted_bc
+
+    def _delete_paths(self) -> "list[str]":
+        from ..operators.indexer import read_manifest
+
+        return [
+            os.path.join(self.index_dir, r["path"])
+            for r in read_manifest(self.index_dir)
+            if r.get("type") == "delete" and r.get("status") == "committed"
+        ]
+
+    def has_deletes(self) -> bool:
+        """Manifest-only check — never materializes the delete set."""
+        if self._deleted is not _UNSET:
+            return self._deleted is not None
+        return bool(self._delete_paths())
+
+    def deleted_df(self) -> "DataFrame | None":
+        """Deleted gids as a DataFrame straight off the delete-record
+        parquet (no driver round-trip), for DataFrame-level live filters."""
+        if self._deleted_df is not _UNSET:
+            return self._deleted_df
+        paths = self._delete_paths()
+        self._deleted_df = (
+            None if not paths
+            else self.spark.read.parquet(*paths).select("gid").distinct()
+        )
+        return self._deleted_df
 
     def _postings_df(self) -> DataFrame:
         """Postings scan over the LIVE merge units (SegmentInfos view):
@@ -1572,14 +1665,15 @@ class Searcher:
             )
         return self._terms_df
 
-    def expand_terms(self, node, capped: bool = False) -> list[str]:
-        """Term-dictionary scan for one multi-term node. The filter pushes
-        into the sorted terms Parquet (min/max row-group pruning = the
-        blocktree/FST seek analog); matches collect to the driver.
-
-        ``capped`` applies BooleanQuery's maxClauseCount — only relevant for
-        SCORING boolean rewrites; the default constant-score-blended rewrite
-        has no clause cap (AbstractMultiTermQueryConstantScoreWrapper)."""
+    def matched_terms_df(self, node) -> DataFrame:
+        """Matched-terms DATAFRAME for one multi-term node — a filter over
+        the sorted terms Parquet (min/max row-group pruning = the
+        blocktree/FST seek analog). Nothing collects to the driver: callers
+        semi-join this plan into the postings scan, the Spark re-expression
+        of the per-segment postings union in
+        ``AbstractMultiTermQueryConstantScoreWrapper``
+        (core/search/MultiTermQuery.java:197-236). Columns: at least
+        (term, doc_freq)."""
         tdf = self.terms_table()
         # default-field patterns must not leak into qualified keys of other
         # fields (e.g. wildcard ?a* would match "head\x1f..." otherwise)
@@ -1616,8 +1710,6 @@ class Searcher:
                 for ch in node.pattern
             )
             matched = tdf.filter(F.col("term").rlike(f"^{rx}$"))
-        elif isinstance(node, FuzzyQ):
-            return sorted(t for t, _ in self._fuzzy_candidates(node, tdf))
         elif isinstance(node, RegexpQ):
             lit = _regex_literal_prefix(node.pattern)
             if lit:
@@ -1636,6 +1728,19 @@ class Searcher:
             matched = tdf.filter(c)
         else:
             raise TypeError(f"not a multi-term node: {node!r}")
+        return matched
+
+    def expand_terms(self, node, capped: bool = False) -> list[str]:
+        """Materialized term expansion — ONLY for bounded uses (tests,
+        SCORING boolean rewrites where ``capped`` applies maxClauseCount).
+        The query path never calls this uncapped on user patterns: rewrite
+        enumerates at most BOOL_REWRITE_TERM_LIMIT terms and otherwise keeps
+        the match set distributed (TermSetRefQ)."""
+        if isinstance(node, FuzzyQ):
+            # fuzzy candidate collection is already bounded + distributed
+            # (TakeOrdered keeps only max_expansions on the driver)
+            return sorted(t for t, _ in self._fuzzy_candidates(node))
+        matched = self.matched_terms_df(node)
         if capped:
             terms = [
                 r["term"]
@@ -1763,7 +1868,7 @@ class Searcher:
             node,
             (TermQ, PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SynonymQ,
              SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ, MatchAllQ, TermInSetQ,
-             BlendedQ),
+             TermSetRefQ, BlendedQ),
         ):
             return node
         if isinstance(node, FuzzyQ):
@@ -1779,8 +1884,22 @@ class Searcher:
                 boosts=tuple(b for _, b in pairs),
             )
         if isinstance(node, (PrefixQ, WildcardQ, RegexpQ, RangeQ)):
-            terms = self.expand_terms(node)
-            return ConstScoreQ(TermInSetQ(tuple(terms)), boost=1.0)
+            # bounded enumeration probe: collect at most LIMIT+1 terms (a
+            # 17-row collect can never OOM the driver). Small sets become a
+            # TermInSet whose IN-filter pushes into the Parquet scan —
+            # AbstractMultiTermQueryConstantScoreWrapper's
+            # BOOLEAN_REWRITE_TERM_COUNT_THRESHOLD=16 boolean rewrite.
+            # Bigger sets stay a DataFrame plan (TermSetRefQ): the matched
+            # terms semi-join into the postings scan, never materializing on
+            # the driver (the r3 scale-killer at billion-term dictionaries).
+            head = [
+                r["term"]
+                for r in self.matched_terms_df(node)
+                .select("term").limit(BOOL_REWRITE_TERM_LIMIT + 1).collect()
+            ]
+            if len(head) <= BOOL_REWRITE_TERM_LIMIT:
+                return ConstScoreQ(TermInSetQ(tuple(sorted(head))), boost=1.0)
+            return ConstScoreQ(TermSetRefQ(source=node), boost=1.0)
         if isinstance(node, BoolQ):
             # Occur.FILTER desugars to a required non-scoring clause
             # (BooleanWeight's non-scoring iterator == MUST ConstantScore(0)):
@@ -2053,6 +2172,10 @@ class Searcher:
             return self._term_in_set(node, node.boost)
         if isinstance(node, ConstScoreQ) and isinstance(node.child, TermInSetQ):
             return self._term_in_set(node.child, node.boost)
+        if isinstance(node, TermSetRefQ):
+            return self._term_set_scan(node, node.boost)
+        if isinstance(node, ConstScoreQ) and isinstance(node.child, TermSetRefQ):
+            return self._term_set_scan(node.child, node.boost)
         if isinstance(node, BoolQ) and any(
             isinstance(c, MatchAllQ)
             for c in node.must + node.should + node.must_not
@@ -2069,29 +2192,54 @@ class Searcher:
             )
         ctx = self.make_ctx(node)
         terms = {t for t in query_terms(node) if t in ctx.weights}
-        if not terms:
+        refs = _set_refs(node)
+        if not terms and not refs:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         need_positions = _has_phrase(node)
         cols = ["seg", "term", "first_gid", "last_gid", "doc_count", "gids", "freqs", "norms",
                 "imp_freqs", "imp_norms"] + (["positions"] if need_positions else [])
-        scan = self._postings_df().select(*cols)
-        if len(terms) <= 64:
-            # IN-filter pushes into the Parquet scan (row-group pruning)
-            scan = scan.filter(F.col("term").isin(list(terms)))
-        else:
-            # huge nested expansions (uncapped constant-score rewrites): an
-            # In expression with 100k literals blows up plan build — use a
-            # broadcast semi-join like TermInSetQuery's bulk path
-            tdf = self.spark.createDataFrame(
-                pd.DataFrame({"term": sorted(terms)})
+        parts = []
+        if terms:
+            scan = self._postings_df().select(*cols)
+            if len(terms) <= 64:
+                # IN-filter pushes into the Parquet scan (row-group pruning)
+                scan = scan.filter(F.col("term").isin(list(terms)))
+            else:
+                # huge explicit term sets: an In expression with 100k
+                # literals blows up plan build — broadcast semi-join like
+                # TermInSetQuery's bulk path
+                tdf = self.spark.createDataFrame(
+                    pd.DataFrame({"term": sorted(terms)})
+                )
+                scan = scan.join(F.broadcast(tdf), "term", "left_semi")
+            parts.append(scan)
+        # nested lazy term sets: each ref's member postings enter the scan
+        # through a semi-join against its matched-terms PLAN (no driver
+        # materialization), re-keyed to the ref's virtual name so kernels
+        # see one pre-unioned pseudo-term per set
+        width_terms = set(terms)
+        for ref in refs:
+            matched = self.matched_terms_df(ref.source)
+            agg = matched.agg(
+                F.coalesce(F.sum("doc_freq"), F.lit(0)).alias("df")
+            ).collect()[0]
+            ctx.doc_freqs[ref.name] = int(agg["df"])
+            width_terms.add(ref.name)
+            sdf = (
+                self._postings_df().select(*cols)
+                .join(matched.select("term"), "term", "left_semi")
+                .withColumn("term", F.lit(ref.name))
             )
-            scan = scan.join(F.broadcast(tdf), "term", "left_semi")
+            parts.append(sdf)
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p)
 
         qid = uuid.uuid4().hex
         if isinstance(node, TermQ):
             return self._single_term(scan, node, ctx, k, prune, qid, after)
         return self._bucketed(scan, node, ctx, k, prune, qid, need_positions,
-                              terms, after)
+                              width_terms, after)
 
     def _bool_matchall(self, node: BoolQ, k: int, prune: bool,
                        after: "tuple[float, int] | None") -> DataFrame:
@@ -2164,6 +2312,26 @@ class Searcher:
         else:
             tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
             scan = scan.join(F.broadcast(tdf), "term", "left_semi")
+        return self._gid_union_const(scan, boost)
+
+    def _term_set_scan(self, ref: TermSetRefQ, boost: float) -> DataFrame:
+        """Top-level lazy-set execution: the matched-terms PLAN (a filter
+        over the sorted terms table) semi-joins into the postings scan —
+        the whole match set never touches the driver, mirroring the
+        per-segment postings union of
+        ``AbstractMultiTermQueryConstantScoreWrapper``
+        (core/search/MultiTermQuery.java:197-236). Join strategy is left to
+        AQE: small match sets become a runtime broadcast, huge ones a
+        shuffle join — both correct at a billion-term dictionary. Matched
+        blocks decode doc gaps ONLY (no freqs/norms/positions read)."""
+        matched = self.matched_terms_df(ref.source).select("term")
+        scan = self._postings_df().select("term", "first_gid", "gids")
+        scan = scan.join(matched, "term", "left_semi")
+        return self._gid_union_const(scan, boost)
+
+    def _gid_union_const(self, scan: DataFrame, boost: float) -> DataFrame:
+        """Decode doc-gap streams of the scan's blocks, dedupe docs matching
+        several set terms, and emit the constant score."""
 
         def kernel(batches):
             for pdf in batches:
@@ -2180,14 +2348,14 @@ class Searcher:
         ))
 
     def _anti_join_deleted(self, df: DataFrame) -> DataFrame:
-        """DataFrame-level liveDocs filter for non-pruned paths."""
-        deleted = self.deleted_gids()
-        if deleted is None:
+        """DataFrame-level liveDocs filter for non-pruned paths: anti-join
+        against the delete-record parquet itself — the delete set never
+        crosses the driver (join strategy left to AQE; a handful of deletes
+        becomes a runtime broadcast, a north-rule-sized set a shuffle)."""
+        ddf = self.deleted_df()
+        if ddf is None:
             return df
-        # Arrow-path conversion: millions of deletes must not become a
-        # driver-side Python tuple list
-        ddf = self.spark.createDataFrame(pd.DataFrame({"gid": deleted.astype("int64")}))
-        return df.join(F.broadcast(ddf), "gid", "left_anti")
+        return df.join(ddf, "gid", "left_anti")
 
     def _bucket_width(self, ctx: ScoreCtx, terms: set) -> int:
         """Postings-volume-targeted bucket width (in gid units).
@@ -2238,13 +2406,19 @@ class Searcher:
         )
 
         def ub_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            term_maxes = {
-                t: max(
-                    _max_score_of_impacts(f, n, weights[t], term_caches[t])
+            term_maxes = {}
+            for t, grp in pdf.groupby("term", sort=False):
+                w = weights.get(t)
+                if w is None:
+                    # virtual set keys carry no BM25 weight: their bound is
+                    # the enclosing ConstScore boost, applied in
+                    # _plan_upper_bound — presence is what matters here
+                    term_maxes[t] = float("inf")
+                    continue
+                term_maxes[t] = max(
+                    _max_score_of_impacts(f, n, w, term_caches[t])
                     for f, n in zip(grp["imp_freqs"], grp["imp_norms"])
                 )
-                for t, grp in pdf.groupby("term", sort=False)
-            }
             ub = _plan_upper_bound(node, term_maxes, ctx)
             return pd.DataFrame({"bucket": [int(key[0])], "ub": [float(ub)]})
 
@@ -2281,9 +2455,10 @@ class Searcher:
         if prune and after is None and ctx.doc_freqs.get(node.term, 0) >= self.seed_min_df:
             theta0 = self._seed_theta(scan, node, ctx, k, self._bucket_width(ctx, {node.term}), False)
         metrics = self.metrics
-        deleted = self.deleted_gids()
+        dbc = self.deleted_bc()  # broadcast handle: tiny in the closure
 
         def kernel(batches):
+            deleted = dbc.value if dbc is not None else None
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -2333,12 +2508,13 @@ class Searcher:
         term_caches = {t: ctx.cache_for(t) for t in weights}
         req = _req_terms(node)
         metrics = self.metrics
-        deleted = self.deleted_gids()
+        dbc = self.deleted_bc()  # broadcast handle: tiny in the closure
         empty = pd.DataFrame(
             {"gid": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float32)}
         )
 
         def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            deleted = dbc.value if dbc is not None else None
             bucket = int(key[0])
             lo, hi = bucket * width, (bucket + 1) * width
             if metrics is not None:
@@ -2574,13 +2750,14 @@ class Searcher:
         ctx = self.make_ctx(node)
         w = ctx.weights.get(term, np.float32(0.0))
         cache = ctx.cache_for(term)
-        deleted = self.deleted_gids()
+        dbc = self.deleted_bc()  # broadcast handle: tiny in the closure
         scan = self._postings_df().select(
             "term", "first_gid", "gids", "freqs", "norms", "positions",
             "payloads",
         ).filter(F.col("term") == term)
 
         def kernel(batches):
+            deleted = dbc.value if dbc is not None else None
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -2624,7 +2801,7 @@ class Searcher:
         if node is None:
             return 0
         node = self.rewrite(node)
-        has_deletes = self.deleted_gids() is not None
+        has_deletes = self.has_deletes()
         if isinstance(node, MatchAllQ):
             if has_deletes:
                 return int(self._anti_join_deleted(

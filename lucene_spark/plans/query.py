@@ -22,7 +22,8 @@ from .fields import DEFAULT_FIELD, qualify
 __all__ = [
     "TermQ", "PhraseQ", "MultiPhraseQ", "BoolQ", "PrefixQ", "WildcardQ",
     "RangeQ", "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
-    "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "BlendedQ",
+    "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "TermSetRefQ",
+    "BlendedQ",
     "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
@@ -291,6 +292,33 @@ class TermInSetQ:
 
     terms: tuple[str, ...]
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermSetRefQ:
+    """Lazy constant-score term set: the execution form of an UNCAPPED
+    multi-term rewrite (prefix/wildcard/regexp/range) whose match set is
+    too large for a driver-side term list.
+
+    Lucene never materializes a multi-term match set globally — the
+    constant-score wrapper unions matched postings per segment
+    (``core/search/MultiTermQuery.java:197-236``,
+    ``AbstractMultiTermQueryConstantScoreWrapper``). The Spark analog keeps
+    the matched terms as a DATAFRAME PLAN (a filter over the sorted terms
+    table) that semi-joins straight into the postings scan; ``source`` is
+    the original multi-term node so the searcher can rebuild that plan
+    anywhere, and nothing ever collects to the driver. Matching docs score
+    ``boost`` (constant score), like TermInSetQ."""
+
+    source: object  # the frozen multi-term node (PrefixQ/WildcardQ/...)
+    boost: float = 1.0
+
+    @property
+    def name(self) -> str:
+        """Virtual postings key for this set inside kernels. ``\\x00`` can
+        never appear in analyzed terms (tokenizer emits word/number runs),
+        so virtual keys cannot collide with real terms."""
+        return "\x00set:" + repr(self.source)
 
 
 @dataclass(frozen=True)
@@ -807,4 +835,8 @@ def query_terms(node) -> set[str]:
         # legal as a nested constant-score clause (the blended-rewrite
         # output); top-level instances take the gid-only semi-join fast path
         return set(node.terms)
+    if isinstance(node, TermSetRefQ):
+        # the match set is a DataFrame plan, not fixed terms — the searcher
+        # adds its postings to the scan via a semi-join under a virtual key
+        return set()
     raise TypeError(f"unknown node {node!r}")
