@@ -84,6 +84,60 @@ def _index_for_fields(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+_BIGVOCAB_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_bigvocab(spark: SparkSession, sf_dir: str) -> str:
+    """Index whose dictionary carries ~3x doc-count unique terms
+    (u<doc_id>x<j>): an uncapped prefix over it matches >=1k terms at
+    sf0.01, forcing the rewrite down the DISTRIBUTED TermSetRefQ path
+    (matched-terms plan semi-joined into the postings scan — the
+    AbstractMultiTermQueryConstantScoreWrapper analog; never a driver
+    term list)."""
+    from lucene_spark.operators.indexer import build_index
+
+    if sf_dir in _BIGVOCAB_INDEX_CACHE:
+        return _BIGVOCAB_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_bigvocab_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "text",
+        F.format_string("%s u%dx0 u%dx1 u%dx2", "text", "doc_id", "doc_id", "doc_id"),
+    )
+    n = docs.count()
+    build_index(
+        spark, docs, index_dir, key_col="doc_id", text_col="text",
+        gid_col="doc_id", n_segments=max(2, min(16, n // 250)),
+    )
+    _BIGVOCAB_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _bigvocab_topk_df(spark, sf_dir, query, k=10):
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_bigvocab(spark, sf_dir))
+    pdf = s.search(query, k=k, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_multiterm_big_topk(spark, sf_dir):
+    """u* matches EVERY u<id>x<j> term (1500 at sf0.01) — far past the
+    16-term boolean-rewrite threshold, so execution is the top-level
+    TermSetRefQ doc-gap scan (constant score, gid-ascending page)."""
+    return _bigvocab_topk_df(spark, sf_dir, "u*")
+
+
+def _q_multiterm_big_bool_topk(spark, sf_dir):
+    """merge AND u*: the >=1k-term set nested as a required boolean clause
+    — the set's postings enter the bucketed kernel under a virtual key via
+    the same semi-join (no driver term list)."""
+    return _bigvocab_topk_df(spark, sf_dir, f"{T_HOT} AND u*")
+
+
 SORT_EXPR = "n_chars * 100000 + doc_id"  # unique -> deterministic order
 _SORTED_INDEX_CACHE: dict[str, str] = {}
 
@@ -1294,6 +1348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": _q_audio_resample,
         "prefix_topk": _q_prefix_topk,
         "wildcard_topk": _q_wildcard_topk,
+        "multiterm_big_topk": _q_multiterm_big_topk,
+        "multiterm_big_bool_topk": _q_multiterm_big_bool_topk,
         "range_topk": _q_range_topk,
         "synonym_topk": _q_synonym_topk,
         "dismax_topk": _q_dismax_topk,
@@ -1398,6 +1454,12 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample": otx.audio_resample_sql(AUDIO_TARGET_HZ, AUDIO_SRC_HZ),
         "prefix_topk": osql.prefix_topk_sql(PREFIX),
         "wildcard_topk": osql.wildcard_topk_sql(WILDCARD),
+        "multiterm_big_topk": osql.bigvocab_multiterm_topk_sql(
+            "tf.term LIKE 'u%'"
+        ),
+        "multiterm_big_bool_topk": osql.bigvocab_bool_multiterm_topk_sql(
+            T_HOT, "tf.term LIKE 'u%'"
+        ),
         "range_topk": osql.range_topk_sql(*RANGE),
         "synonym_topk": osql.synonym_topk_sql(*SYN),
         "dismax_topk": osql.dismax_topk_sql(T_HOT, T_MID),

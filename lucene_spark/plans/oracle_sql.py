@@ -250,6 +250,41 @@ def prefix_topk_sql(prefix: str, k: int = 10) -> str:
     return const_multiterm_topk_sql(f"tf.term LIKE '{prefix}%'", k)
 
 
+# corpus variant whose dictionary is ~3x doc-count unique terms (u<id>x<j>):
+# the >=1k-term match-set gates run over this derived table, forcing the
+# engine down the DISTRIBUTED TermSetRefQ path (match set >> the 16-term
+# boolean-rewrite threshold) while DuckDB recomputes the same corpus here
+BIGVOCAB_DOCS_CTE = """
+docs_u AS (
+  SELECT doc_id,
+         text || ' u' || doc_id || 'x0 u' || doc_id || 'x1 u' || doc_id
+              || 'x2' AS text
+  FROM documents
+)"""
+
+
+def bigvocab_multiterm_topk_sql(term_pred: str, k: int = 10) -> str:
+    """Constant-score page of an uncapped multi-term match over the
+    big-vocab corpus (>=1k matched terms at sf0.01)."""
+    return f"""WITH {BIGVOCAB_DOCS_CTE},{base_ctes('docs_u')}
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE {term_pred})
+ORDER BY doc_id ASC LIMIT {k}"""
+
+
+def bigvocab_bool_multiterm_topk_sql(term: str, term_pred: str,
+                                     k: int = 10) -> str:
+    """MUST term + MUST constant-score multi-term set over the big-vocab
+    corpus: the term's float32 BM25 score (recomputed over the LONGER
+    docs — the 3 extra tokens shift doc lengths/norms/avgdl) plus the
+    set's 1.0, one float32 cast on the sum (BooleanQuery double-sum)."""
+    return f"""WITH {BIGVOCAB_DOCS_CTE},{base_ctes('docs_u')},{scored_term_cte('s', term)}
+SELECT s.doc_id, CAST(CAST(s.score + 1.0 AS FLOAT) AS DOUBLE) AS score
+FROM s
+WHERE s.doc_id IN (SELECT doc_id FROM tf WHERE {term_pred})
+ORDER BY score DESC, s.doc_id ASC LIMIT {k}"""
+
+
 def wildcard_topk_sql(pattern: str, k: int = 10) -> str:
     like = pattern.replace("*", "%").replace("?", "_")
     return const_multiterm_topk_sql(f"tf.term LIKE '{like}'", k)
