@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-INDEX_FORMAT_VERSION = "v2"
+INDEX_FORMAT_VERSION = "v3"  # v3: + terms_rev (rterm-sorted suffix seeks)
 
 # query terms chosen from the documents corpus vocabulary
 T_HOT = "merge"
@@ -856,6 +856,23 @@ def _q_wildcard_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, WILDCARD)
 
 
+WILDCARD_LEAD = "*er"  # customer, filter, order — suffix seek on terms_rev
+REGEXP_ALT = "scan|sort"  # whole-term alternation (RegexpQuery anchoring)
+
+
+def _q_wildcard_lead_topk(spark, sf_dir):
+    """Leading wildcard: no literal prefix, so the match runs as a
+    StartsWith(reversed suffix) seek into the rterm-sorted dictionary —
+    never a full-dictionary scan."""
+    return _topk_df(spark, sf_dir, WILDCARD_LEAD)
+
+
+def _q_regexp_alt_topk(spark, sf_dir):
+    """Top-level regex alternation must anchor the WHOLE term
+    (^(?:scan|sort)$), not each branch separately."""
+    return _topk_df(spark, sf_dir, f"/{REGEXP_ALT}/")
+
+
 def _q_range_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, f"[{RANGE[0]} TO {RANGE[1]}]")
 
@@ -1350,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": _q_wildcard_topk,
         "multiterm_big_topk": _q_multiterm_big_topk,
         "multiterm_big_bool_topk": _q_multiterm_big_bool_topk,
+        "wildcard_lead_topk": _q_wildcard_lead_topk,
+        "regexp_alt_topk": _q_regexp_alt_topk,
         "range_topk": _q_range_topk,
         "synonym_topk": _q_synonym_topk,
         "dismax_topk": _q_dismax_topk,
@@ -1460,6 +1479,8 @@ def oracle_sql() -> dict[str, str]:
         "multiterm_big_bool_topk": osql.bigvocab_bool_multiterm_topk_sql(
             T_HOT, "tf.term LIKE 'u%'"
         ),
+        "wildcard_lead_topk": osql.wildcard_topk_sql(WILDCARD_LEAD),
+        "regexp_alt_topk": osql.regexp_topk_sql(REGEXP_ALT),
         "range_topk": osql.range_topk_sql(*RANGE),
         "synonym_topk": osql.synonym_topk_sql(*SYN),
         "dismax_topk": osql.dismax_topk_sql(T_HOT, T_MID),

@@ -928,6 +928,36 @@ def unit_field_stats(index_dir: str, unit: dict) -> "dict[str, dict]":
     return out
 
 
+def _write_terms_tables(terms, index_dir: str) -> None:
+    """Write the sorted term dictionary AND its reversed twin, each via
+    write-to-temp + atomic rename.
+
+    ``terms/``      term-sorted   -> prefix seeks prune parquet row groups
+    ``terms_rev/``  rterm-sorted  -> suffix seeks (leading wildcards: *ing,
+                                     .*foo) become prefix seeks on rterm
+
+    The reversed table is the Spark analog of indexing reversed terms for
+    leading-wildcard queries (Lucene's ReversedWildcardFilter trade — pay
+    a second small dictionary to avoid a full-dictionary scan per query;
+    the blocktree automaton intersect has no Parquet analog)."""
+    import shutil
+
+    for name, df in (
+        ("terms", terms),
+        (
+            "terms_rev",
+            terms.withColumn("rterm", F.reverse(F.col("term")))
+            .select("rterm", "term", "doc_freq", "total_term_freq")
+            .sortWithinPartitions("rterm"),
+        ),
+    ):
+        tmp = os.path.join(index_dir, f"{name}_new")
+        df.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(index_dir, name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+
+
 def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
     """Live-unit stats view (used once any purged merge exists).
 
@@ -983,13 +1013,7 @@ def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
         )
         .sortWithinPartitions("term")
     )
-    tmp = os.path.join(index_dir, "terms_new")
-    terms.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    final = os.path.join(index_dir, "terms")
-    shutil.rmtree(final, ignore_errors=True)
-    os.rename(tmp, final)
+    _write_terms_tables(terms, index_dir)
 
     stats_path = os.path.join(index_dir, "stats.json")
     stats = {}
@@ -1203,7 +1227,7 @@ def finalize_index(spark: SparkSession, index_dir: str) -> None:
         )
         .sortWithinPartitions("term")
     )
-    terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+    _write_terms_tables(terms, index_dir)
 
     batch_dirs = [
         os.path.join(index_dir, "segments", d)

@@ -112,11 +112,34 @@ _UNSET = object()  # deleted-gids cache sentinel
 _REGEX_META = set("\\.^$*+?()[]{}|")
 
 
+def _has_toplevel_alternation(pattern: str) -> bool:
+    """True when an unescaped ``|`` sits at group depth 0 — then NO edge
+    of the pattern is a sound pushdown anchor (``abc|xyz`` constrains
+    neither prefix nor suffix)."""
+    depth = 0
+    esc = False
+    for ch in pattern:
+        if esc:
+            esc = False
+        elif ch == "\\":
+            esc = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return True
+    return False
+
+
 def _regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix of a regex — chars up to the first metachar,
     excluding a char modified by a following quantifier. Used to push a
     StartsWith into the sorted-terms scan before the full rlike (the FST
-    automaton-intersection seek analog)."""
+    automaton-intersection seek analog). A top-level alternation voids the
+    anchor (``abc|xyz`` matches terms not starting with abc)."""
+    if _has_toplevel_alternation(pattern):
+        return ""
     out = []
     for i, ch in enumerate(pattern):
         if ch in _REGEX_META:
@@ -125,6 +148,29 @@ def _regex_literal_prefix(pattern: str) -> str:
             break
         out.append(ch)
     return "".join(out)
+
+
+def _regex_literal_suffix(pattern: str) -> str:
+    """Longest literal SUFFIX of a regex — the leading-wildcard seek key:
+    reversed, it pushes a StartsWith into the rterm-sorted dictionary
+    (``terms_rev``), the Spark analog of indexing reversed terms for
+    ``.*foo`` patterns (Lucene's ReversedWildcardFilter / the blocktree
+    automaton intersect running the suffix backward)."""
+    if _has_toplevel_alternation(pattern):
+        return ""
+    out = []
+    i = len(pattern) - 1
+    while i >= 0:
+        ch = pattern[i]
+        if ch in _REGEX_META:
+            break
+        # a preceding backslash makes this char an escape payload, and a
+        # preceding metachar region is unknown — stop conservatively
+        if i > 0 and pattern[i - 1] == "\\":
+            break
+        out.append(ch)
+        i -= 1
+    return "".join(reversed(out))
 
 
 @dataclass
@@ -1550,6 +1596,7 @@ class Searcher:
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self._terms_df = None
+        self._terms_rev_df = _UNSET
         # scale knobs (defaults sized for cluster runs; tests shrink them to
         # exercise the multi-bucket + seeded-θ paths on tiny corpora)
         self.target_bucket_postings = int(target_bucket_postings)
@@ -1665,6 +1712,24 @@ class Searcher:
             )
         return self._terms_df
 
+    def terms_rev_table(self) -> DataFrame:
+        """The REVERSED term dictionary (rterm, term, doc_freq,
+        total_term_freq), sorted by rterm: leading-wildcard / suffix
+        patterns push a StartsWith(reverse(suffix)) into it — the Spark
+        analog of Lucene's solr.ReversedWildcardFilter trade (index the
+        reversed form; a ``*ing`` seek becomes a prefix seek). Pre-rev
+        indexes fall back to deriving rterm on the fly (correct, no
+        row-group pruning)."""
+        if self._terms_rev_df is _UNSET:
+            path = os.path.join(self.index_dir, "terms_rev")
+            try:
+                self._terms_rev_df = self.spark.read.parquet(path)
+            except Exception:
+                self._terms_rev_df = self.terms_table().withColumn(
+                    "rterm", F.reverse(F.col("term"))
+                )
+        return self._terms_rev_df
+
     def matched_terms_df(self, node) -> DataFrame:
         """Matched-terms DATAFRAME for one multi-term node — a filter over
         the sorted terms Parquet (min/max row-group pruning = the
@@ -1682,7 +1747,8 @@ class Searcher:
             FuzzyQ: lambda n: n.term, RegexpQ: lambda n: n.pattern,
             RangeQ: lambda n: (n.lo or "") + (n.hi or ""),
         }.get(type(node))
-        if probe is not None and FIELD_SEP not in probe(node):
+        default_field_only = probe is not None and FIELD_SEP not in probe(node)
+        if default_field_only:
             tdf = tdf.filter(~F.col("term").contains(FIELD_SEP))
         elif isinstance(node, FuzzyQ) and FIELD_SEP in node.term:
             # unanchored edit-distance scan: pin it to the node's field
@@ -1705,6 +1771,18 @@ class Searcher:
             )
             if cut:
                 tdf = tdf.filter(F.col("term").startswith(node.pattern[:cut]))
+            else:
+                # leading wildcard (*ing / ?erge): the longest literal
+                # SUFFIX, reversed, is a prefix seek into the rterm-sorted
+                # dictionary — no full-dictionary scan
+                wilds = [i for i, ch in enumerate(node.pattern) if ch in "*?"]
+                suffix = node.pattern[wilds[-1] + 1:]
+                if suffix:
+                    tdf = self.terms_rev_table().filter(
+                        F.col("rterm").startswith(suffix[::-1])
+                    )
+                    if default_field_only:
+                        tdf = tdf.filter(~F.col("term").contains(FIELD_SEP))
             rx = "".join(
                 ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
                 for ch in node.pattern
@@ -1714,7 +1792,18 @@ class Searcher:
             lit = _regex_literal_prefix(node.pattern)
             if lit:
                 tdf = tdf.filter(F.col("term").startswith(lit))
-            matched = tdf.filter(F.col("term").rlike(f"^{node.pattern}$"))
+            else:
+                sfx = _regex_literal_suffix(node.pattern)
+                if sfx:
+                    tdf = self.terms_rev_table().filter(
+                        F.col("rterm").startswith(sfx[::-1])
+                    )
+                    if default_field_only:
+                        tdf = tdf.filter(~F.col("term").contains(FIELD_SEP))
+            # (?:...) keeps full-term anchoring across top-level
+            # alternations (RegexpQuery matches the WHOLE term;
+            # ^abc|xyz$ would anchor each branch separately)
+            matched = tdf.filter(F.col("term").rlike(f"^(?:{node.pattern})$"))
         elif isinstance(node, RangeQ):
             c = F.lit(True)
             if node.lo is not None:

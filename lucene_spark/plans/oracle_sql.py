@@ -404,7 +404,11 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
 def regexp_topk_sql(pattern: str, k: int = 10) -> str:
-    return const_multiterm_topk_sql(f"regexp_matches(tf.term, '^{pattern}$')", k)
+    # (?:...) = whole-term anchoring even across top-level alternations
+    # (RegexpQuery matches the entire term)
+    return const_multiterm_topk_sql(
+        f"regexp_matches(tf.term, '^(?:{pattern})$')", k
+    )
 
 
 def range_topk_sql(lo: str, hi: str, k: int = 10) -> str:

@@ -90,6 +90,52 @@ def test_wildcard_literal_prefix_pushes_startswith(searcher):
     assert searcher.expand_terms(WildcardQ("?erge")) == ["merge"]  # no prefix
 
 
+def test_leading_wildcard_uses_reversed_dictionary(searcher):
+    """VERDICT r3 ask #4: *ing-style patterns must seek the rterm-sorted
+    dictionary (StartsWith on the reversed suffix pushed into Parquet),
+    never full-scan the term dictionary."""
+    from pyspark.sql import functions as F
+    from lucene_spark.plans.query import RegexpQ, WildcardQ
+
+    m = searcher.matched_terms_df(WildcardQ("*er"))
+    plan = _explain(m)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("StartsWith" in l and "rterm" in l for l in pushed), plan
+    # results identical to a brute endswith over the full dictionary
+    vocab = [
+        r["term"]
+        for r in searcher.terms_table().select("term").collect()
+    ]
+    want = sorted(t for t in vocab if t.endswith("er") and "\x1f" not in t)
+    assert searcher.expand_terms(WildcardQ("*er")) == want
+    # regexp .*foo takes the same seek
+    m2 = searcher.matched_terms_df(RegexpQ(".*er"))
+    pushed2 = [l for l in _explain(m2).splitlines() if "PushedFilters" in l]
+    assert any("StartsWith" in l and "rterm" in l for l in pushed2)
+    assert searcher.expand_terms(RegexpQ(".*er")) == want
+
+
+def test_regexp_alternation_anchors_whole_term(searcher):
+    """^abc|xyz$ anchors each branch separately — RegexpQuery matches the
+    ENTIRE term, so the engine wraps (?:...) and pushes NO prefix from an
+    alternated pattern."""
+    from lucene_spark.operators.search import (
+        _regex_literal_prefix,
+        _regex_literal_suffix,
+    )
+    from lucene_spark.plans.query import RegexpQ
+
+    assert _regex_literal_prefix("abc|xyz") == ""
+    assert _regex_literal_suffix("abc|xyz") == ""
+    assert _regex_literal_prefix("ab(c|d)") == "ab"
+    assert _regex_literal_suffix(".*ing") == "ing"
+    assert _regex_literal_suffix("a.c") == "c"
+    got = searcher.expand_terms(RegexpQ("scan|sort"))
+    assert got == ["scan", "sort"]
+    # branch must not partial-match: s.* would, s alone must not
+    assert searcher.expand_terms(RegexpQ("merge|s")) == ["merge"]
+
+
 def test_fuzzy_expansion_is_length_banded(searcher):
     """Fuzzy candidates are bounded by |len(term) - len(q)| <= maxEdits
     before any distance runs, and prefix_length pushes a StartsWith seek."""
