@@ -545,6 +545,22 @@ def _q_custom_sim_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_classic_sim_topk(spark, sf_dir):
+    """ClassicSimilarity (TFIDFSimilarity VSM) through the pluggable
+    Similarity protocol — sqrt-tf scoring and 1/sqrt(len) norms replace
+    BM25 end-to-end, including the impact-pruning bounds
+    (core/search/similarities/ClassicSimilarity.java)."""
+    from lucene_spark.functions.similarity import ClassicSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for(spark, sf_dir), similarity=ClassicSim())
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     pdf = _searcher(spark, sf_dir).search(query, k=k, with_keys=False)
     out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
@@ -1385,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_topk": _q_payload_topk,
         "filter_topk": _q_filter_topk,
         "custom_sim_topk": _q_custom_sim_topk,
+        "classic_sim_topk": _q_classic_sim_topk,
         "delete_count": _q_delete_count,
         "purge_topk": _q_purge_topk,
         "term_in_set_topk": _q_term_in_set_topk,
@@ -1497,6 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_topk": osql.payload_topk_sql(T_HOT, "sum", True),
         "filter_topk": osql.filter_topk_sql(T_HOT, T_MID),
         "custom_sim_topk": osql.custom_sim_topk_sql(T_HOT, CUSTOM_K1, CUSTOM_B),
+        "classic_sim_topk": osql.classic_sim_topk_sql(T_HOT),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),
         "purge_tiered_topk": osql.purge_topk_sql(T_HOT, T_B, DELETE_MOD),

@@ -1,0 +1,95 @@
+"""Pluggable Similarity protocol (core/search/similarities/Similarity.java).
+
+After Lucene's Weight layer folds boosts and collection stats, a
+similarity reduces to three executable pieces — and those are exactly the
+protocol here, each vectorized over numpy float32 so kernel scores stay
+bit-identical to the JVM:
+
+  ``idf(doc_freq, doc_count)``  -> float32 per-term stat weight
+  ``norm_table(avgdl)``         -> float32[256] per-norm-byte factor
+                                   (indexed by the SmallFloat norm byte)
+  ``score(freqs, weight, nv)``  -> float32 scores, where ``nv`` is
+                                   ``norm_table(...)[norm bytes]``
+
+The Weight-layer folds — boost*idf as one float32 multiply, phrase idf
+summed in double over float per-term idfs, synonym/blended df maxing —
+are similarity-agnostic in Lucene (TermWeight/PhraseWeight call
+``similarity.scorer(boost, collectionStats, termStats...)`` the same way
+for every subclass), so they stay in the engine and only these three
+pieces swap.
+
+Monotonicity contract (same as Lucene's impacts): ``score`` must be
+non-decreasing in freq and non-increasing in encoded doc length — the
+index-time impact frontiers and block-max pruning assume it.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bm25 import idf as _bm25_idf, norm_cache as _bm25_norm_cache
+from .smallfloat import LENGTH_TABLE
+
+__all__ = ["BM25Sim", "ClassicSim"]
+
+
+@dataclass(frozen=True)
+class BM25Sim:
+    """BM25Similarity(k1, b) — the engine default
+    (core/search/similarities/BM25Similarity.java)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return _bm25_idf(doc_freq, doc_count)
+
+    def norm_table(self, avg_dl: np.float32) -> np.ndarray:
+        return _bm25_norm_cache(avg_dl, np.float32(self.k1), np.float32(self.b))
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray) -> np.ndarray:
+        """float32 ``w - w / (1 + freq * cache[norm])``
+        (BM25Similarity.java:240-252)."""
+        one = np.float32(1.0)
+        return weight - weight / (one + freqs.astype(np.float32) * norm_vals)
+
+
+@dataclass(frozen=True)
+class ClassicSim:
+    """ClassicSimilarity (TFIDFSimilarity) — the historical VSM scoring
+    (core/search/similarities/ClassicSimilarity.java:37-65,
+    TFIDFSimilarity.java:470-510). Parameter-free.
+
+    Exact float32 op points mirrored from the JVM:
+      idf        = (float)(ln((docCount+1)/(double)(docFreq+1)) + 1.0)
+      normTable  = 1f / (float)sqrt(decoded_length) — f32 cast on the
+                   sqrt, THEN an f32 divide (two rounding points, not
+                   one); slot 0 (length 0) is 1f / normTable[255] per
+                   TFIDFSimilarity's static initializer
+      tf         = (float) sqrt((double) freq)
+      score      = f32(f32(tf * weight) * normTable[norm])
+    """
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(
+            math.log((doc_count + 1) / float(doc_freq + 1)) + 1.0
+        )
+
+    def norm_table(self, avg_dl: np.float32) -> np.ndarray:
+        # length-only normalization: avgdl is unused (TFIDF has no b/avgdl)
+        s = np.sqrt(LENGTH_TABLE.astype(np.float64)).astype(np.float32)
+        with np.errstate(divide="ignore"):
+            t = np.float32(1.0) / s
+        t[0] = np.float32(1.0) / t[255]
+        return t
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray) -> np.ndarray:
+        # sqrt computed in double then cast once (Java (float)Math.sqrt),
+        # each multiply a float32 op
+        tf = np.sqrt(freqs.astype(np.float64)).astype(np.float32)
+        return (tf * weight) * norm_vals

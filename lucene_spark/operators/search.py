@@ -58,6 +58,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..functions.bm25 import BM25Scorer, avgdl as _avgdl, idf as _idf, norm_cache
+from ..functions.similarity import BM25Sim
 from ..functions.pfor import batch_decode_streams
 from ..plans.fields import (
     DEFAULT_FIELD, FIELD_SEP, field_of as _field_of, local_term,
@@ -377,6 +378,7 @@ class ScoreCtx:
     blended_weights: dict = None  # BlendedQ -> tuple[np.float32] per member
     doc_freqs: dict = None  # term key -> global docFreq (bucket-width targeting)
     caches: dict = None  # field -> float32[256] cache (per-field avgdl)
+    sim: object = None  # Similarity (functions/similarity.py); BM25Sim default
 
     def cache_for(self, term_key: str) -> np.ndarray:
         """Norm-inverse cache of the term's field (per-field avgdl —
@@ -386,9 +388,9 @@ class ScoreCtx:
         return self.caches.get(_field_of(term_key), self.cache)
 
 
-def _score_term(tp: TermPostings, weight: np.float32, cache: np.ndarray) -> np.ndarray:
-    one = np.float32(1.0)
-    return weight - weight / (one + tp.freqs.astype(np.float32) * cache[tp.norms])
+def _score_term(tp: TermPostings, weight: np.float32, cache: np.ndarray,
+                sim) -> np.ndarray:
+    return sim.score(tp.freqs, weight, cache[tp.norms])
 
 
 def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
@@ -402,7 +404,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         tp = postings.get(node.term)
         if tp is None or not len(tp.gids):
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        return tp.gids, _score_term(tp, ctx.weights[node.term], ctx.cache_for(node.term))
+        return tp.gids, _score_term(tp, ctx.weights[node.term],
+                                    ctx.cache_for(node.term), ctx.sim)
     if isinstance(node, PhraseQ):
         return _eval_phrase(node, postings, ctx)
     if isinstance(node, NearQ):
@@ -464,7 +467,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
         tp = postings.get(child.term)
         if tp is None or not len(tp.gids):
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        return tp.gids, _score_term(tp, w, ctx.cache_for(child.term))
+        return tp.gids, _score_term(tp, w, ctx.cache_for(child.term), ctx.sim)
     _PHRASE_LIKE = (PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SpanNearQ,
                     SpanFirstQ, SpanNotQ, SpanOrQ)
     if isinstance(child, _PHRASE_LIKE + (SynonymQ, BlendedQ)):
@@ -480,6 +483,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
             blended_weights={**(ctx.blended_weights or {}), child: w}
             if isinstance(child, BlendedQ) else ctx.blended_weights,
             caches=ctx.caches,
+            sim=ctx.sim,
         )
         return eval_plan(child, postings, sub)
     raise TypeError(f"BoostQ supports leaf scoring nodes, got {child!r}")
@@ -502,8 +506,7 @@ def _eval_synonym(node: SynonymQ, postings: dict, ctx: ScoreCtx) -> tuple[np.nda
     norms = np.zeros(len(gids), dtype=np.uint8)
     norms[inv] = all_n  # per-doc norm, identical across member terms
     w = ctx.syn_weights[node]
-    one = np.float32(1.0)
-    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache_for(node.terms[0])[norms])
+    scores = ctx.sim.score(freqs, w, ctx.cache_for(node.terms[0])[norms])
     return gids, scores
 
 
@@ -519,7 +522,7 @@ def _eval_blended(node: BlendedQ, postings: dict, ctx: ScoreCtx) -> tuple[np.nda
         tp = postings.get(t)
         if tp is None or not len(tp.gids):
             continue
-        evs.append((tp.gids, _score_term(tp, w, ctx.cache_for(t))))
+        evs.append((tp.gids, _score_term(tp, w, ctx.cache_for(t), ctx.sim)))
     if not evs:
         return np.empty(0, np.int64), np.empty(0, np.float32)
     all_g = np.concatenate([g for g, _ in evs])
@@ -905,8 +908,7 @@ def _score_positional(node, gids, freqs, norms, ctx) -> tuple[np.ndarray, np.nda
     hit = freqs > 0
     gids, freqs, norms = gids[hit], freqs[hit], norms[hit]
     w = ctx.phrase_weights[node]
-    one = np.float32(1.0)
-    scores = w - w / (one + freqs.astype(np.float32) * ctx.cache_for(node.terms[0])[norms])
+    scores = ctx.sim.score(freqs, w, ctx.cache_for(node.terms[0])[norms])
     return gids, scores
 
 
@@ -1206,13 +1208,12 @@ def _eval_span_or(node: SpanOrQ, postings: dict,
     return _score_positional(node, gids, freqs, norms, ctx)
 
 
-def _max_score_of_impacts(imp_freqs, imp_norms, weight, cache) -> float:
+def _max_score_of_impacts(imp_freqs, imp_norms, weight, cache, sim) -> float:
     f = np.asarray(imp_freqs, dtype=np.int64)
     n = np.asarray(imp_norms, dtype=np.int64).astype(np.uint8)
     if not len(f):
         return float("inf")
-    one = np.float32(1.0)
-    s = weight - weight / (one + f.astype(np.float32) * cache[n])
+    s = sim.score(f, weight, cache[n])
     return float(s.max())
 
 
@@ -1449,7 +1450,8 @@ def _intersect_block_filter(pdf: pd.DataFrame, req: set) -> pd.DataFrame:
     return pdf[keep]
 
 
-def _row_block_maxes(pdf: pd.DataFrame, weights: dict, caches: dict) -> np.ndarray:
+def _row_block_maxes(pdf: pd.DataFrame, weights: dict, caches: dict,
+                     sim) -> np.ndarray:
     """Per-block max possible score from the stored impact frontier.
 
     ``caches`` maps term key -> that term's FIELD norm cache (per-field
@@ -1474,7 +1476,7 @@ def _row_block_maxes(pdf: pd.DataFrame, weights: dict, caches: dict) -> np.ndarr
         n = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x in pdf["imp_norms"].iloc[sel]]
         ).astype(np.uint8)
-        s = (w - w / (one + f.astype(np.float32) * caches[t][n])).astype(np.float64)
+        s = sim.score(f, w, caches[t][n]).astype(np.float64)
         nz = lens > 0
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         out[sel[nz]] = np.maximum.reduceat(s, starts[nz])
@@ -1585,12 +1587,15 @@ class Searcher:
     def __init__(self, spark: SparkSession, index_dir: str, *,
                  target_bucket_postings: int = TARGET_BUCKET_POSTINGS,
                  seed_min_df: int = 1 << 17, seed_min_buckets: int = 4,
-                 k1: float = 1.2, b: float = 0.75):
-        # IndexSearcher.setSimilarity analog: BM25Similarity(k1, b) — the
-        # parameters feed every norm-inverse cache this searcher builds
-        # (BM25Similarity.java ctor; idf is k1/b-independent)
+                 k1: float = 1.2, b: float = 0.75, similarity=None):
+        # IndexSearcher.setSimilarity analog. Default BM25Similarity(k1, b)
+        # (BM25Similarity.java ctor; idf is k1/b-independent); pass
+        # ``similarity=`` for any other functions/similarity.py
+        # implementation (e.g. ClassicSim) — it feeds the idf weights, the
+        # norm tables, AND the impact-pruning bounds uniformly.
         self.k1 = np.float32(k1)
         self.b = np.float32(b)
+        self.sim = similarity if similarity is not None else BM25Sim(float(k1), float(b))
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
@@ -2065,6 +2070,11 @@ class Searcher:
         return int(self.stats["doc_count"]), int(self.stats["sum_total_term_freq"])
 
     def make_ctx(self, node) -> ScoreCtx:
+        # the similarity's own idf shadows the module-level BM25 one for
+        # every weight fold below (the folds themselves — boost*idf f32
+        # mult, phrase double-sum, synonym/blended df max — are
+        # similarity-agnostic, per TFIDFSimilarity.scorer/BM25 scorer)
+        _idf = self.sim.idf
         terms = query_terms(node)
         tstats = self.term_stats(terms)
         caches: dict[str, np.ndarray] = {}
@@ -2072,9 +2082,7 @@ class Searcher:
         def cache_of(field: str) -> np.ndarray:
             if field not in caches:
                 dc, sttf = self.field_stats(field)
-                caches[field] = norm_cache(
-                    _avgdl(sttf, max(dc, 1)), self.k1, self.b
-                )
+                caches[field] = self.sim.norm_table(_avgdl(sttf, max(dc, 1)))
             return caches[field]
 
         def doc_count_of(term_key: str) -> int:
@@ -2173,7 +2181,7 @@ class Searcher:
             phrase_weights=phrase_weights, syn_weights=syn_weights,
             boost_weights=boost_weights, blended_weights=blended_weights,
             doc_freqs={t: tstats[t][0] for t in terms if t in tstats},
-            caches=caches,
+            caches=caches, sim=self.sim,
         )
 
     # ---- execution ------------------------------------------------------
@@ -2485,6 +2493,7 @@ class Searcher:
         """
         weights = ctx.weights
         term_caches = {t: ctx.cache_for(t) for t in weights}
+        sim = ctx.sim
         meta = scan.select("term", "first_gid", "last_gid", "imp_freqs", "imp_norms")
         wb = meta.withColumn(
             "bucket",
@@ -2505,7 +2514,7 @@ class Searcher:
                     term_maxes[t] = float("inf")
                     continue
                 term_maxes[t] = max(
-                    _max_score_of_impacts(f, n, w, term_caches[t])
+                    _max_score_of_impacts(f, n, w, term_caches[t], sim)
                     for f, n in zip(grp["imp_freqs"], grp["imp_norms"])
                 )
             ub = _plan_upper_bound(node, term_maxes, ctx)
@@ -2540,6 +2549,7 @@ class Searcher:
     def _single_term(self, scan, node, ctx, k, prune, qid, after=None) -> DataFrame:
         weight = ctx.weights[node.term]
         cache = ctx.cache_for(node.term)
+        sim = ctx.sim
         theta0 = float("-inf")
         if prune and after is None and ctx.doc_freqs.get(node.term, 0) >= self.seed_min_df:
             theta0 = self._seed_theta(scan, node, ctx, k, self._bucket_width(ctx, {node.term}), False)
@@ -2554,7 +2564,8 @@ class Searcher:
                 if metrics is not None:
                     metrics["blocks_scanned"].add(len(pdf))
                 if prune:
-                    maxes = _row_block_maxes(pdf, {node.term: weight}, {node.term: cache})
+                    maxes = _row_block_maxes(pdf, {node.term: weight},
+                                             {node.term: cache}, sim)
                     theta = max(theta0, _theta(qid, k))
                     pdf = pdf[maxes >= theta]
                     if pdf.empty:
@@ -2562,7 +2573,7 @@ class Searcher:
                 if metrics is not None:
                     metrics["blocks_decoded"].add(len(pdf))
                 tp = decode_term_blocks(pdf)
-                scores = _score_term(tp, weight, cache)
+                scores = _score_term(tp, weight, cache, sim)
                 gids, scores = _live_mask(tp.gids, scores, deleted)
                 gids, scores = _after_mask(gids, scores, after)
                 if prune and len(scores):
@@ -2595,6 +2606,7 @@ class Searcher:
         )
         weights = ctx.weights
         term_caches = {t: ctx.cache_for(t) for t in weights}
+        sim = ctx.sim
         req = _req_terms(node)
         metrics = self.metrics
         dbc = self.deleted_bc()  # broadcast handle: tiny in the closure
@@ -2615,7 +2627,7 @@ class Searcher:
                 return empty
             theta = max(theta0, _theta(qid, k)) if prune else float("-inf")
             if prune:
-                block_maxes = _row_block_maxes(pdf, weights, term_caches)
+                block_maxes = _row_block_maxes(pdf, weights, term_caches, sim)
                 term_maxes: dict[str, float] = {}
                 t_arr = pdf["term"].to_numpy()
                 for t in np.unique(t_arr):
@@ -2671,6 +2683,14 @@ class Searcher:
         """
         from ..functions.smallfloat import LENGTH_TABLE
 
+        if not isinstance(self.sim, BM25Sim):
+            # per-similarity explain trees differ (TFIDFScorer.explainScore
+            # vs BM25); only the default tree is implemented
+            raise NotImplementedError(
+                "explain() renders the BM25 explanation tree; searcher uses "
+                f"{type(self.sim).__name__}"
+            )
+
         if gid is None:
             top = self.search(TermQ(term), k=1, with_keys=False)
             if not len(top):
@@ -2685,7 +2705,9 @@ class Searcher:
         n_docs = max(dc, 1)
         w = _idf(df, n_docs)
         av = _avgdl(sttf, n_docs)
-        cache = norm_cache(av, self.k1, self.b)[norm_b]
+        cache = norm_cache(
+            av, np.float32(self.sim.k1), np.float32(self.sim.b)
+        )[norm_b]
         one = np.float32(1.0)
         f32 = np.float32
         denom = one + f32(freq) * cache
@@ -2839,6 +2861,7 @@ class Searcher:
         ctx = self.make_ctx(node)
         w = ctx.weights.get(term, np.float32(0.0))
         cache = ctx.cache_for(term)
+        sim = ctx.sim
         dbc = self.deleted_bc()  # broadcast handle: tiny in the closure
         scan = self._postings_df().select(
             "term", "first_gid", "gids", "freqs", "norms", "positions",
@@ -2868,7 +2891,7 @@ class Searcher:
                         / tp.freqs.astype(np.float32)
                     ).astype(np.float32)
                 if include_span_score:
-                    span = _score_term(tp, w, cache)
+                    span = _score_term(tp, w, cache, sim)
                     scores = (span * pays).astype(np.float32)
                 else:
                     scores = pays.astype(np.float32)

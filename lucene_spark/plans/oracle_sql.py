@@ -1333,3 +1333,29 @@ def custom_sim_topk_sql(term: str, k1: float, b: float, k: int = 10) -> str:
     return f"""WITH {base_ctes()},{scored_term_cte('s', term, k1=k1, b=b)}
 SELECT doc_id, score FROM s
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def classic_sim_topk_sql(term: str, k: int = 10) -> str:
+    """ClassicSimilarity (TFIDFSimilarity) term top-k — each float32 op at
+    the same point as functions/similarity.py ClassicSim, which mirrors
+    ClassicSimilarity.java / TFIDFSimilarity.java:
+      idf   = f32( ln((N+1) / (double)(df+1)) + 1.0 )
+      norm  = f32( 1f / f32(sqrt(decoded_length)) )   [dec >= 1 for any hit]
+      tf    = f32( sqrt((double) freq) )
+      score = f32( f32(tf * idf) * norm )
+    """
+    df = f"(SELECT doc_freq FROM tstats WHERE term = '{term}')"
+    w = _f4(f"ln(({N_SQL} + 1) / CAST({df} + 1 AS DOUBLE)) + 1.0")
+    norm = _f4(f"{_f4('1.0')} / {_f4('sqrt(CAST(norm_tab.dec AS DOUBLE))')}")
+    tf = _f4("sqrt(CAST(tf.freq AS DOUBLE))")
+    score = _f4(f"{_f4(f'{tf} * {w}')} * {norm}")
+    return f"""WITH {base_ctes()},
+s AS (
+  SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+  FROM tf
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+  WHERE tf.term = '{term}'
+)
+SELECT doc_id, score FROM s
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""

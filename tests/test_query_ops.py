@@ -735,3 +735,46 @@ def test_custom_similarity_k1_b(spark):
     s0 = Searcher(spark, idx, k1=0.0, b=0.75)
     got0 = s0.search("merge", k=5, with_keys=False)
     assert set(np.float32(got0["score"])) == {np.float32(w)}
+
+
+def test_classic_similarity(spark):
+    """ClassicSimilarity (TFIDFSimilarity VSM) through the pluggable
+    Similarity protocol: sqrt-tf * idf * 1/sqrt(len), and the impact
+    bounds keep pruned == exhaustive under the swapped score function."""
+    import __spark_entry__ as entry
+    import numpy as np
+    from lucene_spark.functions.similarity import ClassicSim
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import BoolQ, TermQ
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    sim = ClassicSim()
+    s = Searcher(spark, idx, similarity=sim)
+    got = s.search("merge", k=10, with_keys=False)
+    # brute oracle: score every posting with the same sim primitives
+    post = s.postings("merge").toPandas()
+    dc, _ = s.field_stats("text")
+    w = sim.idf(len(post), max(dc, 1))
+    table = sim.norm_table(np.float32(1.0))  # avgdl unused by Classic
+    scores = sim.score(
+        post["freq"].to_numpy(np.int64), w,
+        table[post["norm_b"].to_numpy(np.uint8)],
+    )
+    order = sorted(zip(post["gid"], scores), key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["gid"], got["score"])) == order
+    # norm table matches the JVM op order: 1f / (float)sqrt(dec)
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    b = 37
+    assert table[b] == np.float32(1.0) / np.float32(np.sqrt(float(LENGTH_TABLE[b])))
+    assert table[0] == np.float32(1.0) / table[255]
+    # pruning under the swapped similarity never changes results
+    node = BoolQ(should=(TermQ("merge"), TermQ("scan")))
+    pruned = s.search(node, k=10, with_keys=False)
+    exact = s.search(node, k=10, prune=False, with_keys=False)
+    assert list(zip(pruned["gid"], pruned["score"])) == list(
+        zip(exact["gid"], exact["score"])
+    )
+    # explain() renders only the BM25 tree — loud, not wrong
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        s.explain("merge")
