@@ -1602,6 +1602,15 @@ class Searcher:
             self.stats = json.load(f)
         self._terms_df = None
         self._terms_rev_df = _UNSET
+        # warm-query caches (IndexSearcher is point-in-time, like Lucene's
+        # searcher over a fixed IndexReader): re-calling spark.read.parquet
+        # per query costs a file-listing job each time, so the scan
+        # DataFrames and per-term stats are pinned per searcher. The
+        # postings cache is additionally keyed by the live-unit signature
+        # so a merge committed under this searcher is picked up.
+        self._tstats_cache: dict = {}  # term -> (df, ttf) | None (absent)
+        self._postings_cache: "tuple | None" = None  # (units_sig, DataFrame)
+        self._docs_raw = None
         # scale knobs (defaults sized for cluster runs; tests shrink them to
         # exercise the multi-bucket + seeded-θ paths on tiny corpora)
         self.target_bucket_postings = int(target_bucket_postings)
@@ -1677,6 +1686,9 @@ class Searcher:
         from ..operators.merge import live_units
 
         units = live_units(self.index_dir)
+        sig = tuple(u["path"] for u in units)
+        if self._postings_cache is not None and self._postings_cache[0] == sig:
+            return self._postings_cache[1]
         cols = [
             "term", "seg", "block_ord", "doc_count", "first_gid", "last_gid",
             "gids", "freqs", "norms", "positions", "imp_freqs", "imp_norms",
@@ -1687,27 +1699,43 @@ class Searcher:
             cols.append("payloads")
         if not units:
             path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=post")
-            return self.spark.read.parquet(path).select(*cols)
-        parts = [
-            self.spark.read.parquet(os.path.join(self.index_dir, u["path"])).select(*cols)
-            for u in units
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+            df = self.spark.read.parquet(path).select(*cols)
+        else:
+            parts = [
+                self.spark.read.parquet(os.path.join(self.index_dir, u["path"])).select(*cols)
+                for u in units
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        self._postings_cache = (sig, df)
         return df
 
     def term_stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
+        """(doc_freq, total_term_freq) per term, driver-cached per searcher
+        (TermStates-style snapshot: Lucene resolves term states once per
+        query against a point-in-time reader; here repeated terms skip the
+        cluster entirely — absent terms are cached as misses too)."""
         if not terms:
             return {}
-        tdf = self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
-        if len(terms) <= 64:
-            tdf = tdf.filter(F.col("term").isin(list(terms)))
-        else:
-            probe = self.spark.createDataFrame(pd.DataFrame({"term": sorted(terms)}))
-            tdf = tdf.join(F.broadcast(probe), "term", "left_semi")
-        rows = tdf.collect()
-        return {r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"])) for r in rows}
+        missing = sorted(t for t in terms if t not in self._tstats_cache)
+        if missing:
+            tdf = self.terms_table()
+            if len(missing) <= 64:
+                tdf = tdf.filter(F.col("term").isin(missing))
+            else:
+                probe = self.spark.createDataFrame(pd.DataFrame({"term": missing}))
+                tdf = tdf.join(F.broadcast(probe), "term", "left_semi")
+            for t in missing:
+                self._tstats_cache[t] = None
+            for r in tdf.collect():
+                self._tstats_cache[r["term"]] = (
+                    int(r["doc_freq"]), int(r["total_term_freq"])
+                )
+        return {
+            t: self._tstats_cache[t] for t in terms
+            if self._tstats_cache.get(t) is not None
+        }
 
     # ---- multi-term rewrite (MultiTermQuery.java rewrite methods) ------
     def terms_table(self) -> DataFrame:
@@ -2212,9 +2240,8 @@ class Searcher:
             return top[["gid", "score"]]
         if top.empty:
             return pd.DataFrame({"gid": [], "key": [], "score": []})
-        docs_path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=doc")
         keys = (
-            self.spark.read.parquet(docs_path)
+            self._docs_raw_df()
             .filter(F.col("gid").isin([int(g) for g in top["gid"]]))
             .select("gid", "key")
             .toPandas()
@@ -2222,10 +2249,20 @@ class Searcher:
         out = top.merge(keys, on="gid", how="left")
         return out[["gid", "key", "score"]]
 
+    def _docs_raw_df(self) -> DataFrame:
+        """The raw stored-fields/norms scan, pinned per searcher (each
+        spark.read.parquet call re-lists the batch partitions — one whole
+        Spark job — so warm queries reuse the plan)."""
+        if self._docs_raw is None:
+            path = os.path.join(
+                self.index_dir, "segments", "batch=*", "row_type=doc"
+            )
+            self._docs_raw = self.spark.read.parquet(path)
+        return self._docs_raw
+
     def doc_rows(self) -> DataFrame:
         """The docs/norms table: (seg, gid, key, doc_len, norm_b)."""
-        path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=doc")
-        return self.spark.read.parquet(path).select("seg", "gid", "key", "doc_len", "norm_b")
+        return self._docs_raw_df().select("seg", "gid", "key", "doc_len", "norm_b")
 
     def search_after(self, query, after: "tuple[float, int]", k: int = 10,
                      depth: "int | None" = None) -> pd.DataFrame:
@@ -3003,9 +3040,8 @@ class Searcher:
         for lo, hi in ranges:
             clause = (F.col("gid") >= F.lit(lo)) & (F.col("gid") < F.lit(hi))
             pred = clause if pred is None else (pred | clause)
-        path = os.path.join(self.index_dir, "segments", "batch=*", "row_type=doc")
         head = (
-            self.spark.read.parquet(path)
+            self._docs_raw_df()
             .select("gid", "key", "sort_val")
             .filter(pred)
         )

@@ -188,3 +188,32 @@ def test_parse_sloppy_three_terms():
     assert node.terms == ("alpha", "beta", "gamma")
     assert node.offsets == (0, 1, 2)
     assert node.slop == 2
+
+
+def _jobs_run(spark, fn) -> int:
+    st = spark.sparkContext._jsc.sc().statusTracker()
+    before = len(st.getJobIdsForGroup(None))
+    fn()
+    return len(st.getJobIdsForGroup(None)) - before
+
+
+def test_warm_query_job_floor(spark, index_dir):
+    """Interactive-latency contract: a WARM query costs a bounded number of
+    Spark jobs. Cold costs (parquet listing, term-stats lookup) are paid
+    once per searcher — the point-in-time reader model — so the steady
+    state is: term scoring-only = 1 job, +1 for the stored-fields fetch,
+    +1 per uncached term's stats lookup; booleans/phrases ≤ 3 (their
+    per-bucket top-k adds one shuffle)."""
+    s = Searcher(spark, index_dir)
+    s.search("merge", k=5)  # warm: listing jobs + stats cache fills
+    assert _jobs_run(spark, lambda: s.search(TermQ("merge"), k=5,
+                                             with_keys=False)) <= 1
+    assert _jobs_run(spark, lambda: s.search(TermQ("merge"), k=5)) <= 2
+    # an unseen term pays exactly one extra stats-lookup job, once
+    assert _jobs_run(spark, lambda: s.search(TermQ("scan"), k=5,
+                                             with_keys=False)) <= 2
+    assert _jobs_run(spark, lambda: s.search(TermQ("scan"), k=5,
+                                             with_keys=False)) <= 1
+    assert _jobs_run(spark, lambda: s.search(
+        BoolQ(should=(TermQ("merge"), TermQ("scan"))), k=5, with_keys=False
+    )) <= 3
