@@ -764,6 +764,15 @@ def _q_dedup_keep(spark, sf_dir):
     return textops.dedup_keep(spark, sf_dir)
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Substring-level dedup OUTPUT (Lee et al. 2022 ExactSubstr): cleaned
+    text with cross-doc duplicated 5-gram spans removed; the lowest-doc_id
+    holder of each gram keeps its copy."""
+    from lucene_spark.operators import textops
+
+    return textops.dedup_spans(spark, sf_dir, k=5)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from lucene_spark.operators import textops
 
@@ -1365,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep": _q_dedup_keep,
+        "dedup_spans": _q_dedup_spans,
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine,
@@ -1472,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": otx.stratified_sample_sql(SAMPLE_RATES),
         "dedup_clusters": otx.dedup_clusters_sql(),
         "dedup_keep": otx.dedup_keep_sql(),
+        "dedup_spans": otx.dedup_spans_sql(k=5),
         "token_counts": otx.token_counts_sql(),
         "lang_id": otx.lang_id_sql(),
         "ann_cosine_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),

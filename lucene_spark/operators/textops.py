@@ -1013,6 +1013,68 @@ def dedup_keep(
     )
 
 
+def dedup_spans(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Substring-level dedup OUTPUT: the cleaned corpus with cross-document
+    duplicated spans REMOVED — Lee et al. 2022's ExactSubstr transformation
+    (not just the measurement :func:`cross_doc_dup_ngrams` computes).
+
+    Deterministic token-level rule: for every k-gram whose hash occurs in
+    >= 2 distinct documents, the single lowest-doc_id document containing
+    it keeps its copy (the paper's "leave one occurrence" variant); every
+    other document drops all k tokens of each occurrence. A token survives
+    iff no removed k-gram occurrence covers it. Output: (doc_id,
+    clean_text, n_tokens, n_removed).
+
+    Scale shape: everything is keyed on the 64-bit gram hash or on doc_id —
+    gram doc-frequency/keeper is ONE row per gram however hot (no pair
+    blow-up, same property as cross_doc_dup_ngrams); coverage expansion is
+    bounded by k x gram occurrences; reassembly is one doc_id-keyed
+    aggregation whose collect_list is bounded by the doc's own token count
+    (the same order of bytes as the input text column).
+    """
+    d = docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("j", "tok")
+    )
+    grams = d.select(
+        "doc_id", F.posexplode(_shingles(F.col("text"), k)).alias("p", "g")
+    ).select("doc_id", "p", _md5_int(F.col("g")).alias("h"))
+    stats = grams.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("keeper"),
+    )
+    dup_occ = grams.join(stats, "h").filter(
+        (F.col("n_docs") >= 2) & (F.col("doc_id") != F.col("keeper"))
+    )
+    covered = dup_occ.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))).alias("j"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "j"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        d.select("doc_id", F.size(_toks(F.col("text"))).alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint per doc: min/max md5-int over 5-gram shingles
     (a 2-value winnowing-style sketch)."""

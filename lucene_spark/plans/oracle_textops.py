@@ -354,6 +354,56 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id"""
 
 
+def dedup_spans_sql(k: int = 5) -> str:
+    """Twin of textops.dedup_spans: cleaned corpus with cross-doc duplicated
+    k-gram spans removed — the lowest-doc_id document containing a gram
+    keeps its copy; all other occurrences drop their k tokens. Token
+    positions are engine-internal (1-based here, 0-based in Spark) — only
+    the kept-token order matters, and string_agg(... ORDER BY pos) equals
+    Spark's array_sort-by-j reassembly."""
+    aliases = [chr(ord("a") + i) for i in range(k)]
+    joins = "".join(
+        f"\n  JOIN rtoks {aliases[i]} ON {aliases[i]}.doc_id = a.doc_id"
+        f" AND {aliases[i]}.pos = a.pos + {i}"
+        for i in range(1, k)
+    )
+    concat = " || ' ' || ".join(f"{al}.tok" for al in aliases)
+    return f"""WITH {TOKS_CTE},
+grams AS (
+  SELECT a.doc_id, a.pos AS p, {md5i(f"({concat})")} AS h
+  FROM rtoks a{joins}
+),
+stats AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+  FROM grams GROUP BY h
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.p + ofs.o AS pos
+  FROM grams g
+  JOIN stats s ON g.h = s.h AND s.n_docs >= 2 AND g.doc_id <> s.keeper
+  CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS o) ofs
+),
+kept AS (
+  SELECT r.doc_id, r.pos, r.tok
+  FROM rtoks r
+  ANTI JOIN covered c ON r.doc_id = c.doc_id AND r.pos = c.pos
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+),
+ntok AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM rtoks GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.kept_text, '') AS clean_text,
+       coalesce(nt.n_tokens, 0)::BIGINT AS n_tokens,
+       (coalesce(nt.n_tokens, 0) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN ntok nt ON nt.doc_id = d.doc_id
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 def token_counts_sql() -> str:
     return f"""WITH {TOKS_CTE},
 ws AS (SELECT doc_id, count(*)::BIGINT AS ws_tokens FROM rtoks GROUP BY doc_id)

@@ -327,3 +327,32 @@ def test_knn_approx_results_are_true_filtered_cosines(spark):
     assert len(got) == 5
     for r in got:
         assert deep[int(r["vec_id"])] == r["cos"]
+
+
+def test_dedup_spans_semantics(spark, tmp_path):
+    """ExactSubstr output: doc 0 (lowest doc_id) keeps the shared span,
+    doc 1 loses exactly the covered tokens, unique/short docs untouched.
+    Doc 2's text is doc 0's shared prefix plus a unique tail: only the
+    5-grams fully inside the shared region dup, so coverage ends where the
+    last duplicated gram ends."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, shared, "en", "s", 1),                      # keeper of every gram
+        (1, shared + " omega psi", "en", "s", 1),       # loses the shared 6
+        (2, "one two three four five six", "en", "s", 1),  # unique
+        (3, "tiny doc", "en", "s", 1),                  # < k tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+    res = {int(r["doc_id"]): r for r in
+           textops.dedup_spans(spark, out, k=5).collect()}
+    assert res[0]["clean_text"] == shared and res[0]["n_removed"] == 0
+    # doc 1: grams at starts 0,1 dup (inside shared region); starts 2,3 end
+    # in the unique tail so they don't dup -> covered tokens 0..5
+    assert res[1]["clean_text"] == "omega psi"
+    assert res[1]["n_tokens"] == 8 and res[1]["n_removed"] == 6
+    assert res[2]["n_removed"] == 0 and res[2]["clean_text"].startswith("one")
+    assert res[3]["clean_text"] == "tiny doc" and res[3]["n_removed"] == 0
