@@ -15,7 +15,7 @@ handles skew; the shapes are chosen to survive 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 # 60-bit int from md5 hex — reproducible in DuckDB as
 # CAST('0x' || substr(md5(s),1,15) AS BIGINT)
@@ -30,19 +30,28 @@ def _toks(col: Column) -> Column:
 def _shingles(col: Column, k: int) -> Column:
     """k-gram token shingles as strings (space-joined), in document order.
 
-    Docs with fewer than k tokens yield an empty array — guarded explicitly
-    because sequence(1, 0) is DESCENDING [1, 0] in Spark, and slice(_, 0, _)
-    then throws INVALID_PARAMETER_VALUE rather than producing nothing.
+    Built as a k-way ``zip_with`` of shifted slices of the token array, NOT
+    as ``transform(sequence(1, n-k+1), i -> slice(toks, i, k))``: a lambda
+    body that references the tokenization subtree makes Catalyst re-evaluate
+    split+filter on EVERY lambda invocation (higher-order functions are
+    interpreted, no common-subexpression elimination), turning shingling
+    O(tokens²) per doc — measured 30x slower on ~800-token webtext docs.
+    Here ``toks`` is referenced only OUTSIDE lambdas (k+1 slices), so cost
+    is O(k · tokens).
+
+    Docs with fewer than k tokens yield an empty array: the slice length
+    ``greatest(n-k+1, 0)`` clamps to 0 (slice with length 0 is legal; a
+    sequence(1, 0) would be DESCENDING [1, 0] and slice(_, 0, _) throws).
     """
     toks = _toks(col)
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    sh = F.slice(toks, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return sh
 
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,17 +72,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out. Emits every doc with its canonical id and duplicate flag.
     """
     d = docs(spark, sf_dir).select("doc_id", _md5_int(F.col("text")).alias("h"))
-    canon = d.groupBy("h").agg(
-        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
-    )
-    return (
-        d.join(canon, "h")
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
-            "group_size",
-        )
+    # window over the hash, not groupBy + self-join: one corpus scan instead
+    # of two (the join form computes md5(text) per side)
+    w = Window.partitionBy("h")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        "group_size",
     )
 
 
@@ -151,15 +161,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, bands: int = 4) -> DataF
     keys = wide.select("doc_id", F.explode(band_structs).alias("p")).select(
         "doc_id", F.col("p.band").alias("band"), F.col("p.bkey").alias("bkey")
     )
-    bmin = (
-        keys.groupBy("band", "bkey")
-        .agg(F.min("doc_id").alias("doc_a"), F.count("*").alias("sz"))
-        .filter(F.col("sz") > 1)
-        .drop("sz")
-    )
+    # bucket min + size via a window over the band key, NOT a groupBy +
+    # self-join: the join form evaluates the doc→shingle→minhash subtree
+    # TWICE (once per join side — two full scans of the corpus per action).
+    # One window = one scan, one shuffle; a Zipf-hot bucket is one sorted
+    # window partition (linear), same skew profile the join had.
+    w = Window.partitionBy("band", "bkey")
     return (
-        keys.join(bmin, ["band", "bkey"])
-        .filter(F.col("doc_id") > F.col("doc_a"))
+        keys.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("doc_a"),
+            F.count(F.lit(1)).over(w).alias("sz"),
+        )
+        .filter((F.col("sz") > 1) & (F.col("doc_id") > F.col("doc_a")))
         .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
     )
