@@ -1179,6 +1179,21 @@ def _q_sloppy_unordered_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, f'"{" ".join(SLOPPY3)}"~{SLOPPY3_SLOP}')
 
 
+def _q_escaped_topk(spark, sf_dir):
+    """Backslash escaping (queryparser/classic QueryParser.jj _ESCAPED_CHAR
+    + QueryParserBase.discardEscapeChar): ``\\+merge`` is the literal text
+    "+merge" — NOT a MUST modifier — which analyzes to the bare term, so
+    the whole query scores exactly like ``merge AND window``."""
+    return _topk_df(spark, sf_dir, f"\\+{T_HOT} AND {T_MID}")
+
+
+def _q_phrase_boost_topk(spark, sf_dir):
+    """Classic grammar ``"..."~N^B`` (QueryParser.jj Term(): quoted term,
+    <FUZZY_SLOP>?, then <CARAT> boost): BoostQuery(SloppyPhrase(slop=2), 3)
+    with the boost folded f32(f32(3) * phrase weight)."""
+    return _topk_df(spark, sf_dir, f'"{T_B} {T_HOT}"~2^3')
+
+
 def _q_sloppy_match(spark, sf_dir):
     """Positions reproduction for the sloppy matcher: per-doc float32 sloppy
     freq for every matching doc (no scoring on top)."""
@@ -1431,6 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": _q_near_topk,
         "sloppy3_topk": _q_sloppy3_topk,
         "sloppy_unordered_topk": _q_sloppy_unordered_topk,
+        "escaped_topk": _q_escaped_topk,
+        "phrase_boost_topk": _q_phrase_boost_topk,
         "multiphrase_topk": _q_multiphrase_topk,
         "span_first_topk": _q_span_first_topk,
         "span_not_topk": _q_span_not_topk,
@@ -1563,6 +1580,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sloppy_unordered_topk": osql.sloppy_topk_sql(
             list(SLOPPY3), [0, 1, 2], SLOPPY3_SLOP
+        ),
+        "escaped_topk": osql.topk_and_sql(T_HOT, T_MID),
+        "phrase_boost_topk": osql.sloppy_topk_sql(
+            [T_B, T_HOT], [0, 1], 2, boost=3.0
         ),
         "sloppy_match": osql.sloppy_match_sql(list(PHRASE), [0, 1], NEAR_SLOP),
         "complete": osql.complete_sql(PREFIX),

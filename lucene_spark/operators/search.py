@@ -133,6 +133,26 @@ def _has_toplevel_alternation(pattern: str) -> bool:
     return False
 
 
+def _wildcard_lex(pattern: str) -> "list[tuple[str, str]]":
+    """Lex a wildcard pattern into (kind, char) pairs, kind in ``* ? lit``.
+    ``\\X`` is the literal X whatever X is — Lucene WildcardQuery's
+    WILDCARD_ESCAPE (core/search/WildcardQuery.java:42-76 toAutomaton)."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(("lit", pattern[i + 1]))
+            i += 2
+        elif ch in "*?":
+            out.append((ch, ch))
+            i += 1
+        else:
+            out.append(("lit", ch))
+            i += 1
+    return out
+
+
 def _regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix of a regex — chars up to the first metachar,
     excluding a char modified by a following quantifier. Used to push a
@@ -1793,23 +1813,24 @@ class Searcher:
         elif isinstance(node, WildcardQ):
             import re as _re
 
+            # lex the pattern backslash-aware first: ``\*`` is a literal
+            # star, not a wildcard (WildcardQuery.WILDCARD_ESCAPE)
+            lexed = _wildcard_lex(node.pattern)
+            wilds = [i for i, (kind, _) in enumerate(lexed) if kind != "lit"]
             # longest literal prefix before the first wildcard pushes a
             # StartsWith into the sorted-terms Parquet scan (row-group
             # min/max pruning) — the blocktree/FST automaton-intersection
             # seek analog (Lucene90BlockTreeTermsReader.intersect); the
             # rlike then only sees the pruned candidate range
-            cut = min(
-                [i for i, ch in enumerate(node.pattern) if ch in "*?"]
-                + [len(node.pattern)]
-            )
+            cut = wilds[0] if wilds else len(lexed)
             if cut:
-                tdf = tdf.filter(F.col("term").startswith(node.pattern[:cut]))
-            else:
+                prefix = "".join(ch for _, ch in lexed[:cut])
+                tdf = tdf.filter(F.col("term").startswith(prefix))
+            elif wilds:
                 # leading wildcard (*ing / ?erge): the longest literal
                 # SUFFIX, reversed, is a prefix seek into the rterm-sorted
                 # dictionary — no full-dictionary scan
-                wilds = [i for i, ch in enumerate(node.pattern) if ch in "*?"]
-                suffix = node.pattern[wilds[-1] + 1:]
+                suffix = "".join(ch for _, ch in lexed[wilds[-1] + 1:])
                 if suffix:
                     tdf = self.terms_rev_table().filter(
                         F.col("rterm").startswith(suffix[::-1])
@@ -1817,8 +1838,8 @@ class Searcher:
                     if default_field_only:
                         tdf = tdf.filter(~F.col("term").contains(FIELD_SEP))
             rx = "".join(
-                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
-                for ch in node.pattern
+                ".*" if kind == "*" else "." if kind == "?" else _re.escape(ch)
+                for kind, ch in lexed
             )
             matched = tdf.filter(F.col("term").rlike(f"^{rx}$"))
         elif isinstance(node, RegexpQ):

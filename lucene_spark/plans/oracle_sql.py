@@ -825,10 +825,12 @@ sfreq AS (
 
 
 def sloppy_topk_sql(terms: "list[str]", offsets: "list[int]", slop: int,
-                    k: int = 10) -> str:
+                    k: int = 10, boost: "float | None" = None) -> str:
     """Sloppy PhraseQuery top-k (the ``"..."~N`` default): unordered within
     slop, freq = float32 Σ 1/(1+matchLength) from the greedy matcher,
-    scored as a phrase (summed-idf weight)."""
+    scored as a phrase (summed-idf weight). ``boost`` (the ``~N^B`` parse)
+    folds into the weight as f32(f32(boost) * w) — the engine's BoostQuery
+    fold point over positional leaves."""
     idfs = [
         "CAST("
         + idf_sql(f"(SELECT doc_freq FROM tstats WHERE term = '{t}')", N_SQL)
@@ -836,6 +838,8 @@ def sloppy_topk_sql(terms: "list[str]", offsets: "list[int]", slop: int,
         for t in terms
     ]
     w = _f4(" + ".join(idfs))
+    if boost is not None:
+        w = _f4(f"{_f4(repr(float(boost)))} * {w}")
     cache = cache_sql("norm_tab.dec", AVGDL_SQL)
     score = bm25_score_sql(w, "sf.freq", cache)
     return f"""WITH RECURSIVE {base_ctes()},{sloppy_sim_cte(terms, offsets, slop)}

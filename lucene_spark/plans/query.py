@@ -14,6 +14,8 @@ analyzer).
 
 from __future__ import annotations
 
+import re as _re
+
 from dataclasses import dataclass, field
 
 from ..functions.analysis import analyze_batch
@@ -374,12 +376,49 @@ class BoolQ:
                      self.const_add, self.n_free_opt, filt)
 
 
+_ESCAPE_RE = _re.compile(r"\\(.)", _re.DOTALL)
+
+# quoted-term suffix token: optional ~slop then optional ^boost
+_SLOP_BOOST_RE = _re.compile(
+    r"(?:~(\d+(?:\.\d+)?))?(?:\^(\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+))?"
+)
+
+
+def _discard_escapes(s: str) -> str:
+    """QueryParserBase.discardEscapeChar: each ``\\X`` becomes literal X
+    (queryparser/classic/QueryParserBase.java discardEscapeChar; we skip
+    the ``\\uXXXX`` arm — the grammar's escape of last resort)."""
+    return _ESCAPE_RE.sub(r"\1", s)
+
+
+def _unescaped_positions(s: str, chars: str) -> list[int]:
+    """Indexes of characters from ``chars`` not preceded by a ``\\``
+    escape. A backslash consumes the next character, so ``\\\\*`` has an
+    UNescaped ``*`` (the backslash itself is escaped)."""
+    out: list[int] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "\\":
+            i += 2
+            continue
+        if s[i] in chars:
+            out.append(i)
+        i += 1
+    return out
+
+
 def _analyze_word(word: str) -> list[tuple[str, int]]:
-    b = analyze_batch([word])
+    # escapes are discarded before analysis (the classic parser hands
+    # discardEscapeChar output to the analyzer): ``foo\-bar`` analyzes
+    # exactly like the literal text ``foo-bar``
+    b = analyze_batch([_discard_escapes(word)])
     return list(zip(b.tok_terms.tolist(), b.tok_positions.tolist()))
 
 
 def _tokenize_query(q: str) -> list[str]:
+    """Whitespace/paren/quote splitter, backslash-aware: ``\\X`` glues X
+    into the current token whatever X is (space, paren, quote), mirroring
+    the classic grammar's ``_ESCAPED_CHAR`` lexer rule."""
     out: list[str] = []
     i, n = 0, len(q)
     while i < n:
@@ -390,15 +429,15 @@ def _tokenize_query(q: str) -> list[str]:
             out.append(c)
             i += 1
         elif c == '"':
-            j = q.find('"', i + 1)
-            if j < 0:
-                j = n
-            out.append(q[i : j + 1])
+            j = i + 1
+            while j < n and q[j] != '"':
+                j += 2 if q[j] == "\\" else 1
+            out.append(q[i : min(j + 1, n)])
             i = j + 1
         else:
             j = i
             while j < n and not q[j].isspace() and q[j] not in '()"':
-                j += 1
+                j += 2 if q[j] == "\\" else 1
             out.append(q[i:j])
             i = j
     return out
@@ -556,11 +595,12 @@ class _Parser:
         # like an identifier; anything else falls through to term parsing.
         if (
             t is not None
-            and ":" in t
             and not t.startswith('"')
             and not t.startswith("/")
+            and _unescaped_positions(t, ":")
         ):
-            fname, _, rest = t.partition(":")
+            ci = _unescaped_positions(t, ":")[0]
+            fname, rest = t[:ci], t[ci + 1:]
             if fname.replace("_", "").isalnum() and fname and fname != DEFAULT_FIELD:
                 if rest.startswith("[") or rest.startswith("{"):
                     # field:[a TO b] — strip the prefix, let _range_atom
@@ -591,37 +631,42 @@ class _Parser:
         self.next()
         if t == "*":
             return MatchAllQ()
-        if t.startswith("/") and t.endswith("/") and len(t) > 2:
-            # /regex/ before wildcard: regex bodies may contain * and ?
-            return RegexpQ(t[1:-1])
-        if "^" in t and not t.startswith('"'):
-            base, _, bs = t.rpartition("^")
+        if (
+            t.startswith("/") and len(t) > 2
+            and len(t) - 1 in _unescaped_positions(t, "/")
+        ):
+            # /regex/ before wildcard: regex bodies may contain * and ?;
+            # only ``\/`` is the parser's own escape inside the body —
+            # every other backslash belongs to the regex language
+            return RegexpQ(t[1:-1].replace("\\/", "/"))
+        carets = [] if t.startswith('"') else _unescaped_positions(t, "^")
+        if carets:
+            # boost suffix: ``atom^B`` where atom is ANY single-token query
+            # shape (term, wildcard, prefix, fuzzy, regexp) — the classic
+            # grammar attaches CARAT last, so parse the base recursively
+            # rather than force-analyzing it (QueryParser.jj Term())
+            base, bs = t[: carets[-1]], t[carets[-1] + 1:]
             try:
                 boost = float(bs)
             except ValueError:
                 boost = None
             if boost is not None and base:
-                toks = _analyze_word(base)
-                if not toks:
-                    return None
-                child = (
-                    TermQ(toks[0][0])
-                    if len(toks) == 1
-                    else PhraseQ(
-                        terms=tuple(w for w, _ in toks),
-                        offsets=tuple(p for _, p in toks),
-                    )
-                )
-                return BoostQ(child, boost=boost)
-        if "*" in t or "?" in t:
+                sub = _Parser([base]).unary_atom()
+                return None if sub is None else BoostQ(sub, boost=boost)
+        wpos = _unescaped_positions(t, "*?")
+        if wpos:
             # wildcard terms are lowercased but NOT analyzed
-            # (QueryParserBase.getWildcardQuery)
+            # (QueryParserBase.getWildcardQuery); escapes stay in the
+            # pattern — WildcardQ's matcher understands ``\X`` (Lucene
+            # WildcardQuery.WILDCARD_ESCAPE)
             pat = t.lower()
-            if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
-                return PrefixQ(pat[:-1])
+            if wpos == [len(t) - 1] and t.endswith("*"):
+                return PrefixQ(_discard_escapes(pat[:-1]))
             return WildcardQ(pat)
-        if "~" in t and not t.startswith('"'):
-            base, _, suf = t.partition("~")
+        tildes = [] if t.startswith('"') else _unescaped_positions(t, "~")
+        if tildes:
+            base, suf = t[: tildes[0]], t[tildes[0] + 1:]
+            base = _discard_escapes(base)
             if not base:
                 return None
             if not suf:
@@ -645,30 +690,41 @@ class _Parser:
             return FuzzyQ(base.lower(), max_edits=edits)
         if t.startswith('"'):
             body = t.strip('"')
-            slop = 0
+            # quoted-term suffix: FUZZY_SLOP then optional CARAT boost —
+            # ``"a b"~2``, ``"a b"^3``, ``"a b"~2^3`` (QueryParser.jj Term():
+            # <FUZZY_SLOP>? (<CARAT> boost)?). The suffix lands in the next
+            # token because the quote closes the lexeme.
+            slop, boost = 0, None
             nxt = self.peek()
-            if nxt is not None and nxt.startswith("~"):
-                try:
-                    slop = int(nxt[1:])
+            if nxt is not None and nxt[0] in "~^":
+                m = _SLOP_BOOST_RE.fullmatch(nxt)
+                if m and (m.group(1) or m.group(2)):
+                    if m.group(1):
+                        # slop is truncated to int (PhraseQuery slop is an
+                        # int; the grammar's FUZZY_SLOP lexes a float)
+                        slop = int(float(m.group(1)))
+                    if m.group(2):
+                        boost = float(m.group(2))
                     self.next()
-                except ValueError:
-                    pass
             toks = _analyze_word(body)
             if not toks:
                 return None
             if len(toks) == 1:
-                return TermQ(toks[0][0])
-            if slop > 0:
+                node = TermQ(toks[0][0])
+            elif slop > 0:
                 # Lucene QueryParser: "..."~N is a sloppy PhraseQuery
                 # (unordered within slop, SloppyPhraseMatcher semantics)
-                return SloppyQ(
+                node = SloppyQ(
                     terms=tuple(w for w, _ in toks),
                     offsets=tuple(p for _, p in toks),
                     slop=slop,
                 )
-            return PhraseQ(
-                terms=tuple(w for w, _ in toks), offsets=tuple(p for _, p in toks)
-            )
+            else:
+                node = PhraseQ(
+                    terms=tuple(w for w, _ in toks),
+                    offsets=tuple(p for _, p in toks),
+                )
+            return node if boost is None else BoostQ(node, boost=boost)
         toks = _analyze_word(t)
         if not toks:
             return None  # stopword-only / punctuation-only token

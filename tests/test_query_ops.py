@@ -67,6 +67,58 @@ def test_parse_mixed_boolean_with_multiterm():
     assert PrefixQ("me") in node.must and TermQ("window") in node.must
 
 
+def test_parse_backslash_escaping():
+    """Classic-grammar ``\\X`` escapes (QueryParser.jj _ESCAPED_CHAR +
+    QueryParserBase.discardEscapeChar): an escaped special char is literal
+    text handed to the analyzer; escaped wildcards don't trigger wildcard
+    parsing; escapes glue delimiters into one token."""
+    from lucene_spark.plans.query import BoostQ, FuzzyQ, PhraseQ, SloppyQ
+
+    # escaped specials become analyzed literal text (punctuation splits)
+    assert parse_query("foo\\-bar") == PhraseQ(("foo", "bar"), (0, 1))
+    assert parse_query("foo\\:bar") == PhraseQ(("foo", "bar"), (0, 1))
+    assert parse_query("\\+alpha") == TermQ("alpha")  # not a MUST modifier
+    # escaped wildcard chars are NOT wildcards
+    assert parse_query("ab\\*cd") == PhraseQ(("ab", "cd"), (0, 1))
+    assert parse_query("\\*") is None  # literal * analyzes to nothing
+    # escaped * inside a real wildcard/prefix stays literal in the pattern
+    assert parse_query("ab\\**") == PrefixQ("ab*")
+    assert parse_query("te\\?m*") == PrefixQ("te?m")
+    # escaped space/parens glue into one token
+    assert parse_query("\\(paren\\)") == TermQ("paren")
+    # escaped quote inside a phrase
+    assert parse_query('"scan\\" merge"').terms == ("scan", "merge")
+    # escaped / inside a regex body is the only parser escape there
+    from lucene_spark.plans.query import RegexpQ
+
+    assert parse_query("/a\\/b/") == RegexpQ("a/b")
+    # escaped ~ is not fuzzy; unescaped still is
+    assert parse_query("merge\\~1") == PhraseQ(("merge", "1"), (0, 1))
+    assert parse_query("merge~1") == FuzzyQ("merge", max_edits=1)
+
+
+def test_parse_phrase_slop_boost_combos():
+    """QueryParser.jj Term(): quoted term takes <FUZZY_SLOP>? then
+    (<CARAT> boost)? — ``"a b"~2^3`` is BoostQuery(SloppyPhrase, 3)."""
+    from lucene_spark.plans.query import BoostQ, PhraseQ, SloppyQ
+
+    n = parse_query('"scan merge"~2^3')
+    assert n == BoostQ(SloppyQ(("scan", "merge"), (0, 1), slop=2), boost=3.0)
+    assert parse_query('"scan merge"^2') == BoostQ(
+        PhraseQ(("scan", "merge"), (0, 1)), boost=2.0
+    )
+    # grammar lexes slop as a float, phrase slop truncates to int
+    assert parse_query('"scan merge"~2.9').slop == 2
+    # boost attaches to any single-token atom via the same CARAT rule
+    from lucene_spark.plans.query import FuzzyQ
+
+    assert parse_query("merge~1^2") == BoostQ(
+        FuzzyQ("merge", max_edits=1), boost=2.0
+    )
+    assert parse_query("mer*^2") == BoostQ(PrefixQ("mer"), boost=2.0)
+    assert parse_query("*erge^2") == BoostQ(WildcardQ("*erge"), boost=2.0)
+
+
 # ------------------------------------------------------- rewrite + kernels
 
 
