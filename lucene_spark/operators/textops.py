@@ -640,18 +640,46 @@ LANG_STOPS: dict[str, tuple[str, ...]] = {
 }
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space chars
+# pre-tokenizer pattern, shared with the DuckDB oracle; MUST stay equal to
+# functions/bpe.py BPE_PIECE_RE (the Arrow kernel's piece regex)
 BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token accounting per doc: whitespace tokens + BPE-ish regex pieces."""
+    """Token accounting per doc: whitespace tokens + REAL merges-table BPE.
+
+    ``bpe_tokens`` applies the committed merges table
+    (``functions/bpe_merges.txt``, Sennrich-trained) with the GPT-2 apply
+    loop in one Arrow ``mapInPandas`` kernel — piece-level lru_cache makes
+    Zipf-hot pieces O(1), so the kernel is bounded by unique pieces per
+    task, not tokens. ``ws_tokens`` stays a JVM expression but is emitted
+    from the same pass (one corpus scan). The DuckDB twin replays the
+    merges as a rank-ordered replace chain over DISTINCT pieces — see the
+    equivalence note in ``functions/bpe.py``."""
+    import pandas as pd
+
+    from ..functions.bpe import count_tokens, load_ranks, make_bpe
+
     d = docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.size(_toks(F.col("text"))).cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
-        .cast("long")
-        .alias("bpe_tokens"),
+    ranks = load_ranks()
+
+    def kernel(batches):
+        bpe = make_bpe(ranks)
+        for pdf in batches:
+            ws = pdf["text"].map(
+                lambda t: sum(1 for w in t.split(" ") if w)
+            )
+            bp = pdf["text"].map(lambda t: count_tokens(t, bpe))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ws_tokens": ws.astype("int64"),
+                    "bpe_tokens": bp.astype("int64"),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, ws_tokens long, bpe_tokens long"
     )
 
 

