@@ -529,6 +529,36 @@ def _q_filter_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_cached_filter_topk(spark, sf_dir):
+    """LRUQueryCache + UsageTrackingQueryCachingPolicy analog
+    (core/search/LRUQueryCache.java): the same FILTER clause run twice
+    through a caching searcher — the second run serves the clause from a
+    broadcast gid set instead of re-executing its postings scan, and must
+    be value-identical to the uncached execution."""
+    from lucene_spark.operators.query_cache import (
+        LRUQueryCache, UsageTrackingPolicy,
+    )
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import BoolQ, TermInSetQ, TermQ
+
+    cache = LRUQueryCache(
+        policy=UsageTrackingPolicy(min_freq_costly=1, min_freq_cheap=1)
+    )
+    s = Searcher(spark, _index_for(spark, sf_dir), query_cache=cache)
+    node = BoolQ(must=(TermQ(T_HOT),), filter=(TermInSetQ((T_MID, T_B)),))
+    s.search(node, k=10, with_keys=False)  # fills the cache
+    pdf = s.search(node, k=10, with_keys=False)  # served from the cache
+    if cache.hit_count < 1 or cache.cache_count != 1:
+        raise RuntimeError(
+            f"query cache did not engage: hits={cache.hit_count} "
+            f"inserts={cache.cache_count}"
+        )
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 CUSTOM_K1, CUSTOM_B = 0.9, 0.4
 
 
@@ -1425,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_payloads": _q_term_payloads,
         "payload_topk": _q_payload_topk,
         "filter_topk": _q_filter_topk,
+        "cached_filter_topk": _q_cached_filter_topk,
         "custom_sim_topk": _q_custom_sim_topk,
         "classic_sim_topk": _q_classic_sim_topk,
         "delete_count": _q_delete_count,
@@ -1541,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "term_payloads": osql.term_payloads_sql(T_MID),
         "payload_topk": osql.payload_topk_sql(T_HOT, "sum", True),
         "filter_topk": osql.filter_topk_sql(T_HOT, T_MID),
+        "cached_filter_topk": osql.cached_filter_topk_sql(T_HOT, (T_MID, T_B)),
         "custom_sim_topk": osql.custom_sim_topk_sql(T_HOT, CUSTOM_K1, CUSTOM_B),
         "classic_sim_topk": osql.classic_sim_topk_sql(T_HOT),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),

@@ -1529,6 +1529,46 @@ def _live_mask(gids: np.ndarray, scores: np.ndarray,
     return gids[keep], scores[keep]
 
 
+def _keep_only(gids: np.ndarray, scores: np.ndarray,
+               keeps: "list[np.ndarray] | None"):
+    """Intersect candidates with cached FILTER-clause gid sets (the
+    BitSet-apply point of LRUQueryCache hits). Runs at the same spot as
+    :func:`_live_mask` — before per-bucket top-k and θ offers — so pruning
+    never competes on a doc the cached filter excludes."""
+    if not keeps:
+        return gids, scores
+    for kp in keeps:
+        if not len(gids):
+            break
+        if not len(kp):
+            return gids[:0], scores[:0]
+        idx = np.minimum(np.searchsorted(kp, gids), len(kp) - 1)
+        ok = kp[idx] == gids
+        gids, scores = gids[ok], scores[ok]
+    return gids, scores
+
+
+def _block_keep_filter(pdf: pd.DataFrame,
+                       keeps: "list[np.ndarray] | None") -> pd.DataFrame:
+    """Drop postings blocks whose [first_gid, last_gid] range contains no
+    cached-filter gid — the block-grain analog of leapfrogging a cached
+    BitSetIterator against the postings (LRUQueryCache's CachingWrapper
+    scorer advances through the cached DocIdSet)."""
+    if not keeps or pdf.empty:
+        return pdf
+    fg = pdf["first_gid"].to_numpy()
+    lg = pdf["last_gid"].to_numpy()
+    ok = np.ones(len(pdf), dtype=bool)
+    for kp in keeps:
+        if not len(kp):
+            return pdf.iloc[:0]
+        pos = np.minimum(np.searchsorted(kp, fg), len(kp) - 1)
+        # kp[pos] is the first cached gid >= first_gid (clamped): the block
+        # intersects the set iff that gid exists and is <= last_gid
+        ok &= (kp[pos] >= fg) & (kp[pos] <= lg)
+    return pdf[ok]
+
+
 def _set_refs(node) -> "list[TermSetRefQ]":
     """All TermSetRefQ nodes in a rewritten tree (dedup, stable order)."""
     out: dict = {}
@@ -1600,6 +1640,10 @@ RESULT_SCHEMA = T.StructType(
     [T.StructField("gid", T.LongType()), T.StructField("score", T.FloatType())]
 )
 
+# "collect every match" sentinel k for cache-entry materialization: large
+# enough that per-bucket top-k truncation and argpartition never fire
+_ALL_K = 1 << 62
+
 
 class Searcher:
     """Searches one finalized index directory."""
@@ -1607,7 +1651,8 @@ class Searcher:
     def __init__(self, spark: SparkSession, index_dir: str, *,
                  target_bucket_postings: int = TARGET_BUCKET_POSTINGS,
                  seed_min_df: int = 1 << 17, seed_min_buckets: int = 4,
-                 k1: float = 1.2, b: float = 0.75, similarity=None):
+                 k1: float = 1.2, b: float = 0.75, similarity=None,
+                 query_cache=None):
         # IndexSearcher.setSimilarity analog. Default BM25Similarity(k1, b)
         # (BM25Similarity.java ctor; idf is k1/b-independent); pass
         # ``similarity=`` for any other functions/similarity.py
@@ -1640,6 +1685,10 @@ class Searcher:
         self._deleted = _UNSET
         self._deleted_bc = _UNSET
         self._deleted_df = _UNSET
+        # IndexSearcher.setQueryCache analog: an operators.query_cache
+        # LRUQueryCache, shareable across Searchers (entry keys embed the
+        # index generation). None = caching off, like setQueryCache(null).
+        self.query_cache = query_cache
 
     # ---- planning -----------------------------------------------------
     def deleted_gids(self) -> "np.ndarray | None":
@@ -2306,15 +2355,24 @@ class Searcher:
         return page.orderBy(F.desc("score"), F.asc("gid")).limit(k).toPandas()
 
     def candidates(self, node, k: int = 10, prune: bool = True,
-                   after: "tuple[float, int] | None" = None) -> DataFrame:
+                   after: "tuple[float, int] | None" = None,
+                   use_cache: bool = True) -> DataFrame:
         """DataFrame (gid, score) of all scored candidates (per-bucket top-k).
 
         ``after``: (score, gid) cursor — kernels keep only candidates
         strictly after it, enabling θ-pruning for deep paging.
+
+        ``use_cache=False`` bypasses the LRU query cache (used internally
+        when materializing a cache entry, so a clause never caches through
+        itself).
         """
         if node is None:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         node = self.rewrite(node)
+        keep_bcs: tuple = ()
+        if (use_cache and self.query_cache is not None
+                and isinstance(node, BoolQ) and not _contains_matchall(node)):
+            node, keep_bcs = self._apply_query_cache(node)
         if isinstance(node, MatchAllQ) or (
             isinstance(node, ConstScoreQ) and isinstance(node.child, MatchAllQ)
         ):
@@ -2392,9 +2450,10 @@ class Searcher:
 
         qid = uuid.uuid4().hex
         if isinstance(node, TermQ):
-            return self._single_term(scan, node, ctx, k, prune, qid, after)
+            return self._single_term(scan, node, ctx, k, prune, qid, after,
+                                     keep_bcs=keep_bcs)
         return self._bucketed(scan, node, ctx, k, prune, qid, need_positions,
-                              width_terms, after)
+                              width_terms, after, keep_bcs=keep_bcs)
 
     def _bool_matchall(self, node: BoolQ, k: int, prune: bool,
                        after: "tuple[float, int] | None") -> DataFrame:
@@ -2537,8 +2596,85 @@ class Searcher:
         span = max(int(self.stats.get("max_gid", 0)) + 1, doc_count)
         return max(width, -(-span // (1 << 18)))
 
+    def _cache_generation(self) -> tuple:
+        """Cache-key generation component: live merge units + committed
+        delete files (the IndexReader.CacheKey analog — any commit, merge
+        or delete changes it, so stale entries miss and age out via LRU)."""
+        from ..operators.merge import live_units
+
+        units = tuple(u["path"] for u in live_units(self.index_dir))
+        return (self.index_dir, units, tuple(self._delete_paths()))
+
+    def _matching_gids(self, node) -> "np.ndarray | None":
+        """Full (non-truncated, live-doc-masked) matching-gid set of one
+        clause, sorted unique, for cache insertion — LRUQueryCache's
+        exhaustive per-leaf DocIdSet build. Returns None when the set
+        exceeds the cache's per-entry budget (too dense to cache; cheaper
+        to keep re-executing, the skipCacheFactor spirit)."""
+        cap = self.query_cache.max_entry_gids
+        df = self.candidates(node, k=_ALL_K, prune=False, use_cache=False)
+        head = df.select("gid").limit(cap + 1).toPandas()
+        if len(head) > cap:
+            return None
+        return np.unique(head["gid"].to_numpy(np.int64))
+
+    def _apply_query_cache(self, node: BoolQ):
+        """LRUQueryCache consult point (the QueryCache-wrapped Weight in
+        BooleanWeight): each non-scoring MUST clause — the FILTER desugar,
+        ConstantScore(child, boost=0) — either hits the cache (clause
+        dropped from the kernel plan, its gid set applied as a broadcast
+        keep-mask + block-range prefilter), gets cached now if the usage
+        policy agrees, or stays a normally executed clause."""
+        from .query_cache import _strip_const
+
+        cache = self.query_cache
+        gen = self._cache_generation()
+        filt_flags = [
+            isinstance(c, ConstScoreQ) and c.boost == 0.0 for c in node.must
+        ]
+        # a boolean whose every positive clause is a boost-0 filter would
+        # lose its candidate iterator if all of them stripped: reserve the
+        # first one as a normally executed clause
+        all_filters = bool(node.must) and all(filt_flags) and not node.should
+        keep_bcs: list = []
+        new_must: list = []
+        reserved = False
+        for c, is_filt in zip(node.must, filt_flags):
+            if not is_filt:
+                new_must.append(c)
+                continue
+            if all_filters and not reserved:
+                reserved = True
+                new_must.append(c)
+                continue
+            key = (gen, _strip_const(c.child))
+            bc = cache.get(key)
+            if bc is None:
+                cache.policy.on_use(key)
+                if cache.policy.should_cache(c.child, key):
+                    arr = self._matching_gids(c.child)
+                    if arr is not None:
+                        bc = cache.put(key, arr, self.spark)
+            if bc is None:
+                new_must.append(c)
+                continue
+            keep_bcs.append(bc)
+        if not keep_bcs:
+            return node, ()
+        return (
+            BoolQ(
+                must=tuple(new_must),
+                should=node.should,
+                must_not=node.must_not,
+                msm=node.msm,
+                const_add=node.const_add,
+                n_free_opt=node.n_free_opt,
+            ),
+            tuple(keep_bcs),
+        )
+
     def _seed_theta(self, scan, node, ctx: ScoreCtx, k: int, width: int,
-                    need_positions: bool) -> float:
+                    need_positions: bool, keeps=None) -> float:
         """Cross-partition θ seed (MaxScoreAccumulator analog,
         ``core/search/MaxScoreAccumulator.java``).
 
@@ -2600,23 +2736,31 @@ class Searcher:
         }
         sgids, scores = eval_plan(node, postings, ctx)
         sgids, scores = _live_mask(sgids, scores, self.deleted_gids())
+        sgids, scores = _keep_only(sgids, scores, keeps)
         if len(scores) < k:
             return float("-inf")
         return float(np.partition(scores.astype(np.float64), len(scores) - k)[len(scores) - k])
 
-    def _single_term(self, scan, node, ctx, k, prune, qid, after=None) -> DataFrame:
+    def _single_term(self, scan, node, ctx, k, prune, qid, after=None,
+                     keep_bcs: tuple = ()) -> DataFrame:
         weight = ctx.weights[node.term]
         cache = ctx.cache_for(node.term)
         sim = ctx.sim
         theta0 = float("-inf")
         if prune and after is None and ctx.doc_freqs.get(node.term, 0) >= self.seed_min_df:
-            theta0 = self._seed_theta(scan, node, ctx, k, self._bucket_width(ctx, {node.term}), False)
+            theta0 = self._seed_theta(
+                scan, node, ctx, k, self._bucket_width(ctx, {node.term}),
+                False, keeps=[kb.value for kb in keep_bcs] or None)
         metrics = self.metrics
         dbc = self.deleted_bc()  # broadcast handle: tiny in the closure
 
         def kernel(batches):
             deleted = dbc.value if dbc is not None else None
+            keeps = [kb.value for kb in keep_bcs] if keep_bcs else None
             for pdf in batches:
+                if pdf.empty:
+                    continue
+                pdf = _block_keep_filter(pdf, keeps)
                 if pdf.empty:
                     continue
                 if metrics is not None:
@@ -2633,6 +2777,7 @@ class Searcher:
                 tp = decode_term_blocks(pdf)
                 scores = _score_term(tp, weight, cache, sim)
                 gids, scores = _live_mask(tp.gids, scores, deleted)
+                gids, scores = _keep_only(gids, scores, keeps)
                 gids, scores = _after_mask(gids, scores, after)
                 if prune and len(scores):
                     _offer(qid, k, scores)
@@ -2641,7 +2786,7 @@ class Searcher:
         return scan.mapInPandas(kernel, schema=RESULT_SCHEMA)
 
     def _bucketed(self, scan, node, ctx, k, prune, qid, need_positions,
-                  terms: set, after=None) -> DataFrame:
+                  terms: set, after=None, keep_bcs: tuple = ()) -> DataFrame:
         width = self._bucket_width(ctx, terms)
         doc_count = max(int(self.stats.get("n_rows") or self.stats.get("doc_count", 1)), 1)
         n_buckets_est = -(-doc_count // width)
@@ -2652,7 +2797,9 @@ class Searcher:
         # queries where every bucket decodes in milliseconds anyway
         if (prune and after is None and total_df >= self.seed_min_df
                 and n_buckets_est >= self.seed_min_buckets):
-            theta0 = self._seed_theta(scan, node, ctx, k, width, need_positions)
+            theta0 = self._seed_theta(
+                scan, node, ctx, k, width, need_positions,
+                keeps=[kb.value for kb in keep_bcs] or None)
         with_bucket = scan.withColumn(
             "bucket",
             F.explode(
@@ -2674,8 +2821,12 @@ class Searcher:
 
         def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             deleted = dbc.value if dbc is not None else None
+            keeps = [kb.value for kb in keep_bcs] if keep_bcs else None
             bucket = int(key[0])
             lo, hi = bucket * width, (bucket + 1) * width
+            pdf = _block_keep_filter(pdf, keeps)
+            if pdf.empty:
+                return empty
             if metrics is not None:
                 metrics["blocks_scanned"].add(len(pdf))
             # block-grain conjunction leapfrog: a required term's coverage
@@ -2715,6 +2866,7 @@ class Searcher:
                 ).slice(lo, hi)
             gids, scores = eval_plan(node, postings, ctx)
             gids, scores = _live_mask(gids, scores, deleted)
+            gids, scores = _keep_only(gids, scores, keeps)
             gids, scores = _after_mask(gids, scores, after)
             if len(gids) > k:
                 part = np.argpartition(-scores.astype(np.float64), k - 1)[:k]

@@ -1331,6 +1331,19 @@ WHERE s1.doc_id IN (SELECT doc_id FROM tf WHERE term = '{filter_t}')
 ORDER BY s1.score DESC, s1.doc_id ASC LIMIT {k}"""
 
 
+def cached_filter_topk_sql(must_t: str, filter_terms: "tuple[str, ...]",
+                           k: int = 10) -> str:
+    """LRUQueryCache gate oracle: caching is transparent — the result is
+    exactly a FILTER query (MUST term scores, docs must also contain any
+    of the TermInSet filter's terms)."""
+    inlist = ", ".join(f"'{t}'" for t in filter_terms)
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', must_t)}
+SELECT s1.doc_id, s1.score
+FROM s1
+WHERE s1.doc_id IN (SELECT doc_id FROM tf WHERE term IN ({inlist}))
+ORDER BY s1.score DESC, s1.doc_id ASC LIMIT {k}"""
+
+
 def custom_sim_topk_sql(term: str, k1: float, b: float, k: int = 10) -> str:
     """BM25Similarity(k1, b) with non-default parameters
     (IndexSearcher.setSimilarity analog)."""
