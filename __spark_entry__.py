@@ -515,6 +515,43 @@ def _q_payload_topk(spark, sf_dir):
         .select(F.col("gid").alias("doc_id"), "score")
 
 
+SPC_PAY, SPC_NEAR_P = 6, 40
+
+
+def _q_span_payload_topk(spark, sf_dir):
+    """SpanPayloadCheckQuery(SpanTermQuery, [payload], EQ): only
+    occurrences whose payload equals the value count toward the span freq;
+    idf uses the term's full docFreq (SpanWeight.buildSimWeight)."""
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import SpanPayloadCheckQ
+
+    s = Searcher(spark, _index_for_payloads(spark, sf_dir))
+    node = SpanPayloadCheckQ((T_HOT,), (SPC_PAY,))
+    pdf = s.search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_span_payload_near_topk(spark, sf_dir):
+    """SpanPayloadCheckQuery(SpanNearQuery([table, scan], 0, true),
+    MatchOperation.GTE): an adjacent ordered span survives only when BOTH
+    positions' payloads clear the threshold."""
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import SpanPayloadCheckQ
+
+    s = Searcher(spark, _index_for_payloads(spark, sf_dir))
+    node = SpanPayloadCheckQ(
+        ("table", T_B), (SPC_NEAR_P, SPC_NEAR_P), slop=0, op="gte"
+    )
+    pdf = s.search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_filter_topk(spark, sf_dir):
     """BooleanClause.Occur.FILTER: required non-scoring clause — docs must
     contain both terms but only the MUST term scores (BooleanWeight's
@@ -1454,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_offsets": _q_highlight_offsets,
         "term_payloads": _q_term_payloads,
         "payload_topk": _q_payload_topk,
+        "span_payload_topk": _q_span_payload_topk,
+        "span_payload_near_topk": _q_span_payload_near_topk,
         "filter_topk": _q_filter_topk,
         "cached_filter_topk": _q_cached_filter_topk,
         "custom_sim_topk": _q_custom_sim_topk,
@@ -1571,6 +1610,9 @@ def oracle_sql() -> dict[str, str]:
         "highlight_offsets": osql.highlight_offsets_sql(T_MID, 30),
         "term_payloads": osql.term_payloads_sql(T_MID),
         "payload_topk": osql.payload_topk_sql(T_HOT, "sum", True),
+        "span_payload_topk": osql.span_payload_topk_sql(T_HOT, SPC_PAY, "eq"),
+        "span_payload_near_topk": osql.span_payload_near_topk_sql(
+            "table", T_B, SPC_NEAR_P, SPC_NEAR_P, "gte"),
         "filter_topk": osql.filter_topk_sql(T_HOT, T_MID),
         "cached_filter_topk": osql.cached_filter_topk_sql(T_HOT, (T_MID, T_B)),
         "custom_sim_topk": osql.custom_sim_topk_sql(T_HOT, CUSTOM_K1, CUSTOM_B),

@@ -80,6 +80,7 @@ from ..plans.query import (
     SloppyQ,
     SpanFirstQ,
     SpanNearQ,
+    SpanPayloadCheckQ,
     SpanNotQ,
     SpanOrQ,
     SynonymQ,
@@ -234,6 +235,9 @@ class TermPostings:
         return TermPostings(
             self.gids[a:b], self.freqs[a:b], self.norms[a:b],
             self.pos_flat[pa:pb], self.pos_starts[a : b + 1] - pa,
+            None if self.off_start_flat is None else self.off_start_flat[pa:pb],
+            None if self.off_end_flat is None else self.off_end_flat[pa:pb],
+            None if self.pay_flat is None else self.pay_flat[pa:pb],
         )
 
 
@@ -442,6 +446,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_span_or(node, postings, ctx)
     if isinstance(node, SpanNearQ):
         return _eval_span_near(node, postings, ctx)
+    if isinstance(node, SpanPayloadCheckQ):
+        return _eval_span_payload_check(node, postings, ctx)
     if isinstance(node, BoolQ):
         return _eval_bool(node, postings, ctx)
     if isinstance(node, SynonymQ):
@@ -489,7 +495,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
             return np.empty(0, np.int64), np.empty(0, np.float32)
         return tp.gids, _score_term(tp, w, ctx.cache_for(child.term), ctx.sim)
     _PHRASE_LIKE = (PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SpanNearQ,
-                    SpanFirstQ, SpanNotQ, SpanOrQ)
+                    SpanFirstQ, SpanNotQ, SpanOrQ, SpanPayloadCheckQ)
     if isinstance(child, _PHRASE_LIKE + (SynonymQ, BlendedQ)):
         # temporarily rebind the child's weight to the boosted one
         sub = ScoreCtx(
@@ -661,6 +667,26 @@ def _gather_positions(tp: TermPostings, idx: np.ndarray) -> tuple[np.ndarray, np
     )
     cand = np.repeat(np.arange(len(idx), dtype=np.int64), lengths)
     return tp.pos_flat[flat_ids], cand
+
+
+def _gather_positions_flat(tp: TermPostings, idx: np.ndarray):
+    """Like :func:`_gather_positions` but also returns the flat indices
+    into ``pos_flat`` — the alignment needed to read the per-occurrence
+    payload (``pay_flat``) or offset streams for the gathered positions."""
+    starts = tp.pos_starts
+    lengths = starts[idx + 1] - starts[idx]
+    total = int(lengths.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    out_starts = np.cumsum(lengths) - lengths
+    flat_ids = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, lengths)
+        + np.repeat(starts[idx], lengths)
+    )
+    cand = np.repeat(np.arange(len(idx), dtype=np.int64), lengths)
+    return tp.pos_flat[flat_ids], cand, flat_ids
 
 
 def phrase_freqs(tps: "list[TermPostings]", idxs: "list[np.ndarray]",
@@ -1204,6 +1230,80 @@ def _eval_span_near(node: SpanNearQ, postings: dict,
     return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
 
 
+def _eval_span_payload_check(node: SpanPayloadCheckQ, postings: dict,
+                             ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.java,
+    MatchOperation.EQ): spans of the wrapped term/ordered-near query
+    survive only when each position's collected payload equals the
+    corresponding ``payloads[i]``. The check applies to the span AS
+    MATCHED by the greedy NearSpansOrdered chain — Lucene's PayloadChecker
+    tests the payloads of the positions the span iterator actually
+    visited, never alternative stretches.
+    """
+    cmp = _PAY_OPS[node.op]
+    if len(node.terms) == 1:
+        tp = postings.get(node.terms[0])
+        if tp is None or not len(tp.gids):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        if tp.pay_flat is None:
+            raise ValueError("SpanPayloadCheckQ needs a payloads-enabled index")
+        idx = np.arange(len(tp.gids), dtype=np.int64)
+        _, cand, fids = _gather_positions_flat(tp, idx)
+        ok = cmp(tp.pay_flat[fids], node.payloads[0])
+        freqs = np.bincount(cand[ok], minlength=len(tp.gids))
+        return _score_positional(node, tp.gids, freqs, tp.norms, ctx)
+    c = _positional_candidates(node, postings)
+    if c is None:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    tps, gids, idxs = c
+    if any(tp.pay_flat is None for tp in tps):
+        raise ValueError("SpanPayloadCheckQ needs a payloads-enabled index")
+    freqs = span_near_payload_freqs(tps, idxs, node.slop, node.payloads, cmp)
+    return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
+
+
+_PAY_OPS = {
+    # SpanPayloadCheckQuery.MatchOperation, vectorized
+    "eq": np.equal, "lt": np.less, "lte": np.less_equal,
+    "gt": np.greater, "gte": np.greater_equal,
+}
+
+
+def span_near_payload_freqs(tps: "list[TermPostings]",
+                            idxs: "list[np.ndarray]", slop: int,
+                            payloads: "tuple[int, ...]",
+                            cmp=np.equal) -> np.ndarray:
+    """:func:`span_near_freqs` with a per-position payload equality check:
+    the greedy first-at-or-after chain picks each span's positions, and a
+    span is accepted iff width <= slop AND every picked occurrence's
+    payload equals its ``payloads[i]`` (SpanPayloadCheckQuery's
+    checkPostings over the matched span)."""
+    ncand = len(idxs[0])
+    pos0, cand0, f0 = _gather_positions_flat(tps[0], idxs[0])
+    keys = (cand0 << _POS_SHIFT) + pos0 + _POS_PAD
+    q = keys.copy()
+    alive = np.ones(len(keys), dtype=bool)
+    paymatch = cmp(tps[0].pay_flat[f0], payloads[0])
+    for i, (tp, idx) in enumerate(zip(tps[1:], idxs[1:]), start=1):
+        p2, c2, f2 = _gather_positions_flat(tp, idx)
+        k2 = (c2 << _POS_SHIFT) + p2 + _POS_PAD
+        if not len(k2):
+            return np.zeros(ncand, np.float32)
+        loc = np.searchsorted(k2, q + 1)
+        ok = loc < len(k2)
+        loc_c = np.minimum(loc, len(k2) - 1)
+        alive &= ok & ((k2[loc_c] >> _POS_SHIFT) == (keys >> _POS_SHIFT))
+        q = np.where(alive, k2[loc_c], q)
+        paymatch &= cmp(tp.pay_flat[f2[loc_c]], payloads[i])
+    width = (q - keys) - (len(tps) - 1)
+    good = alive & (width <= slop) & paymatch
+    acc = np.zeros(ncand, dtype=np.float32)
+    if good.any():
+        w = (1.0 / (1.0 + width[good].astype(np.float64))).astype(np.float32)
+        np.add.at(acc, keys[good] >> _POS_SHIFT, w)
+    return acc
+
+
 def _eval_span_or(node: SpanOrQ, postings: dict,
                   ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
     """SpanOrQuery over term spans: the union of member spans — freq =
@@ -1281,7 +1381,8 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         if not any(t in term_maxes for t in node.terms):
             return float("-inf")
         return float("inf")
-    if isinstance(node, (PhraseQ, NearQ, SloppyQ, SpanNearQ)):
+    if isinstance(node, (PhraseQ, NearQ, SloppyQ, SpanNearQ,
+                         SpanPayloadCheckQ)):
         if any(t not in term_maxes for t in node.terms):
             return float("-inf")
         # no cheap bound for phrase/proximity freq (the reference gives
@@ -1420,7 +1521,8 @@ def _req_terms(node) -> set:
     """Terms that EVERY matching doc must contain (conjunctive closure)."""
     if isinstance(node, TermQ):
         return {node.term}
-    if isinstance(node, (PhraseQ, NearQ, SloppyQ, SpanNearQ)):
+    if isinstance(node, (PhraseQ, NearQ, SloppyQ, SpanNearQ,
+                         SpanPayloadCheckQ)):
         return set(node.terms)
     if isinstance(node, MultiPhraseQ):
         # only single-alternative slots are required in every match
@@ -2059,8 +2161,8 @@ class Searcher:
         if node is None or isinstance(
             node,
             (TermQ, PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SynonymQ,
-             SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ, MatchAllQ, TermInSetQ,
-             TermSetRefQ, BlendedQ),
+             SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ, SpanPayloadCheckQ,
+             MatchAllQ, TermInSetQ, TermSetRefQ, BlendedQ),
         ):
             return node
         if isinstance(node, FuzzyQ):
@@ -2204,7 +2306,7 @@ class Searcher:
                     base = weights.get(n.child.term, np.float32(0.0))
                 elif isinstance(n.child, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                                           SpanNearQ, SpanFirstQ, SpanNotQ,
-                                          SpanOrQ)):
+                                          SpanOrQ, SpanPayloadCheckQ)):
                     base = phrase_weights.get(n.child, np.float32(0.0))
                 elif isinstance(n.child, SynonymQ):
                     base = syn_weights.get(n.child, np.float32(0.0))
@@ -2221,7 +2323,7 @@ class Searcher:
                 # float32 multiply, the BM25Scorer ctor's cast point
                 boost_weights[n] = np.float32(np.float32(n.boost) * base)
             elif isinstance(n, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
-                                SpanNearQ)):
+                                SpanNearQ, SpanPayloadCheckQ)):
                 # idf summed as double over float per-term idfs, cast to
                 # float; for MultiPhraseQ ``terms`` flattens termArrays in
                 # order with duplicates kept — one idf per array entry,
@@ -2409,8 +2511,15 @@ class Searcher:
         if not terms and not refs:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         need_positions = _has_phrase(node)
+        need_payloads = _has_payload_check(node)
+        if need_payloads and not self.stats.get("with_payloads"):
+            raise ValueError(
+                "SpanPayloadCheckQ needs a payloads-enabled index "
+                "(build with with_payloads=True)"
+            )
         cols = ["seg", "term", "first_gid", "last_gid", "doc_count", "gids", "freqs", "norms",
-                "imp_freqs", "imp_norms"] + (["positions"] if need_positions else [])
+                "imp_freqs", "imp_norms"] + (["positions"] if need_positions else []) \
+            + (["payloads"] if need_payloads else [])
         parts = []
         if terms:
             scan = self._postings_df().select(*cols)
@@ -2453,7 +2562,8 @@ class Searcher:
             return self._single_term(scan, node, ctx, k, prune, qid, after,
                                      keep_bcs=keep_bcs)
         return self._bucketed(scan, node, ctx, k, prune, qid, need_positions,
-                              width_terms, after, keep_bcs=keep_bcs)
+                              width_terms, after, keep_bcs=keep_bcs,
+                              need_payloads=need_payloads)
 
     def _bool_matchall(self, node: BoolQ, k: int, prune: bool,
                        after: "tuple[float, int] | None") -> DataFrame:
@@ -2674,7 +2784,8 @@ class Searcher:
         )
 
     def _seed_theta(self, scan, node, ctx: ScoreCtx, k: int, width: int,
-                    need_positions: bool, keeps=None) -> float:
+                    need_positions: bool, keeps=None,
+                    need_payloads: bool = False) -> float:
         """Cross-partition θ seed (MaxScoreAccumulator analog,
         ``core/search/MaxScoreAccumulator.java``).
 
@@ -2731,7 +2842,9 @@ class Searcher:
         if rows.empty:
             return float("-inf")
         postings = {
-            t: decode_term_blocks(grp, need_positions=need_positions).slice(lo, hi)
+            t: decode_term_blocks(
+                grp, need_positions=need_positions, need_payloads=need_payloads,
+            ).slice(lo, hi)
             for t, grp in rows.groupby("term", sort=False)
         }
         sgids, scores = eval_plan(node, postings, ctx)
@@ -2786,7 +2899,8 @@ class Searcher:
         return scan.mapInPandas(kernel, schema=RESULT_SCHEMA)
 
     def _bucketed(self, scan, node, ctx, k, prune, qid, need_positions,
-                  terms: set, after=None, keep_bcs: tuple = ()) -> DataFrame:
+                  terms: set, after=None, keep_bcs: tuple = (),
+                  need_payloads: bool = False) -> DataFrame:
         width = self._bucket_width(ctx, terms)
         doc_count = max(int(self.stats.get("n_rows") or self.stats.get("doc_count", 1)), 1)
         n_buckets_est = -(-doc_count // width)
@@ -2799,7 +2913,8 @@ class Searcher:
                 and n_buckets_est >= self.seed_min_buckets):
             theta0 = self._seed_theta(
                 scan, node, ctx, k, width, need_positions,
-                keeps=[kb.value for kb in keep_bcs] or None)
+                keeps=[kb.value for kb in keep_bcs] or None,
+                need_payloads=need_payloads)
         with_bucket = scan.withColumn(
             "bucket",
             F.explode(
@@ -2862,7 +2977,8 @@ class Searcher:
             postings: dict[str, TermPostings] = {}
             for t, grp in pdf.groupby("term", sort=False):
                 postings[t] = decode_term_blocks(
-                    grp, need_positions=need_positions
+                    grp, need_positions=need_positions,
+                    need_payloads=need_payloads,
                 ).slice(lo, hi)
             gids, scores = eval_plan(node, postings, ctx)
             gids, scores = _live_mask(gids, scores, deleted)
@@ -3265,10 +3381,26 @@ class Searcher:
         )
 
 
+def _has_payload_check(node) -> bool:
+    if isinstance(node, SpanPayloadCheckQ):
+        return True
+    if isinstance(node, BoolQ):
+        return any(
+            _has_payload_check(c)
+            for c in node.must + node.should + node.must_not
+        )
+    if isinstance(node, DisMaxQ):
+        return any(_has_payload_check(c) for c in node.clauses)
+    if isinstance(node, (ConstScoreQ, BoostQ)):
+        return _has_payload_check(node.child)
+    return False
+
+
 def _has_phrase(node) -> bool:
     # SpanOrQ needs no positions: width-0 spans make freq == Σ member tfs
     if isinstance(node, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
-                         SpanFirstQ, SpanNotQ, SpanNearQ)):
+                         SpanFirstQ, SpanNotQ, SpanNearQ,
+                         SpanPayloadCheckQ)):
         return True
     if isinstance(node, BoolQ):
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)

@@ -1318,6 +1318,71 @@ JOIN norm_tab ON norm_tab.b = pdn.norm_b
 ORDER BY score DESC, agg.doc_id ASC LIMIT {k}"""
 
 
+_PAY_OP_SQL = {"eq": "=", "lt": "<", "lte": "<=", "gt": ">", "gte": ">="}
+
+
+def span_payload_topk_sql(term: str, payload: int, op: str = "eq",
+                          k: int = 10) -> str:
+    """SpanPayloadCheckQuery oracle, single-term span: freq = count of the
+    term's occurrences whose payload matches under the MatchOperation;
+    idf weight uses the term's FULL docFreq (SpanWeight.buildSimWeight —
+    the payload filter never changes stats)."""
+    w = idf_sql(
+        f"(SELECT doc_freq FROM ptstats WHERE term = '{term}')",
+        "(SELECT doc_count FROM pcstats)",
+    )
+    cache = cache_sql("norm_tab.dec", P_AVGDL_SQL)
+    score = bm25_score_sql(w, "agg.freq", cache)
+    cmp = _PAY_OP_SQL[op]
+    return f"""WITH {payload_ctes()},
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS freq
+  FROM ppay WHERE term = '{term}' AND payload {cmp} {payload}
+  GROUP BY doc_id
+)
+SELECT agg.doc_id, CAST({score} AS DOUBLE) AS score
+FROM agg
+JOIN pdn ON pdn.doc_id = agg.doc_id
+JOIN norm_tab ON norm_tab.b = pdn.norm_b
+ORDER BY score DESC, agg.doc_id ASC LIMIT {k}"""
+
+
+def span_payload_near_topk_sql(t1: str, t2: str, p1: int, p2: int,
+                               op: str = "gte", k: int = 10) -> str:
+    """SpanPayloadCheckQuery oracle over an adjacent ordered 2-term span
+    (slop=0): for slop 0 the greedy NearSpansOrdered pick IS the token at
+    pos+1, so the check reduces to an adjacency self-join with positionwise
+    payload predicates; weight = float32 of the double idf sum over both
+    terms' full docFreqs."""
+    cmp = _PAY_OP_SQL[op]
+    idfs = [
+        "CAST("
+        + idf_sql(
+            f"(SELECT doc_freq FROM ptstats WHERE term = '{t}')",
+            "(SELECT doc_count FROM pcstats)",
+        )
+        + " AS DOUBLE)"
+        for t in (t1, t2)
+    ]
+    w = _f4(" + ".join(idfs))
+    cache = cache_sql("norm_tab.dec", P_AVGDL_SQL)
+    score = bm25_score_sql(w, "agg.freq", cache)
+    return f"""WITH {payload_ctes()},
+agg AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM ppay a
+  JOIN ppay b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+    AND a.payload {cmp} {p1} AND b.payload {cmp} {p2}
+  GROUP BY a.doc_id
+)
+SELECT agg.doc_id, CAST({score} AS DOUBLE) AS score
+FROM agg
+JOIN pdn ON pdn.doc_id = agg.doc_id
+JOIN norm_tab ON norm_tab.b = pdn.norm_b
+ORDER BY score DESC, agg.doc_id ASC LIMIT {k}"""
+
+
 # --------------------------------------------------- FILTER / custom sim
 
 

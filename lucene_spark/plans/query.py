@@ -26,7 +26,7 @@ __all__ = [
     "RangeQ", "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
     "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "TermSetRefQ",
     "BlendedQ",
-    "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ",
+    "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ", "SpanPayloadCheckQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
 
@@ -139,6 +139,42 @@ class SpanNearQ:
     terms: tuple[str, ...]
     slop: int = 0
     in_order: bool = True
+
+
+@dataclass(frozen=True)
+class SpanPayloadCheckQ:
+    """SpanPayloadCheckQuery over a term span or an ordered near-span
+    (queries/src/java/org/apache/lucene/queries/payloads/
+    SpanPayloadCheckQuery.java, MatchOperation.EQ): the wrapped span
+    matches only where the payload collected at each of its positions
+    equals ``payloads[i]`` (one integer payload per member term, in span
+    order — PayloadChecker collects per-position payloads as the span
+    iterates).
+
+    Single term (``len(terms)==1``): each width-0 occurrence whose payload
+    equals ``payloads[0]`` adds 1.0 to freq. Multiple terms: the
+    NearSpansOrdered greedy chain (see :class:`SpanNearQ`) picks each
+    span's positions; the payload check applies to exactly those picked
+    occurrences (Lucene checks the span AS MATCHED — it does not retry a
+    longer stretch when a payload mismatches), and accepted spans add
+    1/(1+width) as float32. Weight = idf summed over the member terms
+    (SpanWeight.buildSimWeight); the check needs a payloads-enabled index.
+    """
+
+    terms: tuple[str, ...]
+    payloads: tuple[int, ...]
+    slop: int = 0
+    # MatchOperation (SpanPayloadCheckQuery.MatchOperation): EQ/LT/LTE/GT/GTE
+    # applied positionwise between the collected payload and payloads[i]
+    op: str = "eq"
+
+    def __post_init__(self):
+        if len(self.terms) != len(self.payloads):
+            raise ValueError("one payload per span position required")
+        if not self.terms:
+            raise ValueError("empty span")
+        if self.op not in ("eq", "lt", "lte", "gt", "gte"):
+            raise ValueError(f"unknown payload match operation: {self.op}")
 
 
 @dataclass(frozen=True)
@@ -871,7 +907,8 @@ def query_terms(node) -> set[str]:
     if isinstance(node, TermQ):
         return {node.term}
     if isinstance(node, (PhraseQ, MultiPhraseQ, SynonymQ, NearQ, SloppyQ,
-                         BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ)):
+                         BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ,
+                         SpanPayloadCheckQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()
