@@ -628,6 +628,37 @@ def _q_classic_sim_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_lm_dirichlet_topk(spark, sf_dir):
+    """LMDirichletSimilarity(mu=2000) through the pluggable Similarity
+    protocol — Bayesian-smoothed language-model scoring replaces BM25
+    end-to-end, including the impact-pruning bounds
+    (core/search/similarities/LMDirichletSimilarity.java)."""
+    from lucene_spark.functions.similarity import LMDirichletSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for(spark, sf_dir), similarity=LMDirichletSim())
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_boolean_sim_topk(spark, sf_dir):
+    """BooleanSimilarity: every hit scores exactly the query boost —
+    constant-score matching behind the same Similarity protocol
+    (core/search/similarities/BooleanSimilarity.java)."""
+    from lucene_spark.functions.similarity import BooleanSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for(spark, sf_dir), similarity=BooleanSim())
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _topk_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     pdf = _searcher(spark, sf_dir).search(query, k=k, with_keys=False)
     out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
@@ -1497,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cached_filter_topk": _q_cached_filter_topk,
         "custom_sim_topk": _q_custom_sim_topk,
         "classic_sim_topk": _q_classic_sim_topk,
+        "lm_dirichlet_topk": _q_lm_dirichlet_topk,
+        "boolean_sim_topk": _q_boolean_sim_topk,
         "delete_count": _q_delete_count,
         "purge_topk": _q_purge_topk,
         "term_in_set_topk": _q_term_in_set_topk,
@@ -1617,6 +1650,8 @@ def oracle_sql() -> dict[str, str]:
         "cached_filter_topk": osql.cached_filter_topk_sql(T_HOT, (T_MID, T_B)),
         "custom_sim_topk": osql.custom_sim_topk_sql(T_HOT, CUSTOM_K1, CUSTOM_B),
         "classic_sim_topk": osql.classic_sim_topk_sql(T_HOT),
+        "lm_dirichlet_topk": osql.lm_dirichlet_topk_sql(T_HOT),
+        "boolean_sim_topk": osql.boolean_sim_topk_sql(T_HOT),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),
         "purge_tiered_topk": osql.purge_topk_sql(T_HOT, T_B, DELETE_MOD),

@@ -33,7 +33,7 @@ import numpy as np
 from .bm25 import idf as _bm25_idf, norm_cache as _bm25_norm_cache
 from .smallfloat import LENGTH_TABLE
 
-__all__ = ["BM25Sim", "ClassicSim"]
+__all__ = ["BM25Sim", "ClassicSim", "BooleanSim", "LMDirichletSim"]
 
 
 @dataclass(frozen=True)
@@ -51,7 +51,7 @@ class BM25Sim:
         return _bm25_norm_cache(avg_dl, np.float32(self.k1), np.float32(self.b))
 
     def score(self, freqs: np.ndarray, weight: np.float32,
-              norm_vals: np.ndarray) -> np.ndarray:
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
         """float32 ``w - w / (1 + freq * cache[norm])``
         (BM25Similarity.java:240-252)."""
         one = np.float32(1.0)
@@ -88,8 +88,85 @@ class ClassicSim:
         return t
 
     def score(self, freqs: np.ndarray, weight: np.float32,
-              norm_vals: np.ndarray) -> np.ndarray:
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
         # sqrt computed in double then cast once (Java (float)Math.sqrt),
         # each multiply a float32 op
         tf = np.sqrt(freqs.astype(np.float64)).astype(np.float32)
         return (tf * weight) * norm_vals
+
+
+@dataclass(frozen=True)
+class BooleanSim:
+    """BooleanSimilarity (core/search/similarities/BooleanSimilarity.java):
+    every matching doc scores exactly the query boost — no tf, no idf, no
+    length normalization (BooleanWeight-era filter scoring)."""
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)  # weight slot carries the folded boost only
+
+    def norm_table(self, avg_dl: np.float32) -> np.ndarray:
+        return np.ones(256, dtype=np.float32)
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
+        return np.full(len(freqs), np.float32(weight), dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class LMDirichletSim:
+    """LMDirichletSimilarity(mu) — Bayesian smoothing language model
+    (core/search/similarities/LMDirichletSimilarity.java:60-90 +
+    LMSimilarity.DefaultCollectionModel).
+
+    Exact JVM op points:
+      p      = f32(ttf + 1f) / f32(sttf + 2f), a float32 divide
+               (DefaultCollectionModel.computeProbability)
+      mu*p   = float32 multiply (both operands float in Java)
+      score  = f32( max(0, boost * (ln(1 + freq / (mu*p))
+                                    + ln(mu / (docLen + mu)))) )
+               — the log terms and the boost multiply run in DOUBLE,
+               the clamp applies BEFORE the final float cast
+               (LMDirichletSimilarity.score + SimilarityBase's
+               BasicSimScorer ``(float) score(...)``), and docLen is the
+               SmallFloat-decoded length (SimilarityBase.LENGTH_TABLE).
+
+    The protocol mapping: ``idf`` returns 1.0 so the engine's
+    similarity-agnostic boost fold leaves the weight slot = boost
+    (BasicStats.getBoost multiplies the whole score); ``aux`` carries the
+    per-term float32 mu*p; ``norm_table`` decodes norm bytes straight to
+    lengths. Monotone in freq (up) and docLen (down), so the impact
+    frontiers and block-max pruning stay valid.
+
+    Term-level stats only: phrase/synonym/blended folds are BM25/TFIDF
+    shaped, so the engine rejects those composites under this similarity.
+    """
+
+    mu: float = 2000.0
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
+            sum_total_term_freq: int) -> np.float32:
+        p = np.float32(
+            np.float32(total_term_freq + 1.0)
+            / np.float32(sum_total_term_freq + 2.0)
+        )
+        return np.float32(np.float32(self.mu) * p)
+
+    def norm_table(self, avg_dl: np.float32) -> np.ndarray:
+        # decoded doc length per norm byte (SimilarityBase.LENGTH_TABLE —
+        # a float[256] in the JVM; every decoded value is f32-exact)
+        return LENGTH_TABLE.astype(np.float32)
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
+        if aux is None:
+            raise ValueError("LMDirichletSim.score needs the mu*p aux")
+        mu = float(self.mu)
+        # Math.log(1 + x), NOT log1p — Java adds explicitly, so the 1+x
+        # rounding happens before the log (bit-parity with the JVM)
+        a = np.log(1.0 + freqs.astype(np.float64) / np.float64(aux))
+        b = np.log(mu / (norm_vals.astype(np.float64) + mu))
+        s = np.float64(weight) * (a + b)
+        return np.maximum(s, 0.0).astype(np.float32)

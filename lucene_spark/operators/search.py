@@ -403,6 +403,10 @@ class ScoreCtx:
     doc_freqs: dict = None  # term key -> global docFreq (bucket-width targeting)
     caches: dict = None  # field -> float32[256] cache (per-field avgdl)
     sim: object = None  # Similarity (functions/similarity.py); BM25Sim default
+    aux: dict = None  # term key -> per-term similarity constant (e.g. LM mu*p)
+
+    def aux_for(self, term_key: str):
+        return None if not self.aux else self.aux.get(term_key)
 
     def cache_for(self, term_key: str) -> np.ndarray:
         """Norm-inverse cache of the term's field (per-field avgdl —
@@ -413,8 +417,8 @@ class ScoreCtx:
 
 
 def _score_term(tp: TermPostings, weight: np.float32, cache: np.ndarray,
-                sim) -> np.ndarray:
-    return sim.score(tp.freqs, weight, cache[tp.norms])
+                sim, aux=None) -> np.ndarray:
+    return sim.score(tp.freqs, weight, cache[tp.norms], aux)
 
 
 def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
@@ -429,7 +433,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         if tp is None or not len(tp.gids):
             return np.empty(0, np.int64), np.empty(0, np.float32)
         return tp.gids, _score_term(tp, ctx.weights[node.term],
-                                    ctx.cache_for(node.term), ctx.sim)
+                                    ctx.cache_for(node.term), ctx.sim,
+                                    ctx.aux_for(node.term))
     if isinstance(node, PhraseQ):
         return _eval_phrase(node, postings, ctx)
     if isinstance(node, NearQ):
@@ -493,7 +498,8 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
         tp = postings.get(child.term)
         if tp is None or not len(tp.gids):
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        return tp.gids, _score_term(tp, w, ctx.cache_for(child.term), ctx.sim)
+        return tp.gids, _score_term(tp, w, ctx.cache_for(child.term),
+                                    ctx.sim, ctx.aux_for(child.term))
     _PHRASE_LIKE = (PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SpanNearQ,
                     SpanFirstQ, SpanNotQ, SpanOrQ, SpanPayloadCheckQ)
     if isinstance(child, _PHRASE_LIKE + (SynonymQ, BlendedQ)):
@@ -510,6 +516,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
             if isinstance(child, BlendedQ) else ctx.blended_weights,
             caches=ctx.caches,
             sim=ctx.sim,
+            aux=ctx.aux,
         )
         return eval_plan(child, postings, sub)
     raise TypeError(f"BoostQ supports leaf scoring nodes, got {child!r}")
@@ -1328,12 +1335,13 @@ def _eval_span_or(node: SpanOrQ, postings: dict,
     return _score_positional(node, gids, freqs, norms, ctx)
 
 
-def _max_score_of_impacts(imp_freqs, imp_norms, weight, cache, sim) -> float:
+def _max_score_of_impacts(imp_freqs, imp_norms, weight, cache, sim,
+                          aux=None) -> float:
     f = np.asarray(imp_freqs, dtype=np.int64)
     n = np.asarray(imp_norms, dtype=np.int64).astype(np.uint8)
     if not len(f):
         return float("inf")
-    s = sim.score(f, weight, cache[n])
+    s = sim.score(f, weight, cache[n], aux)
     return float(s.max())
 
 
@@ -1573,7 +1581,7 @@ def _intersect_block_filter(pdf: pd.DataFrame, req: set) -> pd.DataFrame:
 
 
 def _row_block_maxes(pdf: pd.DataFrame, weights: dict, caches: dict,
-                     sim) -> np.ndarray:
+                     sim, auxes: "dict | None" = None) -> np.ndarray:
     """Per-block max possible score from the stored impact frontier.
 
     ``caches`` maps term key -> that term's FIELD norm cache (per-field
@@ -1598,7 +1606,9 @@ def _row_block_maxes(pdf: pd.DataFrame, weights: dict, caches: dict,
         n = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x in pdf["imp_norms"].iloc[sel]]
         ).astype(np.uint8)
-        s = sim.score(f, w, caches[t][n]).astype(np.float64)
+        s = sim.score(
+            f, w, caches[t][n], None if auxes is None else auxes.get(t)
+        ).astype(np.float64)
         nz = lens > 0
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         out[sel[nz]] = np.maximum.reduceat(s, starts[nz])
@@ -2376,12 +2386,31 @@ class Searcher:
                 walk(n.child)
 
         walk(node)
+        # collection-model similarities (LMDirichlet) carry a per-term
+        # aux constant; their stats shape doesn't fit the BM25/TFIDF
+        # phrase/synonym/blended folds, so those composites are rejected
+        aux = None
+        aux_of = getattr(self.sim, "aux", None)
+        if aux_of is not None:
+            if phrase_weights or syn_weights or blended_weights:
+                raise NotImplementedError(
+                    f"{type(self.sim).__name__} supports term/boolean "
+                    "scoring only (phrase/synonym/blended folds are "
+                    "BM25/TFIDF-shaped)"
+                )
+            aux = {
+                t: aux_of(
+                    tstats[t][0], doc_count_of(t), tstats[t][1],
+                    self.field_stats(_field_of(t))[1],
+                )
+                for t in terms if t in tstats
+            }
         return ScoreCtx(
             weights=weights, cache=cache,
             phrase_weights=phrase_weights, syn_weights=syn_weights,
             boost_weights=boost_weights, blended_weights=blended_weights,
             doc_freqs={t: tstats[t][0] for t in terms if t in tstats},
-            caches=caches, sim=self.sim,
+            caches=caches, sim=self.sim, aux=aux,
         )
 
     # ---- execution ------------------------------------------------------
@@ -2799,6 +2828,7 @@ class Searcher:
         weights = ctx.weights
         term_caches = {t: ctx.cache_for(t) for t in weights}
         sim = ctx.sim
+        auxes = ctx.aux
         meta = scan.select("term", "first_gid", "last_gid", "imp_freqs", "imp_norms")
         wb = meta.withColumn(
             "bucket",
@@ -2819,7 +2849,10 @@ class Searcher:
                     term_maxes[t] = float("inf")
                     continue
                 term_maxes[t] = max(
-                    _max_score_of_impacts(f, n, w, term_caches[t], sim)
+                    _max_score_of_impacts(
+                        f, n, w, term_caches[t], sim,
+                        None if auxes is None else auxes.get(t),
+                    )
                     for f, n in zip(grp["imp_freqs"], grp["imp_norms"])
                 )
             ub = _plan_upper_bound(node, term_maxes, ctx)
@@ -2859,6 +2892,8 @@ class Searcher:
         weight = ctx.weights[node.term]
         cache = ctx.cache_for(node.term)
         sim = ctx.sim
+        aux0 = ctx.aux_for(node.term)
+        auxes = ctx.aux
         theta0 = float("-inf")
         if prune and after is None and ctx.doc_freqs.get(node.term, 0) >= self.seed_min_df:
             theta0 = self._seed_theta(
@@ -2880,7 +2915,7 @@ class Searcher:
                     metrics["blocks_scanned"].add(len(pdf))
                 if prune:
                     maxes = _row_block_maxes(pdf, {node.term: weight},
-                                             {node.term: cache}, sim)
+                                             {node.term: cache}, sim, auxes)
                     theta = max(theta0, _theta(qid, k))
                     pdf = pdf[maxes >= theta]
                     if pdf.empty:
@@ -2888,7 +2923,7 @@ class Searcher:
                 if metrics is not None:
                     metrics["blocks_decoded"].add(len(pdf))
                 tp = decode_term_blocks(pdf)
-                scores = _score_term(tp, weight, cache, sim)
+                scores = _score_term(tp, weight, cache, sim, aux0)
                 gids, scores = _live_mask(tp.gids, scores, deleted)
                 gids, scores = _keep_only(gids, scores, keeps)
                 gids, scores = _after_mask(gids, scores, after)
@@ -2951,7 +2986,8 @@ class Searcher:
                 return empty
             theta = max(theta0, _theta(qid, k)) if prune else float("-inf")
             if prune:
-                block_maxes = _row_block_maxes(pdf, weights, term_caches, sim)
+                block_maxes = _row_block_maxes(pdf, weights, term_caches, sim,
+                                               ctx.aux)
                 term_maxes: dict[str, float] = {}
                 t_arr = pdf["term"].to_numpy()
                 for t in np.unique(t_arr):
@@ -3217,7 +3253,7 @@ class Searcher:
                         / tp.freqs.astype(np.float32)
                     ).astype(np.float32)
                 if include_span_score:
-                    span = _score_term(tp, w, cache, sim)
+                    span = _score_term(tp, w, cache, sim, ctx.aux_for(term))
                     scores = (span * pays).astype(np.float32)
                 else:
                     scores = pays.astype(np.float32)

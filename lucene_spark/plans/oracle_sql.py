@@ -1417,6 +1417,41 @@ SELECT doc_id, score FROM s
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def lm_dirichlet_topk_sql(term: str, mu: float = 2000.0, k: int = 10) -> str:
+    """LMDirichletSimilarity term top-k — each op at the same point as
+    functions/similarity.py LMDirichletSim, which mirrors
+    LMDirichletSimilarity.java + LMSimilarity.DefaultCollectionModel:
+      p     = f32( f32(ttf + 1) / f32(sttf + 2) )
+      mu*p  = f32 multiply
+      score = f32( max(0, ln(1 + freq / (mu*p))
+                        + ln(mu / (decoded_len + mu))) )   [double logs]
+    """
+    ttf = f"(SELECT sum(freq) FROM tf WHERE term = '{term}')"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    p = _f4(f"{_f4(f'{ttf} + 1.0')} / {_f4(f'{sttf} + 2.0')}")
+    mp = _f4(f"{mu} * {p}")
+    score = (
+        f"CAST(greatest(0.0, ln(1.0 + tf.freq / CAST({mp} AS DOUBLE)) "
+        f"+ ln({mu} / (CAST(norm_tab.dec AS DOUBLE) + {mu}))) AS FLOAT)"
+    )
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM tf
+JOIN dn ON dn.doc_id = tf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+WHERE tf.term = '{term}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
+def boolean_sim_topk_sql(term: str, k: int = 10) -> str:
+    """BooleanSimilarity term top-k: every hit scores exactly the boost
+    (1.0 here) — ties broken by ascending docID."""
+    return f"""WITH {base_ctes()}
+SELECT doc_id, CAST(CAST(1.0 AS FLOAT) AS DOUBLE) AS score
+FROM tf WHERE term = '{term}'
+ORDER BY doc_id ASC LIMIT {k}"""
+
+
 def classic_sim_topk_sql(term: str, k: int = 10) -> str:
     """ClassicSimilarity (TFIDFSimilarity) term top-k — each float32 op at
     the same point as functions/similarity.py ClassicSim, which mirrors

@@ -830,3 +830,68 @@ def test_classic_similarity(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         s.explain("merge")
+
+
+def test_lm_dirichlet_similarity(spark):
+    """LMDirichletSimilarity through the pluggable protocol: per-term
+    mu*p aux constant, decoded-length norms, double-log scoring with the
+    pre-cast clamp — and pruning stays exact under the swapped bounds."""
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import LMDirichletSim
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    sim = LMDirichletSim()
+    s = Searcher(spark, idx, similarity=sim)
+    got = s.search("merge", k=10, with_keys=False)
+    # brute oracle with the same float32/double op points
+    post = s.postings("merge").toPandas()
+    dc, sttf = s.field_stats("text")
+    ttf = int(post["freq"].sum())
+    mp = sim.aux(len(post), max(dc, 1), ttf, sttf)
+    nb = post["norm_b"].to_numpy(np.uint8)
+    dl = LENGTH_TABLE.astype(np.float32)[nb].astype(np.float64)
+    sc = np.log(1.0 + post["freq"].to_numpy(np.float64) / np.float64(mp)) \
+        + np.log(2000.0 / (dl + 2000.0))
+    sc = np.maximum(sc, 0.0).astype(np.float32)
+    order = sorted(zip(post["gid"], sc), key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["gid"], got["score"])) == order
+    # pruning under the swapped similarity never changes results
+    node = BoolQ(should=(TermQ("merge"), TermQ("scan")))
+    pruned = s.search(node, k=10, with_keys=False)
+    exact = s.search(node, k=10, prune=False, with_keys=False)
+    assert list(zip(pruned["gid"], pruned["score"])) == list(
+        zip(exact["gid"], exact["score"])
+    )
+    # boost folds as the whole-score multiplier (BasicStats.getBoost)
+    from lucene_spark.plans.query import BoostQ
+
+    b2 = s.search(BoostQ(TermQ("merge"), 2.0), k=5, with_keys=False)
+    base = s.search("merge", k=5, with_keys=False)
+    assert list(b2.gid) == list(base.gid)
+    assert all(
+        np.float32(x) == np.float32(np.float64(2.0) * np.float64(y))
+        or abs(x - 2 * y) < 1e-6
+        for x, y in zip(b2.score, base.score)
+    )
+    # composites whose stat folds are BM25/TFIDF-shaped fail loudly
+    with pytest.raises(NotImplementedError):
+        s.search('"table scan"', k=5)
+
+
+def test_boolean_similarity(spark):
+    """BooleanSimilarity: every hit scores the boost, docID tie-break."""
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import BooleanSim
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import BoostQ
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    s = Searcher(spark, idx, similarity=BooleanSim())
+    got = s.search("merge", k=10, with_keys=False)
+    post = s.postings("merge").toPandas()
+    assert list(got.gid) == sorted(post["gid"])[:10]
+    assert set(np.float32(got.score)) == {np.float32(1.0)}
+    b = s.search(BoostQ(TermQ("merge"), 2.5), k=5, with_keys=False)
+    assert set(np.float32(b.score)) == {np.float32(2.5)}
