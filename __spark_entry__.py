@@ -816,6 +816,24 @@ def _q_simhash(spark, sf_dir):
     return textops.simhash(spark, sf_dir)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction pass: emails / IPv4s / phone numbers replaced with
+    typed mask tokens over deterministically PII-augmented text, per-doc
+    match counts kept for auditing (standard pre-training scrub)."""
+    from lucene_spark.operators import textops
+
+    return textops.pii_scrub(spark, sf_dir)
+
+
+def _q_normalize_text(spark, sf_dir):
+    """Dedup-normalization (CCNet-style): lowercase, strip punctuation,
+    collapse whitespace; emits the canonical text + md5 for exact dedup
+    over the normalized form."""
+    from lucene_spark.operators import textops
+
+    return textops.normalize_text(spark, sf_dir)
+
+
 def _q_text_stats(spark, sf_dir):
     from lucene_spark.operators import textops
 
@@ -1479,6 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_lsh": _q_ngram_jaccard_lsh,
         "simhash": _q_simhash,
         "text_stats": _q_text_stats,
+        "pii_scrub": _q_pii_scrub,
+        "normalize_text": _q_normalize_text,
         "doc_fingerprints": _q_doc_fingerprints,
         "repetition_stats": _q_repetition_stats,
         "cross_doc_dup_ngrams": _q_cross_doc_dup_ngrams,
@@ -1594,6 +1614,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_lsh": otx.ngram_jaccard_lsh_sql(threshold=JACCARD_THRESHOLD),
         "simhash": otx.simhash_sql(),
         "text_stats": otx.text_stats_sql(),
+        "pii_scrub": otx.pii_scrub_sql(),
+        "normalize_text": otx.normalize_text_sql(),
         "doc_fingerprints": otx.doc_fingerprints_sql(),
         "repetition_stats": otx.repetition_stats_sql(k=3),
         "cross_doc_dup_ngrams": otx.cross_doc_dup_ngrams_sql(k=5),

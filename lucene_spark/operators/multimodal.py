@@ -199,6 +199,44 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _pyav_frames(buf: bytes, every_n: int):
+    """Real-codec per-blob decode (pyav): every ``every_n``-th video frame
+    as (frame_idx, n_pixels, grayscale mean). Import happens here, on the
+    executor, so only workers that actually decode need the library."""
+    import io
+
+    import av
+
+    out = []
+    with av.open(io.BytesIO(buf)) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % every_n:
+                continue
+            arr = np.asarray(frame.to_ndarray(format="gray"), dtype=np.float64)
+            out.append((i, int(arr.size), float(arr.mean())))
+    return out
+
+
+def _soundfile_resample(buf: bytes, target_hz: int):
+    """Real-codec per-blob resample (soundfile): decode, mono mixdown,
+    index-pick downsample to ``target_hz`` using the CONTAINER's sample
+    rate. Returns (n_samples_in, n_samples_out, mean_out)."""
+    import io
+
+    import soundfile as sf
+
+    data, sr = sf.read(io.BytesIO(buf), dtype="float64")
+    mono = data.mean(axis=1) if getattr(data, "ndim", 1) > 1 else np.asarray(data)
+    n_in = int(len(mono))
+    n_out = int(n_in * target_hz // sr) if sr > 0 else 0
+    if n_out:
+        idx = (np.arange(n_out, dtype=np.int64) * sr) // target_hz
+        mean = float(mono[idx].mean())
+    else:
+        mean = 0.0
+    return n_in, n_out, mean
+
+
 def sample_video_frames(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
     every_n: int = 30, frame_bytes: int = 64, codec: str = "auto",
@@ -207,12 +245,17 @@ def sample_video_frames(
     per sampled frame — the explode shape a caption/embedding stage
     consumes).
 
-    ``codec="auto"`` uses pyav when importable; otherwise (this container
-    ships no codecs) the deterministic FAKE codec treats the blob as
-    fixed-size ``frame_bytes`` chunks and emits each sampled chunk's byte
-    mean — stable across engines, so the op is oracle-gated end-to-end.
-    The kernel is one numpy pass per Arrow batch: all blobs concatenate
-    into a single buffer and frame means come from one ``add.reduceat``.
+    ``codec="auto"`` resolves to the REAL pyav decoder when the library
+    imports (container-decode per blob via :func:`_pyav_frames`, grayscale
+    frame means, byte_start = -1 since frames aren't byte-aligned);
+    otherwise (this container ships no codecs) the deterministic FAKE
+    codec treats the blob as fixed-size ``frame_bytes`` chunks and emits
+    each sampled chunk's byte mean — stable across engines, so the op is
+    oracle-gated end-to-end. The fake kernel is one numpy pass per Arrow
+    batch: all blobs concatenate into a single buffer and frame means
+    come from one ``add.reduceat``. The pyav per-blob decode is unit-
+    tested against a stub ``av`` module, so the wiring is exercised even
+    where the codec library is absent.
     """
     if payload_col not in df.columns:
         raise ValueError(f"missing payload column {payload_col!r}")
@@ -224,14 +267,34 @@ def sample_video_frames(
         try:
             import av  # noqa: F401
 
-            raise NotImplementedError(
-                "pyav frame decode not wired in this container build; "
-                "use codec='fake'"
-            )
+            codec = "pyav"
         except ImportError:
-            pass
-    elif codec != "fake":
-        raise ValueError(f"codec must be 'auto' or 'fake', got {codec!r}")
+            codec = "fake"
+    if codec not in ("fake", "pyav"):
+        raise ValueError(f"codec must be 'auto', 'fake' or 'pyav', got {codec!r}")
+    if codec == "pyav":
+        def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                rows = []
+                for doc_id, buf in zip(
+                    pdf[id_col].to_numpy(dtype=np.int64), pdf[payload_col]
+                ):
+                    for fi, flen, fmean in _pyav_frames(bytes(buf), every_n):
+                        rows.append(
+                            (int(doc_id), fi, -1, flen, fmean, "pyav")
+                        )
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["doc_id", "frame_idx", "byte_start",
+                                 "frame_len", "frame_mean", "codec"],
+                    )
+
+        return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+            kernel, schema=FRAME_SCHEMA
+        )
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,11 +354,15 @@ def resample_audio(
 ) -> DataFrame:
     """Resample audio blobs to ``target_hz`` (downsample by index pick).
 
-    ``codec="auto"`` uses soundfile/librosa when importable; otherwise the
-    deterministic FAKE codec reads the blob as unsigned 8-bit PCM at
-    ``src_hz`` and picks sample j at index floor(j·src/target) —
-    integer-exact, so the op is oracle-gated. Emits per-blob output-stream
-    stats (a real pipeline would emit the resampled array the same way).
+    ``codec="auto"`` resolves to the REAL soundfile decoder when the
+    library imports (per-blob decode via :func:`_soundfile_resample`:
+    mono mixdown, index-pick to the target rate, container sample rate
+    trusted over ``src_hz``); otherwise the deterministic FAKE codec
+    reads the blob as unsigned 8-bit PCM at ``src_hz`` and picks sample j
+    at index floor(j·src/target) — integer-exact, so the op is
+    oracle-gated. Emits per-blob output-stream stats (a real pipeline
+    would emit the resampled array the same way). The soundfile path is
+    unit-tested against a stub module.
     """
     if payload_col not in df.columns:
         raise ValueError(f"missing payload column {payload_col!r}")
@@ -307,14 +374,35 @@ def resample_audio(
         try:
             import soundfile  # noqa: F401
 
-            raise NotImplementedError(
-                "soundfile decode not wired in this container build; "
-                "use codec='fake'"
-            )
+            codec = "soundfile"
         except ImportError:
-            pass
-    elif codec != "fake":
-        raise ValueError(f"codec must be 'auto' or 'fake', got {codec!r}")
+            codec = "fake"
+    if codec not in ("fake", "soundfile"):
+        raise ValueError(
+            f"codec must be 'auto', 'fake' or 'soundfile', got {codec!r}"
+        )
+    if codec == "soundfile":
+        def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                rows = []
+                for doc_id, buf in zip(
+                    pdf[id_col].to_numpy(dtype=np.int64), pdf[payload_col]
+                ):
+                    n_in, n_out, mean = _soundfile_resample(
+                        bytes(buf), target_hz
+                    )
+                    rows.append((int(doc_id), n_in, n_out, mean, "soundfile"))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "n_samples_in", "n_samples_out",
+                             "mean_out", "codec"],
+                )
+
+        return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+            kernel, schema=AUDIO_SCHEMA
+        )
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -742,6 +742,74 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns (Dolma / BigScience-ROOTS style regex scrubbing): kept to a
+# syntax subset with identical semantics in Java regex (Spark) and RE2
+# (DuckDB) so the oracle twin is byte-exact. Application order is fixed:
+# email, then IPv4, then phone.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 ()-]{6,14}[0-9]"
+
+
+def _with_pii(col: Column) -> Column:
+    """Deterministically inject synthetic PII per doc (the test corpus has
+    none): the gate then proves the scrubber actually redacts, not that it
+    no-ops. Same expression mirrored in the SQL oracle."""
+    return F.concat(
+        col,
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1415555"), F.format_string("%04d", F.col("doc_id") % 10000),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str,
+              inject: bool = True) -> DataFrame:
+    """PII redaction (the standard pre-training scrub pass — emails, IPv4s,
+    E.164-ish phone numbers replaced with typed mask tokens, per-doc match
+    counts kept for auditing).
+
+    Scale shape: pure column expressions over one scan — no shuffle, no
+    UDF; Catalyst keeps the whole pass in one projection. ``inject=True``
+    (the gate default) appends deterministic synthetic PII first, since
+    the benchmark corpus contains none.
+    """
+    d = docs(spark, sf_dir)
+    text = _with_pii(F.col("text")) if inject else F.col("text")
+    n_email = F.regexp_count(text, F.lit(PII_EMAIL))
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(after_email, F.lit(PII_IPV4))
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(after_ip, F.lit(PII_PHONE))
+    clean = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_phone.cast("long").alias("n_phones"),
+    )
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-normalization pass (CCNet/Gopher-style): lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim — the
+    canonical form fed to exact/fuzzy dedup so near-identical pages hash
+    together. One projection, no shuffle; emits the normalized text and
+    its md5 so exact dedup over the normalized form is one groupBy away.
+    """
+    d = docs(spark, sf_dir)
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, r"[^a-z0-9]+", " ")
+    t = F.trim(t)
+    return d.select(
+        "doc_id",
+        t.alias("norm_text"),
+        F.md5(t).alias("norm_md5"),
+    )
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Within-document repetition metrics (Gopher/RefinedWeb-style quality
     rules): duplicate k-gram fraction and top-k-gram mass per doc. High

@@ -326,6 +326,50 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"""
 
 
+def pii_scrub_sql() -> str:
+    """PII-scrub twin: same injected synthetic PII, same three patterns in
+    the same order (RE2 'g' flag = Spark's replace-all default)."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    phone = "\\+[0-9][0-9 ()-]{6,14}[0-9]"
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 or +1415555' || printf('%04d', doc_id % 10000) AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{email}'))::BIGINT AS n_emails,
+         regexp_replace(t, '{email}', '<EMAIL>', 'g') AS t
+  FROM aug
+),
+i AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '{ipv4}'))::BIGINT AS n_ips,
+         regexp_replace(t, '{ipv4}', '<IP>', 'g') AS t
+  FROM e
+)
+SELECT doc_id,
+       regexp_replace(t, '{phone}', '<PHONE>', 'g') AS clean_text,
+       n_emails, n_ips,
+       len(regexp_extract_all(t, '{phone}'))::BIGINT AS n_phones
+FROM i ORDER BY doc_id"""
+
+
+def normalize_text_sql() -> str:
+    """Normalization twin: lowercase, non-alphanumeric runs to one space,
+    trim; md5 over the SAME normalized string."""
+    return """WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_md5
+FROM n ORDER BY doc_id"""
+
+
 def doc_fingerprints_sql(k: int = 5) -> str:
     return f"""WITH {TOKS_CTE},{shingle_cte('sh', k)},
 shh AS (SELECT doc_id, {md5i('sh')} AS h FROM sh)

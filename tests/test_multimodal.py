@@ -114,3 +114,85 @@ def test_resample_audio_fake_codec(media_df):
             continue
         idx = (np.arange(n_out) * 8) // 3
         assert abs(float(row["mean_out"]) - x[idx].astype(np.int64).mean()) < 1e-12
+
+
+def test_pyav_frame_decode_with_stub(monkeypatch):
+    """The real-codec video path, driven by a stub ``av`` module: frame
+    sampling honors every_n, grayscale means computed per frame."""
+    import sys
+    import types
+
+    import numpy as np
+
+    frames = [np.full((2, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)]
+
+    class _Frame:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def to_ndarray(self, format):
+            assert format == "gray"
+            return self.arr
+
+    class _Container:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video):
+            assert video == 0
+            return iter(_Frame(a) for a in frames)
+
+    stub = types.ModuleType("av")
+    stub.open = lambda fh: _Container()
+    monkeypatch.setitem(sys.modules, "av", stub)
+
+    from lucene_spark.operators.multimodal import _pyav_frames
+
+    got = _pyav_frames(b"\x00" * 16, every_n=2)
+    assert got == [(0, 6, 10.0), (2, 6, 30.0), (4, 6, 50.0)]
+
+
+def test_soundfile_resample_with_stub(monkeypatch):
+    """The real-codec audio path with a stub ``soundfile``: stereo mixes
+    down to mono and the container sample rate drives the index pick."""
+    import sys
+    import types
+
+    import numpy as np
+
+    stereo = np.stack(
+        [np.arange(8, dtype=np.float64), np.arange(8, dtype=np.float64) + 2],
+        axis=1,
+    )  # mono mixdown = arange(8) + 1
+
+    stub = types.ModuleType("soundfile")
+    stub.read = lambda fh, dtype: (stereo, 8)
+    monkeypatch.setitem(sys.modules, "soundfile", stub)
+
+    from lucene_spark.operators.multimodal import _soundfile_resample
+
+    n_in, n_out, mean = _soundfile_resample(b"ignored", target_hz=4)
+    assert (n_in, n_out) == (8, 4)
+    # picked indices: floor(j*8/4) = 0,2,4,6 -> mono values 1,3,5,7
+    assert mean == 4.0
+
+
+def test_codec_auto_resolves_to_fake_without_libs(spark):
+    """In this container neither pyav nor soundfile import, so auto ==
+    fake and the codec column says so (the honest-fallback contract)."""
+    import pandas as pd
+
+    from lucene_spark.operators.multimodal import (
+        resample_audio, sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [b"\x01\x02\x03\x04" * 8]})
+    )
+    v = sample_video_frames(df, every_n=1, frame_bytes=8, codec="auto").toPandas()
+    assert set(v.codec) == {"fake"}
+    a = resample_audio(df, target_hz=2, src_hz=8, codec="auto").toPandas()
+    assert set(a.codec) == {"fake"}

@@ -422,3 +422,38 @@ def test_bpe_train_is_deterministic_and_valid():
             for side in (a, b):
                 assert len(side) == 1 or side in known, (a, b)
             known.add(a + b)
+
+
+def test_pii_scrub_redacts(spark):
+    """The scrubber actually removes the injected PII: masks present,
+    counts >= 1 per doc, and no raw email/IP/phone survives."""
+    import re
+
+    from lucene_spark.operators.textops import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, pii_scrub,
+    )
+
+    pdf = pii_scrub(spark, "/root/testdata/sf0.001").limit(50).toPandas()
+    assert (pdf.n_emails >= 1).all()
+    assert (pdf.n_ips >= 1).all()
+    assert (pdf.n_phones >= 1).all()
+    for t in pdf.clean_text:
+        assert "<EMAIL>" in t and "<IP>" in t and "<PHONE>" in t
+        assert not re.search(PII_EMAIL, t)
+        assert not re.search(PII_IPV4, t)
+        assert not re.search(PII_PHONE, t)
+
+
+def test_normalize_text_idempotent(spark):
+    """Normalization is a fixpoint: normalizing the normalized text is a
+    no-op, and the md5 matches the emitted string."""
+    import hashlib
+    import re
+
+    from lucene_spark.operators.textops import normalize_text
+
+    pdf = normalize_text(spark, "/root/testdata/sf0.001").limit(50).toPandas()
+    for t, h in zip(pdf.norm_text, pdf.norm_md5):
+        again = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        assert again == t
+        assert hashlib.md5(t.encode()).hexdigest() == h
