@@ -644,6 +644,23 @@ def _q_lm_dirichlet_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_lm_jm_topk(spark, sf_dir):
+    """LMJelinekMercerSimilarity(lambda=0.1) — linear-interpolation
+    language-model smoothing through the same Similarity protocol
+    (core/search/similarities/LMJelinekMercerSimilarity.java)."""
+    from lucene_spark.functions.similarity import LMJelinekMercerSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(
+        spark, _index_for(spark, sf_dir), similarity=LMJelinekMercerSim()
+    )
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_boolean_sim_topk(spark, sf_dir):
     """BooleanSimilarity: every hit scores exactly the query boost —
     constant-score matching behind the same Similarity protocol
@@ -1549,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_sim_topk": _q_custom_sim_topk,
         "classic_sim_topk": _q_classic_sim_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
+        "lm_jm_topk": _q_lm_jm_topk,
         "boolean_sim_topk": _q_boolean_sim_topk,
         "delete_count": _q_delete_count,
         "purge_topk": _q_purge_topk,
@@ -1673,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         "custom_sim_topk": osql.custom_sim_topk_sql(T_HOT, CUSTOM_K1, CUSTOM_B),
         "classic_sim_topk": osql.classic_sim_topk_sql(T_HOT),
         "lm_dirichlet_topk": osql.lm_dirichlet_topk_sql(T_HOT),
+        "lm_jm_topk": osql.lm_jm_topk_sql(T_HOT),
         "boolean_sim_topk": osql.boolean_sim_topk_sql(T_HOT),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),

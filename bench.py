@@ -297,6 +297,30 @@ def main() -> None:
         s.search(q, k=10, with_keys=False)  # scoring latency, no stored-field fetch
         times[name] = round(time.time() - t0, 3)
 
+    # LRUQueryCache lever: the same FILTER clause cold (clause executed as
+    # a postings scan) vs warm (clause served from the cached broadcast
+    # gid set; its postings never scanned). The delta is the repeated-
+    # filter latency win the cache exists for.
+    from lucene_spark.operators.query_cache import (
+        LRUQueryCache, UsageTrackingPolicy,
+    )
+    from lucene_spark.plans.query import BoolQ, TermInSetQ, TermQ
+
+    qc = LRUQueryCache(
+        policy=UsageTrackingPolicy(min_freq_costly=1, min_freq_cheap=1)
+    )
+    s_cache = Searcher(spark, idx, query_cache=qc)
+    fnode = BoolQ(
+        must=(TermQ("merge"),), filter=(TermInSetQ(("window", "scan")),)
+    )
+    t0 = time.time()
+    s_cache.search(fnode, k=10, with_keys=False)  # cold: fills the cache
+    times["q_filter_cold"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    s_cache.search(fnode, k=10, with_keys=False)  # warm: broadcast mask
+    times["q_filter_cached"] = round(time.time() - t0, 3)
+    assert qc.hit_count >= 1, "bench cache never engaged"
+
     # >=1k-term multi-term rewrite: a prefix over a dictionary with ~3x
     # doc-count unique terms runs the DISTRIBUTED TermSetRefQ path (the
     # matched-terms plan semi-joins into the postings scan; no driver list)

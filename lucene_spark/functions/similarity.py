@@ -33,7 +33,8 @@ import numpy as np
 from .bm25 import idf as _bm25_idf, norm_cache as _bm25_norm_cache
 from .smallfloat import LENGTH_TABLE
 
-__all__ = ["BM25Sim", "ClassicSim", "BooleanSim", "LMDirichletSim"]
+__all__ = ["BM25Sim", "ClassicSim", "BooleanSim", "LMDirichletSim",
+           "LMJelinekMercerSim"]
 
 
 @dataclass(frozen=True)
@@ -110,6 +111,54 @@ class BooleanSim:
     def score(self, freqs: np.ndarray, weight: np.float32,
               norm_vals: np.ndarray, aux=None) -> np.ndarray:
         return np.full(len(freqs), np.float32(weight), dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class LMJelinekMercerSim:
+    """LMJelinekMercerSimilarity(lambda) — linear-interpolation smoothing
+    (core/search/similarities/LMJelinekMercerSimilarity.java:40-60).
+    lambda near 0.1 suits short queries, near 0.7 long ones (Zhai & Lafferty
+    2001, cited in the reference javadoc).
+
+    Exact JVM op points:
+      p     = f32(ttf + 1f) / f32(sttf + 2f)       (DefaultCollectionModel)
+      1-λ   = float32 subtract; λ*p = float32 multiply
+      score = f32( boost * ln(1 + ((1-λ) * freq / docLen) / (λ*p)) )
+              — the inner arithmetic runs in DOUBLE once freq joins, and
+              docLen is the SmallFloat-decoded length. Always > 0 for a
+              hit, so no clamp (unlike Dirichlet).
+
+    Protocol mapping mirrors :class:`LMDirichletSim`: idf = 1 (weight slot
+    carries boost), aux = f32(λ*p), norm_table = decoded lengths. Monotone
+    in freq (up) and docLen (down) → impact pruning stays valid.
+    Term-level stats only, like LMDirichletSim.
+    """
+
+    lam: float = 0.1
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
+            sum_total_term_freq: int) -> np.float32:
+        p = np.float32(
+            np.float32(total_term_freq + 1.0)
+            / np.float32(sum_total_term_freq + 2.0)
+        )
+        return np.float32(np.float32(self.lam) * p)
+
+    def norm_table(self, avg_dl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
+        if aux is None:
+            raise ValueError("LMJelinekMercerSim.score needs the lambda*p aux")
+        one_minus = np.float32(np.float32(1.0) - np.float32(self.lam))
+        num = np.float64(one_minus) * freqs.astype(np.float64) \
+            / norm_vals.astype(np.float64)
+        s = np.float64(weight) * np.log(1.0 + num / np.float64(aux))
+        return s.astype(np.float32)
 
 
 @dataclass(frozen=True)

@@ -1443,6 +1443,30 @@ WHERE tf.term = '{term}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def lm_jm_topk_sql(term: str, lam: float = 0.1, k: int = 10) -> str:
+    """LMJelinekMercerSimilarity term top-k — op points as in
+    functions/similarity.py LMJelinekMercerSim:
+      p     = f32( f32(ttf+1) / f32(sttf+2) ); aux = f32(lambda * p)
+      score = f32( ln(1 + (f32(1-lambda) * freq / decoded_len) / aux) )
+    """
+    ttf = f"(SELECT sum(freq) FROM tf WHERE term = '{term}')"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    p = _f4(f"{_f4(f'{ttf} + 1.0')} / {_f4(f'{sttf} + 2.0')}")
+    aux = _f4(f"{lam} * {p}")
+    one_minus = _f4(f"1.0 - {lam}")
+    score = (
+        f"CAST(ln(1.0 + (CAST({one_minus} AS DOUBLE) * tf.freq "
+        f"/ CAST(norm_tab.dec AS DOUBLE)) / CAST({aux} AS DOUBLE)) AS FLOAT)"
+    )
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM tf
+JOIN dn ON dn.doc_id = tf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+WHERE tf.term = '{term}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
 def boolean_sim_topk_sql(term: str, k: int = 10) -> str:
     """BooleanSimilarity term top-k: every hit scores exactly the boost
     (1.0 here) — ties broken by ascending docID."""

@@ -895,3 +895,35 @@ def test_boolean_similarity(spark):
     assert set(np.float32(got.score)) == {np.float32(1.0)}
     b = s.search(BoostQ(TermQ("merge"), 2.5), k=5, with_keys=False)
     assert set(np.float32(b.score)) == {np.float32(2.5)}
+
+
+def test_lm_jelinek_mercer_similarity(spark):
+    """LMJelinekMercerSimilarity: aux = f32(lambda*p), decoded-length
+    norms, no clamp; pruning stays exact under the swapped bounds."""
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import LMJelinekMercerSim
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    sim = LMJelinekMercerSim(lam=0.3)
+    s = Searcher(spark, idx, similarity=sim)
+    got = s.search("merge", k=10, with_keys=False)
+    post = s.postings("merge").toPandas()
+    dc, sttf = s.field_stats("text")
+    aux = sim.aux(len(post), max(dc, 1), int(post["freq"].sum()), sttf)
+    nb = post["norm_b"].to_numpy(np.uint8)
+    dl = LENGTH_TABLE.astype(np.float32)[nb].astype(np.float64)
+    one_minus = np.float32(np.float32(1.0) - np.float32(0.3))
+    sc = np.log(
+        1.0 + (np.float64(one_minus) * post["freq"].to_numpy(np.float64) / dl)
+        / np.float64(aux)
+    ).astype(np.float32)
+    order = sorted(zip(post["gid"], sc), key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["gid"], got["score"])) == order
+    node = BoolQ(should=(TermQ("merge"), TermQ("scan")))
+    pruned = s.search(node, k=10, with_keys=False)
+    exact = s.search(node, k=10, prune=False, with_keys=False)
+    assert list(zip(pruned["gid"], pruned["score"])) == list(
+        zip(exact["gid"], exact["score"])
+    )
