@@ -566,6 +566,21 @@ def _q_filter_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_function_score_topk(spark, sf_dir):
+    """FunctionScoreQuery.boostByValue: BM25 term scores multiplied by a
+    per-doc double value (ln(1 + decoded doc length) from the norm byte),
+    reranked exactly inside the kernels
+    (queries/function/FunctionScoreQuery.java)."""
+    from lucene_spark.plans.query import FunctionScoreQ, TermQ
+
+    node = FunctionScoreQ(TermQ(T_HOT), value="log1p_len")
+    pdf = _searcher(spark, sf_dir).search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_cached_filter_topk(spark, sf_dir):
     """LRUQueryCache + UsageTrackingQueryCachingPolicy analog
     (core/search/LRUQueryCache.java): the same FILTER clause run twice
@@ -1563,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_payload_near_topk": _q_span_payload_near_topk,
         "filter_topk": _q_filter_topk,
         "cached_filter_topk": _q_cached_filter_topk,
+        "function_score_topk": _q_function_score_topk,
         "custom_sim_topk": _q_custom_sim_topk,
         "classic_sim_topk": _q_classic_sim_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
@@ -1688,6 +1704,7 @@ def oracle_sql() -> dict[str, str]:
             "table", T_B, SPC_NEAR_P, SPC_NEAR_P, "gte"),
         "filter_topk": osql.filter_topk_sql(T_HOT, T_MID),
         "cached_filter_topk": osql.cached_filter_topk_sql(T_HOT, (T_MID, T_B)),
+        "function_score_topk": osql.function_score_topk_sql(T_HOT),
         "custom_sim_topk": osql.custom_sim_topk_sql(T_HOT, CUSTOM_K1, CUSTOM_B),
         "classic_sim_topk": osql.classic_sim_topk_sql(T_HOT),
         "lm_dirichlet_topk": osql.lm_dirichlet_topk_sql(T_HOT),

@@ -81,6 +81,7 @@ from ..plans.query import (
     SpanFirstQ,
     SpanNearQ,
     SpanPayloadCheckQ,
+    FunctionScoreQ,
     SpanNotQ,
     SpanOrQ,
     SynonymQ,
@@ -486,7 +487,46 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return gids, np.full(len(gids), np.float32(node.boost), dtype=np.float32)
     if isinstance(node, BoostQ):
         return _eval_boost(node, postings, ctx)
+    if isinstance(node, FunctionScoreQ):
+        return _eval_function_score(node, postings, ctx)
     raise TypeError(f"unknown node {node!r}")
+
+
+# DoubleValuesSource tables: per-norm-byte factor in DOUBLE (Lucene's
+# DoubleValues are double; the single float cast happens on the product)
+def _fs_tables():
+    from ..functions.smallfloat import LENGTH_TABLE
+
+    dec = LENGTH_TABLE.astype(np.float64)
+    return {
+        "log1p_len": np.log(1.0 + dec),
+        "inv_len": 1.0 / (1.0 + dec),
+    }
+
+
+_FS_TABLES = _fs_tables()
+
+
+def _eval_function_score(node: FunctionScoreQ, postings: dict,
+                         ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """FunctionScoreQuery.boostByValue: child scores times a per-doc
+    double value, one float cast on the product
+    (queries/function/FunctionScoreQuery.java MultiplicativeBoostValues-
+    Source). The per-doc value derives from the norm-decoded length, so
+    the multiply happens INSIDE the kernel before per-bucket top-k —
+    reranking is exact without a second pass over the index."""
+    gids, scores = eval_plan(node.child, postings, ctx)
+    if not len(gids):
+        return gids, scores
+    parts = [(tp.gids, tp.norms) for tp in postings.values() if len(tp.gids)]
+    all_g = np.concatenate([g for g, _ in parts])
+    all_n = np.concatenate([n for _, n in parts])
+    order = np.argsort(all_g, kind="mergesort")
+    sg, sn = all_g[order], all_n[order]
+    idx = np.minimum(np.searchsorted(sg, gids), len(sg) - 1)
+    norms = sn[idx]
+    factor = _FS_TABLES[node.value][norms]
+    return gids, (factor * scores.astype(np.float64)).astype(np.float32)
 
 
 def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
@@ -1380,6 +1420,11 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         if any(all(t not in term_maxes for t in slot) for slot in node.termss):
             return float("-inf")
         return float("inf")
+    if isinstance(node, FunctionScoreQ):
+        # function scores carry no impacts (like Lucene's): unbounded
+        # unless the child provably matches nothing
+        b = _plan_upper_bound(node.child, term_maxes, ctx)
+        return b if b == float("-inf") else float("inf")
     if isinstance(node, (SpanFirstQ, SpanNotQ)):
         # span freq <= the include term's tf, so its max score bounds ours
         if node.terms[0] not in term_maxes:
@@ -1544,7 +1589,7 @@ def _req_terms(node) -> set:
         for c in node.must:
             out |= _req_terms(c)
         return out
-    if isinstance(node, (ConstScoreQ, BoostQ)):
+    if isinstance(node, (ConstScoreQ, BoostQ, FunctionScoreQ)):
         return _req_terms(node.child)
     if isinstance(node, TermSetRefQ):
         # every matching doc contains SOME member term, and the virtual
@@ -1694,7 +1739,7 @@ def _set_refs(node) -> "list[TermSetRefQ]":
         elif isinstance(n, DisMaxQ):
             for c in n.clauses:
                 walk(c)
-        elif isinstance(n, (ConstScoreQ, BoostQ)):
+        elif isinstance(n, (ConstScoreQ, BoostQ, FunctionScoreQ)):
             walk(n.child)
 
     walk(node)
@@ -1710,7 +1755,7 @@ def _contains_matchall(node) -> bool:
         )
     if isinstance(node, DisMaxQ):
         return any(_contains_matchall(c) for c in node.clauses)
-    if isinstance(node, (ConstScoreQ, BoostQ)):
+    if isinstance(node, (ConstScoreQ, BoostQ, FunctionScoreQ)):
         return _contains_matchall(node.child)
     return False
 
@@ -2226,6 +2271,8 @@ class Searcher:
             )
         if isinstance(node, ConstScoreQ):
             return ConstScoreQ(self.rewrite(node.child), boost=node.boost)
+        if isinstance(node, FunctionScoreQ):
+            return FunctionScoreQ(self.rewrite(node.child), value=node.value)
         if isinstance(node, BoostQ):
             return self._distribute_boost(
                 self.rewrite(node.child), np.float32(node.boost)
@@ -2382,7 +2429,7 @@ class Searcher:
             elif isinstance(n, DisMaxQ):
                 for c in n.clauses:
                     walk(c)
-            elif isinstance(n, ConstScoreQ):
+            elif isinstance(n, (ConstScoreQ, FunctionScoreQ)):
                 walk(n.child)
 
         walk(node)
@@ -3427,7 +3474,7 @@ def _has_payload_check(node) -> bool:
         )
     if isinstance(node, DisMaxQ):
         return any(_has_payload_check(c) for c in node.clauses)
-    if isinstance(node, (ConstScoreQ, BoostQ)):
+    if isinstance(node, (ConstScoreQ, BoostQ, FunctionScoreQ)):
         return _has_payload_check(node.child)
     return False
 
@@ -3442,6 +3489,6 @@ def _has_phrase(node) -> bool:
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)
     if isinstance(node, DisMaxQ):
         return any(_has_phrase(c) for c in node.clauses)
-    if isinstance(node, (ConstScoreQ, BoostQ)):
+    if isinstance(node, (ConstScoreQ, BoostQ, FunctionScoreQ)):
         return _has_phrase(node.child)
     return False

@@ -1443,6 +1443,23 @@ WHERE tf.term = '{term}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def function_score_topk_sql(term: str, value: str = "log1p_len",
+                            k: int = 10) -> str:
+    """FunctionScoreQuery.boostByValue oracle: the child's float32 BM25
+    score times a DOUBLE per-doc value (ln(1+decoded_len) or
+    1/(1+decoded_len)), one float cast on the product."""
+    factor = {
+        "log1p_len": "ln(1.0 + CAST(norm_tab.dec AS DOUBLE))",
+        "inv_len": "1.0 / (1.0 + CAST(norm_tab.dec AS DOUBLE))",
+    }[value]
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', term)}
+SELECT s1.doc_id, CAST(CAST({factor} * s1.score AS FLOAT) AS DOUBLE) AS score
+FROM s1
+JOIN dn ON dn.doc_id = s1.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+ORDER BY score DESC, s1.doc_id ASC LIMIT {k}"""
+
+
 def lm_jm_topk_sql(term: str, lam: float = 0.1, k: int = 10) -> str:
     """LMJelinekMercerSimilarity term top-k — op points as in
     functions/similarity.py LMJelinekMercerSim:

@@ -25,7 +25,7 @@ __all__ = [
     "TermQ", "PhraseQ", "MultiPhraseQ", "BoolQ", "PrefixQ", "WildcardQ",
     "RangeQ", "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
     "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "TermSetRefQ",
-    "BlendedQ",
+    "BlendedQ", "FunctionScoreQ",
     "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ", "SpanPayloadCheckQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
@@ -357,6 +357,31 @@ class TermSetRefQ:
         never appear in analyzed terms (tokenizer emits word/number runs),
         so virtual keys cannot collide with real terms."""
         return "\x00set:" + repr(self.source)
+
+
+@dataclass(frozen=True)
+class FunctionScoreQ:
+    """FunctionScoreQuery.boostByValue analog
+    (core/queries/function/FunctionScoreQuery.java:60-90): the child query
+    defines the match set and base score; each hit's score is multiplied
+    by a per-doc value — here a function of the SmallFloat-DECODED doc
+    length read from the norm byte (the doc-values-free analog of
+    ``DoubleValuesSource.fromField``; Lucene's norms are the one per-doc
+    numeric every text index already stores).
+
+    ``value``: "log1p_len" → factor = f32(ln(1 + decoded_len));
+    "inv_len" → factor = f32(1 / (1 + decoded_len)). The multiply is one
+    float32 op (DoubleValuesSource boost fold). Scoring happens INSIDE
+    the kernels before per-bucket top-k, so reranking is exact; the
+    node's pruning upper bound is unbounded (like span queries — Lucene
+    gives function scores no impacts either)."""
+
+    child: object
+    value: str = "log1p_len"
+
+    def __post_init__(self):
+        if self.value not in ("log1p_len", "inv_len"):
+            raise ValueError(f"unknown value source: {self.value}")
 
 
 @dataclass(frozen=True)
@@ -920,7 +945,7 @@ def query_terms(node) -> set[str]:
         for c in node.clauses:
             out |= query_terms(c)
         return out
-    if isinstance(node, (ConstScoreQ, BoostQ)):
+    if isinstance(node, (ConstScoreQ, BoostQ, FunctionScoreQ)):
         return query_terms(node.child)
     if isinstance(node, (PrefixQ, WildcardQ, RangeQ, FuzzyQ, RegexpQ)):
         raise TypeError(f"{node!r} must be rewritten before planning")

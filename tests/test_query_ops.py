@@ -927,3 +927,42 @@ def test_lm_jelinek_mercer_similarity(spark):
     assert list(zip(pruned["gid"], pruned["score"])) == list(
         zip(exact["gid"], exact["score"])
     )
+
+
+def test_function_score_query(spark):
+    """FunctionScoreQuery.boostByValue: per-doc double value times the
+    child score, one float cast; reranking exact under pruning and for
+    boolean children (the value can invert the child's order)."""
+    import __spark_entry__ as entry
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import FunctionScoreQ
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    s = Searcher(spark, idx)
+    for value, table in (
+        ("log1p_len", np.log(1.0 + LENGTH_TABLE.astype(np.float64))),
+        ("inv_len", 1.0 / (1.0 + LENGTH_TABLE.astype(np.float64))),
+    ):
+        node = FunctionScoreQ(TermQ("merge"), value=value)
+        got = s.search(node, k=10, with_keys=False)
+        post = s.postings("merge").toPandas()
+        base = s.search("merge", k=10_000, prune=False, with_keys=False)
+        nb = dict(zip(post["gid"], post["norm_b"]))
+        want = sorted(
+            (
+                (int(g), float(np.float32(table[nb[g]] * np.float64(sc))))
+                for g, sc in zip(base.gid, base.score)
+            ),
+            key=lambda r: (-r[1], r[0]),
+        )[:10]
+        assert [(int(g), float(s_)) for g, s_ in zip(got.gid, got.score)] == want
+    # boolean child + pruned == exhaustive
+    node = FunctionScoreQ(
+        BoolQ(should=(TermQ("merge"), TermQ("scan"))), value="inv_len"
+    )
+    pruned = s.search(node, k=10, with_keys=False)
+    exact = s.search(node, k=10, prune=False, with_keys=False)
+    assert list(zip(pruned.gid, pruned.score)) == list(zip(exact.gid, exact.score))
+    with pytest.raises(ValueError):
+        FunctionScoreQ(TermQ("merge"), value="cube_len")
