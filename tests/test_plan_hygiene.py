@@ -188,3 +188,28 @@ def test_pushdown_survives_live_unit_union(spark, tmp_path_factory):
     plan = _explain(scan)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and all("term" in l for l in pushed), plan
+
+
+def test_cached_filter_plan_excludes_filter_terms(spark):
+    """On a query-cache hit the FILTER clause's terms must vanish from the
+    executed plan entirely — the clause is served from the broadcast gid
+    set, so its postings are never scanned (the LRUQueryCache win)."""
+    import __spark_entry__ as entry
+
+    from lucene_spark.operators.query_cache import (
+        LRUQueryCache, UsageTrackingPolicy,
+    )
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import BoolQ, TermInSetQ, TermQ
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    qc = LRUQueryCache(
+        policy=UsageTrackingPolicy(min_freq_costly=1, min_freq_cheap=1)
+    )
+    s = Searcher(spark, idx, query_cache=qc)
+    node = BoolQ(must=(TermQ("merge"),), filter=(TermInSetQ(("window", "scan")),))
+    s.search(node, k=5, with_keys=False)  # fills the cache
+    plan = s.candidates(node, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert qc.hit_count >= 1
+    assert "merge" in plan
+    assert "window" not in plan and "scan" not in plan, plan
