@@ -1110,6 +1110,53 @@ def _q_event_json_stats(spark, sf_dir):
     return analytics.event_json_stats(spark, sf_dir)
 
 
+# LatLonPoint family over deterministic synthetic coordinates derived from
+# event_id (operators/spatial.py synth_latlon). Box chosen to keep a few
+# hundred matches at sf0.01; distance radius / nearest-k parameters are
+# boundary-gap-asserted in tests/test_spatial.py so cross-engine sub-ulp
+# trig differences can never flip membership or rank k.
+GEO_BOX = (-20.0, 35.0, 10.0, 120.0)  # minLat, maxLat, minLon, maxLon
+GEO_CENTER = (10.0, 20.0)
+GEO_RADIUS_M = 3_000_000.0
+GEO_K = 10
+_POINTS_CACHE: dict[str, str] = {}
+
+
+def _points_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the z-ordered point table for a testdata dir."""
+    from lucene_spark.operators.spatial import build_points
+
+    if sf_dir in _POINTS_CACHE:
+        return _POINTS_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    out = f"/tmp/lucene_spark_points_{INDEX_FORMAT_VERSION}_{tag}"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    build_points(spark, ev, out, id_col="event_id")
+    _POINTS_CACHE[sf_dir] = out
+    return out
+
+
+def _q_geo_box(spark, sf_dir):
+    from lucene_spark.operators import spatial
+
+    pts = spatial.read_points(spark, _points_for(spark, sf_dir))
+    return spatial.geo_box(pts, *GEO_BOX)
+
+
+def _q_geo_distance(spark, sf_dir):
+    from lucene_spark.operators import spatial
+
+    pts = spatial.read_points(spark, _points_for(spark, sf_dir))
+    return spatial.geo_distance(pts, *GEO_CENTER, GEO_RADIUS_M)
+
+
+def _q_geo_nearest(spark, sf_dir):
+    from lucene_spark.operators import spatial
+
+    pts = spatial.read_points(spark, _points_for(spark, sf_dir))
+    return spatial.geo_nearest(pts, *GEO_CENTER, GEO_K)
+
+
 # 3 real vocab terms + thousands of misses: proves the >1024-clause bypass
 TERM_SET = [T_HOT, T_MID, T_B] + [f"zz{i}" for i in range(4997)]
 
@@ -1596,6 +1643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_range_agg": _q_event_range_agg,
         "event_hourly_rollup": _q_event_hourly,
         "event_json_stats": _q_event_json_stats,
+        "geo_box": _q_geo_box,
+        "geo_distance": _q_geo_distance,
+        "geo_nearest": _q_geo_nearest,
         "term_vectors": _q_term_vectors,
         "more_like_this": _q_more_like_this,
         "highlight": _q_highlight,
@@ -1625,9 +1675,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _geo_box_oracle() -> str:
+    """Quantize the gate box bounds exactly the way the engine does
+    (ceil-encode the lower edges, floor-encode the upper — LatLonPoint.
+    newBoxQuery) and hand the resulting INTEGER bounds to the oracle."""
+    from lucene_spark.operators import spatial as sp
+    from lucene_spark.plans import oracle_spatial as ospat
+
+    min_lat, max_lat, min_lon, max_lon = GEO_BOX
+    return ospat.geo_box_sql(
+        sp.encode_latitude_ceil(min_lat), sp.encode_latitude(max_lat),
+        sp.encode_longitude_ceil(min_lon), sp.encode_longitude(max_lon),
+        crosses_dateline=min_lon > max_lon,
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from lucene_spark.plans import oracle_sql as osql
     from lucene_spark.plans import oracle_textops as otx
+    from lucene_spark.plans import oracle_spatial as ospat
 
     return {
         "topk_term": osql.topk_single_sql(T_HOT),
@@ -1727,6 +1793,9 @@ def oracle_sql() -> dict[str, str]:
         "event_range_agg": otx.event_range_agg_sql(*TS_RANGE),
         "event_hourly_rollup": otx.event_hourly_rollup_sql(ROLLUP_TYPE),
         "event_json_stats": otx.event_json_stats_sql(),
+        "geo_box": _geo_box_oracle(),
+        "geo_distance": ospat.geo_distance_sql(*GEO_CENTER, GEO_RADIUS_M),
+        "geo_nearest": ospat.geo_nearest_sql(*GEO_CENTER, GEO_K),
         "term_vectors": osql.term_vectors_sql(),
         "more_like_this": osql.more_like_this_sql(MLT_SEED),
         "highlight": otx.highlight_sql(HL_TERMS),

@@ -1,0 +1,91 @@
+"""DuckDB oracle twins for the spatial (LatLonPoint) operators.
+
+The oracle recomputes everything from the raw ``events`` view —
+independently of the engine's z-ordered point table — using the exact
+arithmetic the engine uses:
+
+- synthetic (lat, lon) from event_id: integer multiply+mod (exact below
+  2^53), one correctly-rounded divide, one subtract → bit-identical
+  doubles on both engines;
+- GeoEncodingUtils quantization (``core/geo/GeoEncodingUtils.java:58+``):
+  floor(x / DECODE) with DECODE an exact dyadic (180/2^32, 360/2^32) →
+  bit-identical integers on both engines;
+- haversinMeters (``core/util/SloppyMath.java:47-75``) over the DECODED
+  coordinates, written with Java's toRadians operation order
+  (x / 180 * PI) so both engines evaluate the same expression tree. The
+  final distance is cast to float32, absorbing sub-ulp libm differences;
+  the gate's query parameters are chosen (and pytest-asserted) so no
+  point sits near the radius / rank-k boundary.
+
+The distance oracle applies ONLY the haversine predicate: the engine's
+bounding-box prune (Rectangle.fromPointDistance) is a strict superset of
+the circle, so membership is identical — the box is a scan optimization,
+and the oracle staying box-free is what makes it an independent check.
+"""
+
+from __future__ import annotations
+
+LAT_DECODE_SQL = "(180.0 / 4294967296.0)"
+LON_DECODE_SQL = "(360.0 / 4294967296.0)"
+PI_SQL = "3.141592653589793"
+TO_METERS_SQL = "6371008.7714"
+
+# must mirror lucene_spark.operators.spatial.synth_latlon
+_PTS_CTE = f"""
+pts AS (
+  SELECT
+    event_id AS gid,
+    CAST(FLOOR((((event_id * 7919) % 1700000) / 10000.0 - 85.0)
+               / {LAT_DECODE_SQL}) AS BIGINT) AS lat_enc,
+    CAST(FLOOR((((event_id * 104729) % 3500000) / 10000.0 - 175.0)
+               / {LON_DECODE_SQL}) AS BIGINT) AS lon_enc
+  FROM events
+)
+"""
+
+
+def _haversine_sql(qlat: float, qlon: float) -> str:
+    """haversinMeters over decoded quantized coords — same expression
+    tree as spatial._haversine_m (Java toRadians order: x / 180 * PI)."""
+    lat = f"(lat_enc * {LAT_DECODE_SQL})"
+    lon = f"(lon_enc * {LON_DECODE_SQL})"
+    x1 = f"({lat} / 180.0 * {PI_SQL})"
+    x2 = f"({qlat!r} / 180.0 * {PI_SQL})"
+    h1 = f"(1.0 - COS({x1} - {x2}))"
+    h2 = f"(1.0 - COS(({lon} - {qlon!r}) / 180.0 * {PI_SQL}))"
+    h = f"({h1} + COS({x1}) * COS({x2}) * {h2})"
+    return f"({TO_METERS_SQL} * 2.0 * ASIN(LEAST(1.0, SQRT({h} * 0.5))))"
+
+
+def geo_box_sql(lat_lo: int, lat_hi: int, lon_lo: int, lon_hi: int,
+                crosses_dateline: bool = False) -> str:
+    """Box membership on the ENCODED bounds (the engine computes the
+    same ceil/floor-encoded ints via encode_latitude[_ceil]); pass the
+    already-encoded values so both sides share one quantization."""
+    if crosses_dateline:
+        lon_pred = f"(lon_enc >= {lon_lo} OR lon_enc <= {lon_hi})"
+    else:
+        lon_pred = f"(lon_enc >= {lon_lo} AND lon_enc <= {lon_hi})"
+    return (
+        f"WITH {_PTS_CTE} "
+        f"SELECT gid, lat_enc, lon_enc FROM pts "
+        f"WHERE lat_enc >= {lat_lo} AND lat_enc <= {lat_hi} AND {lon_pred}"
+    )
+
+
+def geo_distance_sql(qlat: float, qlon: float, radius_m: float) -> str:
+    d = _haversine_sql(qlat, qlon)
+    return (
+        f"WITH {_PTS_CTE} "
+        f"SELECT gid, lat_enc, lon_enc, CAST({d} AS FLOAT) AS dist_m "
+        f"FROM pts WHERE {d} <= {radius_m!r}"
+    )
+
+
+def geo_nearest_sql(qlat: float, qlon: float, k: int) -> str:
+    d = _haversine_sql(qlat, qlon)
+    return (
+        f"WITH {_PTS_CTE} "
+        f"SELECT gid, lat_enc, lon_enc, CAST({d} AS FLOAT) AS dist_m "
+        f"FROM pts ORDER BY {d} ASC, gid ASC LIMIT {k}"
+    )
