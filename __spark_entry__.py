@@ -174,6 +174,49 @@ def _q_sorted_index_topk(spark, sf_dir):
     )
 
 
+# IndexOrDocValuesQuery gates: TermQuery + doc-value range FILTER over the
+# sorted index (sort_val = SORT_EXPR). One gate per access path — narrow
+# range + hot lead → "index" (broadcast keep-mask lead), broad range +
+# rare lead → "dv" (co-grouped per-bucket verify). Strategies are FORCED
+# here so the gate pins each execution path; tests/test_iodv.py asserts
+# the auto cost rule picks exactly these at sf0.01 and that both paths
+# are result-identical.
+IODV_NARROW = (10_000_000, 20_000_000)
+IODV_BROAD = (5_000_000, 50_000_000)
+T_RARE = "dup"
+# k=9: at sf0.01 both gates have a float32 score TIE straddling rank 10/11,
+# and the engine breaks ties by gid (per-segment sorted order) while ANSI
+# SQL can only express a global tie-break — k=9 sits at a tie-free
+# boundary, so membership is determined by scores alone. Within-k order is
+# then canonicalized to (score DESC, doc_id ASC) on BOTH sides.
+IODV_K = 9
+
+
+def _iodv_topk(spark, sf_dir, term, rng, strategy):
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import BoolQ, DocValuesRangeQ, TermQ
+
+    s = Searcher(spark, _index_for_sorted(spark, sf_dir))
+    node = BoolQ(
+        must=(TermQ(term),),
+        filter=(DocValuesRangeQ(rng[0], rng[1], strategy=strategy),),
+    )
+    pdf = s.search(node, k=IODV_K)
+    out = pdf[["key", "score"]].rename(columns={"key": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True])
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_iodv_index_topk(spark, sf_dir):
+    return _iodv_topk(spark, sf_dir, T_HOT, IODV_NARROW, "index")
+
+
+def _q_iodv_dv_topk(spark, sf_dir):
+    return _iodv_topk(spark, sf_dir, T_RARE, IODV_BROAD, "dv")
+
+
 DELETE_MOD = 7
 UPDATE_MOD = 9
 UPDATE_OFFSET = 1_000_000
@@ -1646,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box": _q_geo_box,
         "geo_distance": _q_geo_distance,
         "geo_nearest": _q_geo_nearest,
+        "iodv_index_topk": _q_iodv_index_topk,
+        "iodv_dv_topk": _q_iodv_dv_topk,
         "term_vectors": _q_term_vectors,
         "more_like_this": _q_more_like_this,
         "highlight": _q_highlight,
@@ -1796,6 +1841,10 @@ def oracle_sql() -> dict[str, str]:
         "geo_box": _geo_box_oracle(),
         "geo_distance": ospat.geo_distance_sql(*GEO_CENTER, GEO_RADIUS_M),
         "geo_nearest": ospat.geo_nearest_sql(*GEO_CENTER, GEO_K),
+        "iodv_index_topk": osql.iodv_topk_sql(
+            T_HOT, SORT_EXPR, *IODV_NARROW, k=IODV_K),
+        "iodv_dv_topk": osql.iodv_topk_sql(
+            T_RARE, SORT_EXPR, *IODV_BROAD, k=IODV_K),
         "term_vectors": osql.term_vectors_sql(),
         "more_like_this": osql.more_like_this_sql(MLT_SEED),
         "highlight": otx.highlight_sql(HL_TERMS),

@@ -69,6 +69,7 @@ from ..plans.query import (
     BoostQ,
     ConstScoreQ,
     DisMaxQ,
+    DocValuesRangeQ,
     FuzzyQ,
     MatchAllQ,
     MultiPhraseQ,
@@ -1809,7 +1810,7 @@ class Searcher:
                  target_bucket_postings: int = TARGET_BUCKET_POSTINGS,
                  seed_min_df: int = 1 << 17, seed_min_buckets: int = 4,
                  k1: float = 1.2, b: float = 0.75, similarity=None,
-                 query_cache=None):
+                 query_cache=None, dv_index_lead_cap: int = 1 << 18):
         # IndexSearcher.setSimilarity analog. Default BM25Similarity(k1, b)
         # (BM25Similarity.java ctor; idf is k1/b-independent); pass
         # ``similarity=`` for any other functions/similarity.py
@@ -1846,6 +1847,16 @@ class Searcher:
         # LRUQueryCache, shareable across Searchers (entry keys embed the
         # index generation). None = caching off, like setQueryCache(null).
         self.query_cache = query_cache
+        # IndexOrDocValuesQuery: ceiling on the estimated range cardinality
+        # the "index" (lead) strategy may materialize as a broadcast mask;
+        # above it the dv (co-grouped verify) strategy is forced even when
+        # the reference's cost rule would lead — a driver/broadcast-memory
+        # bound the single-node reference doesn't need.
+        self.dv_index_lead_cap = int(dv_index_lead_cap)
+        self._dv_minmax_cache: "tuple | None" = None
+        # observability for tests/benchmarks: strategy of the last
+        # DocValuesRangeQ execution ("index" | "dv" | "scan")
+        self.last_dv_strategy: "str | None" = None
 
     # ---- planning -----------------------------------------------------
     def deleted_gids(self) -> "np.ndarray | None":
@@ -2217,7 +2228,7 @@ class Searcher:
             node,
             (TermQ, PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SynonymQ,
              SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ, SpanPayloadCheckQ,
-             MatchAllQ, TermInSetQ, TermSetRefQ, BlendedQ),
+             MatchAllQ, TermInSetQ, TermSetRefQ, BlendedQ, DocValuesRangeQ),
         ):
             return node
         if isinstance(node, FuzzyQ):
@@ -2512,6 +2523,154 @@ class Searcher:
         """The docs/norms table: (seg, gid, key, doc_len, norm_b)."""
         return self._docs_raw_df().select("seg", "gid", "key", "doc_len", "norm_b")
 
+    # ---- IndexOrDocValuesQuery (numeric doc-value range) ---------------
+    def _dv_minmax(self) -> tuple:
+        """(min, max, n_non_null) of the sort_val doc-value column, cached
+        per searcher — the metadata the cost estimate interpolates over
+        (the PointValues.size()/min/max packed-value analog)."""
+        if self._dv_minmax_cache is None:
+            row = (
+                self._docs_raw_df()
+                .agg(F.min("sort_val"), F.max("sort_val"), F.count("sort_val"))
+                .collect()[0]
+            )
+            self._dv_minmax_cache = (row[0], row[1], int(row[2]))
+        return self._dv_minmax_cache
+
+    def _dv_scan(self, ranges: "list[DocValuesRangeQ]") -> DataFrame:
+        """gids passing ALL the (inclusive, conjunctive) ranges — the
+        predicates push into the doc-table Parquet scan."""
+        pred = None
+        for r in ranges:
+            p = (F.col("sort_val") >= int(r.lo)) & (F.col("sort_val") <= int(r.hi))
+            pred = p if pred is None else (pred & p)
+        return self._docs_raw_df().filter(pred).select("gid")
+
+    def _dv_estimate(self, ranges: "list[DocValuesRangeQ]") -> int:
+        """Estimated matching-doc count: uniform interpolation between the
+        column's global min/max (PointRangeQuery's cost() plays this role
+        from BKD metadata; Parquet gives us min/max + count for free)."""
+        lo_g, hi_g, n = self._dv_minmax()
+        if not n or lo_g is None:
+            return 0
+        span = max(int(hi_g) - int(lo_g) + 1, 1)
+        frac = 1.0
+        for r in ranges:
+            ov = min(int(r.hi), int(hi_g)) - max(int(r.lo), int(lo_g)) + 1
+            frac *= min(max(ov / span, 0.0), 1.0)
+        return int(n * frac)
+
+    def _dv_range_scan(self, ranges: "list[DocValuesRangeQ]",
+                       boost: float) -> DataFrame:
+        """Standalone constant-score range execution (the dvQuery run on
+        its own / under MatchAll): one pushed-down doc scan, live-doc
+        masked — no postings involved."""
+        self.last_dv_strategy = "scan"
+        out = self._dv_scan(ranges).select(
+            "gid", F.lit(float(np.float32(boost))).cast("float").alias("score")
+        )
+        return self._anti_join_deleted(out)
+
+    def _split_dv_clauses(self, node: "BoolQ") -> tuple:
+        """Pull DocValuesRangeQ filter clauses out of a rewritten BoolQ
+        (they ride in ``must`` as the ConstantScore-0 FILTER desugar).
+        Returns (node_without_dv, [DocValuesRangeQ, ...]). A SCORING
+        doc-value clause (boost != 0, or bare in should/must_not) is
+        rejected: IndexOrDocValuesQuery requires both sides to produce
+        identical scores, and this engine runs the range constant-score
+        only."""
+        dvs: list = []
+        new_must: list = []
+        for c in node.must:
+            inner = c.child if isinstance(c, ConstScoreQ) else c
+            if isinstance(inner, DocValuesRangeQ):
+                if isinstance(c, ConstScoreQ) and c.boost != 0.0:
+                    raise ValueError(
+                        "DocValuesRangeQ must be non-scoring inside a "
+                        "boolean (use BoolQ.filter, or standalone "
+                        "ConstScoreQ for a scored range)"
+                    )
+                if isinstance(c, DocValuesRangeQ):
+                    raise ValueError(
+                        "DocValuesRangeQ as a scoring MUST clause is not "
+                        "supported; put it in BoolQ.filter"
+                    )
+                dvs.append(inner)
+                continue
+            new_must.append(c)
+        for c in node.should + node.must_not:
+            inner = c.child if isinstance(c, ConstScoreQ) else c
+            if isinstance(inner, DocValuesRangeQ):
+                raise ValueError(
+                    "DocValuesRangeQ is only supported as a required "
+                    "non-scoring clause (BoolQ.filter) or standalone"
+                )
+        if not dvs:
+            return node, []
+        if self.stats.get("sort") is None and self._dv_minmax()[2] == 0:
+            raise ValueError(
+                "DocValuesRangeQ needs an index with sort_val doc values "
+                "(build_index(sort_by=...))"
+            )
+        return (
+            BoolQ(
+                must=tuple(new_must), should=node.should,
+                must_not=node.must_not, msm=node.msm,
+                const_add=node.const_add, n_free_opt=node.n_free_opt,
+            ),
+            dvs,
+        )
+
+    def _dv_lead_cost(self, node) -> int:
+        """leadCost of the rest of the query (ScorerSupplier.get(leadCost)):
+        a conjunction is led by its cheapest required clause (min docFreq);
+        a pure disjunction must iterate the union (sum of docFreqs)."""
+        terms = {t for t in query_terms(node) if t}
+        if not terms:
+            return 0
+        tstats = self.term_stats(terms)
+        req = {t for t in _req_terms(node) if t in tstats}
+        if req:
+            return min(tstats[t][0] for t in req)
+        return sum(tstats[t][0] for t in terms if t in tstats)
+
+    def _dv_plan(self, node, dvs: "list[DocValuesRangeQ]") -> tuple:
+        """IndexOrDocValuesQuery.java:172-188 access-path choice, per
+        clause: ``threshold = cost >>> 3; threshold <= leadCost → index``
+        (lead with the range: broadcast keep-mask) else dv (co-grouped
+        per-bucket verify). The index side is additionally capped by
+        ``dv_index_lead_cap`` — a broadcast-memory bound.
+
+        Returns (keep_bcs_extra, dv_df): broadcast masks for index-strategy
+        clauses (one combined scan) and the conjunctive co-group DataFrame
+        for dv-strategy clauses (or None)."""
+        lead = self._dv_lead_cost(node)
+        index_side: list = []
+        dv_side: list = []
+        for r in dvs:
+            if r.strategy == "index":
+                index_side.append(r)
+                continue
+            if r.strategy == "dv":
+                dv_side.append(r)
+                continue
+            cost = self._dv_estimate([r])
+            if (cost >> 3) <= lead and cost <= self.dv_index_lead_cap:
+                index_side.append(r)
+            else:
+                dv_side.append(r)
+        keep_extra: list = []
+        if index_side:
+            gids = np.unique(
+                self._dv_scan(index_side).toPandas()["gid"].to_numpy(np.int64)
+            )
+            keep_extra.append(self.spark.sparkContext.broadcast(gids))
+        dv_df = self._dv_scan(dv_side) if dv_side else None
+        self.last_dv_strategy = (
+            "dv" if dv_side else "index" if index_side else None
+        )
+        return tuple(keep_extra), dv_df
+
     def search_after(self, query, after: "tuple[float, int]", k: int = 10,
                      depth: "int | None" = None) -> pd.DataFrame:
         """Deep paging (IndexSearcher.searchAfter / TopScoreDocCollector's
@@ -2551,6 +2710,34 @@ class Searcher:
         if (use_cache and self.query_cache is not None
                 and isinstance(node, BoolQ) and not _contains_matchall(node)):
             node, keep_bcs = self._apply_query_cache(node)
+        # IndexOrDocValuesQuery: standalone doc-value range = the dvQuery
+        # run on its own (newSlowRangeQuery) — a pushed-down doc scan
+        if isinstance(node, DocValuesRangeQ):
+            return self._dv_range_scan([node], 1.0)
+        if isinstance(node, ConstScoreQ) and isinstance(node.child, DocValuesRangeQ):
+            return self._dv_range_scan([node.child], node.boost)
+        dv_df = None
+        if isinstance(node, BoolQ):
+            node, dvs = self._split_dv_clauses(node)
+            if dvs:
+                remaining_terms = query_terms(node) | {
+                    r.name for r in _set_refs(node)
+                }
+                if not remaining_terms:
+                    # filter-only boolean (scores 0) or MatchAll+filter
+                    # (scores the MatchAll constant): both are one scan
+                    if (node.must in ((), (MatchAllQ(),))
+                            and not node.should and not node.must_not
+                            and node.const_add == 0.0 and node.n_free_opt == 0):
+                        boost = 1.0 if node.must else 0.0
+                        return self._dv_range_scan(dvs, boost)
+                    raise ValueError(
+                        "DocValuesRangeQ needs a postings-backed clause "
+                        "to lead or verify against; combine it with terms "
+                        "or use `MatchAllQ + filter` / standalone form"
+                    )
+                dv_keeps, dv_df = self._dv_plan(node, dvs)
+                keep_bcs = tuple(keep_bcs) + dv_keeps
         if isinstance(node, MatchAllQ) or (
             isinstance(node, ConstScoreQ) and isinstance(node.child, MatchAllQ)
         ):
@@ -2571,6 +2758,11 @@ class Searcher:
             isinstance(c, MatchAllQ)
             for c in node.must + node.should + node.must_not
         ):
+            if dv_df is not None or keep_bcs:
+                raise ValueError(
+                    "doc-value range / cached filters cannot combine with "
+                    "MatchAll scoring clauses alongside real terms"
+                )
             return self._bool_matchall(node, k, prune, after)
         if _contains_matchall(node):
             # MatchAll below the top boolean level (inside DisMax / a nested
@@ -2634,12 +2826,12 @@ class Searcher:
             scan = scan.unionByName(p)
 
         qid = uuid.uuid4().hex
-        if isinstance(node, TermQ):
+        if isinstance(node, TermQ) and dv_df is None:
             return self._single_term(scan, node, ctx, k, prune, qid, after,
                                      keep_bcs=keep_bcs)
         return self._bucketed(scan, node, ctx, k, prune, qid, need_positions,
                               width_terms, after, keep_bcs=keep_bcs,
-                              need_payloads=need_payloads)
+                              need_payloads=need_payloads, dv_df=dv_df)
 
     def _bool_matchall(self, node: BoolQ, k: int, prune: bool,
                        after: "tuple[float, int] | None") -> DataFrame:
@@ -2982,7 +3174,7 @@ class Searcher:
 
     def _bucketed(self, scan, node, ctx, k, prune, qid, need_positions,
                   terms: set, after=None, keep_bcs: tuple = (),
-                  need_payloads: bool = False) -> DataFrame:
+                  need_payloads: bool = False, dv_df=None) -> DataFrame:
         width = self._bucket_width(ctx, terms)
         doc_count = max(int(self.stats.get("n_rows") or self.stats.get("doc_count", 1)), 1)
         n_buckets_est = -(-doc_count // width)
@@ -2990,8 +3182,13 @@ class Searcher:
         theta0 = float("-inf")
         # seed only when there's real postings volume to prune: the seed
         # costs two extra (tiny) jobs, which dominates sub-seed_min_df
-        # queries where every bucket decodes in milliseconds anyway
-        if (prune and after is None and total_df >= self.seed_min_df
+        # queries where every bucket decodes in milliseconds anyway.
+        # dv-strategy verify disables the seed: the seed bucket's scores
+        # would ignore the doc-value filter, and an unfiltered θ could
+        # prune docs that DO survive the filter (θ still accumulates
+        # safely from the kernels' own post-filter offers).
+        if (prune and after is None and dv_df is None
+                and total_df >= self.seed_min_df
                 and n_buckets_est >= self.seed_min_buckets):
             theta0 = self._seed_theta(
                 scan, node, ctx, k, width, need_positions,
@@ -3016,9 +3213,16 @@ class Searcher:
             {"gid": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float32)}
         )
 
-        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def kernel_body(key, pdf: pd.DataFrame,
+                        dv_gids: "np.ndarray | None") -> pd.DataFrame:
             deleted = dbc.value if dbc is not None else None
-            keeps = [kb.value for kb in keep_bcs] if keep_bcs else None
+            keeps = [kb.value for kb in keep_bcs] if keep_bcs else []
+            if dv_gids is not None:
+                if not len(dv_gids):
+                    # no doc in this gid range passes the doc-value filter
+                    return empty
+                keeps = keeps + [dv_gids]
+            keeps = keeps or None
             bucket = int(key[0])
             lo, hi = bucket * width, (bucket + 1) * width
             pdf = _block_keep_filter(pdf, keeps)
@@ -3078,7 +3282,32 @@ class Searcher:
                 _offer(qid, k, scores)
             return pd.DataFrame({"gid": gids, "score": scores.astype(np.float32)})
 
-        return with_bucket.groupBy("bucket").applyInPandas(kernel, schema=RESULT_SCHEMA)
+        if dv_df is None:
+            def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                return kernel_body(key, pdf, None)
+
+            return with_bucket.groupBy("bucket").applyInPandas(
+                kernel, schema=RESULT_SCHEMA
+            )
+
+        # dv strategy (IndexOrDocValuesQuery's doc-values side): co-group
+        # the range-filtered doc rows into each gid-range bucket — every
+        # kernel verifies against only ITS slice of the doc-value column
+        # (the per-leaf doc-values reader), nothing driver-resident.
+        dv_b = dv_df.withColumn(
+            "bucket", (F.col("gid") / width).cast("long")
+        )
+
+        def kernel_cg(key, pdf: pd.DataFrame, dvpdf: pd.DataFrame) -> pd.DataFrame:
+            return kernel_body(
+                key, pdf, np.unique(dvpdf["gid"].to_numpy(np.int64))
+            )
+
+        return (
+            with_bucket.groupBy("bucket")
+            .cogroup(dv_b.groupBy("bucket"))
+            .applyInPandas(kernel_cg, schema=RESULT_SCHEMA)
+        )
 
     def explain(self, term: str, gid: "int | None" = None) -> pd.DataFrame:
         """IndexSearcher.explain analog for a TermQuery: the BM25

@@ -178,6 +178,24 @@ SELECT doc_id, score FROM s
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def iodv_topk_sql(term: str, sort_expr: str, lo: int, hi: int,
+                  k: int = 10) -> str:
+    """TermQuery + a required non-scoring doc-value range
+    (IndexOrDocValuesQuery as a FILTER clause): BM25 of ``term`` over
+    docs whose ``sort_expr`` value lies in [lo, hi] — collection stats
+    unchanged by the filter (BooleanWeight's non-scoring iterator).
+
+    The engine breaks score ties by gid (per-segment sorted order),
+    which ANSI SQL can't express — callers must pick k at a TIE-FREE
+    score boundary so membership is score-determined; within-k order is
+    canonicalized to (score DESC, doc_id ASC) on both sides."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s', term)}
+SELECT s.doc_id, s.score
+FROM s JOIN documents d ON d.doc_id = s.doc_id
+WHERE ({sort_expr.replace('doc_id', 'd.doc_id').replace('n_chars', 'd.n_chars')}) BETWEEN {lo} AND {hi}
+ORDER BY s.score DESC, s.doc_id ASC LIMIT {k}"""
+
+
 def topk_or_sql(t1: str, t2: str, k: int = 10) -> str:
     # DisjunctionSumScorer: per-clause float32 scores summed in double, cast
     # to float32 once (scores << 2^29 apart, so the double sum is exact and

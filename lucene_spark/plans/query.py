@@ -25,7 +25,7 @@ __all__ = [
     "TermQ", "PhraseQ", "MultiPhraseQ", "BoolQ", "PrefixQ", "WildcardQ",
     "RangeQ", "FuzzyQ", "RegexpQ", "SynonymQ", "DisMaxQ", "BoostQ", "NearQ",
     "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "TermSetRefQ",
-    "BlendedQ", "FunctionScoreQ",
+    "BlendedQ", "FunctionScoreQ", "DocValuesRangeQ",
     "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ", "SpanPayloadCheckQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
@@ -357,6 +357,42 @@ class TermSetRefQ:
         never appear in analyzed terms (tokenizer emits word/number runs),
         so virtual keys cannot collide with real terms."""
         return "\x00set:" + repr(self.source)
+
+
+@dataclass(frozen=True)
+class DocValuesRangeQ:
+    """Numeric range over the index's per-doc value column (``sort_val``),
+    with IndexOrDocValuesQuery's access-path choice
+    (core/search/IndexOrDocValuesQuery.java): the same predicate can run
+
+    - as a LEAD ("index" strategy — the points/terms side): materialize
+      the matching gid set from a pushed-down doc-table scan and ship it
+      as a broadcast keep-mask into the kernels (block-grain leapfrog +
+      pre-top-k intersect), best when the range is selective and will be
+      almost entirely consumed; or
+    - as a VERIFY ("dv" strategy — the doc-values side): co-group the
+      range-filtered doc rows into each gid-range bucket so every kernel
+      checks only ITS slice (the per-leaf doc-values reader analog) —
+      nothing crosses the driver, best when another clause already leads.
+
+    The searcher picks per query with the reference's rule
+    (IndexOrDocValuesQuery.java:172-188): lead with the index iff
+    ``rangeCost >>> 3 <= leadCost`` — bounded by an absolute broadcast
+    cap. Allowed as a non-scoring clause (BoolQ.filter / ConstantScore-0
+    MUST) or as a standalone constant-score query; bounds are inclusive.
+
+    ``strategy``: "auto" (the cost rule) | "index" | "dv" (forced, for
+    tests and benchmarks)."""
+
+    lo: int
+    hi: int
+    strategy: str = "auto"
+
+    def __post_init__(self):
+        if self.strategy not in ("auto", "index", "dv"):
+            raise ValueError(f"unknown strategy: {self.strategy}")
+        if self.lo > self.hi:
+            raise ValueError(f"empty range: {self.lo} > {self.hi}")
 
 
 @dataclass(frozen=True)
@@ -956,5 +992,8 @@ def query_terms(node) -> set[str]:
     if isinstance(node, TermSetRefQ):
         # the match set is a DataFrame plan, not fixed terms — the searcher
         # adds its postings to the scan via a semi-join under a virtual key
+        return set()
+    if isinstance(node, DocValuesRangeQ):
+        # matches via the doc-value column, not postings
         return set()
     raise TypeError(f"unknown node {node!r}")
