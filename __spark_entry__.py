@@ -1010,6 +1010,17 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_hnsw(spark, sf_dir):
+    from lucene_spark.operators.hnsw import ann_hnsw_topk
+
+    # flood ef_search covers each shard's reachable component, so the
+    # brute-force cosine oracle value-checks the whole sharded
+    # build→descend→beam→merge path end-to-end (fold-exact float64 cos);
+    # smaller ef is the approximate scale path, recall-tested in
+    # tests/test_hnsw.py
+    return ann_hnsw_topk(spark, sf_dir, query_vec_id=0, k=10, m=16)
+
+
 def _q_knn_filtered(spark, sf_dir):
     from lucene_spark.operators import textops
 
@@ -1637,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered_probe": _q_knn_filtered_probe,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_hnsw_topk": _q_ann_hnsw,
         "embedding_neardup": _q_emb_neardup,
         "embedding_neardup_lsh": _q_emb_neardup_lsh,
         "media_metadata": _q_media_metadata,
@@ -1777,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_filtered_probe": otx.knn_filtered_topk_sql(query_vec_id=0, k=10, label=0),
         "ann_lsh_topk": otx.ann_lsh_topk_sql(query_vec_id=0, k=10, n_planes=8, dim=64),
         "ann_ivf_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
+        "ann_hnsw_topk": otx.ann_cosine_topk_sql(query_vec_id=0, k=10),
         "embedding_neardup": otx.embedding_neardup_sql(threshold=NEARDUP_COS),
         "embedding_neardup_lsh": otx.embedding_neardup_lsh_sql(
             threshold=NEARDUP_COS, n_planes=8, dim=64
