@@ -1544,6 +1544,28 @@ def _q_facet_lang(spark, sf_dir):
     )
 
 
+# LongRangeFacetCounts gate: doc_len range counts over the `merge OR
+# window` match set. b_mid OVERLAPS a_short and c_long (a doc counts in
+# every containing range) and d_empty matches nothing (must still emit a
+# 0 row) — the two semantics that distinguish the reference's range
+# facets from a plain bucketing groupBy.
+FACET_RANGES = (
+    ("a_short", 0, 40),
+    ("b_mid", 30, 70),
+    ("c_long", 60, 200),
+    ("d_empty", 500, 900),
+)
+
+
+def _q_range_facet(spark, sf_dir):
+    from lucene_spark.plans.query import BoolQ, TermQ
+
+    df = _searcher(spark, sf_dir).range_facet_counts(
+        BoolQ(should=(TermQ(T_HOT), TermQ(T_MID))), FACET_RANGES
+    )
+    return df.orderBy("label").select("label", F.col("n").cast("long"))
+
+
 def _q_grouped_topk(spark, sf_dir):
     df = _searcher(spark, sf_dir).grouped_topk(
         T_HOT, _docs_table(spark, sf_dir), "lang", k_per_group=2, key_col="doc_id"
@@ -1728,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_len": _q_sort_by_len,
         "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
+        "range_facet_doclen": _q_range_facet,
         "grouped_topk": _q_grouped_topk,
     }
 
@@ -1896,5 +1919,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY sort_val ASC, doc_id ASC LIMIT 10"
         ),
         "facet_lang": osql.facet_lang_sql(T_HOT),
+        "range_facet_doclen": osql.range_facet_sql(T_HOT, T_MID, FACET_RANGES),
         "grouped_topk": osql.grouped_topk_sql(T_HOT),
     }

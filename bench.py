@@ -340,6 +340,58 @@ def main() -> None:
     sb.search("u*", k=10, with_keys=False)
     times["q_multiterm_big"] = round(time.time() - t0, 3)
 
+    # round-4 features measured, not just gated:
+    # IndexOrDocValuesQuery — both access paths over a sorted index
+    from lucene_spark.plans.query import DocValuesRangeQ
+
+    sortidx = "/tmp/lucene_bench_idx_sorted"
+    shutil.rmtree(sortidx, ignore_errors=True)
+    build_index(
+        spark, docs, sortidx, key_col="doc_id", text_col="text",
+        n_segments=max(4, min(64, n_docs // 500)),
+        sort_by="n_chars * 100000 + doc_id",
+    )
+    ss = Searcher(spark, sortidx)
+    ss.search("merge", k=10)  # warmup
+    for strat in ("index", "dv"):
+        node = BoolQ(
+            must=(TermQ("merge"),),
+            filter=(DocValuesRangeQ(
+                10_000_000, 60_000_000, strategy=strat),),
+        )
+        t0 = time.time()
+        ss.search(node, k=10, with_keys=False)
+        times[f"q_dv_{strat}"] = round(time.time() - t0, 3)
+
+    # HNSW — per-shard graph build wall + approximate beam search
+    from lucene_spark.operators.hnsw import ann_hnsw_topk, build_hnsw_graph
+    from lucene_spark.operators.textops import embeddings
+
+    evecs = embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    t0 = time.time()
+    graph = build_hnsw_graph(spark, evecs, m=16, n_shards=4)
+    graph.cache().count()
+    times["hnsw_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ann_hnsw_topk(
+        spark, SF_DIR, query_vec_id=0, k=10, ef_search=64, graph=graph
+    ).collect()
+    times["q_hnsw"] = round(time.time() - t0, 3)
+    graph.unpersist()
+
+    # spatial — LatLonPoint box over the z-ordered point table
+    from lucene_spark.operators.spatial import (
+        build_points, geo_box, read_points,
+    )
+
+    geo = "/tmp/lucene_bench_geo"
+    if not os.path.exists(os.path.join(geo, "_SUCCESS")):
+        build_points(spark, docs, geo, id_col="doc_id")
+    t0 = time.time()
+    geo_box(read_points(spark, geo), min_lat=10.0, max_lat=20.0,
+            min_lon=-30.0, max_lon=-10.0).count()
+    times["q_geo_box"] = round(time.time() - t0, 3)
+
     # block-max WAND effectiveness: decoded-vs-scanned block counts on the
     # OR/AND queries under a scale-shaped searcher (bucket/seed knobs sized
     # so this small SF runs the same multi-bucket + seeded-theta plan a

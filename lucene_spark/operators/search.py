@@ -3671,6 +3671,47 @@ class Searcher:
             .agg(F.count("*").alias("n"))
         )
 
+    def range_facet_counts(self, query, ranges,
+                           value_col: str = "doc_len") -> DataFrame:
+        """LongRangeFacetCounts analog (facet/range/LongRangeFacetCounts.java):
+        per-REQUESTED-range match counts over a numeric per-doc value.
+        Reference semantics kept exactly: ranges may OVERLAP (a doc counts
+        in every range containing its value — this is why it's not a
+        groupBy-bucket), and an empty range still yields a row with n=0
+        (LabelAndValue is emitted per requested range).
+
+        Plan shape: match set → one join to the per-doc value → ONE
+        aggregation of per-range conditional sums (map-side partial agg,
+        constant-size plan for the handful of ranges facets use) →
+        ``stack`` back to (label, n) rows in requested order. No shuffle
+        keyed on the range label, no per-range scan.
+
+        ``ranges``: (label, lo, hi) or (label, lo, hi, lo_inc, hi_inc) —
+        LongRange's minInclusive/maxInclusive flags, default inclusive."""
+        if not ranges:
+            raise ValueError("ranges must be non-empty")
+        node = parse_query(query) if isinstance(query, str) else query
+        cand = self.candidates(node, k=1 << 62, prune=False).select("gid").distinct()
+        vals = cand.join(self.doc_rows().select("gid", value_col), "gid")
+        aggs, stack_parts = [], []
+        for i, r in enumerate(ranges):
+            label, lo, hi = str(r[0]), int(r[1]), int(r[2])
+            lo_inc = bool(r[3]) if len(r) > 3 else True
+            hi_inc = bool(r[4]) if len(r) > 4 else True
+            v = F.col(value_col)
+            cond = (v >= lo if lo_inc else v > lo) & (
+                v <= hi if hi_inc else v < hi
+            )
+            aggs.append(
+                F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+                .cast("long").alias(f"_r{i}")
+            )
+            stack_parts.append(f"'{label.replace(chr(39), chr(39) * 2)}', _r{i}")
+        wide = vals.agg(*aggs)
+        return wide.selectExpr(
+            f"stack({len(ranges)}, {', '.join(stack_parts)}) AS (label, n)"
+        )
+
     def grouped_topk(self, query, dim_df: DataFrame, dim_col: str,
                      k_per_group: int = 2, key_col: str = "key") -> DataFrame:
         """Top-k docs per group by BM25 score (grouping module analog,

@@ -973,6 +973,26 @@ WHERE tf.term = '{term}'
 ORDER BY dl.doc_len DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def range_facet_sql(t1: str, t2: str, ranges) -> str:
+    """LongRangeFacetCounts twin: doc_len range counts for the OR match
+    set of two terms. Overlapping ranges each count the doc; empty
+    requested ranges surface as n=0 rows (the LEFT JOIN). Inclusive
+    bounds (the gate uses default LongRange flags)."""
+    values = ", ".join(f"('{lbl}', {int(lo)}, {int(hi)})" for lbl, lo, hi in ranges)
+    return f"""WITH {base_ctes()},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('{t1}', '{t2}')),
+rng(label, lo, hi) AS (SELECT * FROM (VALUES {values})),
+g AS (
+  SELECT r.label, count(*) AS cnt
+  FROM rng r JOIN m ON TRUE JOIN dl ON dl.doc_id = m.doc_id
+  WHERE dl.doc_len BETWEEN r.lo AND r.hi
+  GROUP BY r.label
+)
+SELECT r.label, coalesce(g.cnt, 0)::BIGINT AS n
+FROM rng r LEFT JOIN g ON g.label = r.label
+ORDER BY r.label"""
+
+
 def facet_lang_sql(term: str) -> str:
     return f"""WITH {base_ctes()}
 SELECT d.lang AS dim, count(*)::BIGINT AS n

@@ -966,3 +966,47 @@ def test_function_score_query(spark):
     assert list(zip(pruned.gid, pruned.score)) == list(zip(exact.gid, exact.score))
     with pytest.raises(ValueError):
         FunctionScoreQ(TermQ("merge"), value="cube_len")
+
+
+# ------------------------------------------------- range facets (round 4)
+
+
+def test_range_facet_semantics(searcher):
+    """LongRangeFacetCounts fine print: overlapping ranges each count the
+    doc, empty ranges still emit n=0, and the min/max-inclusive flags
+    shift boundary docs exactly (LongRange ctor semantics)."""
+    dl = {
+        int(r["gid"]): int(r["doc_len"])
+        for r in searcher.doc_rows().select("gid", "doc_len").collect()
+    }
+    cand = {
+        int(r["gid"])
+        for r in searcher.candidates(TermQ("merge"), prune=False).collect()
+    }
+    lens = sorted(dl[g] for g in cand)
+    lo, hi = lens[len(lens) // 4], lens[3 * len(lens) // 4]
+    got = {
+        r["label"]: int(r["n"])
+        for r in searcher.range_facet_counts(
+            TermQ("merge"),
+            [
+                ("all", 0, 10**9),
+                ("band", lo, hi),            # inclusive both ends
+                ("band_open", lo, hi, False, False),
+                ("overlap", 0, hi),          # overlaps band — both count
+                ("empty", 10**6, 10**7),
+            ],
+        ).collect()
+    }
+    assert got["all"] == len(cand)
+    assert got["band"] == sum(1 for v in lens if lo <= v <= hi)
+    assert got["band_open"] == sum(1 for v in lens if lo < v < hi)
+    assert got["overlap"] == sum(1 for v in lens if v <= hi)
+    assert got["empty"] == 0
+    # overlapping ranges really double-count: totals exceed the match set
+    assert got["band"] + got["overlap"] > len(cand)
+
+
+def test_range_facet_validates(searcher):
+    with pytest.raises(ValueError, match="non-empty"):
+        searcher.range_facet_counts(TermQ("merge"), [])
