@@ -136,6 +136,13 @@ class LMJelinekMercerSim:
 
     lam: float = 0.1
 
+    def __post_init__(self):
+        # LMJelinekMercerSimilarity's ctor requires lambda in (0, 1]:
+        # lam=0 divides by zero (inf scores), lam>1 makes (1-λ) negative
+        # and the log argument can dip below 0 → NaN
+        if not (0.0 < self.lam <= 1.0):
+            raise ValueError(f"lambda must be in (0, 1], got {self.lam}")
+
     def idf(self, doc_freq: int, doc_count: int) -> np.float32:
         return np.float32(1.0)
 

@@ -519,13 +519,30 @@ def _eval_function_score(node: FunctionScoreQ, postings: dict,
     gids, scores = eval_plan(node.child, postings, ctx)
     if not len(gids):
         return gids, scores
-    parts = [(tp.gids, tp.norms) for tp in postings.values() if len(tp.gids)]
+    # norm bytes are per (doc, field): restrict the lookup pool to the
+    # node's declared field so a multi-field child can't make the factor
+    # depend on which field's term happens to sort first. Virtual set
+    # keys ("\x00set:…") are excluded — their field is unknowable here.
+    parts = [
+        (tp.gids, tp.norms)
+        for key, tp in postings.items()
+        if len(tp.gids)
+        and isinstance(key, str) and not key.startswith("\x00")
+        and _field_of(key) == node.field
+    ]
+    if not parts:
+        # no scanned term belongs to the declared field: every hit's
+        # value is "missing" → norm byte 0 (DoubleValuesSource.fromField
+        # semantics for absent per-doc values)
+        factor = np.full(len(gids), _FS_TABLES[node.value][0])
+        return gids, (factor * scores.astype(np.float64)).astype(np.float32)
     all_g = np.concatenate([g for g, _ in parts])
     all_n = np.concatenate([n for _, n in parts])
     order = np.argsort(all_g, kind="mergesort")
     sg, sn = all_g[order], all_n[order]
     idx = np.minimum(np.searchsorted(sg, gids), len(sg) - 1)
-    norms = sn[idx]
+    found = sg[idx] == gids
+    norms = np.where(found, sn[idx], 0).astype(np.uint8)
     factor = _FS_TABLES[node.value][norms]
     return gids, (factor * scores.astype(np.float64)).astype(np.float32)
 
@@ -2283,7 +2300,8 @@ class Searcher:
         if isinstance(node, ConstScoreQ):
             return ConstScoreQ(self.rewrite(node.child), boost=node.boost)
         if isinstance(node, FunctionScoreQ):
-            return FunctionScoreQ(self.rewrite(node.child), value=node.value)
+            return FunctionScoreQ(self.rewrite(node.child), value=node.value,
+                                  field=node.field)
         if isinstance(node, BoostQ):
             return self._distribute_boost(
                 self.rewrite(node.child), np.float32(node.boost)
@@ -2661,10 +2679,21 @@ class Searcher:
                 dv_side.append(r)
         keep_extra: list = []
         if index_side:
-            gids = np.unique(
-                self._dv_scan(index_side).toPandas()["gid"].to_numpy(np.int64)
+            # the lead-cap bound above uses _dv_estimate's uniform
+            # interpolation; a skewed sort_val distribution can make the
+            # ACTUAL match set orders of magnitude larger. Probe with a
+            # capped read first and demote to the co-grouped dv strategy
+            # when the real set would blow driver/broadcast memory.
+            cap = self.dv_index_lead_cap
+            head = (
+                self._dv_scan(index_side).limit(cap + 1).toPandas()["gid"]
             )
-            keep_extra.append(self.spark.sparkContext.broadcast(gids))
+            if len(head) > cap:
+                dv_side.extend(index_side)
+                index_side = []
+            else:
+                gids = np.unique(head.to_numpy(np.int64))
+                keep_extra.append(self.spark.sparkContext.broadcast(gids))
         dv_df = self._dv_scan(dv_side) if dv_side else None
         self.last_dv_strategy = (
             "dv" if dv_side else "index" if index_side else None
@@ -2707,9 +2736,10 @@ class Searcher:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         node = self.rewrite(node)
         keep_bcs: tuple = ()
+        cache_fill = False
         if (use_cache and self.query_cache is not None
                 and isinstance(node, BoolQ) and not _contains_matchall(node)):
-            node, keep_bcs = self._apply_query_cache(node)
+            node, keep_bcs, cache_fill = self._apply_query_cache(node)
         # IndexOrDocValuesQuery: standalone doc-value range = the dvQuery
         # run on its own (newSlowRangeQuery) — a pushed-down doc scan
         if isinstance(node, DocValuesRangeQ):
@@ -2777,6 +2807,10 @@ class Searcher:
         terms = {t for t in query_terms(node) if t in ctx.weights}
         refs = _set_refs(node)
         if not terms and not refs:
+            if cache_fill:
+                # every SHOULD term is unknown to the index: the match set
+                # is exactly the filter-only docs at const_add
+                return self._cache_fill_df(None, keep_bcs, node, None)
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         need_positions = _has_phrase(node)
         need_payloads = _has_payload_check(node)
@@ -2829,9 +2863,14 @@ class Searcher:
         if isinstance(node, TermQ) and dv_df is None:
             return self._single_term(scan, node, ctx, k, prune, qid, after,
                                      keep_bcs=keep_bcs)
-        return self._bucketed(scan, node, ctx, k, prune, qid, need_positions,
-                              width_terms, after, keep_bcs=keep_bcs,
-                              need_payloads=need_payloads, dv_df=dv_df)
+        out = self._bucketed(scan, node, ctx, k, prune, qid, need_positions,
+                             width_terms, after, keep_bcs=keep_bcs,
+                             need_payloads=need_payloads, dv_df=dv_df)
+        if cache_fill:
+            out = out.unionByName(
+                self._cache_fill_df(out, keep_bcs, node, dv_df)
+            )
+        return out
 
     def _bool_matchall(self, node: BoolQ, k: int, prune: bool,
                        after: "tuple[float, int] | None") -> DataFrame:
@@ -3002,7 +3041,15 @@ class Searcher:
         ConstantScore(child, boost=0) — either hits the cache (clause
         dropped from the kernel plan, its gid set applied as a broadcast
         keep-mask + block-range prefilter), gets cached now if the usage
-        policy agrees, or stays a normally executed clause."""
+        policy agrees, or stays a normally executed clause.
+
+        Returns (node, keep_bcs, fill): ``fill=True`` when every required
+        clause was stripped into a mask AND filter-only docs still match
+        (BooleanWeight keeps SHOULD optional whenever a required clause
+        exists, at score ``const_add``) — the caller must complete the
+        candidate universe from the mask intersection at that constant,
+        or stripping silently turns the node into a pure disjunction and
+        drops the filter-only docs."""
         from .query_cache import _strip_const
 
         cache = self.query_cache
@@ -3010,10 +3057,12 @@ class Searcher:
         filt_flags = [
             isinstance(c, ConstScoreQ) and c.boost == 0.0 for c in node.must
         ]
-        # a boolean whose every positive clause is a boost-0 filter would
-        # lose its candidate iterator if all of them stripped: reserve the
-        # first one as a normally executed clause
-        all_filters = bool(node.must) and all(filt_flags) and not node.should
+        all_filters = bool(node.must) and all(filt_flags)
+        # with no SHOULD clause there is nothing to iterate candidates
+        # from once every filter strips: reserve the first filter as a
+        # normally executed clause. With SHOULD clauses the stripped node
+        # still iterates — the mask-fill below restores filter-only docs.
+        reserve_one = all_filters and not node.should
         keep_bcs: list = []
         new_must: list = []
         reserved = False
@@ -3021,7 +3070,7 @@ class Searcher:
             if not is_filt:
                 new_must.append(c)
                 continue
-            if all_filters and not reserved:
+            if reserve_one and not reserved:
                 reserved = True
                 new_must.append(c)
                 continue
@@ -3038,7 +3087,12 @@ class Searcher:
                 continue
             keep_bcs.append(bc)
         if not keep_bcs:
-            return node, ()
+            return node, (), False
+        # filter-only docs (0 optional matches) pass minShouldMatch only
+        # when msm <= the folded free-optional count; otherwise the pure
+        # disjunction's msm_eff >= 1 already enforces the same set
+        fill = (not new_must and bool(node.should)
+                and node.msm <= node.n_free_opt)
         return (
             BoolQ(
                 must=tuple(new_must),
@@ -3049,6 +3103,46 @@ class Searcher:
                 n_free_opt=node.n_free_opt,
             ),
             tuple(keep_bcs),
+            fill,
+        )
+
+    def _cache_fill_df(self, base: "DataFrame | None", keep_bcs: tuple,
+                       node: BoolQ, dv_df: "DataFrame | None") -> DataFrame:
+        """Complete the candidate universe for a fully-stripped FILTER:
+        docs in the intersection of every cached keep-mask that match no
+        SHOULD clause score exactly ``const_add`` (BooleanWeight keeps
+        SHOULD optional when a required clause exists). Mask arrays are
+        driver-bounded by the cache's per-entry budget, so the
+        intersection is a cheap driver op; everything else stays a join.
+
+        Pruning safety: a should-matcher pruned out of ``base`` gets a
+        const_add fill row here, but its true score is < the final kth
+        score (θ only grows) and const_add <= true score, so the fill row
+        can never displace a real top-k hit; with prune=False (full-set
+        consumers like facets) ``base`` is exhaustive and the fill is
+        exactly the filter-only docs."""
+        from functools import reduce as _reduce
+
+        arr = _reduce(
+            lambda a, b: np.intersect1d(a, b, assume_unique=True),
+            [kb.value for kb in keep_bcs],
+        )
+        fill = self.spark.createDataFrame(
+            pd.DataFrame({"gid": arr.astype(np.int64)})
+        )
+        if dv_df is not None:
+            fill = fill.join(dv_df.select("gid"), "gid", "left_semi")
+        if node.must_not:
+            neg = self.candidates(
+                BoolQ(should=tuple(node.must_not)).simplified(), prune=False
+            )
+            fill = fill.join(neg.select("gid"), "gid", "left_anti")
+        if base is not None:
+            fill = fill.join(base.select("gid"), "gid", "left_anti")
+        fill = self._anti_join_deleted(fill)
+        return fill.select(
+            "gid",
+            F.lit(float(np.float32(node.const_add))).cast("float").alias("score"),
         )
 
     def _seed_theta(self, scan, node, ctx: ScoreCtx, k: int, width: int,

@@ -156,10 +156,17 @@ def build_points(
     """
     if lat_col is None or lon_col is None:
         lat_col, lon_col = synth_latlon(id_col)
+    # least() clamp = GeoEncodingUtils' nextDown at the +90/+180 poles:
+    # lat==90.0 / lon==180.0 would otherwise encode to 2^31 (outside
+    # int32) and fall past every box whose upper edge is 2^31-1
     pts = src.select(
         F.col(id_col).cast("long").alias("gid"),
-        F.floor(lat_col / F.lit(LAT_DECODE)).cast("long").alias("lat_enc"),
-        F.floor(lon_col / F.lit(LON_DECODE)).cast("long").alias("lon_enc"),
+        F.least(
+            F.floor(lat_col / F.lit(LAT_DECODE)), F.lit((1 << 31) - 1)
+        ).cast("long").alias("lat_enc"),
+        F.least(
+            F.floor(lon_col / F.lit(LON_DECODE)), F.lit((1 << 31) - 1)
+        ).cast("long").alias("lon_enc"),
     )
 
     import pandas as pd  # noqa: F401  (mapInPandas contract)

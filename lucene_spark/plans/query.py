@@ -414,6 +414,10 @@ class FunctionScoreQ:
 
     child: object
     value: str = "log1p_len"
+    # norms are per (doc, FIELD); the boost factor must come from one
+    # declared field or a multi-field child makes it nondeterministic
+    # (whichever field's term sorts first would win the lookup)
+    field: str = "text"
 
     def __post_init__(self):
         if self.value not in ("log1p_len", "inv_len"):

@@ -122,6 +122,30 @@ def test_pure_filter_query_keeps_an_iterator(spark, index_dir):
     assert cache.cache_count == 1  # second clause cached, first reserved
 
 
+def test_filter_only_docs_survive_cache_strip(spark, index_dir):
+    """BoolQ(filter=[F], should=[S]): the filter is the only REQUIRED
+    clause, so docs matching F but no S stay in the match set at score 0
+    (BooleanWeight keeps SHOULD optional whenever a required clause
+    exists). Stripping every filter into a cache mask used to leave a
+    pure SHOULD disjunction that silently dropped those docs — visible
+    as soon as k exceeds the should-matching count."""
+    plain = _searcher(spark, index_dir)
+    cache = _eager_cache()
+    s = _searcher(spark, index_dir, query_cache=cache)
+    node = BoolQ(
+        should=(TermQ("merge"),),
+        filter=(TermInSetQ(("window", "scan", "table")),),
+    )
+    k = 500  # the whole corpus: beyond any merge∩filter doc count
+    want = plain.search(node, k=k, with_keys=False)
+    n_zero = int((want.score == 0.0).sum())
+    assert n_zero > 0  # the test is vacuous unless filter-only docs exist
+    for _ in range(3):
+        got = s.search(node, k=k, with_keys=False)
+        assert list(got.gid) == list(want.gid)
+        assert list(got.score) == list(want.score)
+
+
 def test_cache_under_pruned_multibucket_execution(spark, index_dir):
     """Seeded-θ + multi-bucket + block-prune path with a cached filter:
     pruning must never promote a filtered-out doc into the top-k (the
