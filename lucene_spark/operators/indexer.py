@@ -939,23 +939,33 @@ def _write_terms_tables(terms, index_dir: str) -> None:
     The reversed table is the Spark analog of indexing reversed terms for
     leading-wildcard queries (Lucene's ReversedWildcardFilter trade — pay
     a second small dictionary to avoid a full-dictionary scan per query;
-    the blocktree automaton intersect has no Parquet analog)."""
+    the blocktree automaton intersect has no Parquet analog).
+
+    The twin is derived by READING BACK the just-written ``terms`` parquet
+    — never by re-executing the caller's ``terms`` plan. That plan is the
+    groupBy shuffle over every segment's term rows; running it twice
+    doubled finalize (the round-4 high-parallelism build regression). The
+    read-back job is a projection + within-partition sort over the compact
+    vocab table, O(|vocab|) with no shuffle."""
     import shutil
 
-    for name, df in (
-        ("terms", terms),
-        (
-            "terms_rev",
-            terms.withColumn("rterm", F.reverse(F.col("term")))
-            .select("rterm", "term", "doc_freq", "total_term_freq")
-            .sortWithinPartitions("rterm"),
-        ),
-    ):
+    def _commit(df, name: str) -> str:
         tmp = os.path.join(index_dir, f"{name}_new")
         df.write.mode("overwrite").parquet(tmp)
         final = os.path.join(index_dir, name)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
+        return final
+
+    terms_path = _commit(terms, "terms")
+    spark = terms.sparkSession
+    rev = (
+        spark.read.parquet(terms_path)
+        .withColumn("rterm", F.reverse(F.col("term")))
+        .select("rterm", "term", "doc_freq", "total_term_freq")
+        .sortWithinPartitions("rterm")
+    )
+    _commit(rev, "terms_rev")
 
 
 def _finalize_from_live_units(spark: SparkSession, index_dir: str) -> None:
