@@ -66,53 +66,81 @@ def _shard_col(id_col: str, n_shards: int):
 def _diverse_select(cand_idx, sim_q, xn, max_conn):
     """HnswGraphBuilder.findDiverseNeighbors: scan candidates best-first;
     candidate c joins iff sim(c, q) > sim(c, s) for every already-selected
-    s (c is closer to the query than to any chosen neighbor)."""
-    selected: list[int] = []
-    for c in cand_idx:
-        if len(selected) >= max_conn:
+    s (c is closer to the query than to any chosen neighbor). All pairwise
+    dots come from ONE small matmul (w×w for beam width w ≤ ef), so the
+    selection loop touches only precomputed rows."""
+    cand = [int(c) for c in cand_idx]
+    if not cand:
+        return []
+    pair = xn[cand] @ xn[cand].T
+    sq = np.asarray([sim_q[c] for c in cand])
+    # "closer to q than to EVERY selected" == "max sim to selected < sim
+    # to q"; keep that max as a running column-max so each candidate is an
+    # O(1) scalar test and each selection one vectorized np.maximum
+    max_to_sel = np.full(len(cand), -np.inf)
+    sel_pos: list[int] = []
+    for p in range(len(cand)):
+        if len(sel_pos) >= max_conn:
             break
-        ok = True
-        for s in selected:
-            if float(xn[c] @ xn[s]) >= sim_q[c]:
-                ok = False
-                break
-        if ok:
-            selected.append(c)
-    return selected
+        if not sel_pos or max_to_sel[p] < sq[p]:
+            sel_pos.append(p)
+            np.maximum(max_to_sel, pair[:, p], out=max_to_sel)
+    return [cand[p] for p in sel_pos]
 
 
-def _search_layer(q, eps, ef, adj_level, xn, order):
+def _search_layer(q, eps, ef, adj_level, xn):
     """HnswGraphSearcher.searchLevel: best-first beam of width ``ef`` from
-    entry points ``eps`` over one level's adjacency. Ties break on the
-    deterministic ``order`` (vec_id rank). Returns (idx, sim) sorted
-    best-first."""
-    sims = {e: float(xn[e] @ q) for e in eps}
-    visited = set(eps)
-    # candidates: best-first frontier; results: worst-bounded beam
-    cand = sorted(eps, key=lambda i: (-sims[i], order[i]))
-    result = list(cand[:ef])
+    entry points ``eps`` over one level's adjacency. Ties break on node
+    index (== vec_id rank — callers sort by vec_id). Returns (idx, sims)
+    with idx sorted best-first and sims a per-node float64 array.
+
+    Vectorized: each frontier expansion computes ALL unvisited neighbors'
+    similarities as one gather-matvec (``xn[ns] @ q``); frontier and beam
+    are heaps instead of per-step list sorts. Control flow — including the
+    beam bound being refreshed only at pop time and on overflow — matches
+    the scalar original so graph shape and search order are unchanged."""
+    import heapq
+
+    n = xn.shape[0]
+    eps = list(dict.fromkeys(int(e) for e in eps))
+    sims = np.full(n, -np.inf)
+    sims[eps] = xn[eps] @ q
+    visited = np.zeros(n, dtype=bool)
+    visited[eps] = True
+    # frontier: max-heap on (sim, then smallest idx)
+    cand = [(-sims[e], e) for e in eps]
+    heapq.heapify(cand)
+    # beam: min-heap with the WORST on top (lowest sim; tie = largest idx)
+    beam = sorted(eps, key=lambda i: (-sims[i], i))[:ef]
+    result = [(sims[i], -i) for i in beam]
+    heapq.heapify(result)
     while cand:
-        c = cand.pop(0)
-        worst = min(sims[r] for r in result) if result else -np.inf
+        _, c = heapq.heappop(cand)
+        worst = result[0][0] if result else -np.inf
         if sims[c] < worst and len(result) >= ef:
             break
-        for n in adj_level.get(c, ()):
-            if n in visited:
-                continue
-            visited.add(n)
-            s = float(xn[n] @ q)
-            sims[n] = s
+        nbrs = adj_level.get(c)
+        if not nbrs:
+            continue
+        ns = np.asarray(nbrs, dtype=np.intp)
+        ns = ns[~visited[ns]]
+        if not len(ns):
+            continue
+        visited[ns] = True
+        s_arr = xn[ns] @ q
+        sims[ns] = s_arr
+        # python scalars: heap tuple comparisons on np.float64 are ~5x
+        # slower than on float
+        for v, s in zip(ns.tolist(), s_arr.tolist()):
             if len(result) < ef or s > worst:
-                # insert into both frontier and beam
-                cand.append(n)
-                result.append(n)
+                heapq.heappush(cand, (-s, v))
+                heapq.heappush(result, (s, -v))
                 if len(result) > ef:
-                    result.sort(key=lambda i: (-sims[i], order[i]))
-                    result = result[:ef]
-                    worst = sims[result[-1]]
-        cand.sort(key=lambda i: (-sims[i], order[i]))
-    result.sort(key=lambda i: (-sims[i], order[i]))
-    return result, sims
+                    heapq.heappop(result)
+                    worst = result[0][0]
+    out = [-ni for _, ni in result]
+    out.sort(key=lambda i: (-sims[i], i))
+    return out, sims
 
 
 def _build_shard_graph(ids, x, m, ef_construction):
@@ -122,7 +150,6 @@ def _build_shard_graph(ids, x, m, ef_construction):
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
     xn = x / norms
-    order = {i: i for i in range(n)}  # ids pre-sorted → idx rank == id rank
     levels = [node_level(int(v), m) for v in ids]
     adj: dict[int, dict[int, list[int]]] = {}
     entry, entry_level = None, -1
@@ -137,11 +164,11 @@ def _build_shard_graph(ids, x, m, ef_construction):
         q = xn[i]
         eps = [entry]
         for lev in range(entry_level, li, -1):
-            eps, _ = _search_layer(q, eps, 1, adj.get(lev, {}), xn, order)
+            eps, _ = _search_layer(q, eps, 1, adj.get(lev, {}), xn)
         for lev in range(min(li, entry_level), -1, -1):
             cap = max_conn0 if lev == 0 else m
             w, sims = _search_layer(
-                q, eps, ef_construction, adj.get(lev, {}), xn, order
+                q, eps, ef_construction, adj.get(lev, {}), xn
             )
             sel = _diverse_select(w, sims, xn, m)
             level_adj = adj.setdefault(lev, {})
@@ -152,8 +179,9 @@ def _build_shard_graph(ids, x, m, ef_construction):
                 if len(lst) > cap:
                     # removeLeastDiverse: re-run the diversity rule over
                     # the overflowing list from s's own point of view
-                    sim_s = {c: float(xn[c] @ xn[s]) for c in lst}
-                    ranked = sorted(lst, key=lambda c: (-sim_s[c], order[c]))
+                    # (one batched matvec for the whole list)
+                    sim_s = dict(zip(lst, xn[lst] @ xn[s]))
+                    ranked = sorted(lst, key=lambda c: (-sim_s[c], c))
                     level_adj[s] = _diverse_select(ranked, sim_s, xn, cap)
             eps = w
         if li > entry_level:
@@ -260,7 +288,6 @@ def ann_hnsw_topk(
         ids = vpdf["vec_id"].to_numpy(np.int64)
         x = np.array(list(vpdf["emb"]), dtype=np.float64)
         idx_of = {int(v): j for j, v in enumerate(ids)}
-        order = {j: j for j in range(len(ids))}
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         xn = x / norms
@@ -279,9 +306,9 @@ def ann_hnsw_topk(
         entry = min(j for j, l in lvl_of.items() if l == top)
         eps = [entry]
         for lev in range(top, 0, -1):
-            eps, _ = _search_layer(qn, eps, 1, adj.get(lev, {}), xn, order)
+            eps, _ = _search_layer(qn, eps, 1, adj.get(lev, {}), xn)
         beam, _ = _search_layer(
-            qn, eps, min(int(ef_search), len(ids)), adj.get(0, {}), xn, order
+            qn, eps, min(int(ef_search), len(ids)), adj.get(0, {}), xn
         )
         cand = [j for j in beam if int(ids[j]) != qid]
         if not cand:
