@@ -719,6 +719,45 @@ def _q_lm_jm_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_lm_dirichlet_phrase_topk(spark, sf_dir):
+    """Exact phrase scored under LMDirichletSimilarity — the
+    SimilarityBase composite fold: PhraseWeight binds the searcher's
+    similarity (core/search/PhraseWeight.java:56-60), SimilarityBase
+    builds one BasicSimScorer per term state and MultiSimilarity sums
+    them at the shared phrase freq (MultiSimilarity.java:63-70)."""
+    from lucene_spark.functions.similarity import LMDirichletSim
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import PhraseQ
+
+    s = Searcher(
+        spark, _index_for(spark, sf_dir), similarity=LMDirichletSim()
+    )
+    pdf = s.search(PhraseQ(terms=PHRASE, offsets=(0, 1)), k=10,
+                   with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_lm_jm_synonym_topk(spark, sf_dir):
+    """SynonymQuery under LMJelinekMercerSimilarity — one pseudo-term
+    scorer over blended stats (df = max member df, ttf = Σ member ttf;
+    SynonymQuery.java:205-222) at freq = Σ member freqs."""
+    from lucene_spark.functions.similarity import LMJelinekMercerSim
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import SynonymQ
+
+    s = Searcher(
+        spark, _index_for(spark, sf_dir), similarity=LMJelinekMercerSim()
+    )
+    pdf = s.search(SynonymQ(terms=(T_HOT, "scan")), k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_boolean_sim_topk(spark, sf_dir):
     """BooleanSimilarity: every hit scores exactly the query boost —
     constant-score matching behind the same Similarity protocol
@@ -1650,7 +1689,7 @@ _NEVER_DRIVER_SAMPLED = [
     "geo_box", "update_topk", "cached_filter_topk",
     "span_near_unordered_topk", "lm_jm_topk", "span_payload_near_topk",
     "sloppy_unordered_topk", "span_or_topk", "matchall_univ_topk",
-    "custom_sim_topk",
+    "custom_sim_topk", "lm_dirichlet_phrase_topk", "lm_jm_synonym_topk",
 ]
 
 
@@ -1736,6 +1775,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_sim_topk": _q_classic_sim_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         "lm_jm_topk": _q_lm_jm_topk,
+        "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
+        "lm_jm_synonym_topk": _q_lm_jm_synonym_topk,
         "boolean_sim_topk": _q_boolean_sim_topk,
         "delete_count": _q_delete_count,
         "purge_topk": _q_purge_topk,
@@ -1885,6 +1926,10 @@ def oracle_sql() -> dict[str, str]:
         "classic_sim_topk": osql.classic_sim_topk_sql(T_HOT),
         "lm_dirichlet_topk": osql.lm_dirichlet_topk_sql(T_HOT),
         "lm_jm_topk": osql.lm_jm_topk_sql(T_HOT),
+        "lm_dirichlet_phrase_topk": osql.lm_dirichlet_phrase_topk_sql(
+            *PHRASE
+        ),
+        "lm_jm_synonym_topk": osql.lm_jm_synonym_topk_sql(T_HOT, "scan"),
         "boolean_sim_topk": osql.boolean_sim_topk_sql(T_HOT),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),

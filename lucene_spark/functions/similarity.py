@@ -21,6 +21,13 @@ pieces swap.
 Monotonicity contract (same as Lucene's impacts): ``score`` must be
 non-decreasing in freq and non-increasing in encoded doc length — the
 index-time impact frontiers and block-max pruning assume it.
+
+``weight_bounded`` declares whether ``score(freq, w, ...) < w`` for every
+freq (true for BM25's saturating tf and Boolean's constant; false for
+Classic's sqrt-tf and the LM models, which grow without bound in freq).
+Plan-level upper bounds for synonym/blended nodes use the tight weight
+bound when it holds and fall back to the concave-subadditivity bound
+(sum of member term maxes) otherwise.
 """
 
 from __future__ import annotations
@@ -41,6 +48,8 @@ __all__ = ["BM25Sim", "ClassicSim", "BooleanSim", "LMDirichletSim",
 class BM25Sim:
     """BM25Similarity(k1, b) — the engine default
     (core/search/similarities/BM25Similarity.java)."""
+
+    weight_bounded = True  # w - w/(1+x) < w for every freq
 
     k1: float = 1.2
     b: float = 0.75
@@ -75,6 +84,8 @@ class ClassicSim:
       score      = f32(f32(tf * weight) * normTable[norm])
     """
 
+    weight_bounded = False  # sqrt-tf grows without bound in freq
+
     def idf(self, doc_freq: int, doc_count: int) -> np.float32:
         return np.float32(
             math.log((doc_count + 1) / float(doc_freq + 1)) + 1.0
@@ -101,6 +112,8 @@ class BooleanSim:
     """BooleanSimilarity (core/search/similarities/BooleanSimilarity.java):
     every matching doc scores exactly the query boost — no tf, no idf, no
     length normalization (BooleanWeight-era filter scoring)."""
+
+    weight_bounded = True  # constant score == the weight
 
     def idf(self, doc_freq: int, doc_count: int) -> np.float32:
         return np.float32(1.0)  # weight slot carries the folded boost only
@@ -131,8 +144,10 @@ class LMJelinekMercerSim:
     Protocol mapping mirrors :class:`LMDirichletSim`: idf = 1 (weight slot
     carries boost), aux = f32(λ*p), norm_table = decoded lengths. Monotone
     in freq (up) and docLen (down) → impact pruning stays valid.
-    Term-level stats only, like LMDirichletSim.
+    Composite folds follow SimilarityBase, like :class:`LMDirichletSim`.
     """
+
+    weight_bounded = False  # boost * ln(1 + x), unbounded in freq
 
     lam: float = 0.1
 
@@ -193,9 +208,14 @@ class LMDirichletSim:
     lengths. Monotone in freq (up) and docLen (down), so the impact
     frontiers and block-max pruning stay valid.
 
-    Term-level stats only: phrase/synonym/blended folds are BM25/TFIDF
-    shaped, so the engine rejects those composites under this similarity.
+    Composites follow SimilarityBase: phrase-like nodes score as the
+    float32 running sum of one per-term scorer each evaluated at the
+    shared phrase freq (MultiSimilarity.java:63-70); synonym/blended
+    nodes score one pseudo-term with df = max member df and
+    ttf = Σ member ttf (SynonymQuery.java:205-222).
     """
+
+    weight_bounded = False  # boost * ln(1 + x), unbounded in freq
 
     mu: float = 2000.0
 

@@ -406,6 +406,12 @@ class ScoreCtx:
     caches: dict = None  # field -> float32[256] cache (per-field avgdl)
     sim: object = None  # Similarity (functions/similarity.py); BM25Sim default
     aux: dict = None  # term key -> per-term similarity constant (e.g. LM mu*p)
+    # collection-model composites (SimilarityBase.scorer builds one
+    # BasicSimScorer per TermStatistics; MultiSimilarity.MultiSimScorer
+    # float32-sums them at the shared freq/norm):
+    phrase_aux: dict = None  # phrase-like node -> tuple of per-term aux
+    syn_aux: dict = None  # SynonymQ -> aux of (max df, summed ttf) pseudo-stats
+    blended_aux: dict = None  # BlendedQ -> aux of (max df, summed ttf)
 
     def aux_for(self, term_key: str):
         return None if not self.aux else self.aux.get(term_key)
@@ -575,6 +581,9 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
             caches=ctx.caches,
             sim=ctx.sim,
             aux=ctx.aux,
+            phrase_aux=ctx.phrase_aux,
+            syn_aux=ctx.syn_aux,
+            blended_aux=ctx.blended_aux,
         )
         return eval_plan(child, postings, sub)
     raise TypeError(f"BoostQ supports leaf scoring nodes, got {child!r}")
@@ -597,7 +606,8 @@ def _eval_synonym(node: SynonymQ, postings: dict, ctx: ScoreCtx) -> tuple[np.nda
     norms = np.zeros(len(gids), dtype=np.uint8)
     norms[inv] = all_n  # per-doc norm, identical across member terms
     w = ctx.syn_weights[node]
-    scores = ctx.sim.score(freqs, w, ctx.cache_for(node.terms[0])[norms])
+    saux = None if ctx.syn_aux is None else ctx.syn_aux.get(node)
+    scores = ctx.sim.score(freqs, w, ctx.cache_for(node.terms[0])[norms], saux)
     return gids, scores
 
 
@@ -608,12 +618,13 @@ def _eval_blended(node: BlendedQ, postings: dict, ctx: ScoreCtx) -> tuple[np.nda
     clauses — double accumulate, one float32 cast
     (BlendedTermQuery.java:269-301 + DisjunctionSumScorer)."""
     ws = ctx.blended_weights[node]
+    baux = None if ctx.blended_aux is None else ctx.blended_aux.get(node)
     evs = []
     for t, w in zip(node.terms, ws):
         tp = postings.get(t)
         if tp is None or not len(tp.gids):
             continue
-        evs.append((tp.gids, _score_term(tp, w, ctx.cache_for(t), ctx.sim)))
+        evs.append((tp.gids, _score_term(tp, w, ctx.cache_for(t), ctx.sim, baux)))
     if not evs:
         return np.empty(0, np.int64), np.empty(0, np.float32)
     all_g = np.concatenate([g for g, _ in evs])
@@ -1019,7 +1030,17 @@ def _score_positional(node, gids, freqs, norms, ctx) -> tuple[np.ndarray, np.nda
     hit = freqs > 0
     gids, freqs, norms = gids[hit], freqs[hit], norms[hit]
     w = ctx.phrase_weights[node]
-    scores = ctx.sim.score(freqs, w, ctx.cache_for(node.terms[0])[norms])
+    nv = ctx.cache_for(node.terms[0])[norms]
+    paux = None if ctx.phrase_aux is None else ctx.phrase_aux.get(node)
+    if paux is not None:
+        # SimilarityBase composite: one BasicSimScorer per term stat, the
+        # MultiSimScorer float32 RUNNING sum at the shared phrase freq
+        # (MultiSimilarity.java:63-70)
+        scores = np.zeros(len(gids), dtype=np.float32)
+        for a in paux:
+            scores = scores + ctx.sim.score(freqs, w, nv, a)
+        return gids, scores
+    scores = ctx.sim.score(freqs, w, nv)
     return gids, scores
 
 
@@ -1480,17 +1501,31 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
                 ub += max(b, 0.0)
         return ub if any_present else float("-inf")
     if isinstance(node, SynonymQ):
-        if not any(t in term_maxes for t in node.terms):
+        present = [t for t in node.terms if t in term_maxes]
+        if not present:
             return float("-inf")
-        # score is bounded above by the blended weight (w - w/(1+x) < w)
-        return float(ctx.syn_weights[node])
+        if getattr(ctx.sim, "weight_bounded", True):
+            # score is bounded above by the blended weight (w - w/(1+x) < w)
+            return float(ctx.syn_weights[node])
+        # unbounded-tf sims (Classic sqrt-tf, LM logs): score is concave in
+        # freq with score(0)=0, so score(Σ member freqs) ≤ Σ per-member
+        # maxes; member maxes use per-term idf ≥ the blended (max-df) idf
+        return sum(float(term_maxes[t]) for t in present)
     if isinstance(node, BlendedQ):
         ws = (ctx.blended_weights or {}).get(node)
         if ws is None or not any(t in term_maxes for t in node.terms):
             return float("-inf")
-        # SHOULD sum of member terms, each bounded by its blended weight
+        if getattr(ctx.sim, "weight_bounded", True):
+            # SHOULD sum of member terms, each bounded by its blended weight
+            return sum(
+                float(w) for t, w in zip(node.terms, ws) if t in term_maxes
+            )
+        # unbounded-tf sims: member max scaled by its RAW boost — score is
+        # linear in the weight slot and term_maxes already carries the
+        # per-term idf (≥ the blended max-df idf) or the LM unit weight
         return sum(
-            float(w) for t, w in zip(node.terms, ws) if t in term_maxes
+            float(b) * float(term_maxes[t])
+            for t, b in zip(node.terms, node.boosts) if t in term_maxes
         )
     if isinstance(node, DisMaxQ):
         bounds = [_plan_upper_bound(c, term_maxes, ctx) for c in node.clauses]
@@ -2384,6 +2419,32 @@ class Searcher:
         syn_weights = {}
         boost_weights = {}
         blended_weights = {}
+        # collection-model similarities (LMDirichlet/LMJM) carry per-term
+        # stats through aux; their composite folds follow SimilarityBase.
+        # scorer — one BasicSimScorer per TermStatistics, boost in the
+        # weight slot (idf() is 1), MultiSimScorer summing at eval time
+        aux_of = getattr(self.sim, "aux", None)
+        phrase_aux: "dict | None" = {} if aux_of is not None else None
+        syn_aux: "dict | None" = {} if aux_of is not None else None
+        blended_aux: "dict | None" = {} if aux_of is not None else None
+
+        def term_aux(t: str) -> np.float32:
+            df, ttf = tstats.get(t, (0, 0))
+            return aux_of(df, doc_count_of(t), ttf,
+                          self.field_stats(_field_of(t))[1])
+
+        def pseudo_aux(member_terms) -> "np.float32 | None":
+            """Blended pseudo-stats: df = max over present members, ttf =
+            their SUM (SynonymQuery.java:205-222,
+            BlendedTermQuery.java:281-290)."""
+            present = [t for t in member_terms if t in tstats]
+            if not present:
+                return None
+            df = max(tstats[t][0] for t in present)
+            ttf = sum(tstats[t][1] for t in present)
+            t0 = present[0]
+            return aux_of(df, doc_count_of(t0), ttf,
+                          self.field_stats(_field_of(t0))[1])
 
         def walk(n):
             if isinstance(n, BoostQ):
@@ -2410,6 +2471,16 @@ class Searcher:
                 boost_weights[n] = np.float32(np.float32(n.boost) * base)
             elif isinstance(n, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                                 SpanNearQ, SpanPayloadCheckQ)):
+                if aux_of is not None:
+                    # SimilarityBase: weight slot = boost (1.0 here; BoostQ
+                    # folds multiply it); one aux per present term state,
+                    # duplicates kept — SimilarityBase.scorer builds one
+                    # BasicSimScorer per TermStatistics entry
+                    phrase_weights[n] = np.float32(1.0)
+                    phrase_aux[n] = tuple(
+                        term_aux(t) for t in n.terms if t in tstats
+                    )
+                    return
                 # idf summed as double over float per-term idfs, cast to
                 # float; for MultiPhraseQ ``terms`` flattens termArrays in
                 # order with duplicates kept — one idf per array entry,
@@ -2423,11 +2494,23 @@ class Searcher:
                 # SpanWeight.buildSimWeight over the match side's term
                 # states only — the exclude side scores nothing
                 t = n.terms[0]
+                if aux_of is not None:
+                    phrase_weights[n] = np.float32(1.0)
+                    phrase_aux[n] = (
+                        (term_aux(t),) if t in tstats else ()
+                    )
+                    return
                 phrase_weights[n] = (
                     _idf(tstats[t][0], doc_count_of(t))
                     if t in tstats else np.float32(0.0)
                 )
             elif isinstance(n, SpanOrQ):
+                if aux_of is not None:
+                    phrase_weights[n] = np.float32(1.0)
+                    phrase_aux[n] = tuple(
+                        term_aux(t) for t in n.terms if t in tstats
+                    )
+                    return
                 # idf per member term state, summed (no df blending)
                 s = sum(
                     float(_idf(tstats[t][0], doc_count_of(t)))
@@ -2440,6 +2523,8 @@ class Searcher:
                 syn_weights[n] = (
                     _idf(max(dfs), doc_count_of(n.terms[0])) if dfs else np.float32(0.0)
                 )
+                if aux_of is not None:
+                    syn_aux[n] = pseudo_aux(n.terms)
             elif isinstance(n, BlendedQ):
                 # adjustFrequencies: every member's df replaced by the max
                 # across members (BlendedTermQuery.java:281-290); each
@@ -2452,6 +2537,8 @@ class Searcher:
                 blended_weights[n] = tuple(
                     np.float32(np.float32(b) * base) for b in n.boosts
                 )
+                if aux_of is not None:
+                    blended_aux[n] = pseudo_aux(n.terms)
             elif isinstance(n, BoolQ):
                 for c in n.must + n.should + n.must_not:
                     walk(c)
@@ -2462,31 +2549,16 @@ class Searcher:
                 walk(n.child)
 
         walk(node)
-        # collection-model similarities (LMDirichlet) carry a per-term
-        # aux constant; their stats shape doesn't fit the BM25/TFIDF
-        # phrase/synonym/blended folds, so those composites are rejected
         aux = None
-        aux_of = getattr(self.sim, "aux", None)
         if aux_of is not None:
-            if phrase_weights or syn_weights or blended_weights:
-                raise NotImplementedError(
-                    f"{type(self.sim).__name__} supports term/boolean "
-                    "scoring only (phrase/synonym/blended folds are "
-                    "BM25/TFIDF-shaped)"
-                )
-            aux = {
-                t: aux_of(
-                    tstats[t][0], doc_count_of(t), tstats[t][1],
-                    self.field_stats(_field_of(t))[1],
-                )
-                for t in terms if t in tstats
-            }
+            aux = {t: term_aux(t) for t in terms if t in tstats}
         return ScoreCtx(
             weights=weights, cache=cache,
             phrase_weights=phrase_weights, syn_weights=syn_weights,
             boost_weights=boost_weights, blended_weights=blended_weights,
             doc_freqs={t: tstats[t][0] for t in terms if t in tstats},
             caches=caches, sim=self.sim, aux=aux,
+            phrase_aux=phrase_aux, syn_aux=syn_aux, blended_aux=blended_aux,
         )
 
     # ---- execution ------------------------------------------------------

@@ -1522,6 +1522,77 @@ WHERE tf.term = '{term}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def lm_dirichlet_phrase_topk_sql(t1: str, t2: str, mu: float = 2000.0,
+                                 k: int = 10) -> str:
+    """Exact 2-term phrase under LMDirichletSimilarity — the
+    SimilarityBase composite fold (PhraseWeight.java:56-60 binds the
+    searcher's similarity; SimilarityBase.scorer builds one BasicSimScorer
+    per TermStatistics; MultiSimilarity.MultiSimScorer sums them at the
+    SHARED phrase freq as a float32 running sum):
+      freq  = #adjacent (pos+1) occurrence pairs (pre-stop positions)
+      aux_i = f32( mu * f32( f32(ttf_i + 1) / f32(sttf + 2) ) )
+      s_i   = f32( max(0, ln(1 + freq / aux_i) + ln(mu / (dec + mu))) )
+      score = f32(s_1 + s_2)   [running float32 sum]
+    """
+    sttf = "(SELECT sum_ttf FROM cstats)"
+
+    def term_score(t: str) -> str:
+        ttf = f"(SELECT sum(freq) FROM tf WHERE term = '{t}')"
+        p = _f4(f"{_f4(f'{ttf} + 1.0')} / {_f4(f'{sttf} + 2.0')}")
+        mp = _f4(f"{mu} * {p}")
+        return (
+            f"CAST(greatest(0.0, ln(1.0 + pf.freq / CAST({mp} AS DOUBLE)) "
+            f"+ ln({mu} / (CAST(norm_tab.dec AS DOUBLE) + {mu}))) AS FLOAT)"
+        )
+
+    s1, s2 = term_score(t1), term_score(t2)
+    score = _f4(f"CAST({s1} AS DOUBLE) + CAST({s2} AS DOUBLE)")
+    return f"""WITH {base_ctes()},
+pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id
+)
+SELECT pf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM pf
+JOIN dn ON dn.doc_id = pf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+ORDER BY score DESC, pf.doc_id ASC LIMIT {k}"""
+
+
+def lm_jm_synonym_topk_sql(t1: str, t2: str, lam: float = 0.1,
+                           k: int = 10) -> str:
+    """SynonymQuery under LMJelinekMercerSimilarity — one pseudo-term
+    scorer over blended stats (SynonymQuery.java:205-222: df = max member
+    doc_freq, ttf = Σ member ttf) at freq = Σ member freqs:
+      aux   = f32( λ * f32( f32(Σttf + 1) / f32(sttf + 2) ) )
+      score = f32( ln(1 + (f32(1-λ) * freq / dec) / aux) )
+    """
+    ttf = (
+        f"(SELECT sum(total_term_freq) FROM tstats "
+        f"WHERE term IN ('{t1}', '{t2}'))"
+    )
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    p = _f4(f"{_f4(f'{ttf} + 1.0')} / {_f4(f'{sttf} + 2.0')}")
+    aux = _f4(f"{lam} * {p}")
+    one_minus = _f4(f"1.0 - {lam}")
+    score = (
+        f"CAST(ln(1.0 + (CAST({one_minus} AS DOUBLE) * sf.f "
+        f"/ CAST(norm_tab.dec AS DOUBLE)) / CAST({aux} AS DOUBLE)) AS FLOAT)"
+    )
+    return f"""WITH {base_ctes()},
+sf AS (
+  SELECT doc_id, sum(freq)::BIGINT AS f
+  FROM tf WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id
+)
+SELECT sf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM sf
+JOIN dn ON dn.doc_id = sf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def boolean_sim_topk_sql(term: str, k: int = 10) -> str:
     """BooleanSimilarity term top-k: every hit scores exactly the boost
     (1.0 here) — ties broken by ascending docID."""
