@@ -719,6 +719,33 @@ def _q_lm_jm_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_explain_classic(spark, sf_dir):
+    """IndexSearcher.explain under ClassicSimilarity: the
+    TFIDFScorer.explainScore tree (TFIDFSimilarity.java:430-540)
+    flattened to (component, value) rows, float32-exact."""
+    from lucene_spark.functions.similarity import ClassicSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for(spark, sf_dir), similarity=ClassicSim())
+    pdf = s.explain(T_HOT)
+    return spark.createDataFrame(pdf, schema="component string, value double")
+
+
+def _q_explain_lm_dirichlet(spark, sf_dir):
+    """IndexSearcher.explain under LMDirichletSimilarity: the
+    LMDirichletSimilarity.explain tree + LMSimilarity's
+    collection-probability leaf (LMDirichletSimilarity.java:79-105,
+    LMSimilarity.java:77-107), flattened, float32-exact."""
+    from lucene_spark.functions.similarity import LMDirichletSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(
+        spark, _index_for(spark, sf_dir), similarity=LMDirichletSim()
+    )
+    pdf = s.explain(T_HOT)
+    return spark.createDataFrame(pdf, schema="component string, value double")
+
+
 def _q_lm_dirichlet_phrase_topk(spark, sf_dir):
     """Exact phrase scored under LMDirichletSimilarity — the
     SimilarityBase composite fold: PhraseWeight binds the searcher's
@@ -1690,6 +1717,7 @@ _NEVER_DRIVER_SAMPLED = [
     "span_near_unordered_topk", "lm_jm_topk", "span_payload_near_topk",
     "sloppy_unordered_topk", "span_or_topk", "matchall_univ_topk",
     "custom_sim_topk", "lm_dirichlet_phrase_topk", "lm_jm_synonym_topk",
+    "explain_classic", "explain_lm_dirichlet",
 ]
 
 
@@ -1777,6 +1805,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
         "lm_jm_synonym_topk": _q_lm_jm_synonym_topk,
+        "explain_classic": _q_explain_classic,
+        "explain_lm_dirichlet": _q_explain_lm_dirichlet,
         "boolean_sim_topk": _q_boolean_sim_topk,
         "delete_count": _q_delete_count,
         "purge_topk": _q_purge_topk,
@@ -1930,6 +1960,8 @@ def oracle_sql() -> dict[str, str]:
             *PHRASE
         ),
         "lm_jm_synonym_topk": osql.lm_jm_synonym_topk_sql(T_HOT, "scan"),
+        "explain_classic": osql.explain_classic_sql(T_HOT),
+        "explain_lm_dirichlet": osql.explain_lm_dirichlet_sql(T_HOT),
         "boolean_sim_topk": osql.boolean_sim_topk_sql(T_HOT),
         "delete_count": osql.delete_count_sql(T_HOT, DELETE_MOD),
         "purge_topk": osql.purge_topk_sql(T_HOT, T_MID, DELETE_MOD),

@@ -3476,24 +3476,23 @@ class Searcher:
         )
 
     def explain(self, term: str, gid: "int | None" = None) -> pd.DataFrame:
-        """IndexSearcher.explain analog for a TermQuery: the BM25
-        Explanation tree flattened to (component, value) rows
-        (BM25Similarity.java:160-280 — idf with its n/N inputs, tf with
-        freq/k1/b/dl/avgdl, and the scorer's float32 score).
+        """IndexSearcher.explain analog for a TermQuery: the searcher
+        similarity's Explanation tree flattened to (component, value)
+        rows. Each similarity renders its own tree, as in the reference:
+        BM25Similarity.java:160-280, TFIDFSimilarity.java:430-540
+        (TFIDFScorer.explainScore), LMDirichletSimilarity.java:79-105 +
+        LMSimilarity.java:77-107 (collection probability leaf),
+        LMJelinekMercerSimilarity.java:71-87, and the SimScorer default
+        (freq + score) for BooleanSimilarity.
 
         ``gid=None`` explains the query's own top-1 hit. Every value is
         computed at the same float32 points as scoring, so rows are
         value-exact against the SQL oracle twin.
         """
         from ..functions.smallfloat import LENGTH_TABLE
-
-        if not isinstance(self.sim, BM25Sim):
-            # per-similarity explain trees differ (TFIDFScorer.explainScore
-            # vs BM25); only the default tree is implemented
-            raise NotImplementedError(
-                "explain() renders the BM25 explanation tree; searcher uses "
-                f"{type(self.sim).__name__}"
-            )
+        from ..functions.similarity import (
+            BooleanSim, ClassicSim, LMDirichletSim, LMJelinekMercerSim,
+        )
 
         if gid is None:
             top = self.search(TermQ(term), k=1, with_keys=False)
@@ -3505,28 +3504,105 @@ class Searcher:
             raise ValueError(f"doc {gid} does not contain {term!r}")
         freq, norm_b = int(row[0]["freq"]), int(row[0]["norm_b"])
         dc, sttf = self.field_stats(_field_of(term))
-        df = int(self.term_stats({term})[term][0])
+        df, ttf = (int(v) for v in self.term_stats({term})[term])
         n_docs = max(dc, 1)
-        w = _idf(df, n_docs)
-        av = _avgdl(sttf, n_docs)
-        cache = norm_cache(
-            av, np.float32(self.sim.k1), np.float32(self.sim.b)
-        )[norm_b]
-        one = np.float32(1.0)
         f32 = np.float32
-        denom = one + f32(freq) * cache
-        rows = [
-            ("n, number of documents containing term", float(df)),
-            ("N, total number of documents with field", float(n_docs)),
-            ("idf", float(w)),
-            ("freq, occurrences of term within document", float(freq)),
-            ("k1, term saturation parameter", float(self.k1)),
-            ("b, length normalization parameter", float(self.b)),
-            ("dl, length of field", float(f32(LENGTH_TABLE[norm_b]))),
-            ("avgdl, average length of field", float(av)),
-            ("tf", float(one - one / denom)),
-            ("score", float(w - w / denom)),
-        ]
+        one = f32(1.0)
+        dl = f32(LENGTH_TABLE[norm_b])
+
+        if isinstance(self.sim, BM25Sim):
+            w = _idf(df, n_docs)
+            av = _avgdl(sttf, n_docs)
+            cache = norm_cache(
+                av, np.float32(self.sim.k1), np.float32(self.sim.b)
+            )[norm_b]
+            denom = one + f32(freq) * cache
+            rows = [
+                ("n, number of documents containing term", float(df)),
+                ("N, total number of documents with field", float(n_docs)),
+                ("idf", float(w)),
+                ("freq, occurrences of term within document", float(freq)),
+                ("k1, term saturation parameter", float(self.k1)),
+                ("b, length normalization parameter", float(self.b)),
+                ("dl, length of field", float(dl)),
+                ("avgdl, average length of field", float(av)),
+                ("tf", float(one - one / denom)),
+                ("score", float(w - w / denom)),
+            ]
+        elif isinstance(self.sim, ClassicSim):
+            # TFIDFScorer.explainScore: boost (omitted at 1), idfExplain
+            # with docFreq/docCount leaves, tf with its freq leaf,
+            # fieldNorm, product root — the same float32 fold order as
+            # ClassicSim.score (f32(f32(tf*weight) * norm))
+            w = self.sim.idf(df, n_docs)
+            tf_v = f32(np.sqrt(f32(freq)))
+            norm = self.sim.norm_table(one)[norm_b]
+            rows = [
+                ("docFreq, number of documents containing term", float(df)),
+                ("docCount, total number of documents with field",
+                 float(n_docs)),
+                ("idf(docFreq, docCount)", float(w)),
+                ("freq, occurrences of term within document", float(freq)),
+                ("tf(freq), computed as sqrt(freq)", float(tf_v)),
+                ("fieldNorm", float(norm)),
+                ("score", float(f32(f32(tf_v * w) * norm))),
+            ]
+        elif isinstance(self.sim, LMDirichletSim):
+            # LMDirichletSimilarity.explain: mu, term weight with
+            # freq/P children, document norm, dl, then LMSimilarity's
+            # collection-probability leaf; score clamps at 0 pre-cast
+            mu = float(self.sim.mu)
+            aux = self.sim.aux(df, n_docs, ttf, sttf)
+            p = f32(f32(ttf + 1.0) / f32(sttf + 2.0))
+            a = np.log(1.0 + np.float64(freq) / np.float64(aux))
+            b = np.log(mu / (np.float64(dl) + mu))
+            rows = [
+                ("mu", mu),
+                ("freq, number of occurrences of term in the document",
+                 float(freq)),
+                ("P, probability that the current term is generated by "
+                 "the collection", float(p)),
+                ("term weight, computed as log(1 + freq /(mu * P))",
+                 float(f32(a))),
+                ("document norm, computed as log(mu / (dl + mu))",
+                 float(f32(b))),
+                ("dl, length of field", float(dl)),
+                ("collection probability", float(p)),
+                ("score", float(f32(max(a + b, 0.0)))),
+            ]
+        elif isinstance(self.sim, LMJelinekMercerSim):
+            # LMJelinekMercerSimilarity.explain: lambda, P, freq, dl,
+            # collection-probability leaf, no clamp on the score
+            lam = float(self.sim.lam)
+            aux = self.sim.aux(df, n_docs, ttf, sttf)
+            p = f32(f32(ttf + 1.0) / f32(sttf + 2.0))
+            one_minus = f32(one - f32(lam))
+            s = np.log(
+                1.0 + (np.float64(one_minus) * np.float64(freq)
+                       / np.float64(dl)) / np.float64(aux)
+            )
+            rows = [
+                ("lambda", lam),
+                ("P, probability that the current term is generated by "
+                 "the collection", float(p)),
+                ("freq, number of occurrences of term in the document",
+                 float(freq)),
+                ("dl, length of field", float(dl)),
+                ("collection probability", float(p)),
+                ("score", float(f32(s))),
+            ]
+        elif isinstance(self.sim, BooleanSim):
+            # BooleanSimilarity doesn't override SimScorer.explain — the
+            # default renders freq and the constant score (the boost)
+            rows = [
+                ("freq, occurrences of term within document", float(freq)),
+                ("score", 1.0),
+            ]
+        else:
+            raise NotImplementedError(
+                "explain() has no tree for custom similarity "
+                f"{type(self.sim).__name__}"
+            )
         return pd.DataFrame(rows, columns=["component", "value"])
 
     def postings(self, term: str) -> DataFrame:

@@ -1522,6 +1522,108 @@ WHERE tf.term = '{term}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def explain_classic_sql(term: str) -> str:
+    """ClassicSimilarity Explanation oracle — the TFIDFScorer.explainScore
+    tree (TFIDFSimilarity.java:430-540) flattened to (component, value)
+    rows for the term query's own top-1 hit, every value at the scoring
+    float32 points."""
+    df = f"(SELECT doc_freq FROM tstats WHERE term = '{term}')"
+    w = _f4(f"ln(({N_SQL} + 1) / CAST({df} + 1 AS DOUBLE)) + 1.0")
+    norm = _f4(f"{_f4('1.0')} / {_f4('sqrt(CAST((SELECT dec FROM v) AS DOUBLE))')}")
+    tf = _f4("sqrt(CAST((SELECT freq FROM v) AS DOUBLE))")
+    score = _f4(f"{_f4(f'{tf} * {w}')} * {norm}")
+    rows = [
+        ("docFreq, number of documents containing term",
+         f"CAST({df} AS DOUBLE)"),
+        ("docCount, total number of documents with field",
+         f"CAST({N_SQL} AS DOUBLE)"),
+        ("idf(docFreq, docCount)", f"CAST({w} AS DOUBLE)"),
+        ("freq, occurrences of term within document",
+         "CAST((SELECT freq FROM v) AS DOUBLE)"),
+        ("tf(freq), computed as sqrt(freq)", f"CAST({tf} AS DOUBLE)"),
+        ("fieldNorm", f"CAST({norm} AS DOUBLE)"),
+        ("score", f"CAST({score} AS DOUBLE)"),
+    ]
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS component, {expr} AS value" for name, expr in rows
+    )
+    norm_s = _f4(f"{_f4('1.0')} / {_f4('sqrt(CAST(norm_tab.dec AS DOUBLE))')}")
+    tf_s = _f4("sqrt(CAST(tf.freq AS DOUBLE))")
+    score_s = _f4(f"{_f4(f'{tf_s} * {w}')} * {norm_s}")
+    return f"""WITH {base_ctes()},
+s AS (
+  SELECT tf.doc_id, CAST({score_s} AS DOUBLE) AS score
+  FROM tf
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+  WHERE tf.term = '{term}'
+),
+top1 AS (SELECT doc_id FROM s ORDER BY score DESC, doc_id ASC LIMIT 1),
+v AS (
+  SELECT tf.freq AS freq, norm_tab.dec AS dec
+  FROM tf
+  JOIN top1 ON tf.doc_id = top1.doc_id
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+  WHERE tf.term = '{term}'
+)
+{selects}"""
+
+
+def explain_lm_dirichlet_sql(term: str, mu: float = 2000.0) -> str:
+    """LMDirichletSimilarity Explanation oracle — the tree of
+    LMDirichletSimilarity.explain (LMDirichletSimilarity.java:79-105)
+    plus LMSimilarity's collection-probability leaf
+    (LMSimilarity.java:77-107), flattened for the top-1 hit."""
+    ttf = f"(SELECT sum(freq) FROM tf WHERE term = '{term}')"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    p = _f4(f"{_f4(f'{ttf} + 1.0')} / {_f4(f'{sttf} + 2.0')}")
+    mp = _f4(f"{mu} * {p}")
+    a = f"ln(1.0 + (SELECT freq FROM v) / CAST({mp} AS DOUBLE))"
+    b = f"ln({mu} / (CAST((SELECT dec FROM v) AS DOUBLE) + {mu}))"
+    rows = [
+        ("mu", f"CAST({float(mu)} AS DOUBLE)"),
+        ("freq, number of occurrences of term in the document",
+         "CAST((SELECT freq FROM v) AS DOUBLE)"),
+        ("P, probability that the current term is generated by the "
+         "collection", f"CAST({p} AS DOUBLE)"),
+        ("term weight, computed as log(1 + freq /(mu * P))",
+         f"CAST({_f4(a)} AS DOUBLE)"),
+        ("document norm, computed as log(mu / (dl + mu))",
+         f"CAST({_f4(b)} AS DOUBLE)"),
+        ("dl, length of field",
+         "CAST(CAST((SELECT dec FROM v) AS FLOAT) AS DOUBLE)"),
+        ("collection probability", f"CAST({p} AS DOUBLE)"),
+        ("score",
+         f"CAST({_f4(f'greatest({a} + {b}, 0.0)')} AS DOUBLE)"),
+    ]
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS component, {expr} AS value" for name, expr in rows
+    )
+    score_s = (
+        f"CAST(greatest(0.0, ln(1.0 + tf.freq / CAST({mp} AS DOUBLE)) "
+        f"+ ln({mu} / (CAST(norm_tab.dec AS DOUBLE) + {mu}))) AS FLOAT)"
+    )
+    return f"""WITH {base_ctes()},
+s AS (
+  SELECT tf.doc_id, CAST({score_s} AS DOUBLE) AS score
+  FROM tf
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+  WHERE tf.term = '{term}'
+),
+top1 AS (SELECT doc_id FROM s ORDER BY score DESC, doc_id ASC LIMIT 1),
+v AS (
+  SELECT tf.freq AS freq, norm_tab.dec AS dec
+  FROM tf
+  JOIN top1 ON tf.doc_id = top1.doc_id
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+  WHERE tf.term = '{term}'
+)
+{selects}"""
+
+
 def lm_dirichlet_phrase_topk_sql(t1: str, t2: str, mu: float = 2000.0,
                                  k: int = 10) -> str:
     """Exact 2-term phrase under LMDirichletSimilarity — the

@@ -826,10 +826,17 @@ def test_classic_similarity(spark):
     assert list(zip(pruned["gid"], pruned["score"])) == list(
         zip(exact["gid"], exact["score"])
     )
-    # explain() renders only the BM25 tree — loud, not wrong
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        s.explain("merge")
+    # explain() renders the TFIDFScorer.explainScore tree
+    # (TFIDFSimilarity.java:430-540): product of idf, tf, fieldNorm
+    ex = s.explain("merge").set_index("component")["value"]
+    assert np.float32(ex["idf(docFreq, docCount)"]) == w
+    tf_v = np.float32(np.sqrt(np.float64(
+        ex["freq, occurrences of term within document"])))
+    assert np.float32(ex["tf(freq), computed as sqrt(freq)"]) == tf_v
+    assert np.float32(ex["score"]) == np.float32(
+        np.float32(tf_v * w) * np.float32(ex["fieldNorm"])
+    )
+    assert np.float32(ex["score"]) == np.float32(got["score"].iloc[0])
 
 
 def test_lm_dirichlet_similarity(spark):
