@@ -1468,6 +1468,35 @@ def _q_span_near_unordered_topk(spark, sf_dir):
     )
 
 
+INTERVAL_MAX_GAPS = 4
+
+
+def _q_interval_ordered_topk(spark, sf_dir):
+    """IntervalQuery over Intervals.ordered(terms): minimal-interval
+    antichain per doc, saturation scoring (similarity-independent)."""
+    from lucene_spark.plans.query import IntervalQ
+
+    return _topk_df(spark, sf_dir, IntervalQ(terms=SLOPPY3, ordered=True))
+
+
+def _q_interval_unordered_topk(spark, sf_dir):
+    """IntervalQuery over Intervals.unordered(terms)."""
+    from lucene_spark.plans.query import IntervalQ
+
+    return _topk_df(spark, sf_dir, IntervalQ(terms=PHRASE, ordered=False))
+
+
+def _q_interval_maxgaps_topk(spark, sf_dir):
+    """Intervals.maxgaps(N, unordered(terms)): the gap filter applies
+    AFTER minimizing (FilteredIntervalsSource.MaxGaps)."""
+    from lucene_spark.plans.query import IntervalQ
+
+    return _topk_df(
+        spark, sf_dir,
+        IntervalQ(terms=SLOPPY3, ordered=False, max_gaps=INTERVAL_MAX_GAPS),
+    )
+
+
 def _q_span_or_topk(spark, sf_dir):
     """SpanOrQuery over term spans: union of member spans; freq = count of
     all member positions; weight = summed member idfs (no df blend)."""
@@ -1705,6 +1734,8 @@ def _q_audio_resample(spark, sf_dir):
 # similarity/IODV/spatial/facet-range/sorted fine print; everything here
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
+    "interval_ordered_topk", "interval_unordered_topk",
+    "interval_maxgaps_topk",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -1840,6 +1871,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_topk": _q_span_or_topk,
         "span_near_topk": _q_span_near_topk,
         "span_near_unordered_topk": _q_span_near_unordered_topk,
+        "interval_ordered_topk": _q_interval_ordered_topk,
+        "interval_unordered_topk": _q_interval_unordered_topk,
+        "interval_maxgaps_topk": _q_interval_maxgaps_topk,
         "sloppy_match": _q_sloppy_match,
         "complete": _q_complete,
         "quality_metrics": _q_quality,
@@ -2001,6 +2035,12 @@ def oracle_sql() -> dict[str, str]:
             T_HOT, T_MID, SPAN_NOT_DIST, SPAN_NOT_DIST
         ),
         "span_or_topk": osql.span_or_topk_sql(SPAN_OR_TERMS),
+        "interval_ordered_topk": osql.interval_topk_sql(
+            list(SLOPPY3), ordered=True),
+        "interval_unordered_topk": osql.interval_topk_sql(
+            list(PHRASE), ordered=False),
+        "interval_maxgaps_topk": osql.interval_topk_sql(
+            list(SLOPPY3), ordered=False, max_gaps=INTERVAL_MAX_GAPS),
         "span_near_topk": osql.span_near_topk_sql(SLOPPY3, SPAN_NEAR_SLOP),
         "span_near_unordered_topk": osql.span_near_unordered_topk_sql(
             SLOPPY3, SPAN_NEAR_SLOP

@@ -83,6 +83,7 @@ from ..plans.query import (
     SpanNearQ,
     SpanPayloadCheckQ,
     FunctionScoreQ,
+    IntervalQ,
     SpanNotQ,
     SpanOrQ,
     SynonymQ,
@@ -449,6 +450,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_near(node, postings, ctx)
     if isinstance(node, SloppyQ):
         return _eval_sloppy(node, postings, ctx)
+    if isinstance(node, IntervalQ):
+        return _eval_interval(node, postings, ctx)
     if isinstance(node, MultiPhraseQ):
         return _eval_multiphrase(node, postings, ctx)
     if isinstance(node, SpanFirstQ):
@@ -565,7 +568,8 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
         return tp.gids, _score_term(tp, w, ctx.cache_for(child.term),
                                     ctx.sim, ctx.aux_for(child.term))
     _PHRASE_LIKE = (PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SpanNearQ,
-                    SpanFirstQ, SpanNotQ, SpanOrQ, SpanPayloadCheckQ)
+                    SpanFirstQ, SpanNotQ, SpanOrQ, SpanPayloadCheckQ,
+                    IntervalQ)
     if isinstance(child, _PHRASE_LIKE + (SynonymQ, BlendedQ)):
         # temporarily rebind the child's weight to the boosted one
         sub = ScoreCtx(
@@ -1011,6 +1015,107 @@ def sloppy_freqs_rpts(tps, idxs, offsets, terms, slop) -> np.ndarray:
     return freqs
 
 
+def interval_freqs(tps: "list[TermPostings]", idxs: "list[np.ndarray]",
+                   ordered: bool, max_gaps: int) -> np.ndarray:
+    """Per-candidate interval freq (float32) for ordered/unordered minimal
+    intervals over DISTINCT term sources.
+
+    Semantics: the reference's interval iterators
+    (``queries/intervals/OrderedIntervalsSource.java`` /
+    ``UnorderedIntervalsSource.java``) enumerate, per doc, the ANTICHAIN of
+    minimal intervals — every returned interval contains one occurrence of
+    each source (in query order when ordered), and no returned interval
+    contains another. For width-1 term sources that antichain has a closed
+    form this kernel computes with NO per-doc Python:
+
+    * candidate start keys: ordered → the first term's occurrences;
+      unordered → the merged occurrences of every term (a minimal window's
+      left edge is always some member occurrence);
+    * minimal end per start, one global ``searchsorted`` pass per term over
+      flat ``(cand << 33) + pos`` keys — ordered chains take the first
+      strictly-greater occurrence per step (OrderedIntervalIterator's
+      ``start() <= prev.end()`` skip), unordered windows the first
+      at-or-after occurrence per term, max across terms;
+    * start maximization == minimality: ends are non-decreasing in start,
+      so keeping the LAST start of each distinct-end run yields exactly the
+      minimal antichain (the iterator's "minimizing" loop,
+      OrderedIntervalsSource.java nextInterval).
+
+    ``max_gaps`` >= 0 filters the emitted stream — gaps = width − Σ source
+    widths = (end − start + 1) − n ≤ max_gaps — AFTER minimization, the
+    ``FilteredIntervalsSource.MaxGaps`` wrapping order. freq accumulates
+    1 / max(length − minExtent + 1, 1) per accepted interval (minExtent =
+    n, ``IntervalScorer.ensureFreq``) in ascending-start order; like the
+    sloppy kernel, each increment is rounded to float32 before the float32
+    running sum (exact for every 1/k with k < 2^24 either way).
+    """
+    n = len(tps)
+    ncand = len(idxs[0])
+    freqs = np.zeros(ncand, np.float32)
+    if ncand == 0:
+        return freqs
+    keys: list[np.ndarray] = []
+    for tp, idx in zip(tps, idxs):
+        pos, cand = _gather_positions(tp, idx)
+        keys.append((cand << _POS_SHIFT) + pos)
+    if ordered:
+        starts = keys[0]
+        valid = np.ones(len(starts), dtype=bool)
+        cur = starts
+        for k in range(1, n):
+            kk = keys[k]
+            if not len(kk):
+                return freqs
+            j = np.searchsorted(kk, cur, side="right")
+            ok = j < len(kk)
+            nxt = kk[np.minimum(j, len(kk) - 1)]
+            valid &= ok & ((nxt >> _POS_SHIFT) == (starts >> _POS_SHIFT))
+            cur = nxt
+        ends = cur
+    else:
+        starts = np.concatenate(keys)
+        starts.sort(kind="mergesort")
+        valid = np.ones(len(starts), dtype=bool)
+        ends = starts.copy()
+        for k in range(n):
+            kk = keys[k]
+            if not len(kk):
+                return freqs
+            j = np.searchsorted(kk, starts, side="left")
+            ok = j < len(kk)
+            nxt = kk[np.minimum(j, len(kk) - 1)]
+            valid &= ok & ((nxt >> _POS_SHIFT) == (starts >> _POS_SHIFT))
+            ends = np.maximum(ends, np.where(valid, nxt, ends))
+    s, e = starts[valid], ends[valid]
+    if not len(s):
+        return freqs
+    # ends are non-decreasing (per doc, and cand high bits order docs):
+    # last start of each distinct-end run = the minimal antichain
+    keep = np.ones(len(s), dtype=bool)
+    keep[:-1] = e[1:] != e[:-1]
+    s, e = s[keep], e[keep]
+    if max_gaps >= 0:
+        gap_ok = (e - s + 1 - n) <= max_gaps
+        s, e = s[gap_ok], e[gap_ok]
+        if not len(s):
+            return freqs
+    denom = np.maximum(e - s + 2 - n, 1)  # length - minExtent + 1
+    inc = (np.float32(1.0) / denom.astype(np.float32)).astype(np.float32)
+    cids = s >> _POS_SHIFT
+    # strict LEFT-TO-RIGHT float32 running sum per doc (ensureFreq's
+    # accumulator; np.add.reduceat would sum pairwise): round r adds every
+    # doc's r-th interval at once, so rounding order matches the iterator
+    bounds = np.flatnonzero(
+        np.concatenate(([True], cids[1:] != cids[:-1]))
+    )
+    lens = np.diff(np.append(bounds, len(inc)))
+    rank = np.arange(len(inc)) - np.repeat(bounds, lens)
+    for r in range(int(lens.max())):
+        m = rank == r
+        freqs[cids[m]] = freqs[cids[m]] + inc[m]
+    return freqs
+
+
 def _positional_candidates(node, postings: dict):
     """Shared prologue of the positional kernels: conjunction of the node's
     terms + per-term row indices of the surviving candidates."""
@@ -1083,6 +1188,30 @@ def _eval_sloppy(node: SloppyQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarr
     else:
         freqs = sloppy_freqs_rpts(tps, idxs, node.offsets, node.terms, node.slop)
     return _score_positional(node, gids, freqs, tps[0].norms[idxs[0]], ctx)
+
+
+def _eval_interval(node: IntervalQ, postings: dict,
+                   ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """IntervalQuery (queries/intervals/IntervalQuery.java): candidates =
+    conjunction of the sources' docs (ConjunctionIntervalsSource approximates
+    with a doc-level conjunction); a doc matches iff ≥1 minimal interval
+    survives the maxgaps filter. Scoring is similarity-INDEPENDENT —
+    IntervalQuery binds its own saturation SimScorer, not the searcher's:
+    score = weight * (1 − pivot / (pivot + freq)), every op float32
+    (IntervalScoreFunction.SaturationFunction.scorer). weight = 1 at the
+    top level; a wrapping BoostQ rebinds it to the raw boost
+    (IntervalScorer ctor's ``scoreFunction.scorer(boost)``)."""
+    c = _positional_candidates(node, postings)
+    if c is None:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    tps, gids, idxs = c
+    freqs = interval_freqs(tps, idxs, node.ordered, node.max_gaps)
+    hit = freqs > 0
+    gids, freqs = gids[hit], freqs[hit]
+    w = ctx.phrase_weights[node]
+    pivot = np.float32(node.pivot)
+    one = np.float32(1.0)
+    return gids, (w * (one - pivot / (pivot + freqs))).astype(np.float32)
 
 
 def _slot_union(tps: "list[TermPostings]", gids: np.ndarray,
@@ -1480,6 +1609,12 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         # no cheap bound for phrase/proximity freq (the reference gives
         # sloppy phrases dummy impacts too, SloppyPhraseMatcher.java:105-135)
         return float("inf")
+    if isinstance(node, IntervalQ):
+        if any(t not in term_maxes for t in node.terms):
+            return float("-inf")
+        # saturation score < weight for any freq (IntervalScorer.getMaxScore
+        # returns the boost) — a TIGHT bound, unlike phrase/span nodes
+        return float(ctx.phrase_weights[node])
     if isinstance(node, BoolQ):
         ub = float(node.const_add)  # folded MatchAll clauses score 1.0 each
         if node.must:
@@ -2280,7 +2415,8 @@ class Searcher:
             node,
             (TermQ, PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SynonymQ,
              SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ, SpanPayloadCheckQ,
-             MatchAllQ, TermInSetQ, TermSetRefQ, BlendedQ, DocValuesRangeQ),
+             IntervalQ, MatchAllQ, TermInSetQ, TermSetRefQ, BlendedQ,
+             DocValuesRangeQ),
         ):
             return node
         if isinstance(node, FuzzyQ):
@@ -2453,7 +2589,8 @@ class Searcher:
                     base = weights.get(n.child.term, np.float32(0.0))
                 elif isinstance(n.child, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                                           SpanNearQ, SpanFirstQ, SpanNotQ,
-                                          SpanOrQ, SpanPayloadCheckQ)):
+                                          SpanOrQ, SpanPayloadCheckQ,
+                                          IntervalQ)):
                     base = phrase_weights.get(n.child, np.float32(0.0))
                 elif isinstance(n.child, SynonymQ):
                     base = syn_weights.get(n.child, np.float32(0.0))
@@ -2469,6 +2606,11 @@ class Searcher:
                     raise TypeError(f"BoostQ supports leaf nodes, got {n.child!r}")
                 # float32 multiply, the BM25Scorer ctor's cast point
                 boost_weights[n] = np.float32(np.float32(n.boost) * base)
+            elif isinstance(n, IntervalQ):
+                # similarity-independent: the weight slot is the saturation
+                # function's w (1.0; BoostQ folds multiply the raw boost) —
+                # IntervalQuery never consults searcher.getSimilarity()
+                phrase_weights[n] = np.float32(1.0)
             elif isinstance(n, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                                 SpanNearQ, SpanPayloadCheckQ)):
                 if aux_of is not None:
@@ -3995,7 +4137,7 @@ def _has_phrase(node) -> bool:
     # SpanOrQ needs no positions: width-0 spans make freq == Σ member tfs
     if isinstance(node, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                          SpanFirstQ, SpanNotQ, SpanNearQ,
-                         SpanPayloadCheckQ)):
+                         SpanPayloadCheckQ, IntervalQ)):
         return True
     if isinstance(node, BoolQ):
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)

@@ -875,6 +875,91 @@ def sloppy_match_sql(terms: "list[str]", offsets: "list[int]", slop: int) -> str
 SELECT doc_id, CAST(freq AS DOUBLE) AS freq FROM sfreq ORDER BY doc_id"""
 
 
+def interval_topk_sql(terms: "list[str]", ordered: bool, max_gaps: int = -1,
+                      pivot: float = 1.0, boost: float = 1.0,
+                      k: int = 10) -> str:
+    """IntervalQuery oracle (queries/intervals): per doc, the antichain of
+    MINIMAL intervals — ordered: per start q0, the greedy strictly-
+    increasing chain's end (OrderedIntervalsSource); unordered: per member
+    position s, the window to max over terms of the first occurrence >= s
+    (UnorderedIntervalsSource); in both, ends are non-decreasing in start,
+    so max(start) GROUP BY end IS the minimal antichain (the iterators'
+    start-maximizing "minimizing" loop). ``max_gaps`` >= 0 drops intervals
+    with (end-start+1) - n gaps AFTER minimizing (FilteredIntervalsSource.
+    MaxGaps); freq folds f32(1/max(len-n+1, 1)) left-to-right in start
+    order (IntervalScorer.ensureFreq); score = the saturation function
+    w * (1 - pivot/(pivot+freq)), every op float32, similarity-INDEPENDENT
+    (IntervalScoreFunction.SaturationFunction)."""
+    n = len(terms)
+    if ordered:
+        inner = f"SELECT doc_id, pos AS q0 FROM toks WHERE term = '{terms[0]}'"
+        for i in range(1, n):
+            inner = f"""SELECT t{i}.*, (
+      SELECT min(b.pos) FROM toks b
+      WHERE b.doc_id = t{i}.doc_id AND b.term = '{terms[i]}'
+        AND b.pos > t{i}.q{i - 1}
+    ) AS q{i} FROM ({inner}) t{i}"""
+        valid = f"""ivalid AS (
+  SELECT doc_id, q0 AS istart, q{n - 1} AS iend
+  FROM ({inner}) WHERE q{n - 1} IS NOT NULL
+)"""
+    else:
+        lst = ", ".join(f"'{t}'" for t in terms)
+        curs = "".join(
+            f""",
+         (SELECT min(b.pos) FROM toks b
+          WHERE b.doc_id = s.doc_id AND b.term = '{t}'
+            AND b.pos >= s.istart) AS c{i}"""
+            for i, t in enumerate(terms)
+        )
+        notnull = " AND ".join(f"c{i} IS NOT NULL" for i in range(n))
+        valid = f"""iends AS (
+  SELECT s.doc_id, s.istart{curs}
+  FROM (SELECT DISTINCT doc_id, pos AS istart FROM toks
+        WHERE term IN ({lst})) s
+),
+ivalid AS (
+  SELECT doc_id, istart,
+         greatest({", ".join(f"c{i}" for i in range(n))}) AS iend
+  FROM iends WHERE {notnull}
+)"""
+    gap_pred = (
+        f"\n  WHERE iend - istart + 1 - {n} <= {int(max_gaps)}"
+        if max_gaps >= 0 else ""
+    )
+    inc = _f4(f"1.0 / CAST(greatest(iend - istart + 2 - {n}, 1) AS DOUBLE)")
+    # saturation score, one float32 cast per op (numpy kernel order):
+    # d1 = f32(pivot + freq); d2 = f32(pivot / d1); d3 = f32(1 - d2);
+    # score = f32(w * d3)
+    p = _f4(repr(float(pivot)))
+    w = _f4(repr(float(boost)))
+    d1 = _f4(f"CAST({p} AS DOUBLE) + CAST(nf.freq AS DOUBLE)")
+    d2 = _f4(f"CAST({p} AS DOUBLE) / CAST({d1} AS DOUBLE)")
+    d3 = _f4(f"1.0 - CAST({d2} AS DOUBLE)")
+    score = _f4(f"CAST({w} AS DOUBLE) * CAST({d3} AS DOUBLE)")
+    return f"""WITH {base_ctes()},
+{valid},
+iminimal AS (
+  SELECT doc_id, max(istart) AS istart, iend
+  FROM ivalid GROUP BY doc_id, iend
+),
+iacc AS (
+  SELECT doc_id, istart, CAST({inc} AS FLOAT) AS w
+  FROM iminimal{gap_pred}
+),
+nf AS (
+  SELECT doc_id,
+         list_reduce(
+           list(w ORDER BY istart),
+           (a, x) -> CAST(CAST(a AS DOUBLE) + CAST(x AS DOUBLE) AS FLOAT)
+         ) AS freq
+  FROM iacc GROUP BY doc_id
+)
+SELECT nf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM nf
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def complete_sql(prefix: str, n: int = 5) -> str:
     return f"""WITH {base_ctes()}
 SELECT term, total_term_freq AS weight FROM tstats

@@ -14,6 +14,7 @@ analyzer).
 
 from __future__ import annotations
 
+import math
 import re as _re
 
 from dataclasses import dataclass, field
@@ -27,6 +28,7 @@ __all__ = [
     "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "TermSetRefQ",
     "BlendedQ", "FunctionScoreQ", "DocValuesRangeQ",
     "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ", "SpanPayloadCheckQ",
+    "IntervalQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
 
@@ -294,6 +296,44 @@ class SloppyQ:
     terms: tuple[str, ...]
     offsets: tuple[int, ...]
     slop: int = 0
+
+
+@dataclass(frozen=True)
+class IntervalQ:
+    """IntervalQuery over ordered/unordered combinators of term sources
+    (``queries/intervals/IntervalQuery.java`` + ``Intervals.java``):
+    the query matches docs where the combinator yields at least one
+    minimal interval (``OrderedIntervalsSource.java`` /
+    ``UnorderedIntervalsSource.java`` — minimal = no emitted interval
+    contains another), optionally filtered by
+    ``Intervals.maxgaps`` (``FilteredIntervalsSource.MaxGaps``:
+    gaps = width - Σ source widths <= max_gaps).
+
+    Scoring is similarity-independent: freq = float32 running sum of
+    1 / max(length - minExtent + 1, 1) over the doc's accepted minimal
+    intervals (``IntervalScorer.ensureFreq``), score = the saturation
+    function weight * (1 - pivot / (pivot + freq))
+    (``IntervalScoreFunction.SaturationFunction``, pivot defaults to 1).
+
+    Term sources must be distinct (repeated sources rewrite to
+    RepeatingIntervalsSource in the reference — unsupported here)."""
+
+    terms: tuple[str, ...]
+    ordered: bool = True
+    max_gaps: int = -1  # -1 = no gap filter
+    pivot: float = 1.0
+
+    def __post_init__(self):
+        if len(self.terms) < 2:
+            raise ValueError("IntervalQ needs >= 2 term sources")
+        if len(set(self.terms)) != len(self.terms):
+            raise ValueError(
+                "repeated interval sources rewrite to "
+                "RepeatingIntervalsSource in the reference — unsupported"
+            )
+        # IntervalScoreFunction.saturationFunction's ctor check
+        if not (self.pivot > 0 and math.isfinite(self.pivot)):
+            raise ValueError(f"pivot must be > 0, got: {self.pivot}")
 
 
 @dataclass(frozen=True)
@@ -867,6 +907,11 @@ def qualify_node(node, field: str):
         )
     if isinstance(node, SynonymQ):
         return SynonymQ(terms=tuple(qualify(field, t) for t in node.terms))
+    if isinstance(node, IntervalQ):
+        return IntervalQ(
+            terms=tuple(qualify(field, t) for t in node.terms),
+            ordered=node.ordered, max_gaps=node.max_gaps, pivot=node.pivot,
+        )
     if isinstance(node, SpanFirstQ):
         return SpanFirstQ(term=qualify(field, node.term), end=node.end)
     if isinstance(node, SpanNotQ):
@@ -973,7 +1018,7 @@ def query_terms(node) -> set[str]:
         return {node.term}
     if isinstance(node, (PhraseQ, MultiPhraseQ, SynonymQ, NearQ, SloppyQ,
                          BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ,
-                         SpanPayloadCheckQ)):
+                         SpanPayloadCheckQ, IntervalQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()
