@@ -702,6 +702,22 @@ def _q_lm_dirichlet_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_dfr_topk(spark, sf_dir):
+    """DFRSimilarity(BasicModelG, AfterEffectL, NormalizationH2) —
+    divergence-from-randomness scoring through the pluggable Similarity
+    protocol, impact-pruning bounds included
+    (core/search/similarities/DFRSimilarity.java)."""
+    from lucene_spark.functions.similarity import DFRSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for(spark, sf_dir), similarity=DFRSim())
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_lm_jm_topk(spark, sf_dir):
     """LMJelinekMercerSimilarity(lambda=0.1) — linear-interpolation
     language-model smoothing through the same Similarity protocol
@@ -1735,7 +1751,7 @@ def _q_audio_resample(spark, sf_dir):
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
-    "interval_maxgaps_topk",
+    "interval_maxgaps_topk", "dfr_topk",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -1833,6 +1849,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_sim_topk": _q_custom_sim_topk,
         "classic_sim_topk": _q_classic_sim_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
+        "dfr_topk": _q_dfr_topk,
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
         "lm_jm_synonym_topk": _q_lm_jm_synonym_topk,
@@ -1989,6 +2006,7 @@ def oracle_sql() -> dict[str, str]:
         "custom_sim_topk": osql.custom_sim_topk_sql(T_HOT, CUSTOM_K1, CUSTOM_B),
         "classic_sim_topk": osql.classic_sim_topk_sql(T_HOT),
         "lm_dirichlet_topk": osql.lm_dirichlet_topk_sql(T_HOT),
+        "dfr_topk": osql.dfr_topk_sql(T_HOT),
         "lm_jm_topk": osql.lm_jm_topk_sql(T_HOT),
         "lm_dirichlet_phrase_topk": osql.lm_dirichlet_phrase_topk_sql(
             *PHRASE

@@ -41,7 +41,11 @@ from .bm25 import idf as _bm25_idf, norm_cache as _bm25_norm_cache
 from .smallfloat import LENGTH_TABLE
 
 __all__ = ["BM25Sim", "ClassicSim", "BooleanSim", "LMDirichletSim",
-           "LMJelinekMercerSim"]
+           "LMJelinekMercerSim", "DFRSim"]
+
+# SimilarityBase.log2 is Math.log(x) / LOG_2 with LOG_2 = Math.log(2) —
+# NOT a correctly-rounded log2; divide explicitly for bit parity
+_LOG2 = math.log(2.0)
 
 
 @dataclass(frozen=True)
@@ -246,3 +250,72 @@ class LMDirichletSim:
         b = np.log(mu / (norm_vals.astype(np.float64) + mu))
         s = np.float64(weight) * (a + b)
         return np.maximum(s, 0.0).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class DFRSim:
+    """DFRSimilarity(BasicModelG, AfterEffectL, NormalizationH2(c)) — the
+    divergence-from-randomness framework's javadoc-recommended combination
+    (core/search/similarities/DFRSimilarity.java:60-75 usage note;
+    BasicModelG.java:36-51, AfterEffectL.java [scoreTimes1pTfn == 1],
+    NormalizationH2.java:39-42).
+
+    Exact JVM op points (all DOUBLE, one float cast at the end —
+    SimilarityBase.BasicSimScorer.score):
+      avgfl = sumTotalTermFreq / (double) docCount   (fillBasicStats)
+      tfn   = freq * log2(1 + c * avgfl / docLen)    (H2; docLen = the
+              SmallFloat-decoded length; log2 = ln(x)/ln(2), the
+              SimilarityBase.log2 formulation, not a fused log2)
+      F = ttf + 1;  N = docCount;  lambda = F / (N + F)
+      A = log2(lambda + 1);  B = log2((1 + lambda) / lambda)
+      score = f32( boost * (B - (B - A) / (1 + tfn)) )
+              [G's score rewritten so it is non-decreasing in tfn, times
+               L's aeTimes1pTfn == 1]
+
+    Protocol mapping follows the LM sims: idf = 1 (weight slot carries
+    boost), aux = (A, B, avgfl) per term, norm_table = decoded lengths.
+    Monotone in freq (up: B >= A) and docLen (down: tfn shrinks) → the
+    impact frontiers and block-max pruning stay valid. Score < boost * B
+    but B is unbounded as lambda -> 0, so weight_bounded stays False and
+    composite folds use SimilarityBase's MultiSimScorer sum.
+    """
+
+    weight_bounded = False
+
+    c: float = 1.0  # NormalizationH2's hyper-parameter
+
+    def __post_init__(self):
+        # NormalizationH2's ctor requires c > 0
+        if not (self.c > 0 and math.isfinite(self.c)):
+            raise ValueError(f"c must be > 0, got {self.c}")
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
+            sum_total_term_freq: int) -> tuple:
+        F = float(total_term_freq) + 1.0
+        N = float(doc_count)
+        lam = F / (N + F)
+        A = math.log(lam + 1.0) / _LOG2
+        B = math.log((1.0 + lam) / lam) / _LOG2
+        avgfl = float(sum_total_term_freq) / float(doc_count)
+        return (A, B, avgfl)
+
+    def norm_table(self, avg_dl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
+        if aux is None:
+            raise ValueError("DFRSim.score needs the (A, B, avgfl) aux")
+        A, B, avgfl = aux
+        with np.errstate(divide="ignore"):
+            # length 0 -> c*avgfl/len = inf -> tfn = inf -> score -> w*B,
+            # exactly the Java double arithmetic's limit
+            tfn = freqs.astype(np.float64) * (
+                np.log(1.0 + float(self.c) * avgfl
+                       / norm_vals.astype(np.float64)) / _LOG2
+            )
+        s = np.float64(weight) * (B - (B - A) / (1.0 + tfn))
+        return s.astype(np.float32)

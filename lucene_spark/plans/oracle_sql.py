@@ -1566,6 +1566,38 @@ WHERE tf.term = '{term}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def dfr_topk_sql(term: str, c: float = 1.0, k: int = 10) -> str:
+    """DFRSimilarity(G, L, H2) term top-k — each op at the same point as
+    functions/similarity.py DFRSim (DFRSimilarity.java + BasicModelG /
+    AfterEffectL / NormalizationH2): all arithmetic DOUBLE, log2 spelled
+    ln(x)/ln(2) (SimilarityBase.log2), one float cast on the final score:
+      avgfl  = sttf / N;  tfn = freq * log2(1 + c * avgfl / decoded_len)
+      F = ttf + 1;  lambda = F / (N + F)
+      A = log2(lambda + 1);  B = log2((1 + lambda) / lambda)
+      score  = f32( B - (B - A) / (1 + tfn) )   [boost 1, aeTimes1pTfn 1]
+    """
+    ttf = f"(SELECT sum(freq) FROM tf WHERE term = '{term}')"
+    n = "(SELECT doc_count FROM cstats)"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    lam = f"(({ttf} + 1.0) / (CAST({n} AS DOUBLE) + {ttf} + 1.0))"
+    a = f"(ln({lam} + 1.0) / ln(2.0))"
+    b = f"(ln((1.0 + {lam}) / {lam}) / ln(2.0))"
+    avgfl = f"(CAST({sttf} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    tfn = (
+        f"(CAST(tf.freq AS DOUBLE) * "
+        f"(ln(1.0 + {float(c)!r} * {avgfl} / CAST(norm_tab.dec AS DOUBLE))"
+        f" / ln(2.0)))"
+    )
+    score = f"CAST({b} - ({b} - {a}) / (1.0 + {tfn}) AS FLOAT)"
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM tf
+JOIN dn ON dn.doc_id = tf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+WHERE tf.term = '{term}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
 def function_score_topk_sql(term: str, value: str = "log1p_len",
                             k: int = 10) -> str:
     """FunctionScoreQuery.boostByValue oracle: the child's float32 BM25

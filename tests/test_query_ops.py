@@ -926,6 +926,60 @@ def test_lm_dirichlet_similarity(spark):
         assert found, f"gid {gid}: score {got_score} not a valid LM sum"
 
 
+def test_dfr_similarity(spark):
+    """DFRSimilarity(G, L, H2) through the pluggable protocol: per-term
+    (A, B, avgfl) aux, decoded-length norms, all-double scoring with one
+    float cast — and pruning stays exact under the swapped bounds."""
+    import math
+
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import DFRSim
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    sim = DFRSim()
+    s = Searcher(spark, idx, similarity=sim)
+    got = s.search("merge", k=10, with_keys=False)
+    assert len(got) > 0
+    # brute oracle with the reference's double op points
+    post = s.postings("merge").toPandas()
+    dc, sttf = s.field_stats("text")
+    ttf = int(post["freq"].sum())
+    F = ttf + 1.0
+    lam = F / (dc + F)
+    log2 = math.log(2.0)
+    A = math.log(lam + 1.0) / log2
+    B = math.log((1.0 + lam) / lam) / log2
+    avgfl = sttf / float(dc)
+    nb = post["norm_b"].to_numpy(np.uint8)
+    dl = LENGTH_TABLE.astype(np.float32)[nb].astype(np.float64)
+    tfn = post["freq"].to_numpy(np.float64) * (np.log(1.0 + avgfl / dl) / log2)
+    sc = (B - (B - A) / (1.0 + tfn)).astype(np.float32)
+    order = sorted(zip(post["gid"], sc), key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["gid"], got["score"])) == order
+    # matches the sim's own aux (bit-identical constants)
+    assert sim.aux(len(post), max(dc, 1), ttf, sttf) == (A, B, avgfl)
+    # pruning under the swapped similarity never changes results
+    node = BoolQ(should=(TermQ("merge"), TermQ("scan")))
+    pruned = s.search(node, k=10, with_keys=False)
+    exact = s.search(node, k=10, prune=False, with_keys=False)
+    assert list(zip(pruned["gid"], pruned["score"])) == list(
+        zip(exact["gid"], exact["score"])
+    )
+    # phrase composite: MultiSimScorer float32 running sum, exact under
+    # pruning (SimilarityBase fold, same as the LM sims)
+    from lucene_spark.plans.query import PhraseQ
+
+    ph_node = PhraseQ(terms=("table", "scan"), offsets=(0, 1))
+    p_pr = s.search(ph_node, k=5, with_keys=False)
+    p_ex = s.search(ph_node, k=5, prune=False, with_keys=False)
+    assert len(p_pr) > 0
+    assert list(zip(p_pr["gid"], p_pr["score"])) == list(
+        zip(p_ex["gid"], p_ex["score"])
+    )
+
+
 def test_boolean_similarity(spark):
     """BooleanSimilarity: every hit scores the boost, docID tie-break."""
     import __spark_entry__ as entry
