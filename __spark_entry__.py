@@ -1293,6 +1293,20 @@ def _q_geo_nearest(spark, sf_dir):
     return spatial.geo_nearest(pts, *GEO_CENTER, GEO_K)
 
 
+# simple convex-ish pentagon over the synthetic coordinate range; no
+# vertex or edge passes through a representable quantized point, so
+# engine/oracle membership is boundary-gap safe by construction
+GEO_POLY_LATS = [-30.0, -40.0, 10.0, 50.0, 20.0, -30.0]
+GEO_POLY_LONS = [-60.0, 20.0, 70.0, 10.0, -55.0, -60.0]
+
+
+def _q_geo_polygon(spark, sf_dir):
+    from lucene_spark.operators import spatial
+
+    pts = spatial.read_points(spark, _points_for(spark, sf_dir))
+    return spatial.geo_polygon(pts, GEO_POLY_LATS, GEO_POLY_LONS)
+
+
 # 3 real vocab terms + thousands of misses: proves the >1024-clause bypass
 TERM_SET = [T_HOT, T_MID, T_B] + [f"zz{i}" for i in range(4997)]
 
@@ -1751,7 +1765,7 @@ def _q_audio_resample(spark, sf_dir):
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
-    "interval_maxgaps_topk", "dfr_topk",
+    "interval_maxgaps_topk", "dfr_topk", "geo_polygon",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -1871,6 +1885,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box": _q_geo_box,
         "geo_distance": _q_geo_distance,
         "geo_nearest": _q_geo_nearest,
+        "geo_polygon": _q_geo_polygon,
         "iodv_index_topk": _q_iodv_index_topk,
         "iodv_dv_topk": _q_iodv_dv_topk,
         "term_vectors": _q_term_vectors,
@@ -2035,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_box": _geo_box_oracle(),
         "geo_distance": ospat.geo_distance_sql(*GEO_CENTER, GEO_RADIUS_M),
         "geo_nearest": ospat.geo_nearest_sql(*GEO_CENTER, GEO_K),
+        "geo_polygon": ospat.geo_polygon_sql(GEO_POLY_LATS, GEO_POLY_LONS),
         "iodv_index_topk": osql.iodv_topk_sql(
             T_HOT, SORT_EXPR, *IODV_NARROW, k=IODV_K),
         "iodv_dv_topk": osql.iodv_topk_sql(

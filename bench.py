@@ -68,14 +68,20 @@ _CORPUS_VOCAB = (
 def node_queries() -> dict:
     """Headline queries that need plan nodes (no parser syntax): ordered
     span-near, a 5k-term TermInSet (broadcast semi-join path, no clause
-    cap), and a leading wildcard (reversed-dictionary suffix seek)."""
-    from lucene_spark.plans.query import SpanNearQ, TermInSetQ, WildcardQ
+    cap), a leading wildcard (reversed-dictionary suffix seek), and the
+    round-5 interval combinators (minimal-antichain positional scoring)."""
+    from lucene_spark.plans.query import (
+        IntervalQ, SpanNearQ, TermInSetQ, WildcardQ,
+    )
 
     in_set = tuple(f"zz{i:04d}" for i in range(5000 - len(_CORPUS_VOCAB)))
     return {
         "q_span_near": SpanNearQ(("table", "scan"), slop=3),
         "q_term_in_set_5k": TermInSetQ(in_set + _CORPUS_VOCAB),
         "q_leading_wildcard": WildcardQ("*erge"),
+        "q_interval_ordered": IntervalQ(("table", "merge", "scan"),
+                                        ordered=True),
+        "q_interval_unordered": IntervalQ(("table", "scan"), ordered=False),
     }
 
 
@@ -320,6 +326,15 @@ def main() -> None:
     s_cache.search(fnode, k=10, with_keys=False)  # warm: broadcast mask
     times["q_filter_cached"] = round(time.time() - t0, 3)
     assert qc.hit_count >= 1, "bench cache never engaged"
+
+    # round-5 feature measured, not just gated: DFR(G, L, H2) term top-k —
+    # same scan + impact pruning as q_term with the DFR score/bound
+    from lucene_spark.functions.similarity import DFRSim
+
+    s_dfr = Searcher(spark, idx, similarity=DFRSim())
+    t0 = time.time()
+    s_dfr.search("merge", k=10, with_keys=False)
+    times["q_dfr"] = round(time.time() - t0, 3)
 
     # >=1k-term multi-term rewrite: a prefix over a dictionary with ~3x
     # doc-count unique terms runs the DISTRIBUTED TermSetRefQ path (the

@@ -311,3 +311,82 @@ def geo_nearest(
         .limit(k)
         .select("gid", "lat_enc", "lon_enc", F.col("dist_m").cast("float").alias("dist_m"))
     )
+
+
+def _polygon_edges(lats: "list[float]", lons: "list[float]"):
+    """Validated closed-ring edge list [(y1, x1, y2, x2), ...] — x is
+    longitude, y latitude (Polygon2D's minX/maxX are lons). Mirrors
+    core/geo/Polygon.java ctor checks: >= 4 vertices, first == last,
+    coords in range; no holes, no dateline crossing (the reference's
+    polygons cannot cross the dateline either)."""
+    if len(lats) != len(lons):
+        raise ValueError("lats and lons must have the same length")
+    if len(lats) < 4:
+        raise ValueError("at least 4 polygon points required")
+    if lats[0] != lats[-1] or lons[0] != lons[-1]:
+        raise ValueError("first and last points of the polygon must be the same")
+    for la in lats:
+        _check_lat(la)
+    for lo in lons:
+        _check_lon(lo)
+    return [
+        (lats[i], lons[i], lats[i + 1], lons[i + 1])
+        for i in range(len(lats) - 1)
+    ]
+
+
+def geo_polygon(
+    points: DataFrame, lats: "list[float]", lons: "list[float]"
+) -> DataFrame:
+    """LatLonPoint.newPolygonQuery (single ring, no holes) — bounding-box
+    prune pushed into the Parquet scan (same encoded ranges as
+    newBoxQuery), then the EXACT point-in-polygon test of
+    Polygon2D.contains / EdgeTree.containsPnPoly (core/geo/Polygon2D.java:
+    105-111, EdgeTree.java:106-138 — W. R. Franklin's PNPOLY with
+    Lucene's on-edge rule) over the DECODED quantized coordinates against
+    the RAW polygon vertices, entirely as codegen'd column expressions:
+
+      per edge, within the direction-insensitive y-band:
+        on-edge  = x inside the edge's x-band AND orient(e1, e2, p) == 0
+                   (GeoUtils.orient, the plain double cross product)
+        crossing = (y1 > y) != (y2 > y) AND
+                   x < (x2 - x1) * (y - y1) / (y2 - y1) + x1
+      contained  = any edge on-edge  OR  XOR over edges of crossing
+
+    Horizontal edges ((y1 > y) != (y2 > y) impossible) skip the crossing
+    term at plan-build time, so no division by zero ever evaluates. The
+    XOR parity compiles to sum-of-ints % 2 — one whole-stage-codegen
+    projection, no UDF, no shuffle."""
+    edges = _polygon_edges(lats, lons)
+    x = F.col("lon_enc") * F.lit(LON_DECODE)
+    y = F.col("lat_enc") * F.lit(LAT_DECODE)
+    on_edge_any = F.lit(False)
+    cross_terms = []
+    for y1, x1, y2, x2 in edges:
+        cond_y = ((y == y1) & (y == y2)) | (
+            ((y <= y1) & (y >= y2)) != ((y >= y1) & (y <= y2))
+        )
+        orient_zero = (
+            F.lit(x2 - x1) * (y - y1) == (x - x1) * F.lit(y2 - y1)
+        )
+        x_band = ((x == x1) & (x == x2)) | (
+            (((x <= x1) & (x >= x2)) != ((x >= x1) & (x <= x2)))
+            & orient_zero
+        )
+        on_edge = cond_y & x_band
+        on_edge_any = on_edge_any | on_edge
+        if y1 != y2:
+            crossing = (
+                cond_y & ~on_edge
+                & ((F.lit(y1) > y) != (F.lit(y2) > y))
+                & (x < F.lit(x2 - x1) * (y - y1) / F.lit(y2 - y1) + F.lit(x1))
+            )
+            cross_terms.append(crossing.cast("int"))
+    if cross_terms:
+        parity = sum(cross_terms[1:], cross_terms[0]) % 2 == 1
+    else:
+        parity = F.lit(False)
+    box = _box_pred(min(lats), max(lats), min(lons), max(lons))
+    return points.filter(box & (on_edge_any | parity)).select(
+        "gid", "lat_enc", "lon_enc"
+    )

@@ -89,3 +89,47 @@ def geo_nearest_sql(qlat: float, qlon: float, k: int) -> str:
         f"SELECT gid, lat_enc, lon_enc, CAST({d} AS FLOAT) AS dist_m "
         f"FROM pts ORDER BY {d} ASC, gid ASC LIMIT {k}"
     )
+
+
+def geo_polygon_sql(lats: "list[float]", lons: "list[float]") -> str:
+    """Point-in-polygon membership — the same per-edge PNPOLY expressions
+    as spatial.geo_polygon (EdgeTree.containsPnPoly + GeoUtils.orient,
+    plain double math), generated from the same vertex list so both
+    engines evaluate an identical expression tree over the decoded
+    quantized coordinates. On-edge OR odd crossing parity; horizontal
+    edges emit no crossing term (no division by zero)."""
+    x = f"(lon_enc * {LON_DECODE_SQL})"
+    y = f"(lat_enc * {LAT_DECODE_SQL})"
+    on_edges, crossings = [], []
+    for i in range(len(lats) - 1):
+        y1, x1, y2, x2 = lats[i], lons[i], lats[i + 1], lons[i + 1]
+        cond_y = (
+            f"(({y} = {y1!r} AND {y} = {y2!r}) OR "
+            f"(({y} <= {y1!r} AND {y} >= {y2!r}) <> "
+            f"({y} >= {y1!r} AND {y} <= {y2!r})))"
+        )
+        orient_zero = (
+            f"(({x2 - x1!r}) * ({y} - {y1!r}) = "
+            f"({x} - {x1!r}) * ({y2 - y1!r}))"
+        )
+        x_band = (
+            f"(({x} = {x1!r} AND {x} = {x2!r}) OR "
+            f"((({x} <= {x1!r} AND {x} >= {x2!r}) <> "
+            f"({x} >= {x1!r} AND {x} <= {x2!r})) AND {orient_zero}))"
+        )
+        on_edge = f"({cond_y} AND {x_band})"
+        on_edges.append(on_edge)
+        if y1 != y2:
+            crossings.append(
+                f"(CASE WHEN {cond_y} AND NOT {on_edge} "
+                f"AND (({y1!r} > {y}) <> ({y2!r} > {y})) "
+                f"AND {x} < ({x2 - x1!r}) * ({y} - {y1!r}) / ({y2 - y1!r})"
+                f" + {x1!r} THEN 1 ELSE 0 END)"
+            )
+    on_any = "(" + " OR ".join(on_edges) + ")"
+    parity = "((" + " + ".join(crossings) + ") % 2 = 1)" if crossings else "FALSE"
+    return (
+        f"WITH {_PTS_CTE} "
+        f"SELECT gid, lat_enc, lon_enc FROM pts "
+        f"WHERE {on_any} OR {parity}"
+    )
