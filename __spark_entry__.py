@@ -718,6 +718,21 @@ def _q_dfr_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_ib_topk(spark, sf_dir):
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2) —
+    information-based log-logistic scoring through the Similarity
+    protocol (core/search/similarities/IBSimilarity.java)."""
+    from lucene_spark.functions.similarity import IBSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for(spark, sf_dir), similarity=IBSim())
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_lm_jm_topk(spark, sf_dir):
     """LMJelinekMercerSimilarity(lambda=0.1) — linear-interpolation
     language-model smoothing through the same Similarity protocol
@@ -1765,7 +1780,7 @@ def _q_audio_resample(spark, sf_dir):
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
-    "interval_maxgaps_topk", "dfr_topk", "geo_polygon",
+    "interval_maxgaps_topk", "dfr_topk", "ib_topk", "geo_polygon",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -1864,6 +1879,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_sim_topk": _q_classic_sim_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         "dfr_topk": _q_dfr_topk,
+        "ib_topk": _q_ib_topk,
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
         "lm_jm_synonym_topk": _q_lm_jm_synonym_topk,
@@ -2022,6 +2038,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_sim_topk": osql.classic_sim_topk_sql(T_HOT),
         "lm_dirichlet_topk": osql.lm_dirichlet_topk_sql(T_HOT),
         "dfr_topk": osql.dfr_topk_sql(T_HOT),
+        "ib_topk": osql.ib_topk_sql(T_HOT),
         "lm_jm_topk": osql.lm_jm_topk_sql(T_HOT),
         "lm_dirichlet_phrase_topk": osql.lm_dirichlet_phrase_topk_sql(
             *PHRASE

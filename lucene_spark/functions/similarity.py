@@ -41,7 +41,7 @@ from .bm25 import idf as _bm25_idf, norm_cache as _bm25_norm_cache
 from .smallfloat import LENGTH_TABLE
 
 __all__ = ["BM25Sim", "ClassicSim", "BooleanSim", "LMDirichletSim",
-           "LMJelinekMercerSim", "DFRSim"]
+           "LMJelinekMercerSim", "DFRSim", "IBSim"]
 
 # SimilarityBase.log2 is Math.log(x) / LOG_2 with LOG_2 = Math.log(2) —
 # NOT a correctly-rounded log2; divide explicitly for bit parity
@@ -318,4 +318,60 @@ class DFRSim:
                        / norm_vals.astype(np.float64)) / _LOG2
             )
         s = np.float64(weight) * (B - (B - A) / (1.0 + tfn))
+        return s.astype(np.float32)
+
+
+@dataclass(frozen=True)
+class IBSim:
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c)) — the
+    information-based framework, log-logistic distribution
+    (core/search/similarities/IBSimilarity.java:60-75,
+    DistributionLL.java:30-33, LambdaDF.java:32-39,
+    NormalizationH2.java:39-42).
+
+    Exact JVM op points:
+      lambda = f32((docFreq + 1.0) / (N + 1.0)); Math.nextDown if == 1
+               (LambdaDF returns FLOAT — the one f32 rounding point)
+      tfn    = freq * log2(1 + c * avgfl / docLen)   (H2, all double,
+               log2 = ln(x)/ln(2) per SimilarityBase.log2)
+      score  = f32( boost * -ln(lambda / (tfn + lambda)) )  [double]
+
+    Protocol mapping matches :class:`DFRSim`: idf = 1, aux =
+    (lambda_f32, avgfl), norm_table = decoded lengths. Monotone in freq
+    (up) and docLen (down); unbounded in freq → weight_bounded False.
+    """
+
+    weight_bounded = False
+
+    c: float = 1.0  # NormalizationH2's hyper-parameter
+
+    def __post_init__(self):
+        if not (self.c > 0 and math.isfinite(self.c)):
+            raise ValueError(f"c must be > 0, got {self.c}")
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
+            sum_total_term_freq: int) -> tuple:
+        lam = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
+        if lam == np.float32(1.0):
+            lam = np.nextafter(np.float32(1.0), np.float32(0.0))
+        avgfl = float(sum_total_term_freq) / float(doc_count)
+        return (float(lam), avgfl)
+
+    def norm_table(self, avg_dl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
+        if aux is None:
+            raise ValueError("IBSim.score needs the (lambda, avgfl) aux")
+        lam, avgfl = aux
+        with np.errstate(divide="ignore"):
+            tfn = freqs.astype(np.float64) * (
+                np.log(1.0 + float(self.c) * avgfl
+                       / norm_vals.astype(np.float64)) / _LOG2
+            )
+        s = np.float64(weight) * -np.log(lam / (tfn + lam))
         return s.astype(np.float32)

@@ -1845,3 +1845,31 @@ s AS (
 )
 SELECT doc_id, score FROM s
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def ib_topk_sql(term: str, c: float = 1.0, k: int = 10) -> str:
+    """IBSimilarity(LL, D, H2) term top-k — same op points as
+    functions/similarity.py IBSim (IBSimilarity.java + DistributionLL /
+    LambdaDF / NormalizationH2): lambda is LambdaDF's FLOAT
+    (n+1)/(N+1), everything else double, one float cast on the score."""
+    df = f"(SELECT doc_freq FROM tstats WHERE term = '{term}')"
+    n = "(SELECT doc_count FROM cstats)"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    lam = _f4(f"({df} + 1.0) / (CAST({n} AS DOUBLE) + 1.0)")
+    avgfl = f"(CAST({sttf} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    tfn = (
+        f"(CAST(tf.freq AS DOUBLE) * "
+        f"(ln(1.0 + {float(c)!r} * {avgfl} / CAST(norm_tab.dec AS DOUBLE))"
+        f" / ln(2.0)))"
+    )
+    score = (
+        f"CAST(-ln(CAST({lam} AS DOUBLE) / ({tfn} + CAST({lam} AS DOUBLE)))"
+        f" AS FLOAT)"
+    )
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM tf
+JOIN dn ON dn.doc_id = tf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+WHERE tf.term = '{term}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""

@@ -26,7 +26,7 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-_ROUND = os.environ.get("LS_ROUND", "04")
+_ROUND = os.environ.get("LS_ROUND", "05")
 _ARTIFACT = os.path.join(
     os.path.dirname(__file__), "..", f"CORRECTNESS_local_r{_ROUND}.json"
 )

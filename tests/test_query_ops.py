@@ -980,6 +980,41 @@ def test_dfr_similarity(spark):
     )
 
 
+def test_ib_similarity(spark):
+    """IBSimilarity(LL, D, H2): lambda is LambdaDF's float32 (n+1)/(N+1),
+    H2-normalized tf, -ln(lambda/(tfn+lambda)) in double — and pruning
+    stays exact under the swapped bounds."""
+    import math
+
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import IBSim
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    sim = IBSim()
+    s = Searcher(spark, idx, similarity=sim)
+    got = s.search("merge", k=10, with_keys=False)
+    assert len(got) > 0
+    post = s.postings("merge").toPandas()
+    dc, sttf = s.field_stats("text")
+    lam = float(np.float32((len(post) + 1.0) / (dc + 1.0)))
+    avgfl = sttf / float(dc)
+    log2 = math.log(2.0)
+    nb = post["norm_b"].to_numpy(np.uint8)
+    dl = LENGTH_TABLE.astype(np.float32)[nb].astype(np.float64)
+    tfn = post["freq"].to_numpy(np.float64) * (np.log(1.0 + avgfl / dl) / log2)
+    sc = (-np.log(lam / (tfn + lam))).astype(np.float32)
+    order = sorted(zip(post["gid"], sc), key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["gid"], got["score"])) == order
+    node = BoolQ(should=(TermQ("merge"), TermQ("scan")))
+    pruned = s.search(node, k=10, with_keys=False)
+    exact = s.search(node, k=10, prune=False, with_keys=False)
+    assert list(zip(pruned["gid"], pruned["score"])) == list(
+        zip(exact["gid"], exact["score"])
+    )
+
+
 def test_boolean_similarity(spark):
     """BooleanSimilarity: every hit scores the boost, docID tie-break."""
     import __spark_entry__ as entry
