@@ -3633,7 +3633,8 @@ class Searcher:
         """
         from ..functions.smallfloat import LENGTH_TABLE
         from ..functions.similarity import (
-            BooleanSim, ClassicSim, LMDirichletSim, LMJelinekMercerSim,
+            BooleanSim, ClassicSim, DFRSim, IBSim, LMDirichletSim,
+            LMJelinekMercerSim,
         )
 
         if gid is None:
@@ -3739,6 +3740,49 @@ class Searcher:
             rows = [
                 ("freq, occurrences of term within document", float(freq)),
                 ("score", 1.0),
+            ]
+        elif isinstance(self.sim, DFRSim):
+            # DFRSimilarity.explain: normalization (H2 tfn with its
+            # leaves), BasicModelG (raw A + B*tfn — the explain divides
+            # the after-effect back out), AfterEffectL
+            aux = self.sim.aux(df, n_docs, ttf, sttf)
+            A, B, avgfl = aux
+            c = float(self.sim.c)
+            tfn = float(freq) * (
+                np.log(1.0 + c * avgfl / np.float64(dl)) / np.log(2.0)
+            )
+            lamG = (ttf + 1.0) / (n_docs + ttf + 1.0)
+            sc = np.float64(1.0) * (B - (B - A) / (1.0 + tfn))
+            rows = [
+                ("tfn, normalized term frequency", float(f32(tfn))),
+                ("c, hyper-parameter", c),
+                ("avgfl, average field length", float(avgfl)),
+                ("fl, field length", float(dl)),
+                ("lambda, computed as F / (N + F)", float(f32(lamG))),
+                ("basic model G, computed as log2(lambda + 1) + tfn * "
+                 "log2((1 + lambda) / lambda)", float(f32(A + B * tfn))),
+                ("after effect L, computed as 1 / (tfn + 1)",
+                 float(f32(1.0 / (1.0 + tfn)))),
+                ("score", float(f32(sc))),
+            ]
+        elif isinstance(self.sim, IBSim):
+            # IBSimilarity.explain: normalization (H2), LambdaDF with its
+            # n/N leaves, DistributionLL
+            aux = self.sim.aux(df, n_docs, ttf, sttf)
+            lam, avgfl = aux
+            c = float(self.sim.c)
+            tfn = float(freq) * (
+                np.log(1.0 + c * avgfl / np.float64(dl)) / np.log(2.0)
+            )
+            sc = np.float64(1.0) * -np.log(lam / (tfn + lam))
+            rows = [
+                ("tfn, normalized term frequency", float(f32(tfn))),
+                ("n, number of documents containing term", float(df)),
+                ("N, total number of documents with field", float(n_docs)),
+                ("lambda(w), computed as (n + 1) / (N + 1)", float(lam)),
+                ("distribution LL, computed as -log(lambda / (tfn + lambda))",
+                 float(f32(sc))),
+                ("score", float(f32(sc))),
             ]
         else:
             raise NotImplementedError(

@@ -978,6 +978,10 @@ def test_dfr_similarity(spark):
     assert list(zip(p_pr["gid"], p_pr["score"])) == list(
         zip(p_ex["gid"], p_ex["score"])
     )
+    # explain renders the DFRSimilarity tree; root score == the top hit
+    ex = s.explain("merge").set_index("component")["value"]
+    assert np.float32(ex["score"]) == np.float32(got["score"].iloc[0])
+    assert np.float32(ex["after effect L, computed as 1 / (tfn + 1)"]) > 0
 
 
 def test_ib_similarity(spark):
@@ -1013,6 +1017,10 @@ def test_ib_similarity(spark):
     assert list(zip(pruned["gid"], pruned["score"])) == list(
         zip(exact["gid"], exact["score"])
     )
+    # explain renders the IBSimilarity tree; root score == the top hit
+    ex = s.explain("merge").set_index("component")["value"]
+    assert np.float32(ex["score"]) == np.float32(got["score"].iloc[0])
+    assert float(ex["lambda(w), computed as (n + 1) / (N + 1)"]) == lam
 
 
 def test_boolean_similarity(spark):
