@@ -718,6 +718,40 @@ def _q_dfr_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_dfi_topk(spark, sf_dir):
+    """DFISimilarity(IndependenceStandardized) — divergence from
+    independence, the parameter-free chi-square family, through the
+    pluggable Similarity protocol
+    (core/search/similarities/DFISimilarity.java:58-70)."""
+    from lucene_spark.functions.similarity import DFISim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for(spark, sf_dir), similarity=DFISim())
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_axiomatic_topk(spark, sf_dir):
+    """AxiomaticF2EXP(s=0.25, k=0.35) — the axiomatic retrieval function
+    F2-EXP through the Similarity protocol
+    (core/search/similarities/Axiomatic.java:95-106,
+    AxiomaticF2EXP.java:58-83)."""
+    from lucene_spark.functions.similarity import AxiomaticF2EXPSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(
+        spark, _index_for(spark, sf_dir), similarity=AxiomaticF2EXPSim()
+    )
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_ib_topk(spark, sf_dir):
     """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2) —
     information-based log-logistic scoring through the Similarity
@@ -1780,7 +1814,8 @@ def _q_audio_resample(spark, sf_dir):
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
-    "interval_maxgaps_topk", "dfr_topk", "ib_topk", "geo_polygon",
+    "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
+    "axiomatic_topk", "geo_polygon",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -1880,6 +1915,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         "dfr_topk": _q_dfr_topk,
         "ib_topk": _q_ib_topk,
+        "dfi_topk": _q_dfi_topk,
+        "axiomatic_topk": _q_axiomatic_topk,
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
         "lm_jm_synonym_topk": _q_lm_jm_synonym_topk,
@@ -2039,6 +2076,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_topk": osql.lm_dirichlet_topk_sql(T_HOT),
         "dfr_topk": osql.dfr_topk_sql(T_HOT),
         "ib_topk": osql.ib_topk_sql(T_HOT),
+        "dfi_topk": osql.dfi_topk_sql(T_HOT),
+        "axiomatic_topk": osql.axiomatic_topk_sql(T_HOT),
         "lm_jm_topk": osql.lm_jm_topk_sql(T_HOT),
         "lm_dirichlet_phrase_topk": osql.lm_dirichlet_phrase_topk_sql(
             *PHRASE

@@ -41,7 +41,8 @@ from .bm25 import idf as _bm25_idf, norm_cache as _bm25_norm_cache
 from .smallfloat import LENGTH_TABLE
 
 __all__ = ["BM25Sim", "ClassicSim", "BooleanSim", "LMDirichletSim",
-           "LMJelinekMercerSim", "DFRSim", "IBSim"]
+           "LMJelinekMercerSim", "DFRSim", "IBSim", "DFISim",
+           "AxiomaticF2EXPSim"]
 
 # SimilarityBase.log2 is Math.log(x) / LOG_2 with LOG_2 = Math.log(2) —
 # NOT a correctly-rounded log2; divide explicitly for bit parity
@@ -319,6 +320,140 @@ class DFRSim:
             )
         s = np.float64(weight) * (B - (B - A) / (1.0 + tfn))
         return s.astype(np.float32)
+
+
+@dataclass(frozen=True)
+class DFISim:
+    """DFISimilarity(independence) — divergence from independence, the
+    parameter-free chi-square family
+    (core/search/similarities/DFISimilarity.java:58-70;
+    IndependenceStandardized/ChiSquared/Saturated.java).
+
+    Exact JVM op points (all DOUBLE, one float cast at the end —
+    SimilarityBase.BasicSimScorer.score):
+      expected = (ttf + 1) * docLen / (sttf + 1)
+      score    = 0 when freq <= expected, else
+                 f32( boost * log2(measure(freq, expected) + 1) )
+      measure  = standardized (f-e)/sqrt(e) | chisquared (f-e)^2/e
+               | saturated (f-e)/e
+      log2 spelled ln(x)/ln(2) per SimilarityBase.log2.
+
+    Protocol mapping follows the LM/DFR sims: idf = 1 (weight slot
+    carries boost), aux = (ttf + 1) / (sttf + 1) (the expected-per-unit-
+    length ratio — docLen folds in inside score), norm_table = decoded
+    lengths. Monotone: freq up -> measure up -> score up; docLen up ->
+    expected up -> each measure down -> score down (for freq > expected;
+    the freq <= expected region is pinned at 0) — the impact frontiers
+    and block-max pruning stay valid. log2(measure+1) is unbounded in
+    freq -> weight_bounded False; composites fold per SimilarityBase's
+    MultiSimScorer.
+    """
+
+    weight_bounded = False
+
+    independence: str = "standardized"  # | "chisquared" | "saturated"
+
+    def __post_init__(self):
+        if self.independence not in (
+            "standardized", "chisquared", "saturated"
+        ):
+            raise ValueError(
+                f"unknown independence measure {self.independence!r}"
+            )
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
+            sum_total_term_freq: int) -> float:
+        # expected = aux * docLen, with aux = (F + 1) / (T + 1)
+        # (DFISimilarity.score: T = numberOfFieldTokens = sumTotalTermFreq)
+        return (float(total_term_freq) + 1.0) \
+            / (float(sum_total_term_freq) + 1.0)
+
+    def norm_table(self, avg_dl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
+        if aux is None:
+            raise ValueError("DFISim.score needs the (F+1)/(T+1) aux")
+        f = freqs.astype(np.float64)
+        expected = np.float64(aux) * norm_vals.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # docLen 0 -> expected 0 -> measure +inf -> score +inf,
+            # matching the Java double arithmetic's limit
+            if self.independence == "standardized":
+                m = (f - expected) / np.sqrt(expected)
+            elif self.independence == "chisquared":
+                m = (f - expected) * (f - expected) / expected
+            else:
+                m = (f - expected) / expected
+            s = np.float64(weight) * (np.log(m + 1.0) / _LOG2)
+        # "if the observed frequency is <= the expected value, return 0"
+        return np.where(f <= expected, np.float64(0.0), s).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class AxiomaticF2EXPSim:
+    """AxiomaticF2EXP(s, k) — the axiomatic retrieval function F2-EXP
+    (core/search/similarities/Axiomatic.java:95-106 score combination;
+    AxiomaticF2EXP.java:58-83 components).
+
+    Exact JVM op points (all DOUBLE, one float cast at the end):
+      tf = 1; ln = 1; gamma = 0                     (F2EXP's components)
+      tfln  = freq / (freq + s + s * docLen / avgdl)
+      idf   = pow((N + 1) / df, k)                  [double pow]
+      score = f32( max(0, boost * (tfln * idf)) )
+      avgdl = sttf / (double) N   (SimilarityBase.fillBasicStats:109-110)
+
+    Protocol mapping: idf slot = 1 (weight carries boost; Axiomatic
+    multiplies boost against the full double product, so folding idf
+    into a float32 weight would add a rounding point the JVM doesn't
+    have), aux = (idf_double, avgdl), norm_table = decoded lengths.
+    Monotone: tfln rises in freq (freq/(freq+const)), falls in docLen
+    (denominator grows) -> pruning frontiers valid. tfln < 1 but
+    idf > 1 scales past the weight slot -> weight_bounded False.
+    """
+
+    weight_bounded = False
+
+    s: float = 0.25
+    k: float = 0.35
+
+    def __post_init__(self):
+        # Axiomatic's ctor bounds (Axiomatic.java:54-59)
+        if not (math.isfinite(self.s) and 0.0 <= self.s <= 1.0):
+            raise ValueError(f"illegal s value: {self.s}, must be in [0, 1]")
+        if not (math.isfinite(self.k) and 0.0 <= self.k <= 1.0):
+            raise ValueError(f"illegal k value: {self.k}, must be in [0, 1]")
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
+            sum_total_term_freq: int) -> tuple:
+        idf = math.pow(
+            (float(doc_count) + 1.0) / float(doc_freq), float(self.k)
+        )
+        avgdl = float(sum_total_term_freq) / float(doc_count)
+        return (idf, avgdl)
+
+    def norm_table(self, avg_dl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
+        if aux is None:
+            raise ValueError("AxiomaticF2EXPSim.score needs (idf, avgdl)")
+        idf, avgdl = aux
+        f = freqs.astype(np.float64)
+        s = float(self.s)
+        tfln = f / (f + s + s * norm_vals.astype(np.float64) / avgdl)
+        sc = np.float64(weight) * (tfln * np.float64(idf))
+        # Axiomatic.score clamps at 0 (F3's gamma can go negative; F2EXP
+        # never does, but the clamp is part of the shared combination)
+        return np.maximum(sc, 0.0).astype(np.float32)
 
 
 @dataclass(frozen=True)

@@ -3633,8 +3633,8 @@ class Searcher:
         """
         from ..functions.smallfloat import LENGTH_TABLE
         from ..functions.similarity import (
-            BooleanSim, ClassicSim, DFRSim, IBSim, LMDirichletSim,
-            LMJelinekMercerSim,
+            AxiomaticF2EXPSim, BooleanSim, ClassicSim, DFISim, DFRSim,
+            IBSim, LMDirichletSim, LMJelinekMercerSim,
         )
 
         if gid is None:
@@ -3763,6 +3763,62 @@ class Searcher:
                  "log2((1 + lambda) / lambda)", float(f32(A + B * tfn))),
                 ("after effect L, computed as 1 / (tfn + 1)",
                  float(f32(1.0 / (1.0 + tfn)))),
+                ("score", float(f32(sc))),
+            ]
+        elif isinstance(self.sim, DFISim):
+            # DFISimilarity.explain: expected with F/dl/T leaves, measure
+            # (independence.score(freq, expected)), boost, root = score
+            aux = self.sim.aux(df, n_docs, ttf, sttf)
+            expected = np.float64(aux) * np.float64(dl)
+            fr = np.float64(freq)
+            if fr <= expected:
+                sc, measure = 0.0, 0.0
+            else:
+                with np.errstate(divide="ignore"):
+                    if self.sim.independence == "standardized":
+                        measure = (fr - expected) / np.sqrt(expected)
+                    elif self.sim.independence == "chisquared":
+                        measure = (fr - expected) ** 2 / expected
+                    else:
+                        measure = (fr - expected) / expected
+                sc = np.log(measure + 1.0) / np.log(2.0)
+            rows = [
+                ("F, total number of occurrences of term across all docs",
+                 float(ttf)),
+                ("dl, length of field", float(dl)),
+                ("T, total number of tokens in the field", float(sttf)),
+                ("expected, computed as (F + 1) * dl / (T + 1)",
+                 float(f32(expected))),
+                ("freq, number of occurrences of term in the document",
+                 float(freq)),
+                ("measure, computed as independence.score(freq, expected)",
+                 float(f32(measure))),
+                ("score", float(f32(sc))),
+            ]
+        elif isinstance(self.sim, AxiomaticF2EXPSim):
+            # Axiomatic.explain: tf/ln/tfln/idf/gamma component leaves
+            # (AxiomaticF2EXP's tfExplain..idfExplain texts), score root
+            aux = self.sim.aux(df, n_docs, ttf, sttf)
+            idf_v, avgdl = aux
+            s_p = float(self.sim.s)
+            fr = np.float64(freq)
+            tfln = fr / (fr + s_p + s_p * np.float64(dl) / avgdl)
+            sc = max(0.0, 1.0 * 1.0 * float(tfln) * float(idf_v))
+            rows = [
+                ("tf, term frequency, equals to 1", 1.0),
+                ("ln, document length, equals to 1", 1.0),
+                ("freq, number of occurrences of term in the document",
+                 float(freq)),
+                ("dl, length of field", float(dl)),
+                ("avgdl, average length of field across all documents",
+                 float(avgdl)),
+                ("tfln, mixed term frequency and document length, computed "
+                 "as freq / (freq + s + s * dl / avgdl)", float(f32(tfln))),
+                ("n, number of documents containing term", float(df)),
+                ("N, total number of documents with field", float(n_docs)),
+                ("idf, inverted document frequency computed as "
+                 "Math.pow((N + 1) / n, k)", float(f32(idf_v))),
+                ("gamma", 0.0),
                 ("score", float(f32(sc))),
             ]
         elif isinstance(self.sim, IBSim):

@@ -1847,6 +1847,72 @@ SELECT doc_id, score FROM s
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def dfi_topk_sql(term: str, independence: str = "standardized",
+                 k: int = 10) -> str:
+    """DFISimilarity(independence) term top-k — op points as in
+    functions/similarity.py DFISim (DFISimilarity.java:58-70): all
+    double, one float cast on the score:
+      expected = (F + 1) * decoded_len / (T + 1)
+      measure  = standardized (f-e)/sqrt(e) | chisquared (f-e)^2/e
+               | saturated (f-e)/e
+      score    = 0 when freq <= expected else f32(log2(measure + 1))
+    """
+    ttf = f"(SELECT sum(freq) FROM tf WHERE term = '{term}')"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    e = (
+        f"((CAST({ttf} AS DOUBLE) + 1.0) * CAST(norm_tab.dec AS DOUBLE)"
+        f" / (CAST({sttf} AS DOUBLE) + 1.0))"
+    )
+    f = "CAST(tf.freq AS DOUBLE)"
+    m = {
+        "standardized": f"(({f} - {e}) / sqrt({e}))",
+        "chisquared": f"(({f} - {e}) * ({f} - {e}) / {e})",
+        "saturated": f"(({f} - {e}) / {e})",
+    }[independence]
+    score = (
+        f"CAST(CASE WHEN {f} <= {e} THEN 0.0 "
+        f"ELSE ln({m} + 1.0) / ln(2.0) END AS FLOAT)"
+    )
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM tf
+JOIN dn ON dn.doc_id = tf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+WHERE tf.term = '{term}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
+def axiomatic_topk_sql(term: str, s: float = 0.25, kp: float = 0.35,
+                       k: int = 10) -> str:
+    """AxiomaticF2EXP(s, k) term top-k — op points as in
+    functions/similarity.py AxiomaticF2EXPSim (Axiomatic.java:95-106 +
+    AxiomaticF2EXP.java:58-83): all double, one float cast:
+      tfln  = freq / (freq + s + s * decoded_len / avgdl)
+      idf   = pow((N + 1) / n, k);  score = f32(max(0, tfln * idf))
+    """
+    df = f"(SELECT doc_freq FROM tstats WHERE term = '{term}')"
+    n = "(SELECT doc_count FROM cstats)"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    avgdl = f"(CAST({sttf} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    idf = (
+        f"pow((CAST({n} AS DOUBLE) + 1.0) / CAST({df} AS DOUBLE), "
+        f"{float(kp)!r})"
+    )
+    f = "CAST(tf.freq AS DOUBLE)"
+    tfln = (
+        f"({f} / ({f} + {float(s)!r} + {float(s)!r} * "
+        f"CAST(norm_tab.dec AS DOUBLE) / {avgdl}))"
+    )
+    score = f"CAST(greatest({tfln} * {idf}, 0.0) AS FLOAT)"
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM tf
+JOIN dn ON dn.doc_id = tf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+WHERE tf.term = '{term}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
 def ib_topk_sql(term: str, c: float = 1.0, k: int = 10) -> str:
     """IBSimilarity(LL, D, H2) term top-k — same op points as
     functions/similarity.py IBSim (IBSimilarity.java + DistributionLL /

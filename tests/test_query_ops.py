@@ -1023,6 +1023,101 @@ def test_ib_similarity(spark):
     assert float(ex["lambda(w), computed as (n + 1) / (N + 1)"]) == lam
 
 
+def test_dfi_similarity(spark):
+    """DFISimilarity(IndependenceStandardized): expected = (F+1)*dl/(T+1),
+    score 0 when freq <= expected else log2((f-e)/sqrt(e) + 1), all
+    double with one float cast — pruning exact under the swapped bounds
+    (core/search/similarities/DFISimilarity.java:58-70)."""
+    import math
+
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import DFISim
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    sim = DFISim()
+    s = Searcher(spark, idx, similarity=sim)
+    got = s.search("merge", k=10, with_keys=False)
+    assert len(got) > 0
+    post = s.postings("merge").toPandas()
+    dc, sttf = s.field_stats("text")
+    ttf = int(post["freq"].sum())
+    ratio = (ttf + 1.0) / (sttf + 1.0)
+    nb = post["norm_b"].to_numpy(np.uint8)
+    dl = LENGTH_TABLE.astype(np.float32)[nb].astype(np.float64)
+    f = post["freq"].to_numpy(np.float64)
+    e = ratio * dl
+    m = (f - e) / np.sqrt(e)
+    sc = np.where(
+        f <= e, 0.0, np.log(m + 1.0) / math.log(2.0)
+    ).astype(np.float32)
+    order = sorted(zip(post["gid"], sc), key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["gid"], got["score"])) == order
+    assert sim.aux(len(post), max(dc, 1), ttf, sttf) == ratio
+    # every measure variant keeps pruning exact
+    for meas in ("standardized", "chisquared", "saturated"):
+        sm = Searcher(spark, idx, similarity=DFISim(meas))
+        node = BoolQ(should=(TermQ("merge"), TermQ("scan")))
+        pruned = sm.search(node, k=10, with_keys=False)
+        exact = sm.search(node, k=10, prune=False, with_keys=False)
+        assert list(zip(pruned["gid"], pruned["score"])) == list(
+            zip(exact["gid"], exact["score"])
+        )
+    # explain renders the DFISimilarity tree; root score == the top hit
+    ex = s.explain("merge").set_index("component")["value"]
+    assert np.float32(ex["score"]) == np.float32(got["score"].iloc[0])
+    assert ex["T, total number of tokens in the field"] == float(sttf)
+    with pytest.raises(ValueError):
+        DFISim("nonsense")
+
+
+def test_axiomatic_f2exp_similarity(spark):
+    """AxiomaticF2EXP(s=0.25, k=0.35): score = tfln * idf with
+    tfln = f/(f + s + s*dl/avgdl) and idf = ((N+1)/n)^k, double
+    throughout, one float cast — pruning exact
+    (core/search/similarities/Axiomatic.java:95-106)."""
+    import math
+
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import AxiomaticF2EXPSim
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    sim = AxiomaticF2EXPSim()
+    s = Searcher(spark, idx, similarity=sim)
+    got = s.search("merge", k=10, with_keys=False)
+    assert len(got) > 0
+    post = s.postings("merge").toPandas()
+    dc, sttf = s.field_stats("text")
+    n_docs = max(dc, 1)
+    idf = math.pow((n_docs + 1.0) / len(post), 0.35)
+    avgdl = sttf / float(n_docs)
+    nb = post["norm_b"].to_numpy(np.uint8)
+    dl = LENGTH_TABLE.astype(np.float32)[nb].astype(np.float64)
+    f = post["freq"].to_numpy(np.float64)
+    tfln = f / (f + 0.25 + 0.25 * dl / avgdl)
+    sc = np.maximum(tfln * idf, 0.0).astype(np.float32)
+    order = sorted(zip(post["gid"], sc), key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["gid"], got["score"])) == order
+    node = BoolQ(should=(TermQ("merge"), TermQ("scan")))
+    pruned = s.search(node, k=10, with_keys=False)
+    exact = s.search(node, k=10, prune=False, with_keys=False)
+    assert list(zip(pruned["gid"], pruned["score"])) == list(
+        zip(exact["gid"], exact["score"])
+    )
+    # explain renders the Axiomatic component tree
+    ex = s.explain("merge").set_index("component")["value"]
+    assert np.float32(ex["score"]) == np.float32(got["score"].iloc[0])
+    assert ex["tf, term frequency, equals to 1"] == 1.0
+    # ctor bounds per Axiomatic.java:54-59
+    with pytest.raises(ValueError):
+        AxiomaticF2EXPSim(s=1.5)
+    with pytest.raises(ValueError):
+        AxiomaticF2EXPSim(k=-0.1)
+
+
 def test_boolean_similarity(spark):
     """BooleanSimilarity: every hit scores the boost, docID tie-break."""
     import __spark_entry__ as entry
