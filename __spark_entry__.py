@@ -718,6 +718,43 @@ def _q_dfr_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+_SUGG_CACHE: dict[str, str] = {}
+SUGG_KEY = "the merge"  # analyzes to "merge" (stop word dropped)
+
+
+def _suggester_for(spark, sf_dir: str) -> str:
+    """Build (once) and cache the AnalyzingSuggester table: surface =
+    first 4 whitespace tokens of each document, weight = text length."""
+    from lucene_spark.operators.suggest import build_analyzing_suggester
+
+    if sf_dir in _SUGG_CACHE:
+        return _SUGG_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    out = f"/tmp/lucene_spark_sugg_{INDEX_FORMAT_VERSION}_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    entries = docs.select(
+        F.array_join(F.slice(toks, 1, 4), " ").alias("surface"),
+        F.length("text").cast("long").alias("weight"),
+    ).where(F.col("surface") != "")
+    build_analyzing_suggester(entries, out)
+    _SUGG_CACHE[sf_dir] = out
+    return out
+
+
+def _q_suggest_analyzing(spark, sf_dir):
+    """AnalyzingSuggester: completion over ANALYZED surface forms — the
+    lookup key "the merge" stop-filters to "merge", completing every
+    surface whose analyzed form starts with it; exact-surface match
+    first, then weight desc, surfaces deduped
+    (suggest/.../analyzing/AnalyzingSuggester.java:115-142,500-640)."""
+    from lucene_spark.operators.suggest import analyzing_lookup
+
+    return analyzing_lookup(
+        spark, _suggester_for(spark, sf_dir), SUGG_KEY, n=10
+    )
+
+
 def _q_dfi_topk(spark, sf_dir):
     """DFISimilarity(IndependenceStandardized) — divergence from
     independence, the parameter-free chi-square family, through the
@@ -1815,7 +1852,7 @@ def _q_audio_resample(spark, sf_dir):
 _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
     "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
-    "axiomatic_topk", "geo_polygon",
+    "axiomatic_topk", "suggest_analyzing", "geo_polygon",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -1917,6 +1954,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_topk": _q_ib_topk,
         "dfi_topk": _q_dfi_topk,
         "axiomatic_topk": _q_axiomatic_topk,
+        "suggest_analyzing": _q_suggest_analyzing,
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
         "lm_jm_synonym_topk": _q_lm_jm_synonym_topk,
@@ -2078,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         "ib_topk": osql.ib_topk_sql(T_HOT),
         "dfi_topk": osql.dfi_topk_sql(T_HOT),
         "axiomatic_topk": osql.axiomatic_topk_sql(T_HOT),
+        "suggest_analyzing": osql.suggest_analyzing_sql(SUGG_KEY, "merge"),
         "lm_jm_topk": osql.lm_jm_topk_sql(T_HOT),
         "lm_dirichlet_phrase_topk": osql.lm_dirichlet_phrase_topk_sql(
             *PHRASE

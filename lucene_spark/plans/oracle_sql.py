@@ -967,6 +967,51 @@ WHERE term LIKE '{prefix}%'
 ORDER BY weight DESC, term ASC LIMIT {n}"""
 
 
+def suggest_analyzing_sql(key: str, analyzed_prefix: str,
+                          n: int = 10, n_toks: int = 4,
+                          max_surface: int = 256) -> str:
+    """AnalyzingSuggester lookup twin — surfaces = first ``n_toks``
+    whitespace tokens of each document, weight = text length, analyzed
+    key = stop-filtered surface tokens joined with ' ' (PRESERVE_SEP);
+    (akey, surface) duplicates keep max weight, each akey keeps its top
+    ``max_surface`` surfaces (maxSurfaceFormsPerAnalyzedForm), the
+    lookup dedups surfaces and ranks exact-surface first then weight
+    desc, surface asc — the build/lookup semantics of
+    suggest/.../analyzing/AnalyzingSuggester.java."""
+    return f"""WITH entries AS (
+  SELECT array_to_string(
+           list_filter(string_split(text, ' '), t -> t <> '')[1:{n_toks}],
+           ' ') AS surface,
+         CAST(length(text) AS BIGINT) AS weight
+  FROM documents
+),
+analyzed AS (
+  SELECT array_to_string(
+           list_filter(string_split(surface, ' '),
+                       t -> t NOT IN ({STOPLIST_SQL})), ' ') AS akey,
+         surface, weight
+  FROM entries WHERE surface <> ''
+),
+dedup AS (
+  SELECT akey, surface, max(weight) AS weight
+  FROM analyzed WHERE akey <> '' GROUP BY akey, surface
+),
+kept AS (
+  SELECT akey, surface, weight,
+         row_number() OVER (PARTITION BY akey
+                            ORDER BY weight DESC, surface ASC) AS rn
+  FROM dedup
+)
+SELECT surface, weight FROM (
+  SELECT surface, max(weight) AS weight
+  FROM kept
+  WHERE rn <= {max_surface} AND starts_with(akey, '{analyzed_prefix}')
+  GROUP BY surface
+)
+ORDER BY (surface = '{key}') DESC, weight DESC, surface ASC
+LIMIT {n}"""
+
+
 def spell_suggest_sql(word: str, max_edits: int = 2, n: int = 5) -> str:
     """DirectSpellChecker ranking: distance asc, docFreq desc, term asc."""
     return f"""WITH {base_ctes()}
