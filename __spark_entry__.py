@@ -755,6 +755,21 @@ def _q_suggest_analyzing(spark, sf_dir):
     )
 
 
+SUGG_FUZZY_KEY = "mierge fast"  # 1 edit from "merge fast" analyzed prefixes
+
+
+def _q_suggest_fuzzy(spark, sf_dir):
+    """FuzzySuggester: the analyzed key 'mierge fast' is one Levenshtein
+    edit from the 'merge fast' analyzed prefix, so typo'd lookups still
+    complete; first char pinned (DEFAULT_NON_FUZZY_PREFIX), classic
+    distance (suggest/.../analyzing/FuzzySuggester.java:44-91)."""
+    from lucene_spark.operators.suggest import fuzzy_lookup
+
+    return fuzzy_lookup(
+        spark, _suggester_for(spark, sf_dir), SUGG_FUZZY_KEY, n=10
+    )
+
+
 def _q_dfi_topk(spark, sf_dir):
     """DFISimilarity(IndependenceStandardized) — divergence from
     independence, the parameter-free chi-square family, through the
@@ -1852,7 +1867,7 @@ def _q_audio_resample(spark, sf_dir):
 _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
     "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
-    "axiomatic_topk", "suggest_analyzing", "geo_polygon",
+    "axiomatic_topk", "suggest_analyzing", "suggest_fuzzy", "geo_polygon",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -1955,6 +1970,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfi_topk": _q_dfi_topk,
         "axiomatic_topk": _q_axiomatic_topk,
         "suggest_analyzing": _q_suggest_analyzing,
+        "suggest_fuzzy": _q_suggest_fuzzy,
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
         "lm_jm_synonym_topk": _q_lm_jm_synonym_topk,
@@ -2117,6 +2133,9 @@ def oracle_sql() -> dict[str, str]:
         "dfi_topk": osql.dfi_topk_sql(T_HOT),
         "axiomatic_topk": osql.axiomatic_topk_sql(T_HOT),
         "suggest_analyzing": osql.suggest_analyzing_sql(SUGG_KEY, "merge"),
+        "suggest_fuzzy": osql.suggest_fuzzy_sql(
+            SUGG_FUZZY_KEY, SUGG_FUZZY_KEY
+        ),
         "lm_jm_topk": osql.lm_jm_topk_sql(T_HOT),
         "lm_dirichlet_phrase_topk": osql.lm_dirichlet_phrase_topk_sql(
             *PHRASE

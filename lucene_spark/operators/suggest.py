@@ -161,6 +161,90 @@ def analyzing_lookup(
     )
 
 
+def fuzzy_lookup(
+    spark,
+    path: str,
+    key: str,
+    n: int = 5,
+    *,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    transpositions: bool = False,
+    exact_first: bool = True,
+    preserve_sep: bool = True,
+) -> DataFrame:
+    """FuzzySuggester lookup over a built analyzing-suggester table.
+
+    FuzzySuggester (``suggest/.../analyzing/FuzzySuggester.java:44-91``)
+    fuzzes the analyzed lookup automaton: an entry completes when SOME
+    prefix of its analyzed form is within ``max_edits`` Levenshtein
+    edits of the analyzed key, the first ``non_fuzzy_prefix`` characters
+    must match exactly, and keys shorter than ``min_fuzzy_length``
+    analyzed characters match exactly (no fuzz). Defaults mirror the
+    reference (1 edit / 1-char pinned prefix / 3-char minimum).
+
+    Spark-first: the prefix edit distance to the analyzed key ``q`` is
+    ``min over L in [len(q)-d, len(q)+d] of lev(q, akey[:L])`` — a
+    prefix longer than ``len(q)+d`` can never be within ``d`` — so the
+    automaton intersection becomes ``2d+1`` JVM-side ``levenshtein``
+    expressions over ``substring(akey)``, after a pushed-down StartsWith
+    on the pinned non-fuzzy prefix prunes the sorted table's row groups.
+    Nothing leaves the JVM.
+
+    Deviation: the reference defaults ``transpositions=true``
+    (Damerau — a swap costs 1); Spark's ``levenshtein`` is classic (a
+    swap costs 2), so only ``transpositions=False`` is supported and the
+    reference default raises NotImplementedError.
+    """
+    from ..functions.analysis import analyze_batch
+
+    if transpositions:
+        raise NotImplementedError(
+            "transpositions=True (Damerau distance) is not expressible "
+            "with Spark's levenshtein; pass transpositions=False"
+        )
+    sep = " " if preserve_sep else ""
+    ab = analyze_batch([key])
+    toks = ab.tok_terms_pa.to_pylist()
+    if not toks:
+        return spark.createDataFrame([], schema="surface string, weight long")
+    q = sep.join(toks)
+
+    if len(q) < min_fuzzy_length or max_edits == 0:
+        # below the fuzz threshold the automaton is the exact key
+        return analyzing_lookup(
+            spark, path, key, n,
+            exact_first=exact_first, preserve_sep=preserve_sep,
+        )
+
+    sug = spark.read.parquet(path)
+    if non_fuzzy_prefix > 0:
+        sug = sug.filter(
+            F.col("akey").startswith(q[: non_fuzzy_prefix])
+        )
+    lens = range(max(1, len(q) - max_edits), len(q) + max_edits + 1)
+    dists = [
+        F.levenshtein(F.substring("akey", 1, L), F.lit(q)) for L in lens
+    ]
+    dist = dists[0] if len(dists) == 1 else F.least(*dists)
+    per_surface = (
+        sug.filter(dist <= max_edits)
+        .groupBy("surface")
+        .agg(F.max("weight").alias("weight"))
+    )
+    exact = (
+        (F.col("surface") == F.lit(key)) if exact_first else F.lit(False)
+    )
+    return (
+        per_surface.orderBy(
+            exact.desc(), F.desc("weight"), F.asc("surface")
+        )
+        .limit(n)
+        .select("surface", "weight")
+    )
+
+
 def spell_suggest(
     searcher,
     word: str,

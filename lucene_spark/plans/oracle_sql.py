@@ -1012,6 +1012,56 @@ ORDER BY (surface = '{key}') DESC, weight DESC, surface ASC
 LIMIT {n}"""
 
 
+def suggest_fuzzy_sql(key: str, analyzed_key: str, n: int = 10,
+                      max_edits: int = 1, non_fuzzy_prefix: int = 1,
+                      n_toks: int = 4, max_surface: int = 256) -> str:
+    """FuzzySuggester lookup twin — same build CTEs as
+    :func:`suggest_analyzing_sql`; the lookup accepts entries where some
+    analyzed-key prefix of length len(q)±max_edits is within max_edits
+    classic Levenshtein edits of the analyzed key, first
+    ``non_fuzzy_prefix`` chars pinned
+    (suggest/.../analyzing/FuzzySuggester.java:44-91)."""
+    q = analyzed_key
+    lens = range(max(1, len(q) - max_edits), len(q) + max_edits + 1)
+    dist = "least(" + ", ".join(
+        f"levenshtein(substr(akey, 1, {L}), '{q}')" for L in lens
+    ) + ")"
+    pin = f"starts_with(akey, '{q[:non_fuzzy_prefix]}') AND " \
+        if non_fuzzy_prefix > 0 else ""
+    return f"""WITH entries AS (
+  SELECT array_to_string(
+           list_filter(string_split(text, ' '), t -> t <> '')[1:{n_toks}],
+           ' ') AS surface,
+         CAST(length(text) AS BIGINT) AS weight
+  FROM documents
+),
+analyzed AS (
+  SELECT array_to_string(
+           list_filter(string_split(surface, ' '),
+                       t -> t NOT IN ({STOPLIST_SQL})), ' ') AS akey,
+         surface, weight
+  FROM entries WHERE surface <> ''
+),
+dedup AS (
+  SELECT akey, surface, max(weight) AS weight
+  FROM analyzed WHERE akey <> '' GROUP BY akey, surface
+),
+kept AS (
+  SELECT akey, surface, weight,
+         row_number() OVER (PARTITION BY akey
+                            ORDER BY weight DESC, surface ASC) AS rn
+  FROM dedup
+)
+SELECT surface, weight FROM (
+  SELECT surface, max(weight) AS weight
+  FROM kept
+  WHERE rn <= {max_surface} AND {pin}{dist} <= {max_edits}
+  GROUP BY surface
+)
+ORDER BY (surface = '{key}') DESC, weight DESC, surface ASC
+LIMIT {n}"""
+
+
 def spell_suggest_sql(word: str, max_edits: int = 2, n: int = 5) -> str:
     """DirectSpellChecker ranking: distance asc, docFreq desc, term asc."""
     return f"""WITH {base_ctes()}

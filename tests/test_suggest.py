@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from lucene_spark.operators.suggest import (
-    analyzing_lookup, build_analyzing_suggester,
+    analyzing_lookup, build_analyzing_suggester, fuzzy_lookup,
 )
 
 
@@ -70,6 +70,42 @@ def test_all_stopword_surface_dropped(spark, sugg_path):
     """Surfaces whose analysis yields no tokens never enter the table."""
     tbl = spark.read.parquet(sugg_path)
     assert tbl.filter(F.col("surface") == "the the an").count() == 0
+
+
+def test_fuzzy_one_edit(spark, sugg_path):
+    """'the ghist' analyzes to 'ghist', one substitution from the
+    'ghost' analyzed prefix — the typo still completes every ghost*
+    entry (FuzzySuggester's one-edit default)."""
+    got = fuzzy_lookup(spark, sugg_path, "the ghist", n=10).collect()
+    surfaces = [r["surface"] for r in got]
+    assert "the ghost busters" in surfaces and "ghost rider" in surfaces
+    # weight order preserved among matches
+    weights = [r["weight"] for r in got]
+    assert weights == sorted(weights, reverse=True)
+
+
+def test_fuzzy_non_fuzzy_prefix_pins_first_char(spark, sugg_path):
+    """An edit in the pinned first character never matches
+    (DEFAULT_NON_FUZZY_PREFIX = 1)."""
+    got = fuzzy_lookup(spark, sugg_path, "bhost", n=10).collect()
+    assert got == []
+
+
+def test_fuzzy_below_min_length_is_exact(spark, sugg_path):
+    """Analyzed keys shorter than minFuzzyLength fuzz nothing — exact
+    prefix completion only (DEFAULT_MIN_FUZZY_LENGTH = 3)."""
+    got = fuzzy_lookup(spark, sugg_path, "gh", n=10).collect()
+    assert {r["surface"] for r in got} == {
+        "the ghost busters", "ghost rider", "a ghost story",
+        "ghostly tales", "ghost",
+    }
+    # 'gx' is within 1 edit of the 'gh' prefix but below the threshold
+    assert fuzzy_lookup(spark, sugg_path, "gx", n=10).count() == 0
+
+
+def test_fuzzy_transpositions_unsupported(spark, sugg_path):
+    with pytest.raises(NotImplementedError):
+        fuzzy_lookup(spark, sugg_path, "ghost", transpositions=True)
 
 
 def test_max_surface_per_key_cap(spark, tmp_path):
