@@ -758,6 +758,22 @@ def _q_suggest_analyzing(spark, sf_dir):
 SUGG_FUZZY_KEY = "mierge fast"  # 1 edit from "merge fast" analyzed prefixes
 
 
+def _q_axiomatic_f2log_topk(spark, sf_dir):
+    """AxiomaticF2LOG(s=0.25) — F2EXP's shape with the log primitive idf
+    (core/search/similarities/AxiomaticF2LOG.java:49-75)."""
+    from lucene_spark.functions.similarity import AxiomaticF2LOGSim
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(
+        spark, _index_for(spark, sf_dir), similarity=AxiomaticF2LOGSim()
+    )
+    pdf = s.search(T_HOT, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_suggest_fuzzy(spark, sf_dir):
     """FuzzySuggester: the analyzed key 'mierge fast' is one Levenshtein
     edit from the 'merge fast' analyzed prefix, so typo'd lookups still
@@ -1867,7 +1883,8 @@ def _q_audio_resample(spark, sf_dir):
 _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
     "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
-    "axiomatic_topk", "suggest_analyzing", "suggest_fuzzy", "geo_polygon",
+    "axiomatic_topk", "axiomatic_f2log_topk", "suggest_analyzing",
+    "suggest_fuzzy", "geo_polygon",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -1971,6 +1988,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "axiomatic_topk": _q_axiomatic_topk,
         "suggest_analyzing": _q_suggest_analyzing,
         "suggest_fuzzy": _q_suggest_fuzzy,
+        "axiomatic_f2log_topk": _q_axiomatic_f2log_topk,
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
         "lm_jm_synonym_topk": _q_lm_jm_synonym_topk,
@@ -2135,6 +2153,9 @@ def oracle_sql() -> dict[str, str]:
         "suggest_analyzing": osql.suggest_analyzing_sql(SUGG_KEY, "merge"),
         "suggest_fuzzy": osql.suggest_fuzzy_sql(
             SUGG_FUZZY_KEY, SUGG_FUZZY_KEY
+        ),
+        "axiomatic_f2log_topk": osql.axiomatic_topk_sql(
+            T_HOT, variant="log"
         ),
         "lm_jm_topk": osql.lm_jm_topk_sql(T_HOT),
         "lm_dirichlet_phrase_topk": osql.lm_dirichlet_phrase_topk_sql(

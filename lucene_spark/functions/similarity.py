@@ -42,7 +42,7 @@ from .smallfloat import LENGTH_TABLE
 
 __all__ = ["BM25Sim", "ClassicSim", "BooleanSim", "LMDirichletSim",
            "LMJelinekMercerSim", "DFRSim", "IBSim", "DFISim",
-           "AxiomaticF2EXPSim"]
+           "AxiomaticF2EXPSim", "AxiomaticF2LOGSim"]
 
 # SimilarityBase.log2 is Math.log(x) / LOG_2 with LOG_2 = Math.log(2) —
 # NOT a correctly-rounded log2; divide explicitly for bit parity
@@ -454,6 +454,21 @@ class AxiomaticF2EXPSim:
         # Axiomatic.score clamps at 0 (F3's gamma can go negative; F2EXP
         # never does, but the clamp is part of the shared combination)
         return np.maximum(sc, 0.0).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class AxiomaticF2LOGSim(AxiomaticF2EXPSim):
+    """AxiomaticF2LOG(s) — F2EXP's shape with the log primitive weight
+    (core/search/similarities/AxiomaticF2LOG.java:49-75):
+      idf = ln((N + 1) / df)    [no k hyper-parameter]
+    tfln / score combination / clamp identical to :class:`AxiomaticF2EXPSim`.
+    """
+
+    def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
+            sum_total_term_freq: int) -> tuple:
+        idf = math.log((float(doc_count) + 1.0) / float(doc_freq))
+        avgdl = float(sum_total_term_freq) / float(doc_count)
+        return (idf, avgdl)
 
 
 @dataclass(frozen=True)

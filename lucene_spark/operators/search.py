@@ -3633,8 +3633,8 @@ class Searcher:
         """
         from ..functions.smallfloat import LENGTH_TABLE
         from ..functions.similarity import (
-            AxiomaticF2EXPSim, BooleanSim, ClassicSim, DFISim, DFRSim,
-            IBSim, LMDirichletSim, LMJelinekMercerSim,
+            AxiomaticF2EXPSim, AxiomaticF2LOGSim, BooleanSim, ClassicSim,
+            DFISim, DFRSim, IBSim, LMDirichletSim, LMJelinekMercerSim,
         )
 
         if gid is None:
@@ -3797,13 +3797,21 @@ class Searcher:
             ]
         elif isinstance(self.sim, AxiomaticF2EXPSim):
             # Axiomatic.explain: tf/ln/tfln/idf/gamma component leaves
-            # (AxiomaticF2EXP's tfExplain..idfExplain texts), score root
+            # (AxiomaticF2EXP/F2LOG's tfExplain..idfExplain texts), score
+            # root — F2LOG differs only in the idf primitive's text
             aux = self.sim.aux(df, n_docs, ttf, sttf)
             idf_v, avgdl = aux
             s_p = float(self.sim.s)
             fr = np.float64(freq)
             tfln = fr / (fr + s_p + s_p * np.float64(dl) / avgdl)
             sc = max(0.0, 1.0 * 1.0 * float(tfln) * float(idf_v))
+            idf_text = (
+                "idf, inverted document frequency computed as "
+                "Math.log((N + 1) / n)"
+                if isinstance(self.sim, AxiomaticF2LOGSim) else
+                "idf, inverted document frequency computed as "
+                "Math.pow((N + 1) / n, k)"
+            )
             rows = [
                 ("tf, term frequency, equals to 1", 1.0),
                 ("ln, document length, equals to 1", 1.0),
@@ -3816,8 +3824,7 @@ class Searcher:
                  "as freq / (freq + s + s * dl / avgdl)", float(f32(tfln))),
                 ("n, number of documents containing term", float(df)),
                 ("N, total number of documents with field", float(n_docs)),
-                ("idf, inverted document frequency computed as "
-                 "Math.pow((N + 1) / n, k)", float(f32(idf_v))),
+                (idf_text, float(f32(idf_v))),
                 ("gamma", 0.0),
                 ("score", float(f32(sc))),
             ]

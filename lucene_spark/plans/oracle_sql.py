@@ -1978,21 +1978,26 @@ ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
 
 
 def axiomatic_topk_sql(term: str, s: float = 0.25, kp: float = 0.35,
-                       k: int = 10) -> str:
-    """AxiomaticF2EXP(s, k) term top-k — op points as in
-    functions/similarity.py AxiomaticF2EXPSim (Axiomatic.java:95-106 +
-    AxiomaticF2EXP.java:58-83): all double, one float cast:
+                       k: int = 10, variant: str = "exp") -> str:
+    """AxiomaticF2EXP(s, k) / AxiomaticF2LOG(s) term top-k — op points as
+    in functions/similarity.py AxiomaticF2EXPSim / AxiomaticF2LOGSim
+    (Axiomatic.java:95-106 + AxiomaticF2EXP.java:58-83 /
+    AxiomaticF2LOG.java:49-75): all double, one float cast:
       tfln  = freq / (freq + s + s * decoded_len / avgdl)
-      idf   = pow((N + 1) / n, k);  score = f32(max(0, tfln * idf))
+      idf   = pow((N + 1) / n, k)  |  ln((N + 1) / n)   [exp | log]
+      score = f32(max(0, tfln * idf))
     """
     df = f"(SELECT doc_freq FROM tstats WHERE term = '{term}')"
     n = "(SELECT doc_count FROM cstats)"
     sttf = "(SELECT sum_ttf FROM cstats)"
     avgdl = f"(CAST({sttf} AS DOUBLE) / CAST({n} AS DOUBLE))"
-    idf = (
-        f"pow((CAST({n} AS DOUBLE) + 1.0) / CAST({df} AS DOUBLE), "
-        f"{float(kp)!r})"
-    )
+    if variant == "exp":
+        idf = (
+            f"pow((CAST({n} AS DOUBLE) + 1.0) / CAST({df} AS DOUBLE), "
+            f"{float(kp)!r})"
+        )
+    else:
+        idf = f"ln((CAST({n} AS DOUBLE) + 1.0) / CAST({df} AS DOUBLE))"
     f = "CAST(tf.freq AS DOUBLE)"
     tfln = (
         f"({f} / ({f} + {float(s)!r} + {float(s)!r} * "

@@ -1118,6 +1118,48 @@ def test_axiomatic_f2exp_similarity(spark):
         AxiomaticF2EXPSim(k=-0.1)
 
 
+def test_axiomatic_f2log_similarity(spark):
+    """AxiomaticF2LOG(s=0.25): F2EXP's tfln with idf = ln((N+1)/n)
+    (core/search/similarities/AxiomaticF2LOG.java:49-75)."""
+    import math
+
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import AxiomaticF2LOGSim
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    sim = AxiomaticF2LOGSim()
+    s = Searcher(spark, idx, similarity=sim)
+    got = s.search("merge", k=10, with_keys=False)
+    assert len(got) > 0
+    post = s.postings("merge").toPandas()
+    dc, sttf = s.field_stats("text")
+    n_docs = max(dc, 1)
+    idf = math.log((n_docs + 1.0) / len(post))
+    avgdl = sttf / float(n_docs)
+    nb = post["norm_b"].to_numpy(np.uint8)
+    dl = LENGTH_TABLE.astype(np.float32)[nb].astype(np.float64)
+    f = post["freq"].to_numpy(np.float64)
+    tfln = f / (f + 0.25 + 0.25 * dl / avgdl)
+    sc = np.maximum(tfln * idf, 0.0).astype(np.float32)
+    order = sorted(zip(post["gid"], sc), key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["gid"], got["score"])) == order
+    node = BoolQ(should=(TermQ("merge"), TermQ("scan")))
+    pruned = s.search(node, k=10, with_keys=False)
+    exact = s.search(node, k=10, prune=False, with_keys=False)
+    assert list(zip(pruned["gid"], pruned["score"])) == list(
+        zip(exact["gid"], exact["score"])
+    )
+    # explain: the F2LOG idf leaf replaces F2EXP's pow text
+    ex = s.explain("merge").set_index("component")["value"]
+    assert np.float32(ex["score"]) == np.float32(got["score"].iloc[0])
+    assert np.float32(
+        ex["idf, inverted document frequency computed as "
+           "Math.log((N + 1) / n)"]
+    ) == np.float32(idf)
+
+
 def test_boolean_similarity(spark):
     """BooleanSimilarity: every hit scores the boost, docID tie-break."""
     import __spark_entry__ as entry
