@@ -1874,6 +1874,69 @@ def _q_audio_resample(spark, sf_dir):
     )
 
 
+MONITOR_SLOP = 2
+MONITOR_PAIR_MAXDOC = 400
+
+
+def _monitor_queries():
+    """Fixed Monitor (percolator) registry for the gates: one query per
+    supported family (term / AND / OR / NOT / phrase / sloppy / msm /
+    nested bool), over the documents-corpus vocabulary."""
+    from lucene_spark.plans.query import BoolQ, TermQ
+
+    return [
+        ("m_term", T_HOT),
+        ("m_and", f"{T_HOT} AND {T_MID}"),
+        ("m_or", f"{T_B} OR {T_MID}"),
+        ("m_not", f"{T_HOT} AND NOT {T_MID}"),
+        ("m_phrase", f'"{PHRASE[0]} {PHRASE[1]}"'),
+        ("m_sloppy", f'"{PHRASE[0]} {PHRASE[1]}"~{MONITOR_SLOP}'),
+        ("m_msm", BoolQ(should=(TermQ(T_HOT), TermQ(T_MID), TermQ(T_B)),
+                        msm=2)),
+        ("m_nested", f"({T_HOT} OR {T_MID}) AND ({T_B} OR batch) "
+                     f"AND NOT slow"),
+    ]
+
+
+def _monitor_match_df(spark, sf_dir):
+    from lucene_spark.operators.monitor import Monitor
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    mon = Monitor(spark, _monitor_queries())
+    return mon.match(docs.select("doc_id", "text"))
+
+
+def _q_monitor_match(spark, sf_dir):
+    """Monitor (lucene/monitor TermFilteredPresearcher + CandidateMatcher):
+    per-registered-query roll-up of the match set."""
+    res = _monitor_match_df(spark, sf_dir)
+    ids = spark.createDataFrame(
+        [(q[0],) for q in _monitor_queries()], "query_id string"
+    )
+    agg = res.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("doc_id").alias("sum_doc"),
+    )
+    return (
+        ids.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce("sum_doc", F.lit(0)).alias("sum_doc"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _q_monitor_pairs(spark, sf_dir):
+    """Pair-level Monitor gate: every (query_id, doc_id) match below a doc
+    bound — value-exact against the per-query SQL match sets."""
+    res = _monitor_match_df(spark, sf_dir)
+    return res.where(F.col("doc_id") < MONITOR_PAIR_MAXDOC).orderBy(
+        "query_id", "doc_id"
+    )
+
+
 # Gates that had never appeared in a driver correctness sample through
 # round 4 (the driver checks the FIRST 50 registry keys each round, and
 # these all registered after the round-2 rotation). queries() leads with
@@ -1883,8 +1946,8 @@ def _q_audio_resample(spark, sf_dir):
 _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
     "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
-    "axiomatic_topk", "axiomatic_f2log_topk", "suggest_analyzing",
-    "suggest_fuzzy", "geo_polygon",
+    "axiomatic_topk", "suggest_analyzing",
+    "suggest_fuzzy", "geo_polygon", "monitor_match", "monitor_pairs",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -1987,6 +2050,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfi_topk": _q_dfi_topk,
         "axiomatic_topk": _q_axiomatic_topk,
         "suggest_analyzing": _q_suggest_analyzing,
+        "monitor_match": _q_monitor_match,
+        "monitor_pairs": _q_monitor_pairs,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "axiomatic_f2log_topk": _q_axiomatic_f2log_topk,
         "lm_jm_topk": _q_lm_jm_topk,
@@ -2151,6 +2216,10 @@ def oracle_sql() -> dict[str, str]:
         "dfi_topk": osql.dfi_topk_sql(T_HOT),
         "axiomatic_topk": osql.axiomatic_topk_sql(T_HOT),
         "suggest_analyzing": osql.suggest_analyzing_sql(SUGG_KEY, "merge"),
+        "monitor_match": osql.monitor_match_sql(PHRASE, MONITOR_SLOP),
+        "monitor_pairs": osql.monitor_pairs_sql(
+            PHRASE, MONITOR_SLOP, MONITOR_PAIR_MAXDOC
+        ),
         "suggest_fuzzy": osql.suggest_fuzzy_sql(
             SUGG_FUZZY_KEY, SUGG_FUZZY_KEY
         ),

@@ -2039,3 +2039,67 @@ JOIN dn ON dn.doc_id = tf.doc_id
 JOIN norm_tab ON norm_tab.b = dn.norm_b
 WHERE tf.term = '{term}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
+# ------------------------------------------------------------------ monitor
+
+
+def _monitor_set_sqls(phrase: "tuple[str, str]",
+                      sloppy_slop: int) -> "dict[str, str]":
+    """Per-query match-set SELECTs (distinct doc_id) for the fixed Monitor
+    gate registry — each reproduces one registered query's semantics over
+    the ``toks`` CTE. Keys are the registered query_ids."""
+    t_hot, t_mid, t_b = "merge", "window", "scan"
+    p0, p1 = phrase
+    term = lambda t: f"SELECT DISTINCT doc_id FROM toks WHERE term = '{t}'"
+    sets = {
+        "m_term": term(t_hot),
+        "m_and": f"({term(t_hot)}) INTERSECT ({term(t_mid)})",
+        "m_or": f"({term(t_b)}) UNION ({term(t_mid)})",
+        "m_not": f"({term(t_hot)}) EXCEPT ({term(t_mid)})",
+        "m_phrase": f"""
+            SELECT DISTINCT a.doc_id FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                        AND b.term = '{p1}'
+            WHERE a.term = '{p0}'""",
+        "m_sloppy": "SELECT doc_id FROM sfreq",
+        "m_msm": f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, count(DISTINCT term) AS c FROM toks
+              WHERE term IN ('{t_hot}', '{t_mid}', '{t_b}') GROUP BY doc_id
+            ) WHERE c >= 2""",
+        "m_nested": f"""
+            (({term(t_hot)}) UNION ({term(t_mid)}))
+            INTERSECT (({term(t_b)}) UNION ({term('batch')}))
+            EXCEPT ({term('slow')})""",
+    }
+    return sets
+
+
+def monitor_match_sql(phrase: "tuple[str, str]", sloppy_slop: int) -> str:
+    """Per-registered-query aggregate of the Monitor match set:
+    (query_id, n_matches, sum_doc) — the MatchingQueries roll-up."""
+    sets = _monitor_set_sqls(phrase, sloppy_slop)
+    parts = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, count(*)::BIGINT AS n_matches, "
+        f"COALESCE(sum(doc_id), 0)::BIGINT AS sum_doc FROM ({s})"
+        for qid, s in sets.items()
+    )
+    sl = sloppy_sim_cte(list(phrase), [0, 1], sloppy_slop)
+    return (f"WITH RECURSIVE {base_ctes()},{sl}\n{parts}"
+            f"\nORDER BY query_id")
+
+
+def monitor_pairs_sql(phrase: "tuple[str, str]", sloppy_slop: int,
+                      max_doc: int) -> str:
+    """Pair-level Monitor oracle: every (query_id, doc_id) match with
+    doc_id < max_doc, ordered."""
+    sets = _monitor_set_sqls(phrase, sloppy_slop)
+    parts = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, doc_id FROM ({s}) "
+        f"WHERE doc_id < {max_doc}"
+        for qid, s in sets.items()
+    )
+    sl = sloppy_sim_cte(list(phrase), [0, 1], sloppy_slop)
+    return (f"WITH RECURSIVE {base_ctes()},{sl}\n{parts}"
+            f"\nORDER BY query_id, doc_id")
