@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 INDEX_FORMAT_VERSION = "v3"  # v3: + terms_rev (rterm-sorted suffix seeks)
@@ -1874,6 +1876,101 @@ def _q_audio_resample(spark, sf_dir):
     )
 
 
+# Porter stems of the documents-corpus vocabulary (only the changed
+# words); every pair hand-verified against the published algorithm and
+# pinned by tests/test_stem.py
+PORTER_MAP = {
+    "customer": "custom", "key": "kei", "merge": "merg",
+    "query": "queri", "table": "tabl", "value": "valu",
+}
+
+_ENGLISH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for_english(spark: SparkSession, sf_dir: str) -> str:
+    """Index built through the English chain (EnglishAnalyzer analog:
+    possessive strip + Porter stem applied at the vocabulary level)."""
+    from lucene_spark.functions.stem import english_filter
+    from lucene_spark.operators.indexer import build_index
+
+    if sf_dir in _ENGLISH_INDEX_CACHE:
+        return _ENGLISH_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_english_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    build_index(
+        spark, docs, index_dir,
+        key_col="doc_id", text_col="text", gid_col="doc_id",
+        n_segments=max(2, min(8, n // 250)), token_filter=english_filter,
+    )
+    _ENGLISH_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _q_english_topk(spark, sf_dir):
+    """End-to-end EnglishAnalyzer: the index stems at invert time
+    (build_index token_filter), the query maps through the same chain
+    (map_terms) — the analyzer contract on both sides."""
+    from lucene_spark.functions.stem import english_filter
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import map_terms
+
+    s = Searcher(spark, _index_for_english(spark, sf_dir))
+    node = map_terms(T_HOT, english_filter)
+    pdf = s.search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_porter_stems(spark, sf_dir):
+    """PorterStemFilter over the corpus vocabulary: (term, stem) pairs for
+    every distinct post-stop token."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_spark.functions.analysis import ENGLISH_STOP_WORDS
+
+    @pandas_udf("string")
+    def stem_udf(ser: pd.Series) -> pd.Series:
+        from lucene_spark.functions.stem import porter_stem
+
+        u = {t: porter_stem(t) for t in ser.unique()}
+        return ser.map(u)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .where(~F.col("term").isin(*sorted(ENGLISH_STOP_WORDS)))
+        .distinct()
+    )
+    return toks.select("term", stem_udf("term").alias("stem")).orderBy("term")
+
+
+ASCII_SYNTH_FROM = "aeion"
+ASCII_SYNTH_TO = "áéîöñ"
+
+
+def _q_ascii_fold(spark, sf_dir):
+    """ASCIIFoldingFilter analog: fold a deterministically accented copy of
+    the corpus text back to ASCII (NFKD + combining-mark drop path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fold_udf(ser: pd.Series) -> pd.Series:
+        from lucene_spark.functions.stem import ascii_fold
+
+        return ser.map(ascii_fold)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    synth = F.translate(F.col("text"), ASCII_SYNTH_FROM, ASCII_SYNTH_TO)
+    return docs.select(
+        "doc_id", fold_udf(synth).alias("folded")
+    ).orderBy("doc_id")
+
+
 MONITOR_SLOP = 2
 MONITOR_PAIR_MAXDOC = 400
 
@@ -1948,6 +2045,7 @@ _NEVER_DRIVER_SAMPLED = [
     "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
     "axiomatic_topk", "suggest_analyzing",
     "suggest_fuzzy", "geo_polygon", "monitor_match", "monitor_pairs",
+    "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
     "function_score_topk", "range_facet_doclen", "span_not_topk",
@@ -2052,6 +2150,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_analyzing": _q_suggest_analyzing,
         "monitor_match": _q_monitor_match,
         "monitor_pairs": _q_monitor_pairs,
+        "porter_stems": _q_porter_stems,
+        "english_topk": _q_english_topk,
+        "ascii_fold": _q_ascii_fold,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "axiomatic_f2log_topk": _q_axiomatic_f2log_topk,
         "lm_jm_topk": _q_lm_jm_topk,
@@ -2220,6 +2321,11 @@ def oracle_sql() -> dict[str, str]:
         "monitor_pairs": osql.monitor_pairs_sql(
             PHRASE, MONITOR_SLOP, MONITOR_PAIR_MAXDOC
         ),
+        "porter_stems": osql.porter_stems_sql(PORTER_MAP),
+        "english_topk": osql.topk_single_sql(
+            PORTER_MAP[T_HOT], term_map=PORTER_MAP
+        ),
+        "ascii_fold": osql.ascii_fold_sql(ASCII_SYNTH_FROM, ASCII_SYNTH_TO),
         "suggest_fuzzy": osql.suggest_fuzzy_sql(
             SUGG_FUZZY_KEY, SUGG_FUZZY_KEY
         ),

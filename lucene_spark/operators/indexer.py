@@ -214,8 +214,17 @@ def invert_segment(
     sort_vals: "np.ndarray | None" = None,
     with_offsets: bool = False,
     with_payloads: bool = False,
+    token_filter=None,
 ) -> "pd.DataFrame | list[pd.DataFrame]":
     """Analyze + invert one segment's docs into union-schema staging rows.
+
+    ``token_filter``: optional per-term mapping (e.g. the Porter stem of
+    ``functions/stem.py``) applied at the VOCABULARY level — the batch is
+    dictionary-encoded anyway, so each distinct surface form maps once
+    and colliding stems re-unify before term-ordering (the indexing-chain
+    position of PorterStemFilter in EnglishAnalyzer.createComponents).
+    Queries against such an index must map their terms with the same
+    filter (``plans/query.py map_terms``), the analyzer contract.
 
     ``as_frames=True`` returns the per-row_type frames BEFORE union-schema
     padding (for the direct parquet writer, which stores each row_type
@@ -254,6 +263,11 @@ def invert_segment(
     dict_enc = pc.dictionary_encode(batch.tok_terms_pa)
     codes = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     dict_vals = np.asarray(dict_enc.dictionary.to_numpy(zero_copy_only=False), dtype=object)
+    if token_filter is not None:
+        # stem each DISTINCT surface form once, re-unify colliding stems
+        mapped = np.array([token_filter(t) for t in dict_vals], dtype=object)
+        dict_vals, inv = np.unique(mapped, return_inverse=True)
+        codes = inv[codes]
     sort_perm = np.argsort(dict_vals)  # code-point order == UTF-8 byte order
     rank = np.empty(len(dict_vals), dtype=np.int64)
     rank[sort_perm] = np.arange(len(dict_vals))
@@ -610,6 +624,7 @@ def build_index(
     direct_write: bool | None = None,
     sort_by: "str | None" = None,
     sort_ascending: bool = True,
+    token_filter=None,
 ) -> dict:
     """Build (or resume) the index. Returns summary metrics.
 
@@ -777,7 +792,7 @@ def build_index(
                 seg, gids, keys, pdf["text"],
                 with_positions=with_positions, as_frames=as_frames,
                 sort_vals=sv, with_offsets=with_offsets,
-                with_payloads=with_payloads,
+                with_payloads=with_payloads, token_filter=token_filter,
             )
             frames = frames if as_frames else [frames]
             for f in fields:
@@ -785,6 +800,7 @@ def build_index(
                     seg, gids, keys, pdf[f"xf_{f}"],
                     with_positions=with_positions, field=f, as_frames=as_frames,
                     with_offsets=with_offsets, with_payloads=with_payloads,
+                    token_filter=token_filter,
                 )
                 frames.extend(more if as_frames else [more])
             return frames

@@ -121,7 +121,7 @@ def extract_terms(node) -> frozenset:
     if isinstance(node, TermInSetQ):
         return frozenset(node.terms)
     if isinstance(node, (BoostQ, ConstScoreQ)):
-        return extract_terms(node.query)
+        return extract_terms(node.child)
     if isinstance(node, BoolQ):
         required = tuple(node.must) + tuple(node.filter)
         if required:
@@ -362,7 +362,7 @@ def _match_node(node, bi: _BatchIndex) -> np.ndarray:
     if isinstance(node, MatchAllQ):
         return np.ones(bi.n_docs, dtype=bool)
     if isinstance(node, (BoostQ, ConstScoreQ)):
-        return _match_node(node.query, bi)
+        return _match_node(node.child, bi)
     if isinstance(node, BoolQ):
         m = np.ones(bi.n_docs, dtype=bool)
         # folded MatchAll MUST clauses (const_add − n_free_opt of them)

@@ -30,13 +30,24 @@ def _f4(expr: str) -> str:
     return f"CAST({expr} AS FLOAT)"
 
 
-def base_ctes(table: str = "documents") -> str:
+def base_ctes(table: str = "documents",
+              term_map: "dict[str, str] | None" = None) -> str:
     """Tokenization + doc-length + collection-stats CTEs.
 
     Tokens: split on spaces (the synthetic corpus is strictly [a-z0-9 ], so
     this equals the engine's UAX#29-subset tokenizer), drop empties, keep
     0-based pre-stop positions (stop removal leaves Lucene position holes).
+
+    ``term_map``: post-stop-filter term rewriting (the PorterStemFilter
+    position in the English chain) as a pinned CASE mapping — pairs are
+    hand-verified against the published algorithm (tests/test_stem.py).
     """
+    term_expr = "term"
+    if term_map:
+        cases = " ".join(
+            f"WHEN '{k}' THEN '{v}'" for k, v in sorted(term_map.items())
+        )
+        term_expr = f"CASE term {cases} ELSE term END"
     return f"""
 toks_all AS (
   SELECT doc_id, tok AS term,
@@ -50,7 +61,8 @@ toks_all AS (
   WHERE tok <> ''
 ),
 toks AS (
-  SELECT * FROM toks_all WHERE term NOT IN ({STOPLIST_SQL})
+  SELECT doc_id, {term_expr} AS term, pos
+  FROM toks_all WHERE term NOT IN ({STOPLIST_SQL})
 ),
 dl AS (
   SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
@@ -172,8 +184,9 @@ v AS (
 {selects}"""
 
 
-def topk_single_sql(term: str, k: int = 10) -> str:
-    return f"""WITH {base_ctes()},{scored_term_cte('s', term)}
+def topk_single_sql(term: str, k: int = 10,
+                    term_map: "dict[str, str] | None" = None) -> str:
+    return f"""WITH {base_ctes(term_map=term_map)},{scored_term_cte('s', term)}
 SELECT doc_id, score FROM s
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
@@ -2103,3 +2116,28 @@ def monitor_pairs_sql(phrase: "tuple[str, str]", sloppy_slop: int,
     sl = sloppy_sim_cte(list(phrase), [0, 1], sloppy_slop)
     return (f"WITH RECURSIVE {base_ctes()},{sl}\n{parts}"
             f"\nORDER BY query_id, doc_id")
+
+
+# ----------------------------------------------------------- english chain
+
+
+def porter_stems_sql(term_map: "dict[str, str]") -> str:
+    """(term, stem) for every distinct post-stop corpus token; the stems of
+    the changed words are the pinned hand-verified mapping, everything
+    else is its own stem at this vocabulary."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(term_map.items())
+    )
+    return f"""WITH {base_ctes()}
+SELECT term, CASE term {cases} ELSE term END AS stem
+FROM (SELECT DISTINCT term FROM toks)
+ORDER BY term"""
+
+
+def ascii_fold_sql(synth_from: str, synth_to: str) -> str:
+    """Accent-fold oracle: synthesize accents with the same translate the
+    Spark side uses, fold back with DuckDB's ICU-backed strip_accents."""
+    return f"""
+SELECT doc_id,
+       strip_accents(translate(text, '{synth_from}', '{synth_to}')) AS folded
+FROM documents ORDER BY doc_id"""

@@ -875,6 +875,58 @@ class _Parser:
         return PhraseQ(terms=tuple(w for w, _ in toks), offsets=tuple(p for _, p in toks))
 
 
+def map_terms(node, fn):
+    """Apply an analyzer term mapping to a parsed tree (the position
+    QueryBuilder.createFieldQuery analyzes each token at,
+    ``core/util/QueryBuilder.java``): every ANALYZED term leaf maps
+    through ``fn``; multi-term patterns (prefix/wildcard/fuzzy/regexp/
+    range) pass through UN-analyzed, matching QueryParserBase — Lucene's
+    classic parser does not analyze multi-term queries.
+
+    Used with ``build_index(token_filter=...)``: queries against a
+    filtered index must map their terms with the same filter.
+    """
+    import dataclasses as _dc
+
+    if isinstance(node, str):
+        node = parse_query(node)
+    if isinstance(node, TermQ):
+        return TermQ(fn(node.term))
+    if isinstance(node, SpanFirstQ):
+        return _dc.replace(node, term=fn(node.term))
+    if isinstance(node, (PhraseQ, SloppyQ, NearQ, IntervalQ, SpanNearQ,
+                         SpanOrQ, SynonymQ, BlendedQ, SpanPayloadCheckQ)):
+        return _dc.replace(node, terms=tuple(fn(t) for t in node.terms))
+    if isinstance(node, MultiPhraseQ):
+        return _dc.replace(
+            node, termss=tuple(tuple(fn(t) for t in ts) for ts in node.termss)
+        )
+    if isinstance(node, TermInSetQ):
+        return _dc.replace(node, terms=tuple(fn(t) for t in node.terms))
+    if isinstance(node, SpanNotQ):
+        return _dc.replace(
+            node,
+            include=map_terms(node.include, fn),
+            exclude=map_terms(node.exclude, fn),
+        )
+    if isinstance(node, (BoostQ, ConstScoreQ, FunctionScoreQ)):
+        return _dc.replace(node, child=map_terms(node.child, fn))
+    if isinstance(node, DisMaxQ):
+        return _dc.replace(
+            node, clauses=tuple(map_terms(c, fn) for c in node.clauses)
+        )
+    if isinstance(node, BoolQ):
+        return _dc.replace(
+            node,
+            must=tuple(map_terms(c, fn) for c in node.must),
+            should=tuple(map_terms(c, fn) for c in node.should),
+            must_not=tuple(map_terms(c, fn) for c in node.must_not),
+            filter=tuple(map_terms(c, fn) for c in node.filter),
+        )
+    # multi-term / match-all / doc-values nodes: no analyzed terms
+    return node
+
+
 def qualify_node(node, field: str):
     """Scope a query node to ``field`` by qualifying its term keys
     (``plans/fields.py``). Positional/leaf structure is preserved; nodes
