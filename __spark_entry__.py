@@ -788,6 +788,39 @@ def _q_suggest_fuzzy(spark, sf_dir):
     )
 
 
+_FREETEXT_CACHE: dict[str, str] = {}
+FREETEXT_KEY = "order fast s"  # consults the tri-, bi-, and unigram models
+
+
+def _free_text_for(spark, sf_dir: str) -> str:
+    """Build (once) and cache the FreeTextSuggester gram model over the
+    documents corpus (1..3-grams of lowercase whitespace tokens)."""
+    from lucene_spark.operators.suggest import build_free_text
+
+    if sf_dir in _FREETEXT_CACHE:
+        return _FREETEXT_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    out = f"/tmp/lucene_spark_freetext_{INDEX_FORMAT_VERSION}_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    build_free_text(spark, docs, out)
+    _FREETEXT_CACHE[sf_dir] = out
+    return out
+
+
+def _q_suggest_free_text(spark, sf_dir):
+    """FreeTextSuggester: stupid-backoff n-gram language model — the key
+    'order fast s' consults the trigram model first ('order fast s*'
+    completions over context count 'order fast'), then backs off by
+    ALPHA per order to 'fast s*' bigrams and 's*' unigrams, each last
+    word claimed only by the highest order that saw it
+    (suggest/.../analyzing/FreeTextSuggester.java:433-720)."""
+    from lucene_spark.operators.suggest import free_text_lookup
+
+    return free_text_lookup(
+        spark, _free_text_for(spark, sf_dir), FREETEXT_KEY, n=8
+    )
+
+
 def _q_dfi_topk(spark, sf_dir):
     """DFISimilarity(IndependenceStandardized) — divergence from
     independence, the parameter-free chi-square family, through the
@@ -2044,7 +2077,8 @@ _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
     "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
     "axiomatic_topk", "suggest_analyzing",
-    "suggest_fuzzy", "geo_polygon", "monitor_match", "monitor_pairs",
+    "suggest_fuzzy", "suggest_free_text", "geo_polygon", "monitor_match",
+    "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
@@ -2154,6 +2188,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "english_topk": _q_english_topk,
         "ascii_fold": _q_ascii_fold,
         "suggest_fuzzy": _q_suggest_fuzzy,
+        "suggest_free_text": _q_suggest_free_text,
         "axiomatic_f2log_topk": _q_axiomatic_f2log_topk,
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
@@ -2329,6 +2364,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_fuzzy": osql.suggest_fuzzy_sql(
             SUGG_FUZZY_KEY, SUGG_FUZZY_KEY
         ),
+        "suggest_free_text": osql.suggest_free_text_sql(FREETEXT_KEY, n=8),
         "axiomatic_f2log_topk": osql.axiomatic_topk_sql(
             T_HOT, variant="log"
         ),

@@ -267,3 +267,176 @@ def spell_suggest(
         .select("term", F.col("distance").cast("int").alias("distance"),
                 F.col("doc_freq").cast("long").alias("doc_freq"))
     )
+
+
+# ------------------------------------------------------- FreeTextSuggester
+
+FREE_TEXT_ALPHA = 0.4  # FreeTextSuggester.ALPHA (stupid backoff)
+
+
+def build_free_text(
+    spark,
+    docs: DataFrame,
+    out_path: str,
+    *,
+    grams: int = 3,
+    text_col: str = "text",
+    key_partitions: int = 1,
+) -> None:
+    """Build the FreeTextSuggester n-gram language model
+    (``suggest/.../analyzing/FreeTextSuggester.java:176-360`` build: the
+    analyzer wrapped in a ShingleFilter emits every 1..grams-gram, and the
+    'index' stores each gram with its total occurrence count as weight).
+
+    Spark-first: grams come straight off the token array with
+    ``transform(sequence(...))`` — one JVM-side projection, no UDF — and
+    the model is ONE groupBy(gram) count. The table is range-sorted by
+    gram so a lookup's prefix scan prunes to the row groups covering the
+    context (the FST-arc analog used by every suggester table here). The
+    suggester's analyzer is a plain whitespace+lowercase chain with NO
+    stop filter (suggesters keep function words; Lucene passes a
+    dedicated analyzer too).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+
+    def _gram_col(n: int):
+        # sequence(1, x) DESCENDS for x < 1, so gate on having >= n tokens
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    gram_cols = [_gram_col(n) for n in range(1, grams + 1)]
+    exploded = docs.select(
+        F.explode(F.flatten(F.array(*gram_cols))).alias("gram")
+    )
+    counts = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.withColumn(
+        "n", F.size(F.split(F.col("gram"), " "))
+    )
+    (
+        counts.repartitionByRange(key_partitions, "gram")
+        .sortWithinPartitions("gram")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def free_text_tokens(key: str, grams: int) -> "list[str | None]":
+    """lastTokens[] per FreeTextSuggester.lookup:433-516 — index ``o``
+    holds the last ``o+1``-gram of the input (context + partial last
+    token). A key ending in whitespace "upgrades" every token one order
+    (trailing separator appended) so "foo " predicts bigrams starting
+    with foo, never unigrams; the unigram slot becomes the empty string,
+    which the consult loop skips ("don't make unigram predictions from
+    empty string")."""
+    toks = [t for t in key.lower().split(" ") if t]
+    if not toks:
+        raise ValueError("no tokens produced from key")
+    last: "list[str | None]" = [None] * grams
+    for o in range(grams):
+        if o + 1 <= len(toks):
+            last[o] = " ".join(toks[-(o + 1):])
+    if key.endswith(" "):
+        for o in range(grams - 1, 0, -1):
+            if last[o - 1] is not None:
+                last[o] = last[o - 1] + " "
+        last[0] = ""
+    return last
+
+
+def free_text_context(token: str) -> "str | None":
+    """The context gram whose count is the score denominator: everything
+    before the token's last separator (FreeTextSuggester.java:575-590);
+    None means no separator — the unigram model, denominator totTokens."""
+    if token.endswith(" "):
+        return token[:-1]
+    if " " in token:
+        return token.rsplit(" ", 1)[0]
+    return None
+
+
+def free_text_lookup(
+    spark,
+    path: str,
+    key: str,
+    n: int = 5,
+    *,
+    grams: int = 3,
+) -> DataFrame:
+    """FreeTextSuggester.lookup (FreeTextSuggester.java:433-720): predict
+    or complete the last token under the stupid-backoff model.
+
+    Per order, highest first: the last ``order`` context tokens (plus the
+    partial last token, or a trailing separator if the key ends with
+    whitespace) form the prefix; completions within that model score
+    ``backoff * count(gram) / count(context)`` (context count from the
+    next-lower-order model, totTokens for unigrams — java:575-590).
+    ``backoff`` multiplies by ALPHA after each consulted order, hit or
+    miss (java:566,699); orders the input is too short for neither
+    consult nor decay. A completed last token is suggested only by the
+    highest order that saw it (the ``seen`` set, java:531,681-685), each
+    order contributes at most ``n`` suggestions (the TopNSearcher topN),
+    and the final ranking is score desc, gram text asc (java:704-720).
+    Scores here are the raw double ``backoff*cnt/ctx``; the reference
+    scales by Long.MAX_VALUE and truncates to long — order-identical.
+
+    The whole lookup is ONE lazy Spark plan, no driver collects: each
+    consulted order is a pushed-down (n == order+1 AND startswith) scan
+    of the range-sorted gram table feeding a distributed
+    TakeOrderedAndProject top-n, the seen-set dedup is a broadcast
+    anti-join against the higher orders' results, and the context count
+    joins in as a broadcast scalar. Only row groups whose gram range
+    covers the prefix are read, however large the model — the FST-arc
+    pruning analog.
+    """
+    gdf = spark.read.parquet(path)
+    last = free_text_tokens(key, grams)
+
+    backoff = 1.0
+    seen: "DataFrame | None" = None  # lastwords claimed by higher orders
+    branches: "list[DataFrame]" = []
+    for order in range(grams - 1, -1, -1):
+        token = last[order]
+        if token is None or (token == "" and key):
+            continue  # input too short for this order: no consult, no decay
+        cand = gdf.where(
+            (F.col("n") == order + 1) & F.col("gram").startswith(token)
+        ).select(
+            "gram", "cnt",
+            F.element_at(F.split(F.col("gram"), " "), -1).alias("lastword"),
+        )
+        if seen is not None:
+            cand = cand.join(F.broadcast(seen), "lastword", "left_anti")
+        res = cand.orderBy(F.desc("cnt"), F.asc("gram")).limit(n)
+        context = free_text_context(token)
+        if context is not None:
+            ctx = gdf.where(
+                (F.col("n") == order) & (F.col("gram") == context)
+            ).select(F.col("cnt").alias("ctx"))
+        else:
+            ctx = gdf.where(F.col("n") == 1).agg(F.sum("cnt").alias("ctx"))
+        # inner cross join: a missing context (0 rows) empties the branch,
+        # matching the reference's backoff-and-continue on unseen context
+        scored = res.crossJoin(F.broadcast(ctx)).select(
+            "gram",
+            (F.lit(backoff) * F.col("cnt") / F.col("ctx")).alias("score"),
+            "lastword",
+        )
+        branches.append(scored)
+        claimed = res.select("lastword")
+        seen = claimed if seen is None else seen.union(claimed)
+        backoff *= FREE_TEXT_ALPHA
+    if not branches:
+        return spark.createDataFrame([], schema="gram string, score double")
+    allres = branches[0]
+    for b in branches[1:]:
+        allres = allres.union(b)
+    return (
+        allres.orderBy(F.desc("score"), F.asc("gram"))
+        .limit(n)
+        .select("gram", "score")
+    )

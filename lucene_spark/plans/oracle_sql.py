@@ -1075,6 +1075,78 @@ ORDER BY (surface = '{key}') DESC, weight DESC, surface ASC
 LIMIT {n}"""
 
 
+def suggest_free_text_sql(key: str, n: int = 5, grams: int = 3) -> str:
+    """FreeTextSuggester lookup twin (stupid backoff,
+    suggest/.../analyzing/FreeTextSuggester.java:433-720). The gram
+    model is every 1..grams-gram of the lowercase whitespace tokens of
+    ``documents.text`` with its occurrence count; for the fixed lookup
+    key the consulted orders, their prefixes, contexts, and backoff
+    constants are computed here at SQL-gen time with the SAME driver
+    logic the Spark lookup uses (free_text_tokens/free_text_context),
+    so the two sides replay identical plans: per order, candidates =
+    grams of that order starting with the prefix whose last word no
+    higher order claimed, top-n by (cnt desc, gram asc), scored
+    backoff * cnt / context-count as doubles in the same operation
+    order; final ranking score desc, gram asc."""
+    from ..operators.suggest import (
+        FREE_TEXT_ALPHA, free_text_context, free_text_tokens,
+    )
+
+    last = free_text_tokens(key, grams)
+    gram_rows = "\n  UNION ALL\n".join(
+        f"  SELECT array_to_string(ts[i:i+{m - 1}], ' ') AS gram, {m} AS n"
+        f" FROM toks, unnest(generate_series(1, len(ts)-{m - 1})) t(i)"
+        for m in range(1, grams + 1)
+    )
+    ctes = [f"""toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+gramrows AS (
+{gram_rows}
+),
+grams AS (SELECT gram, n, count(*) AS cnt FROM gramrows GROUP BY gram, n)"""]
+
+    backoff = 1.0
+    res_names: list[str] = []
+    for order in range(grams - 1, -1, -1):
+        token = last[order]
+        if token is None or (token == "" and key):
+            continue
+        context = free_text_context(token)
+        if context is not None:
+            ctx = (f"(SELECT cnt FROM grams WHERE n = {order} "
+                   f"AND gram = '{context}')")
+        else:
+            ctx = "(SELECT sum(cnt) FROM grams WHERE n = 1)"
+        anti = ""
+        if res_names:
+            union = " UNION ALL ".join(
+                f"SELECT lastword FROM {r}" for r in res_names
+            )
+            anti = (f"\n    AND string_split(gram, ' ')[-1] "
+                    f"NOT IN ({union})")
+        name = f"res{order}"
+        ctes.append(f"""{name} AS (
+  SELECT gram, score, lastword FROM (
+    SELECT gram,
+           CAST({backoff!r} AS DOUBLE) * cnt / {ctx} AS score,
+           string_split(gram, ' ')[-1] AS lastword
+    FROM grams
+    WHERE n = {order + 1} AND starts_with(gram, '{token}'){anti}
+    ORDER BY cnt DESC, gram ASC
+    LIMIT {n}
+  ) WHERE score IS NOT NULL
+)""")
+        res_names.append(name)
+        backoff *= FREE_TEXT_ALPHA
+
+    union_all = " UNION ALL ".join(f"SELECT * FROM {r}" for r in res_names)
+    return f"""WITH {','.join(ctes)}
+SELECT gram, score FROM ({union_all})
+ORDER BY score DESC, gram ASC LIMIT {n}"""
+
+
 def spell_suggest_sql(word: str, max_edits: int = 2, n: int = 5) -> str:
     """DirectSpellChecker ranking: distance asc, docFreq desc, term asc."""
     return f"""WITH {base_ctes()}

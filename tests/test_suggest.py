@@ -123,3 +123,154 @@ def test_max_surface_per_key_cap(spark, tmp_path):
     # lookup sees only the kept survivors
     got = analyzing_lookup(spark, out, "k", n=10).collect()
     assert [r["surface"] for r in got] == ["k a", "the k a"]
+
+
+# ----------------------------------------------------- FreeTextSuggester
+
+from collections import Counter
+
+from lucene_spark.operators.suggest import (
+    FREE_TEXT_ALPHA, build_free_text, free_text_context, free_text_lookup,
+    free_text_tokens,
+)
+
+
+def _replay(docs, key, n, grams=3):
+    """Reference replay of FreeTextSuggester.lookup:433-720 over plain
+    Python gram counts: per consulted order (highest first) take up to
+    n candidates by (cnt desc, gram asc) whose last word no higher
+    order claimed, score backoff * cnt / contextCount with the same
+    double ops as the Spark plan, decay backoff by ALPHA per consulted
+    order, final sort score desc / gram asc."""
+    cnt = Counter()
+    for d in docs:
+        ts = [t for t in d.lower().split(" ") if t]
+        for m in range(1, grams + 1):
+            for i in range(len(ts) - m + 1):
+                cnt[" ".join(ts[i:i + m])] += 1
+    tot = sum(c for g, c in cnt.items() if " " not in g)
+    last = free_text_tokens(key, grams)
+    backoff, seen, results = 1.0, set(), []
+    for order in range(grams - 1, -1, -1):
+        token = last[order]
+        if token is None or (token == "" and key):
+            continue
+        ctx = free_text_context(token)
+        ctx_cnt = cnt.get(ctx, 0) if ctx is not None else tot
+        if ctx_cnt > 0:
+            cands = sorted(
+                ((g, c) for g, c in cnt.items()
+                 if g.count(" ") == order and g.startswith(token)),
+                key=lambda gc: (-gc[1], gc[0]),
+            )
+            added = 0
+            for g, c in cands:
+                if added >= n:
+                    break
+                lw = g.rsplit(" ", 1)[-1]
+                if lw in seen:
+                    continue
+                seen.add(lw)
+                results.append((g, backoff * c / ctx_cnt))
+                added += 1
+        backoff *= FREE_TEXT_ALPHA
+    results.sort(key=lambda kv: (-kv[1], kv[0]))
+    return results[:n]
+
+
+FT_DOCS = [
+    "foo bar baz",
+    "foo bar boo",
+    "foo bar bar foo",
+    "bar foo bar",
+    "boo baz",
+]
+
+
+@pytest.fixture(scope="module")
+def ft_path(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("freetext") / "grams")
+    docs = spark.createDataFrame([(d,) for d in FT_DOCS], "text string")
+    build_free_text(spark, docs, out)
+    return out
+
+
+def _got(spark, path, key, n):
+    return [(r["gram"], r["score"])
+            for r in free_text_lookup(spark, path, key, n=n).collect()]
+
+
+def test_free_text_trigram_scores(spark, ft_path):
+    """Highest-order completions score cnt/ctx with backoff 1.0:
+    context 'foo bar' occurs 4x (incl. 'bar foo bar'); 'foo bar b*'
+    trigrams are baz/boo/bar 1x each (gram-asc tie order)."""
+    got = _got(spark, ft_path, "foo bar b", 3)
+    assert got == [
+        ("foo bar bar", 1 / 4), ("foo bar baz", 1 / 4),
+        ("foo bar boo", 1 / 4),
+    ]
+
+
+def test_free_text_backoff_and_seen(spark, ft_path):
+    """Lower orders decay by ALPHA and skip last words a higher order
+    claimed — exact replay equality includes the double bit patterns."""
+    got = _got(spark, ft_path, "foo bar b", 8)
+    assert got == _replay(FT_DOCS, "foo bar b", 8)
+    # bigram 'bar b*' candidates re-rank under backoff, minus seen words
+    grams = [g for g, _ in got]
+    assert len(set(g.rsplit(" ", 1)[-1] for g in grams)) == len(grams)
+
+
+def test_free_text_trailing_space_upgrades(spark, ft_path):
+    """'foo ' predicts bigrams starting with foo, never unigrams
+    (FreeTextSuggester.java:500-516 lastTokenEnded upgrade)."""
+    got = _got(spark, ft_path, "foo ", 5)
+    assert got == _replay(FT_DOCS, "foo ", 5)
+    assert all(g.startswith("foo ") for g, _ in got)
+    # 'foo bar' dominates: count 4 over context count 5
+    assert got[0] == ("foo bar", 4 / 5)
+
+
+def test_free_text_unigram_tottokens(spark, ft_path):
+    """A single partial token consults the unigram model with
+    totTokens as the denominator."""
+    got = _got(spark, ft_path, "b", 5)
+    assert got == _replay(FT_DOCS, "b", 5)
+    tot = sum(len(d.split()) for d in FT_DOCS)  # 15
+    assert ("bar", 6 / tot) in got  # 'bar' occurs 6x
+
+
+def test_free_text_unseen_context_backs_off(spark, ft_path):
+    """A context the trigram model never saw contributes nothing but
+    still decays the backoff for the lower orders (java:566)."""
+    got = _got(spark, ft_path, "zzz qqq b", 5)
+    assert got == _replay(FT_DOCS, "zzz qqq b", 5)
+    assert got  # unigram order still answers, at ALPHA^2
+    assert all(s <= FREE_TEXT_ALPHA ** 2 * 1.0 for _, s in got)
+
+
+def test_free_text_empty_key_raises(spark, ft_path):
+    with pytest.raises(ValueError):
+        free_text_lookup(spark, ft_path, "   ")
+
+
+def test_free_text_randomized_replay(spark, tmp_path):
+    """Seeded random corpora: the lazy Spark plan replays the reference
+    algorithm exactly, doubles included."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["a", "ab", "b", "ba", "c", "ca"]
+    for trial in range(2):
+        docs = [
+            " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(1, 12)))
+            for _ in range(30)
+        ]
+        out = str(tmp_path / f"ft{trial}")
+        build_free_text(
+            spark, spark.createDataFrame([(d,) for d in docs],
+                                         "text string"), out)
+        for key in ("a b", "ba c", "a ", "b"):
+            assert _got(spark, out, key, 4) == _replay(docs, key, 4), \
+                (trial, key)
