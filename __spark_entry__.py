@@ -821,6 +821,27 @@ def _q_suggest_free_text(spark, sf_dir):
     )
 
 
+CT_TERMS = ("dup", "batch", "scan")  # dup df=25 LOW, batch/scan ~400 HIGH
+CT_MTF = 0.1  # ratio cut = ceil(f32(0.1) * f32(500)) = 50 at sf0.01
+
+
+def _q_common_terms_topk(spark, sf_dir):
+    """CommonTermsQuery (SHOULD/SHOULD, maxTermFrequency=0.1): the rare
+    term 'dup' lands in the required LOW group and drives matching; the
+    stopword-class 'batch'/'scan' are optional HIGH scorers
+    (queries/.../CommonTermsQuery.java:105-204)."""
+    from lucene_spark.operators.common_terms import common_terms_query
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for(spark, sf_dir))
+    node = common_terms_query(s, list(CT_TERMS), max_term_frequency=CT_MTF)
+    pdf = s.search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_dfi_topk(spark, sf_dir):
     """DFISimilarity(IndependenceStandardized) — divergence from
     independence, the parameter-free chi-square family, through the
@@ -2077,8 +2098,8 @@ _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
     "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
     "axiomatic_topk", "suggest_analyzing",
-    "suggest_fuzzy", "suggest_free_text", "geo_polygon", "monitor_match",
-    "monitor_pairs",
+    "suggest_fuzzy", "suggest_free_text", "common_terms_topk",
+    "geo_polygon", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
@@ -2189,6 +2210,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_fold": _q_ascii_fold,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_free_text": _q_suggest_free_text,
+        "common_terms_topk": _q_common_terms_topk,
         "axiomatic_f2log_topk": _q_axiomatic_f2log_topk,
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
@@ -2365,6 +2387,9 @@ def oracle_sql() -> dict[str, str]:
             SUGG_FUZZY_KEY, SUGG_FUZZY_KEY
         ),
         "suggest_free_text": osql.suggest_free_text_sql(FREETEXT_KEY, n=8),
+        "common_terms_topk": osql.common_terms_topk_sql(
+            [CT_TERMS[0]], list(CT_TERMS[1:])
+        ),
         "axiomatic_f2log_topk": osql.axiomatic_topk_sql(
             T_HOT, variant="log"
         ),

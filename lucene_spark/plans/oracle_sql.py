@@ -229,6 +229,37 @@ FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
 ORDER BY score DESC, s1.doc_id ASC LIMIT {k}"""
 
 
+def common_terms_topk_sql(low_terms: "list[str]", high_terms: "list[str]",
+                          k: int = 10) -> str:
+    """CommonTermsQuery (SHOULD/SHOULD) twin
+    (queries/.../CommonTermsQuery.java buildQuery): the low/high split is
+    precomputed for the gate's fixed corpus (docFreq vs
+    ceil(f32(maxTermFrequency)*f32(maxDoc)), same constants the engine's
+    rewrite derives from the terms table). Matches = docs hitting >= 1
+    LOW term; score = f32(f32(sum low BM25) + f32(sum high BM25)) — the
+    nested boolean's per-group float32 cast points."""
+    ctes = [scored_term_cte(f"lo{i}", t) for i, t in enumerate(low_terms)]
+    ctes += [scored_term_cte(f"hi{i}", t) for i, t in enumerate(high_terms)]
+    lo_union = " UNION ALL ".join(
+        f"SELECT * FROM lo{i}" for i in range(len(low_terms)))
+    hi_union = " UNION ALL ".join(
+        f"SELECT * FROM hi{i}" for i in range(len(high_terms)))
+    return f"""WITH {base_ctes()},{','.join(ctes)},
+lowg AS (
+  SELECT doc_id, CAST(sum(score) AS FLOAT) AS ls
+  FROM ({lo_union}) GROUP BY doc_id
+),
+hig AS (
+  SELECT doc_id, CAST(sum(score) AS FLOAT) AS hs
+  FROM ({hi_union}) GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(CAST(l.ls + COALESCE(h.hs, CAST(0 AS FLOAT)) AS FLOAT)
+            AS DOUBLE) AS score
+FROM lowg l LEFT JOIN hig h ON l.doc_id = h.doc_id
+ORDER BY score DESC, l.doc_id ASC LIMIT {k}"""
+
+
 def topk_not_sql(t1: str, t2: str, k: int = 10) -> str:
     # ReqExclScorer: required clause's score passes through unchanged
     return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)}
