@@ -821,6 +821,67 @@ def _q_suggest_free_text(spark, sf_dir):
     )
 
 
+_FEATURES_CACHE: dict[str, str] = {}
+FEAT_MOD = 13  # synthetic 'pr' feature: (doc_id % 13) + 1 — quantization-exact
+
+
+def _features_for(spark, sf_dir: str) -> str:
+    """Build (once) the FeatureField table: feature 'pr' over every doc,
+    value (doc_id % FEAT_MOD) + 1 — deterministic, quantization-exact
+    small ints so the DuckDB twin can use raw values."""
+    from lucene_spark.operators.feature_field import build_features
+
+    if sf_dir in _FEATURES_CACHE:
+        return _FEATURES_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    out = f"/tmp/lucene_spark_feat_{INDEX_FORMAT_VERSION}_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    entries = docs.select(
+        F.lit("pr").alias("feature"),
+        F.col("doc_id").cast("long").alias("gid"),
+        ((F.col("doc_id") % FEAT_MOD) + 1).cast("float").alias("value"),
+    )
+    build_features(spark, entries, out)
+    _FEATURES_CACHE[sf_dir] = out
+    return out
+
+
+def _q_feature_sat_topk(spark, sf_dir):
+    """FeatureField.newSaturationQuery(pivot=4, w=1.5) as the SHOULD
+    clause next to a MUST 'merge' TermQuery — static per-doc features
+    stored freq-quantized, scored w*S/(S+k), ADDED to BM25
+    (core/document/FeatureField.java:90-99,375-391)."""
+    from lucene_spark.operators.feature_field import feature_boosted_topk
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans.query import TermQ
+
+    s = Searcher(spark, _index_for(spark, sf_dir))
+    df = feature_boosted_topk(
+        s, TermQ(T_HOT), _features_for(spark, sf_dir), "pr",
+        "saturation", k=10, pivot=4.0, weight=1.5,
+    )
+    return df.select(
+        F.col("gid").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_feature_log_topk(spark, sf_dir):
+    """Standalone FeatureField.newLogQuery(a=1, w=2) top-k: match set =
+    docs carrying the feature, score = w*ln(a+S)
+    (core/document/FeatureField.java:304-315)."""
+    from lucene_spark.operators.feature_field import feature_topk
+
+    df = feature_topk(
+        spark, _features_for(spark, sf_dir), "pr", "log",
+        k=10, scaling_factor=1.0, weight=2.0,
+    )
+    return df.select(
+        F.col("gid").cast("long"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 CT_TERMS = ("dup", "batch", "scan")  # dup df=25 LOW, batch/scan ~400 HIGH
 CT_MTF = 0.1  # ratio cut = ceil(f32(0.1) * f32(500)) = 50 at sf0.01
 
@@ -2099,6 +2160,7 @@ _NEVER_DRIVER_SAMPLED = [
     "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
     "axiomatic_topk", "suggest_analyzing",
     "suggest_fuzzy", "suggest_free_text", "common_terms_topk",
+    "feature_sat_topk", "feature_log_topk",
     "geo_polygon", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
@@ -2211,6 +2273,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_free_text": _q_suggest_free_text,
         "common_terms_topk": _q_common_terms_topk,
+        "feature_sat_topk": _q_feature_sat_topk,
+        "feature_log_topk": _q_feature_log_topk,
         "axiomatic_f2log_topk": _q_axiomatic_f2log_topk,
         "lm_jm_topk": _q_lm_jm_topk,
         "lm_dirichlet_phrase_topk": _q_lm_dirichlet_phrase_topk,
@@ -2389,6 +2453,12 @@ def oracle_sql() -> dict[str, str]:
         "suggest_free_text": osql.suggest_free_text_sql(FREETEXT_KEY, n=8),
         "common_terms_topk": osql.common_terms_topk_sql(
             [CT_TERMS[0]], list(CT_TERMS[1:])
+        ),
+        "feature_sat_topk": osql.feature_saturation_topk_sql(
+            T_HOT, FEAT_MOD, pivot=4.0, weight=1.5
+        ),
+        "feature_log_topk": osql.feature_log_topk_sql(
+            FEAT_MOD, scaling_factor=1.0, weight=2.0
         ),
         "axiomatic_f2log_topk": osql.axiomatic_topk_sql(
             T_HOT, variant="log"

@@ -229,6 +229,55 @@ FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
 ORDER BY score DESC, s1.doc_id ASC LIMIT {k}"""
 
 
+def _feature_value_sql(modulus: int) -> str:
+    """The gate's synthetic feature: (doc_id % modulus) + 1 — small
+    integers survive FeatureField's 9-significand-bit quantization
+    exactly, so the oracle can use the raw value."""
+    return _f4(f"(doc_id % {modulus}) + 1")
+
+
+def feature_saturation_topk_sql(term: str, modulus: int, pivot: float,
+                                weight: float, k: int = 10) -> str:
+    """FeatureField.newSaturationQuery as a SHOULD clause next to a MUST
+    term query (FeatureField.java:90-99 pattern, SaturationFunction
+    java:375-391): feature score = f32(w * f32(1 - f32(p / f32(S + p))))
+    — all-float32 ops — added to the BM25 clause in double with one
+    final float32 cast."""
+    import numpy as np
+
+    p = repr(float(np.float32(pivot)))
+    w = repr(float(np.float32(weight)))
+    s = _feature_value_sql(modulus)
+    t1 = _f4(f"{s} + {_f4(p)}")
+    t2 = _f4(f"{_f4(p)} / {t1}")
+    t3 = _f4(f"{_f4('1.0')} - {t2}")
+    fscore = _f4(f"{_f4(w)} * {t3}")
+    return f"""WITH {base_ctes()},{scored_term_cte('s', term)},
+feat AS (SELECT doc_id, {fscore} AS fscore FROM documents)
+SELECT s.doc_id,
+       CAST(CAST(s.score + COALESCE(f.fscore, CAST(0 AS FLOAT)) AS FLOAT)
+            AS DOUBLE) AS score
+FROM s LEFT JOIN feat f ON f.doc_id = s.doc_id
+ORDER BY score DESC, s.doc_id ASC LIMIT {k}"""
+
+
+def feature_log_topk_sql(modulus: int, scaling_factor: float,
+                         weight: float, k: int = 10) -> str:
+    """Standalone FeatureField.newLogQuery top-k (LogFunction
+    java:304-315): score = f32(w * ln(f32(a + S))) — float32 add, double
+    ln and multiply, one final float32 cast."""
+    import numpy as np
+
+    a = repr(float(np.float32(scaling_factor)))
+    w = repr(float(np.float32(weight)))
+    s = _feature_value_sql(modulus)
+    inner = _f4(f"{_f4(a)} + {s}")
+    fscore = _f4(f"CAST({w} AS DOUBLE) * ln(CAST({inner} AS DOUBLE))")
+    return f"""SELECT doc_id AS gid, CAST({fscore} AS DOUBLE) AS score
+FROM documents
+ORDER BY score DESC, gid ASC LIMIT {k}"""
+
+
 def common_terms_topk_sql(low_terms: "list[str]", high_terms: "list[str]",
                           k: int = 10) -> str:
     """CommonTermsQuery (SHOULD/SHOULD) twin
