@@ -821,6 +821,42 @@ def _q_suggest_free_text(spark, sf_dir):
     )
 
 
+_INFIX_CACHE: dict[str, str] = {}
+INFIX_KEY = "order f"  # exact 'order' anywhere + 'f*' prefix anywhere
+
+
+def _infix_for(spark, sf_dir: str) -> str:
+    """Build (once) the AnalyzingInfixSuggester tables: surface = first
+    4 whitespace tokens of each document, weight = text length."""
+    from lucene_spark.operators.suggest import build_infix_suggester
+
+    if sf_dir in _INFIX_CACHE:
+        return _INFIX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    out = f"/tmp/lucene_spark_infix_{INDEX_FORMAT_VERSION}_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    entries = docs.select(
+        F.array_join(F.slice(toks, 1, 4), " ").alias("surface"),
+        F.length("text").cast("long").alias("weight"),
+    ).where(F.col("surface") != "")
+    build_infix_suggester(entries, out)
+    _INFIX_CACHE[sf_dir] = out
+    return out
+
+
+def _q_suggest_infix(spark, sf_dir):
+    """AnalyzingInfixSuggester: key tokens match ANYWHERE in the
+    suggestion — 'order' as a whole token, 'f' as a token prefix — rank
+    by weight, highlight the matched spans
+    (suggest/.../analyzing/AnalyzingInfixSuggester.java:626-934)."""
+    from lucene_spark.operators.suggest import infix_lookup
+
+    return infix_lookup(
+        spark, _infix_for(spark, sf_dir), INFIX_KEY, n=10
+    )
+
+
 _FEATURES_CACHE: dict[str, str] = {}
 FEAT_MOD = 13  # synthetic 'pr' feature: (doc_id % 13) + 1 — quantization-exact
 
@@ -2159,8 +2195,8 @@ _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
     "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
     "axiomatic_topk", "suggest_analyzing",
-    "suggest_fuzzy", "suggest_free_text", "common_terms_topk",
-    "feature_sat_topk", "feature_log_topk",
+    "suggest_fuzzy", "suggest_free_text", "suggest_infix",
+    "common_terms_topk", "feature_sat_topk", "feature_log_topk",
     "geo_polygon", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
@@ -2272,6 +2308,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_fold": _q_ascii_fold,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_free_text": _q_suggest_free_text,
+        "suggest_infix": _q_suggest_infix,
         "common_terms_topk": _q_common_terms_topk,
         "feature_sat_topk": _q_feature_sat_topk,
         "feature_log_topk": _q_feature_log_topk,
@@ -2451,6 +2488,7 @@ def oracle_sql() -> dict[str, str]:
             SUGG_FUZZY_KEY, SUGG_FUZZY_KEY
         ),
         "suggest_free_text": osql.suggest_free_text_sql(FREETEXT_KEY, n=8),
+        "suggest_infix": osql.suggest_infix_sql(INFIX_KEY, n=10),
         "common_terms_topk": osql.common_terms_topk_sql(
             [CT_TERMS[0]], list(CT_TERMS[1:])
         ),

@@ -440,3 +440,142 @@ def free_text_lookup(
         .limit(n)
         .select("gram", "score")
     )
+
+
+# -------------------------------------------------- AnalyzingInfixSuggester
+
+def build_infix_suggester(
+    entries: DataFrame,
+    out_path: str,
+    *,
+    key_partitions: int = 1,
+) -> None:
+    """Build the AnalyzingInfixSuggester tables
+    (``suggest/.../analyzing/AnalyzingInfixSuggester.java:380-470``: each
+    suggestion is indexed like a document — its analyzed tokens are the
+    searchable field, ranked by a weight doc value).
+
+    Spark-first layout, two parquet tables under ``out_path``:
+
+    - ``surfaces``: (surface, weight, toks) — duplicate surfaces keep
+      the max weight (the reference's update() semantics, deterministic
+      analog of last-writer);
+    - ``tokens``: distinct (tok, surface), RANGE-SORTED by tok — the
+      inverted index. An exact query token is a pushed-down equality
+      seek; the trailing prefix token a pushed-down StartsWith (the
+      reference gets the same via EdgeNGrams under minPrefixChars and
+      PrefixQuery above it, java:123-152 — both are term-dictionary
+      seeks, as here via parquet min/max pruning).
+
+    The analyzer is lowercase-whitespace with NO stop filter (infix
+    suggesters keep function words)."""
+    toks = F.filter(
+        F.split(F.lower(F.col("surface")), " "), lambda t: t != ""
+    )
+    dedup = (
+        entries.select(
+            F.col("surface").cast("string").alias("surface"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+        .groupBy("surface")
+        .agg(F.max("weight").alias("weight"))
+        .withColumn("toks", toks)
+        .where(F.size("toks") > 0)
+    )
+    (
+        dedup.repartitionByRange(key_partitions, "surface")
+        .sortWithinPartitions("surface")
+        .write.mode("overwrite")
+        .parquet(out_path + "/surfaces")
+    )
+    tok_rows = dedup.select(
+        F.explode("toks").alias("tok"), "surface"
+    ).distinct()
+    (
+        tok_rows.repartitionByRange(key_partitions, "tok")
+        .sortWithinPartitions("tok", "surface")
+        .write.mode("overwrite")
+        .parquet(out_path + "/tokens")
+    )
+
+
+def infix_lookup(
+    spark,
+    path: str,
+    key: str,
+    n: int = 5,
+    *,
+    all_terms_required: bool = True,
+    do_highlight: bool = True,
+) -> DataFrame:
+    """AnalyzingInfixSuggester.lookup
+    (AnalyzingInfixSuggester.java:626-760): every key token except the
+    last must match a token ANYWHERE in the suggestion (exact term
+    query); the last token matches as a prefix — unless the key ends
+    with whitespace, which makes it exact too (java:672-689). Tokens
+    combine MUST when ``all_terms_required`` else SHOULD, results rank
+    by weight desc (the reference sorts only by weight, java:723-729;
+    ties pinned surface asc here), and highlighting wraps whole matched
+    tokens in ``<b>..</b>`` and the matched PREFIX of the last token
+    (java:849-934; surfaces here reconstruct single-spaced).
+
+    One lazy plan: per-token pushed-down seeks into the tok-sorted
+    inverted table, semi-join chained (AND) or union-distinct (OR) into
+    the surfaces table, distributed top-n. No driver collects.
+    """
+    toks = [t for t in key.lower().split(" ") if t]
+    if not toks:
+        return spark.createDataFrame(
+            [], schema="surface string, weight long, highlighted string"
+        )
+    ended = key.endswith(" ")
+    exact = toks if ended else toks[:-1]
+    prefix = None if ended else toks[-1]
+
+    tok_df = spark.read.parquet(path + "/tokens")
+    sels = [
+        tok_df.where(F.col("tok") == t).select("surface") for t in exact
+    ]
+    if prefix is not None:
+        sels.append(
+            tok_df.where(F.col("tok").startswith(prefix))
+            .select("surface").distinct()
+        )
+    if all_terms_required:
+        cand = sels[0]
+        for s in sels[1:]:
+            cand = cand.join(s, "surface", "left_semi")
+    else:
+        cand = sels[0]
+        for s in sels[1:]:
+            cand = cand.union(s)
+        cand = cand.distinct()
+
+    surf = spark.read.parquet(path + "/surfaces")
+    res = surf.join(cand, "surface", "left_semi")
+
+    if do_highlight:
+        def hl(tok):
+            whole = tok.isin(list(exact)) if exact else F.lit(False)
+            out = F.when(
+                whole, F.concat(F.lit("<b>"), tok, F.lit("</b>"))
+            )
+            if prefix is not None:
+                pref = tok.startswith(prefix)
+                out = out.when(pref, F.concat(
+                    F.lit("<b>" + prefix + "</b>"),
+                    tok.substr(F.lit(len(prefix) + 1), F.length(tok)),
+                ))
+            return out.otherwise(tok)
+
+        res = res.withColumn(
+            "highlighted",
+            F.array_join(F.transform(F.col("toks"), hl), " "),
+        )
+    else:
+        res = res.withColumn("highlighted", F.col("surface"))
+    return (
+        res.orderBy(F.desc("weight"), F.asc("surface"))
+        .limit(n)
+        .select("surface", "weight", "highlighted")
+    )

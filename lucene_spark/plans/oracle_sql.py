@@ -1227,6 +1227,63 @@ SELECT gram, score FROM ({union_all})
 ORDER BY score DESC, gram ASC LIMIT {n}"""
 
 
+def suggest_infix_sql(key: str, n: int = 10, n_toks: int = 4,
+                      all_terms_required: bool = True) -> str:
+    """AnalyzingInfixSuggester lookup twin
+    (suggest/.../analyzing/AnalyzingInfixSuggester.java:626-934):
+    suggestions = first ``n_toks`` whitespace tokens of each document
+    (weight = text length, duplicates keep max weight); all key tokens
+    but the last must appear as whole tokens anywhere in the
+    suggestion, the last matches as a prefix (exact if the key ends
+    with whitespace); rank weight desc / surface asc; highlight wraps
+    whole matched tokens and the matched prefix of the last token."""
+    toks = [t for t in key.lower().split(" ") if t]
+    ended = key.endswith(" ")
+    exact = toks if ended else toks[:-1]
+    prefix = None if ended else toks[-1]
+
+    conds = [f"list_contains(ts, '{t}')" for t in exact]
+    if prefix is not None:
+        conds.append(
+            f"len(list_filter(ts, x -> starts_with(x, '{prefix}'))) > 0"
+        )
+    joiner = " AND " if all_terms_required else " OR "
+    where = joiner.join(conds) if conds else "TRUE"
+
+    cases = []
+    if exact:
+        in_list = ", ".join(f"'{t}'" for t in exact)
+        cases.append(f"WHEN x IN ({in_list}) THEN '<b>'||x||'</b>'")
+    if prefix is not None:
+        cases.append(
+            f"WHEN starts_with(x, '{prefix}') THEN "
+            f"'<b>{prefix}</b>'||substr(x, {len(prefix) + 1})"
+        )
+    hl = (f"array_to_string(list_transform(ts, x -> CASE "
+          f"{' '.join(cases)} ELSE x END), ' ')") if cases else "surface"
+
+    return f"""WITH entries AS (
+  SELECT array_to_string(
+           list_filter(string_split(text, ' '), t -> t <> '')[1:{n_toks}],
+           ' ') AS surface,
+         CAST(length(text) AS BIGINT) AS weight
+  FROM documents
+),
+dedup AS (
+  SELECT surface, max(weight) AS weight
+  FROM entries WHERE surface <> '' GROUP BY surface
+),
+toked AS (
+  SELECT surface, weight,
+         list_filter(string_split(lower(surface), ' '), t -> t <> '') AS ts
+  FROM dedup
+)
+SELECT surface, weight, {hl} AS highlighted
+FROM toked
+WHERE {where}
+ORDER BY weight DESC, surface ASC LIMIT {n}"""
+
+
 def spell_suggest_sql(word: str, max_edits: int = 2, n: int = 5) -> str:
     """DirectSpellChecker ranking: distance asc, docFreq desc, term asc."""
     return f"""WITH {base_ctes()}

@@ -274,3 +274,70 @@ def test_free_text_randomized_replay(spark, tmp_path):
         for key in ("a b", "ba c", "a ", "b"):
             assert _got(spark, out, key, 4) == _replay(docs, key, 4), \
                 (trial, key)
+
+
+# ------------------------------------------------ AnalyzingInfixSuggester
+
+from lucene_spark.operators.suggest import build_infix_suggester, infix_lookup
+
+
+@pytest.fixture(scope="module")
+def infix_path(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("infix") / "sugg")
+    entries = spark.createDataFrame(
+        [
+            ("lend me your ear", 8),
+            ("a penny saved is a penny earned", 10),
+            ("the quick brown fox", 7),
+            ("earn while you learn", 9),
+            ("earn while you learn", 3),   # dup surface, lower weight
+        ],
+        schema="surface string, weight long",
+    )
+    build_infix_suggester(entries, out)
+    return out
+
+
+def test_infix_prefix_matches_anywhere(spark, infix_path):
+    """'ear' matches mid-suggestion token prefixes (the infix point),
+    ranked weight desc (AnalyzingInfixSuggester.java:626-729)."""
+    got = infix_lookup(spark, infix_path, "ear", n=10).collect()
+    assert [r["surface"] for r in got] == [
+        "a penny saved is a penny earned",  # earned, w=10
+        "earn while you learn",             # earn,   w=9 (max of dup)
+        "lend me your ear",                 # ear,    w=8
+    ]
+    assert got[0]["highlighted"] == "a penny saved is a penny <b>ear</b>ned"
+    assert got[1]["highlighted"] == "<b>ear</b>n while you learn"
+    assert got[2]["highlighted"] == "lend me your <b>ear</b>"
+
+
+def test_infix_all_terms_required(spark, infix_path):
+    """Non-last tokens are exact whole-token MUSTs: 'you' does NOT
+    match the token 'your', so only one suggestion survives."""
+    got = infix_lookup(spark, infix_path, "you ear", n=10).collect()
+    assert [r["surface"] for r in got] == ["earn while you learn"]
+    assert got[0]["highlighted"] == "<b>ear</b>n while <b>you</b> learn"
+
+
+def test_infix_trailing_space_exact(spark, infix_path):
+    """Key ending in whitespace makes the last token exact
+    (java:683-689): 'ear ' only matches the whole token 'ear'."""
+    got = infix_lookup(spark, infix_path, "ear ", n=10).collect()
+    assert [r["surface"] for r in got] == ["lend me your ear"]
+    assert got[0]["highlighted"] == "lend me your <b>ear</b>"
+
+
+def test_infix_any_terms_mode(spark, infix_path):
+    """allTermsRequired=False unions the per-token match sets."""
+    got = infix_lookup(spark, infix_path, "fox penny", n=10,
+                       all_terms_required=False).collect()
+    assert {r["surface"] for r in got} == {
+        "the quick brown fox", "a penny saved is a penny earned",
+    }
+
+
+def test_infix_no_highlight(spark, infix_path):
+    got = infix_lookup(spark, infix_path, "ear", n=10,
+                       do_highlight=False).collect()
+    assert all(r["highlighted"] == r["surface"] for r in got)
