@@ -1961,6 +1961,28 @@ def _q_range_facet(spark, sf_dir):
     return df.orderBy("label").select("label", F.col("n").cast("long"))
 
 
+DRILL_LANGS = ("en", "de")
+DRILL_SOURCES = ("src1", "src2", "src3", "src4", "src5")
+
+
+def _q_drill_sideways(spark, sf_dir):
+    """DrillSideways over the 'merge' match set: lang counts computed
+    with the source drill-down applied but NOT their own (and vice
+    versa) — the near-miss counts a faceted UI shows — plus the fully
+    drilled hit count (facet/.../DrillSideways.java:48-90,
+    DrillSidewaysScorer.java:120-210)."""
+    docs = _docs_table(spark, sf_dir)
+    df = _searcher(spark, sf_dir).drill_sideways(
+        T_HOT,
+        [
+            ("lang", docs, "lang", list(DRILL_LANGS)),
+            ("source", docs, "source", list(DRILL_SOURCES)),
+        ],
+        key_col="doc_id",
+    )
+    return df.select("dim", "label", F.col("n").cast("long").alias("n"))
+
+
 def _q_grouped_topk(spark, sf_dir):
     df = _searcher(spark, sf_dir).grouped_topk(
         T_HOT, _docs_table(spark, sf_dir), "lang", k_per_group=2, key_col="doc_id"
@@ -2197,6 +2219,7 @@ _NEVER_DRIVER_SAMPLED = [
     "axiomatic_topk", "suggest_analyzing",
     "suggest_fuzzy", "suggest_free_text", "suggest_infix",
     "common_terms_topk", "feature_sat_topk", "feature_log_topk",
+    "drill_sideways",
     "geo_polygon", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
@@ -2365,6 +2388,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_len": _q_sort_by_len,
         "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
+        "drill_sideways": _q_drill_sideways,
         "range_facet_doclen": _q_range_facet,
         "grouped_topk": _q_grouped_topk,
     }
@@ -2578,6 +2602,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY sort_val ASC, doc_id ASC LIMIT 10"
         ),
         "facet_lang": osql.facet_lang_sql(T_HOT),
+        "drill_sideways": osql.drill_sideways_sql(
+            T_HOT, list(DRILL_LANGS), list(DRILL_SOURCES)
+        ),
         "range_facet_doclen": osql.range_facet_sql(T_HOT, T_MID, FACET_RANGES),
         "grouped_topk": osql.grouped_topk_sql(T_HOT),
     }

@@ -4162,6 +4162,74 @@ class Searcher:
             .agg(F.count("*").alias("n"))
         )
 
+    def drill_sideways(self, base_query, dims,
+                       key_col: str = "key") -> DataFrame:
+        """DrillSideways (lucene/facet/.../DrillSideways.java:48-90): a
+        drill-down search that, for every DRILLED dimension, also counts
+        the facets that dimension WOULD show without its own filter —
+        "near misses" — while all other dimensions' drill-downs stay
+        applied. Non-drilled dimensions count over the full drill-down
+        match set, exactly like plain facet counting on the
+        DrillDownQuery.
+
+        ``dims``: list of (name, dim_df, dim_col, values) — ``values``
+        is the dimension's drill-down value set or None when the
+        dimension is only being counted. Returns (dim, label, n) rows
+        per dimension plus one ('$hits', '', n) row — the
+        DrillSidewaysResult hit count with every drill-down applied.
+
+        Plan shape: ONE base match-set scan (the expensive part), one
+        broadcast join per dimension to annotate each hit with its
+        labels, then a constant number of conditional aggregations — the
+        Spark expression of the reference's single-pass
+        DrillSidewaysScorer, which likewise visits base-query hits once
+        and routes docs failing exactly one drill to that dimension's
+        sideways collector (DrillSidewaysScorer.java:120-210). Docs
+        without a label row are uncounted, like docs missing the facet
+        field."""
+        node = (parse_query(base_query) if isinstance(base_query, str)
+                else base_query)
+        cand = self.candidates(node, k=_ALL_K, prune=False) \
+            .select("gid").distinct()
+        wide = cand.join(self.doc_rows().select("gid", "key"), "gid")
+        flags = []
+        for i, (name, dim_df, dim_col, values) in enumerate(dims):
+            d = dim_df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.col(dim_col).cast("string").alias(f"_d{i}"),
+            )
+            wide = wide.join(F.broadcast(d), "key", "left")
+            flags.append(
+                F.col(f"_d{i}").isin([str(v) for v in values])
+                if values is not None else F.lit(True)
+            )
+
+        def _all(conds):
+            out = F.lit(True)
+            for c in conds:
+                out = out & c
+            return out
+
+        outs = []
+        for i, (name, _df, _col, values) in enumerate(dims):
+            others = _all(f for j, f in enumerate(flags) if j != i)
+            outs.append(
+                wide.where(others & F.col(f"_d{i}").isNotNull())
+                .groupBy(F.col(f"_d{i}").alias("label"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(name).alias("dim"), "label", "n")
+            )
+        hits = (
+            wide.where(_all(flags))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit("$hits").alias("dim"), F.lit("").alias("label"),
+                    "n")
+        )
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.union(o)
+        return res.union(hits)
+
     def range_facet_counts(self, query, ranges,
                            value_col: str = "doc_len") -> DataFrame:
         """LongRangeFacetCounts analog (facet/range/LongRangeFacetCounts.java):

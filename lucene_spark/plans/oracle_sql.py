@@ -1403,6 +1403,30 @@ WHERE tf.term = '{term}'
 GROUP BY d.lang ORDER BY dim"""
 
 
+def drill_sideways_sql(term: str, langs: "list[str]",
+                       sources: "list[str]") -> str:
+    """DrillSideways twin (facet/.../DrillSideways.java:48-90): base
+    match set = docs containing ``term``; lang counts keep the source
+    drill but drop their own, source counts vice versa; the '$hits' row
+    applies both."""
+    lang_in = ", ".join(f"'{v}'" for v in langs)
+    src_in = ", ".join(f"'{v}'" for v in sources)
+    return f"""WITH {base_ctes()},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{term}'),
+w AS (
+  SELECT m.doc_id, d.lang, d.source
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT 'lang' AS dim, lang AS label, count(*)::BIGINT AS n
+FROM w WHERE source IN ({src_in}) AND lang IS NOT NULL GROUP BY lang
+UNION ALL
+SELECT 'source', source, count(*)::BIGINT
+FROM w WHERE lang IN ({lang_in}) AND source IS NOT NULL GROUP BY source
+UNION ALL
+SELECT '$hits', '', count(*)::BIGINT
+FROM w WHERE lang IN ({lang_in}) AND source IN ({src_in})"""
+
+
 def grouped_topk_sql(term: str, k_per_group: int = 2) -> str:
     return f"""WITH {base_ctes()},{scored_term_cte('s', term)},
 r AS (
