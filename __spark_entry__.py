@@ -1961,6 +1961,26 @@ def _q_range_facet(spark, sf_dir):
     return df.orderBy("label").select("label", F.col("n").cast("long"))
 
 
+def _q_combined_field_topk(spark, sf_dir):
+    """CombinedFieldQuery (BM25F): 'merge' scored over a synthetic
+    combined field — freq = 2*head_freq + 1*text_freq, length = the
+    weighted sum of the fields' decoded lengths re-encoded through
+    SmallFloat, idf/avgdl from merged pseudo statistics
+    (sandbox/.../CombinedFieldQuery.java:325-505,
+    MultiNormsLeafSimScorer.java:130-155)."""
+    from lucene_spark.operators.combined_field import combined_field_topk
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_fields(spark, sf_dir))
+    df = combined_field_topk(
+        s, [T_HOT], {"text": 1.0, "head": 2.0}, k=10
+    )
+    return df.select(
+        F.col("gid").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 DRILL_LANGS = ("en", "de")
 DRILL_SOURCES = ("src1", "src2", "src3", "src4", "src5")
 
@@ -2219,7 +2239,7 @@ _NEVER_DRIVER_SAMPLED = [
     "axiomatic_topk", "suggest_analyzing",
     "suggest_fuzzy", "suggest_free_text", "suggest_infix",
     "common_terms_topk", "feature_sat_topk", "feature_log_topk",
-    "drill_sideways",
+    "drill_sideways", "combined_field_topk",
     "geo_polygon", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
@@ -2389,6 +2409,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
         "drill_sideways": _q_drill_sideways,
+        "combined_field_topk": _q_combined_field_topk,
         "range_facet_doclen": _q_range_facet,
         "grouped_topk": _q_grouped_topk,
     }
@@ -2604,6 +2625,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang": osql.facet_lang_sql(T_HOT),
         "drill_sideways": osql.drill_sideways_sql(
             T_HOT, list(DRILL_LANGS), list(DRILL_SOURCES)
+        ),
+        "combined_field_topk": osql.combined_field_topk_sql(
+            T_HOT, w_text=1, w_head=2, max_toks=HEAD_TOKS
         ),
         "range_facet_doclen": osql.range_facet_sql(T_HOT, T_MID, FACET_RANGES),
         "grouped_topk": osql.grouped_topk_sql(T_HOT),

@@ -1634,6 +1634,85 @@ WHERE htf.term = '{term}'
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def combined_field_topk_sql(term: str, w_text: int, w_head: int,
+                            max_toks: int = 8, k: int = 10) -> str:
+    """CombinedFieldQuery twin (sandbox/.../CombinedFieldQuery.java,
+    MultiNormsLeafSimScorer.java) over the two-field (text + head)
+    index: pseudo docFreq = max over fields, pseudo docCount = max,
+    pseudo sumTTF = weighted sum (exact for the integer weights this
+    generator requires); per-doc freq = float32 chain of
+    weight*field-freq in field order (head, text); per-doc norm byte
+    re-encodes the float32 weighted sum of the fields' SmallFloat-
+    decoded lengths via round + intToByte4."""
+    assert float(w_text) == int(w_text) and float(w_head) == int(w_head), \
+        "oracle requires integer field weights (exact float32 sums)"
+    wt, wh = int(w_text), int(w_head)
+    df_pseudo = (
+        f"greatest(COALESCE((SELECT doc_freq FROM tstats "
+        f"WHERE term = '{term}'), 0), "
+        f"COALESCE((SELECT doc_freq FROM hts WHERE term = '{term}'), 0))"
+    )
+    dc_pseudo = ("greatest((SELECT doc_count FROM cstats), "
+                 "(SELECT doc_count FROM hcst))")
+    avgdl = (f"CAST(({wh} * (SELECT sum_ttf FROM hcst) + "
+             f"{wt} * (SELECT sum_ttf FROM cstats)) / "
+             f"CAST({dc_pseudo} AS DOUBLE) AS FLOAT)")
+    weight = idf_sql(df_pseudo, dc_pseudo)
+    # freq chain, fields sorted asc (head, text), each step float32
+    f_h = _f4(f"{_f4(str(wh))} * COALESCE(htf.freq, 0)")
+    f_t = _f4(f"{_f4(str(wt))} * COALESCE(tf.freq, 0)")
+    cfreq = _f4(f"{f_h} + {f_t}")
+    # norm chain: weighted decoded lengths, same field order
+    n_h = _f4(f"{_f4(str(wh))} * {_f4('dech.dec')}")
+    n_t = _f4(f"{_f4(str(wt))} * {_f4('dect.dec')}")
+    nv = _f4(f"{n_h} + {n_t}")
+    cache = cache_sql("nt.dec", avgdl)
+    score = bm25_score_sql(weight, "n.cfreq", cache)
+    return f"""WITH {base_ctes()},
+htoks AS (SELECT doc_id, term FROM toks WHERE pos <= {max_toks - 1}),
+hdl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN htoks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+hdn AS (
+  SELECT hdl.doc_id,
+         (SELECT max(b) FROM norm_tab WHERE norm_tab.dec <= hdl.doc_len)
+           AS norm_b
+  FROM hdl
+),
+hcst AS (
+  SELECT sum(CASE WHEN doc_len > 0 THEN 1 ELSE 0 END)::BIGINT AS doc_count,
+         sum(doc_len)::BIGINT AS sum_ttf
+  FROM hdl
+),
+htf AS (
+  SELECT term, doc_id, count(*)::BIGINT AS freq
+  FROM htoks GROUP BY term, doc_id
+),
+hts AS (SELECT term, count(*)::BIGINT AS doc_freq FROM htf GROUP BY term),
+combo AS (
+  SELECT d.doc_id, {cfreq} AS cfreq, {nv} AS nv
+  FROM documents d
+  JOIN dn ON dn.doc_id = d.doc_id
+  JOIN norm_tab dect ON dect.b = dn.norm_b
+  JOIN hdn ON hdn.doc_id = d.doc_id
+  JOIN norm_tab dech ON dech.b = hdn.norm_b
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = '{term}'
+  LEFT JOIN htf ON htf.doc_id = d.doc_id AND htf.term = '{term}'
+),
+normed AS (
+  SELECT doc_id, cfreq,
+         (SELECT max(b) FROM norm_tab
+          WHERE dec <= CAST(floor(nv + CAST(0.5 AS FLOAT)) AS BIGINT))
+           AS bc
+  FROM combo WHERE cfreq > 0
+)
+SELECT n.doc_id, CAST({score} AS DOUBLE) AS score
+FROM normed n JOIN norm_tab nt ON nt.b = n.bc
+ORDER BY score DESC, n.doc_id ASC LIMIT {k}"""
+
+
 def matchall_must_topk_sql(term: str, k: int = 10) -> str:
     """BooleanQuery with a MUST MatchAllDocsQuery scoring clause
     (BooleanQuery.rewrite keeps it; MatchAllDocsQuery.score() == 1.0):
