@@ -1981,6 +1981,34 @@ def _q_combined_field_topk(spark, sf_dir):
     )
 
 
+WB_TERM = "scanorderfast"  # breaks to 'scan order fast' via recursion
+WC_TERMS = ("wind", "ow", "cust", "omer")  # window + customer
+
+
+def _q_word_breaks(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordBreaks(maxChanges=2): the
+    run-on 'scanorderfast' splits into dictionary words through the
+    left-anchored recursion (suggest/spell/WordBreakSpellChecker.java:
+    71-300); ranked breaks asc, max component docFreq desc."""
+    from lucene_spark.operators.word_break import suggest_word_breaks
+
+    return suggest_word_breaks(
+        _searcher(spark, sf_dir), WB_TERM, 10, max_changes=2
+    )
+
+
+def _q_word_combine(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordCombinations: adjacent typo'd
+    fragments re-join into dictionary words ('wind ow' -> 'window',
+    'cust omer' -> 'customer'), each gated on an original being absent
+    from the index (java:145-236)."""
+    from lucene_spark.operators.word_break import suggest_word_combinations
+
+    return suggest_word_combinations(
+        _searcher(spark, sf_dir), list(WC_TERMS), 10, max_changes=2
+    )
+
+
 DRILL_LANGS = ("en", "de")
 DRILL_SOURCES = ("src1", "src2", "src3", "src4", "src5")
 
@@ -2239,7 +2267,8 @@ _NEVER_DRIVER_SAMPLED = [
     "axiomatic_topk", "suggest_analyzing",
     "suggest_fuzzy", "suggest_free_text", "suggest_infix",
     "common_terms_topk", "feature_sat_topk", "feature_log_topk",
-    "drill_sideways", "combined_field_topk",
+    "drill_sideways", "combined_field_topk", "word_breaks",
+    "word_combine",
     "geo_polygon", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
@@ -2410,6 +2439,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": _q_facet_lang,
         "drill_sideways": _q_drill_sideways,
         "combined_field_topk": _q_combined_field_topk,
+        "word_breaks": _q_word_breaks,
+        "word_combine": _q_word_combine,
         "range_facet_doclen": _q_range_facet,
         "grouped_topk": _q_grouped_topk,
     }
@@ -2629,6 +2660,8 @@ def oracle_sql() -> dict[str, str]:
         "combined_field_topk": osql.combined_field_topk_sql(
             T_HOT, w_text=1, w_head=2, max_toks=HEAD_TOKS
         ),
+        "word_breaks": osql.word_breaks_sql(WB_TERM),
+        "word_combine": osql.word_combine_sql(list(WC_TERMS)),
         "range_facet_doclen": osql.range_facet_sql(T_HOT, T_MID, FACET_RANGES),
         "grouped_topk": osql.grouped_topk_sql(T_HOT),
     }

@@ -1227,6 +1227,88 @@ SELECT gram, score FROM ({union_all})
 ORDER BY score DESC, gram ASC LIMIT {n}"""
 
 
+def word_breaks_sql(term: str, n: int = 10, max_changes: int = 2) -> str:
+    """WordBreakSpellChecker.suggestWordBreaks twin (suggest/spell/
+    WordBreakSpellChecker.java:71-300) for maxChanges <= 2: 2-part and
+    3-part segmentations whose every part clears the frequency
+    threshold (>= 1), empty when the term itself is indexed
+    (SUGGEST_WHEN_NOT_IN_INDEX); ranked breaks asc, max component
+    docFreq desc, suggestion asc."""
+    assert max_changes == 2, "oracle unrolls exactly two breaks"
+    L = len(term)
+    not_indexed = (f"COALESCE((SELECT doc_freq FROM tstats "
+                   f"WHERE term = '{term}'), 0) = 0")
+    return f"""WITH {base_ctes()},
+s2 AS (
+  SELECT substr('{term}', 1, i) AS w1, substr('{term}', i + 1) AS w2
+  FROM unnest(generate_series(1, {L - 1})) t(i)
+),
+r2 AS (
+  SELECT s2.w1 || ' ' || s2.w2 AS suggestion, 2 AS n_words,
+         greatest(f1.doc_freq, f2.doc_freq) AS freq_max,
+         f1.doc_freq + f2.doc_freq AS freq_sum
+  FROM s2
+  JOIN tstats f1 ON f1.term = s2.w1
+  JOIN tstats f2 ON f2.term = s2.w2
+),
+s3 AS (
+  SELECT substr('{term}', 1, i) AS w1,
+         substr('{term}', i + 1, j - i) AS w2,
+         substr('{term}', j + 1) AS w3
+  FROM unnest(generate_series(1, {L - 2})) a(i),
+       unnest(generate_series(2, {L - 1})) b(j)
+  WHERE j > i
+),
+r3 AS (
+  SELECT s3.w1 || ' ' || s3.w2 || ' ' || s3.w3 AS suggestion,
+         3 AS n_words,
+         greatest(f1.doc_freq, f2.doc_freq, f3.doc_freq) AS freq_max,
+         f1.doc_freq + f2.doc_freq + f3.doc_freq AS freq_sum
+  FROM s3
+  JOIN tstats f1 ON f1.term = s3.w1
+  JOIN tstats f2 ON f2.term = s3.w2
+  JOIN tstats f3 ON f3.term = s3.w3
+)
+SELECT suggestion, CAST(n_words AS INT) AS n_words,
+       CAST(freq_max AS BIGINT) AS freq_max,
+       CAST(freq_sum AS BIGINT) AS freq_sum
+FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+WHERE {not_indexed}
+ORDER BY n_words ASC, freq_max DESC, suggestion ASC LIMIT {n}"""
+
+
+def word_combine_sql(terms: "list[str]", n: int = 10,
+                     max_changes: int = 2) -> str:
+    """WordBreakSpellChecker.suggestWordCombinations twin
+    (java:145-236): adjacent-term concatenations present in the
+    dictionary, gated on some original being absent
+    (SUGGEST_WHEN_NOT_IN_INDEX); score = run length - 1."""
+    parts = []
+    for i in range(len(terms) - 1):
+        comb = terms[i]
+        for j in range(i + 1, min(len(terms), i + max_changes + 1)):
+            comb = comb + terms[j]
+            orig_min = "least(" + ", ".join(
+                f"COALESCE((SELECT doc_freq FROM tstats "
+                f"WHERE term = '{terms[x]}'), 0)"
+                for x in range(i, j + 1)
+            ) + ")"
+            parts.append(f"""SELECT '{comb}' AS suggestion,
+       CAST({i} AS INT) AS start_idx, CAST({j} AS INT) AS end_idx,
+       CAST((SELECT doc_freq FROM tstats WHERE term = '{comb}')
+            AS BIGINT) AS freq,
+       CAST({j - i} AS INT) AS score
+WHERE COALESCE((SELECT doc_freq FROM tstats WHERE term = '{comb}'), 0)
+        >= 1
+  AND {orig_min} = 0""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH {base_ctes()}
+SELECT * FROM (
+{union}
+)
+ORDER BY score ASC, freq DESC, suggestion ASC, start_idx ASC LIMIT {n}"""
+
+
 def suggest_infix_sql(key: str, n: int = 10, n_toks: int = 4,
                       all_terms_required: bool = True) -> str:
     """AnalyzingInfixSuggester lookup twin
