@@ -1981,6 +1981,27 @@ def _q_combined_field_topk(spark, sf_dir):
     )
 
 
+BLEND_BOOSTS = (1.0, 0.5)
+BLEND_TIE = 0.3
+
+
+def _q_blended_dismax_topk(spark, sf_dir):
+    """BlendedTermQuery with DisjunctionMaxRewrite: 'merge'/'window'
+    scored against the BLENDED max docFreq (adjustFrequencies), per-term
+    boosts folded float32, combined max + tie*(sum-max)
+    (core/search/BlendedTermQuery.java:60-301)."""
+    from lucene_spark.plans.query import blended_term_query
+
+    node = blended_term_query(
+        (T_HOT, T_MID), BLEND_BOOSTS, rewrite="dismax", tie=BLEND_TIE
+    )
+    pdf = _searcher(spark, sf_dir).search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 WB_TERM = "scanorderfast"  # breaks to 'scan order fast' via recursion
 WC_TERMS = ("wind", "ow", "cust", "omer")  # window + customer
 
@@ -2268,7 +2289,7 @@ _NEVER_DRIVER_SAMPLED = [
     "suggest_fuzzy", "suggest_free_text", "suggest_infix",
     "common_terms_topk", "feature_sat_topk", "feature_log_topk",
     "drill_sideways", "combined_field_topk", "word_breaks",
-    "word_combine",
+    "word_combine", "blended_dismax_topk",
     "geo_polygon", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
@@ -2441,6 +2462,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_field_topk": _q_combined_field_topk,
         "word_breaks": _q_word_breaks,
         "word_combine": _q_word_combine,
+        "blended_dismax_topk": _q_blended_dismax_topk,
         "range_facet_doclen": _q_range_facet,
         "grouped_topk": _q_grouped_topk,
     }
@@ -2662,6 +2684,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "word_breaks": osql.word_breaks_sql(WB_TERM),
         "word_combine": osql.word_combine_sql(list(WC_TERMS)),
+        "blended_dismax_topk": osql.blended_topk_sql(
+            [T_HOT, T_MID], list(BLEND_BOOSTS), dismax=True, tie=BLEND_TIE
+        ),
         "range_facet_doclen": osql.range_facet_sql(T_HOT, T_MID, FACET_RANGES),
         "grouped_topk": osql.grouped_topk_sql(T_HOT),
     }

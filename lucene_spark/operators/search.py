@@ -634,6 +634,16 @@ def _eval_blended(node: BlendedQ, postings: dict, ctx: ScoreCtx) -> tuple[np.nda
     all_g = np.concatenate([g for g, _ in evs])
     all_s = np.concatenate([s for _, s in evs]).astype(np.float64)
     gids, inv = np.unique(all_g, return_inverse=True)
+    if node.dismax:
+        # DisjunctionMaxRewrite (BlendedTermQuery.java:150-186): max +
+        # tie * (sum - max), double composed, one float32 cast
+        smax = np.full(len(gids), -np.inf)
+        np.maximum.at(smax, inv, all_s)
+        ssum = np.zeros(len(gids))
+        np.add.at(ssum, inv, all_s)
+        return gids, (smax + (ssum - smax) * float(node.tie)).astype(
+            np.float32
+        )
     total = np.zeros(len(gids))
     np.add.at(total, inv, all_s)
     return gids, total.astype(np.float32)

@@ -514,6 +514,46 @@ FROM s GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def blended_topk_sql(terms: "list[str]", boosts: "list[float]",
+                     dismax: bool = False, tie: float = 0.0,
+                     k: int = 10) -> str:
+    """BlendedTermQuery twin (core/search/BlendedTermQuery.java:60-301):
+    every member scored with docFreq REPLACED by the max across members,
+    weight = f32(boost_i * blended idf); combined as a SHOULD sum
+    (BooleanRewrite) or max + tie*(sum-max) (DisjunctionMaxRewrite),
+    double composed, one float32 cast."""
+    import numpy as np
+
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    w_blend = idf_sql(
+        f"(SELECT max(doc_freq) FROM tstats WHERE term IN ({in_list}))",
+        N_SQL,
+    )
+    cache = cache_sql("norm_tab.dec", AVGDL_SQL)
+    member_ctes, unions = [], []
+    for i, (t, b) in enumerate(zip(terms, boosts)):
+        w = _f4(f"{_f4(repr(float(np.float32(b))))} * {w_blend}")
+        score = bm25_score_sql(w, "tf.freq", cache)
+        member_ctes.append(f"""
+m{i} AS (
+  SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+  FROM tf
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN norm_tab ON norm_tab.b = dn.norm_b
+  WHERE tf.term = '{t}'
+)""")
+        unions.append(f"SELECT * FROM m{i}")
+    combine = (
+        f"max(score) + (sum(score) - max(score)) * {float(tie)!r}"
+        if dismax else "sum(score)"
+    )
+    return f"""WITH {base_ctes()},{','.join(member_ctes)}
+SELECT doc_id, CAST(CAST({combine} AS FLOAT) AS DOUBLE) AS score
+FROM ({' UNION ALL '.join(unions)})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def regexp_topk_sql(pattern: str, k: int = 10) -> str:
     # (?:...) = whole-term anchoring even across top-level alternations
     # (RegexpQuery matches the entire term)

@@ -474,10 +474,42 @@ class BlendedQ:
     multiplied by its per-term boost (for fuzzy: float32
     ``1 - ed / min(|term|, |query|)``, FuzzyTermsEnum.java:247-255), and
     the per-term float32 scores sum as SHOULD clauses (double accumulate,
-    one float32 cast)."""
+    one float32 cast).
+
+    ``dismax=True`` switches to DISJUNCTION_MAX_REWRITE
+    (BlendedTermQuery.DisjunctionMaxRewrite, java:150-186): member
+    scores combine as max + tie * (sum - max) instead of summing. The
+    public builder is :func:`blended_term_query`."""
 
     terms: tuple
     boosts: tuple
+    dismax: bool = False
+    tie: float = 0.0
+
+    def __post_init__(self):
+        if not (0.0 <= self.tie <= 1.0):
+            raise ValueError(f"tie must be in [0, 1], got {self.tie}")
+
+
+def blended_term_query(terms, boosts=None, *, rewrite: str = "boolean",
+                       tie: float = 0.01) -> BlendedQ:
+    """BlendedTermQuery.Builder (core/search/BlendedTermQuery.java:60-130
+    + rewrite at 269-301): every member term is scored with the BLENDED
+    statistics — docFreq replaced by the max across members, ttf summed
+    (``adjustFrequencies``) — times its per-term boost, then combined per
+    ``rewrite``: "boolean" (SHOULD sum, BooleanRewrite) or "dismax"
+    (DisjunctionMaxRewrite with ``tie``, the reference default tie 0.01).
+    Terms may be field-qualified keys, blending across fields like the
+    reference's cross-field usage."""
+    terms = tuple(terms)
+    boosts = tuple(boosts) if boosts is not None else (1.0,) * len(terms)
+    if len(boosts) != len(terms):
+        raise ValueError("boosts must align with terms")
+    if rewrite == "boolean":
+        return BlendedQ(terms, boosts)
+    if rewrite == "dismax":
+        return BlendedQ(terms, boosts, dismax=True, tie=float(tie))
+    raise ValueError(f"unknown rewrite: {rewrite}")
 
 
 @dataclass(frozen=True)
