@@ -1981,6 +1981,27 @@ def _q_combined_field_topk(spark, sf_dir):
     )
 
 
+PW_LEAD = "order"
+PW_PREFIX = "d"  # expands to {data, dup} in the sf dictionary
+
+
+def _q_phrase_wildcard_topk(spark, sf_dir):
+    """PhraseWildcardQuery: the phrase 'order d*' expands its prefix
+    slot against the term dictionary under the shared expansion budget
+    and executes as a MultiPhraseQuery (sandbox/.../
+    PhraseWildcardQuery.java:95-210)."""
+    from lucene_spark.operators.phrase_wildcard import phrase_wildcard_query
+    from lucene_spark.plans.query import PrefixQ
+
+    s = _searcher(spark, sf_dir)
+    node = phrase_wildcard_query(s, [PW_LEAD, PrefixQ(PW_PREFIX)])
+    pdf = s.search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 BLEND_BOOSTS = (1.0, 0.5)
 BLEND_TIE = 0.3
 
@@ -2289,7 +2310,7 @@ _NEVER_DRIVER_SAMPLED = [
     "suggest_fuzzy", "suggest_free_text", "suggest_infix",
     "common_terms_topk", "feature_sat_topk", "feature_log_topk",
     "drill_sideways", "combined_field_topk", "word_breaks",
-    "word_combine", "blended_dismax_topk",
+    "word_combine", "blended_dismax_topk", "phrase_wildcard_topk",
     "geo_polygon", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
@@ -2463,6 +2484,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_breaks": _q_word_breaks,
         "word_combine": _q_word_combine,
         "blended_dismax_topk": _q_blended_dismax_topk,
+        "phrase_wildcard_topk": _q_phrase_wildcard_topk,
         "range_facet_doclen": _q_range_facet,
         "grouped_topk": _q_grouped_topk,
     }
@@ -2686,6 +2708,9 @@ def oracle_sql() -> dict[str, str]:
         "word_combine": osql.word_combine_sql(list(WC_TERMS)),
         "blended_dismax_topk": osql.blended_topk_sql(
             [T_HOT, T_MID], list(BLEND_BOOSTS), dismax=True, tie=BLEND_TIE
+        ),
+        "phrase_wildcard_topk": osql.multiphrase_topk_sql(
+            [[PW_LEAD], ["data", "dup"]], [0, 1]
         ),
         "range_facet_doclen": osql.range_facet_sql(T_HOT, T_MID, FACET_RANGES),
         "grouped_topk": osql.grouped_topk_sql(T_HOT),
