@@ -1981,6 +1981,52 @@ def _q_combined_field_topk(spark, sf_dir):
     )
 
 
+def _axiomatic_f13_q(sim_cls, **kw):
+    def q(spark, sf_dir):
+        from lucene_spark.operators.search import Searcher
+
+        s = Searcher(spark, _index_for(spark, sf_dir),
+                     similarity=sim_cls(**kw))
+        pdf = s.search(T_HOT, k=10, with_keys=False)
+        out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["score"] = out["score"].astype("float64")
+        return spark.createDataFrame(out, schema="doc_id long, score double")
+    return q
+
+
+def _q_axiomatic_f1exp_topk(spark, sf_dir):
+    """AxiomaticF1EXP(s, k): double-log tf saturation x document-length
+    ratio x pow idf (core/search/similarities/AxiomaticF1EXP.java:57-80)."""
+    from lucene_spark.functions.similarity import AxiomaticF1EXPSim
+
+    return _axiomatic_f13_q(AxiomaticF1EXPSim)(spark, sf_dir)
+
+
+def _q_axiomatic_f1log_topk(spark, sf_dir):
+    """AxiomaticF1LOG(s): F1 with the log primitive idf
+    (AxiomaticF1LOG.java:50-79)."""
+    from lucene_spark.functions.similarity import AxiomaticF1LOGSim
+
+    return _axiomatic_f13_q(AxiomaticF1LOGSim)(spark, sf_dir)
+
+
+def _q_axiomatic_f3exp_topk(spark, sf_dir):
+    """AxiomaticF3EXP(s, queryLen, k): the gamma length penalty
+    subtracts BEFORE the boost, clamped at 0
+    (AxiomaticF3EXP.java:55-95, Axiomatic.java:95-106)."""
+    from lucene_spark.functions.similarity import AxiomaticF3EXPSim
+
+    return _axiomatic_f13_q(AxiomaticF3EXPSim, query_len=1)(spark, sf_dir)
+
+
+def _q_axiomatic_f3log_topk(spark, sf_dir):
+    """AxiomaticF3LOG(s, queryLen) (AxiomaticF3LOG.java:47-80)."""
+    from lucene_spark.functions.similarity import AxiomaticF3LOGSim
+
+    return _axiomatic_f13_q(AxiomaticF3LOGSim, query_len=1)(spark, sf_dir)
+
+
 PW_LEAD = "order"
 PW_PREFIX = "d"  # expands to {data, dup} in the sf dictionary
 
@@ -2311,6 +2357,7 @@ _NEVER_DRIVER_SAMPLED = [
     "common_terms_topk", "feature_sat_topk", "feature_log_topk",
     "drill_sideways", "combined_field_topk", "word_breaks",
     "word_combine", "blended_dismax_topk", "phrase_wildcard_topk",
+    "axiomatic_f1exp_topk", "axiomatic_f3log_topk",
     "geo_polygon", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
@@ -2485,6 +2532,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_combine": _q_word_combine,
         "blended_dismax_topk": _q_blended_dismax_topk,
         "phrase_wildcard_topk": _q_phrase_wildcard_topk,
+        "axiomatic_f1exp_topk": _q_axiomatic_f1exp_topk,
+        "axiomatic_f1log_topk": _q_axiomatic_f1log_topk,
+        "axiomatic_f3exp_topk": _q_axiomatic_f3exp_topk,
+        "axiomatic_f3log_topk": _q_axiomatic_f3log_topk,
         "range_facet_doclen": _q_range_facet,
         "grouped_topk": _q_grouped_topk,
     }
@@ -2711,6 +2762,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "phrase_wildcard_topk": osql.multiphrase_topk_sql(
             [[PW_LEAD], ["data", "dup"]], [0, 1]
+        ),
+        "axiomatic_f1exp_topk": osql.axiomatic_f13_topk_sql(
+            T_HOT, "f1exp"
+        ),
+        "axiomatic_f1log_topk": osql.axiomatic_f13_topk_sql(
+            T_HOT, "f1log"
+        ),
+        "axiomatic_f3exp_topk": osql.axiomatic_f13_topk_sql(
+            T_HOT, "f3exp", query_len=1
+        ),
+        "axiomatic_f3log_topk": osql.axiomatic_f13_topk_sql(
+            T_HOT, "f3log", query_len=1
         ),
         "range_facet_doclen": osql.range_facet_sql(T_HOT, T_MID, FACET_RANGES),
         "grouped_topk": osql.grouped_topk_sql(T_HOT),

@@ -472,6 +472,88 @@ class AxiomaticF2LOGSim(AxiomaticF2EXPSim):
 
 
 @dataclass(frozen=True)
+class AxiomaticF1EXPSim(AxiomaticF2EXPSim):
+    """AxiomaticF1EXP(s, k) (core/search/similarities/AxiomaticF1EXP.java:
+    57-80 components, Axiomatic.java:95-106 combination):
+      tf    = 1 + ln(1 + ln(freq + 1))
+      ln    = (avgdl + s) / (avgdl + dl * s)
+      tfln  = 1; gamma = 0
+      idf   = pow((N + 1) / df, k)                  [double pow, in aux]
+      score = f32( max(0, ((tf * ln) * idf) * boost) )
+    Monotone up in freq, down in docLen — pruning frontiers stay valid."""
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
+        if aux is None:
+            raise ValueError("AxiomaticF1EXPSim.score needs (idf, avgdl)")
+        idf, avgdl = aux
+        f = freqs.astype(np.float64) + 1.0  # java: freq += 1
+        tf = 1.0 + np.log(1.0 + np.log(f))
+        s = float(self.s)
+        ln_c = (avgdl + s) / (avgdl + norm_vals.astype(np.float64) * s)
+        sc = (tf * ln_c * np.float64(idf)) * np.float64(weight)
+        return np.maximum(sc, 0.0).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class AxiomaticF1LOGSim(AxiomaticF1EXPSim):
+    """AxiomaticF1LOG(s) (AxiomaticF1LOG.java:50-79): F1EXP's shape with
+    idf = ln((N + 1) / df), no k."""
+
+    def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
+            sum_total_term_freq: int) -> tuple:
+        idf = math.log((float(doc_count) + 1.0) / float(doc_freq))
+        avgdl = float(sum_total_term_freq) / float(doc_count)
+        return (idf, avgdl)
+
+
+@dataclass(frozen=True)
+class AxiomaticF3EXPSim(AxiomaticF2EXPSim):
+    """AxiomaticF3EXP(s, queryLen, k) (AxiomaticF3EXP.java:55-95):
+      tf    = 1 + ln(1 + ln(freq + 1));  ln = 1;  tfln = 1
+      idf   = pow((N + 1) / df, k)
+      gamma = (((dl - queryLen) * s) * queryLen) / avgdl   [negative-able]
+      score = f32( max(0, (tf * idf - gamma) * boost) )
+    The gamma subtraction happens BEFORE the boost multiply
+    (Axiomatic.java:96-105)."""
+
+    query_len: int = 1
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.query_len < 0:
+            raise ValueError(
+                f"queryLen must be >= 0, got {self.query_len}"
+            )
+
+    def score(self, freqs: np.ndarray, weight: np.float32,
+              norm_vals: np.ndarray, aux=None) -> np.ndarray:
+        if aux is None:
+            raise ValueError("AxiomaticF3EXPSim.score needs (idf, avgdl)")
+        idf, avgdl = aux
+        f = freqs.astype(np.float64) + 1.0
+        tf = 1.0 + np.log(1.0 + np.log(f))
+        s, ql = float(self.s), float(self.query_len)
+        gamma = (
+            ((norm_vals.astype(np.float64) - ql) * s) * ql
+        ) / avgdl
+        sc = (tf * np.float64(idf) - gamma) * np.float64(weight)
+        return np.maximum(sc, 0.0).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class AxiomaticF3LOGSim(AxiomaticF3EXPSim):
+    """AxiomaticF3LOG(s, queryLen) (AxiomaticF3LOG.java:47-80): F3EXP's
+    shape with idf = ln((N + 1) / df), no k."""
+
+    def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
+            sum_total_term_freq: int) -> tuple:
+        idf = math.log((float(doc_count) + 1.0) / float(doc_freq))
+        avgdl = float(sum_total_term_freq) / float(doc_count)
+        return (idf, avgdl)
+
+
+@dataclass(frozen=True)
 class IBSim:
     """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c)) — the
     information-based framework, log-logistic distribution

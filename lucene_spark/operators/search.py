@@ -3643,8 +3643,10 @@ class Searcher:
         """
         from ..functions.smallfloat import LENGTH_TABLE
         from ..functions.similarity import (
-            AxiomaticF2EXPSim, AxiomaticF2LOGSim, BooleanSim, ClassicSim,
-            DFISim, DFRSim, IBSim, LMDirichletSim, LMJelinekMercerSim,
+            AxiomaticF1EXPSim, AxiomaticF1LOGSim, AxiomaticF2EXPSim,
+            AxiomaticF2LOGSim, AxiomaticF3EXPSim, AxiomaticF3LOGSim,
+            BooleanSim, ClassicSim, DFISim, DFRSim, IBSim, LMDirichletSim,
+            LMJelinekMercerSim,
         )
 
         if gid is None:
@@ -3803,6 +3805,59 @@ class Searcher:
                  float(freq)),
                 ("measure, computed as independence.score(freq, expected)",
                  float(f32(measure))),
+                ("score", float(f32(sc))),
+            ]
+        elif isinstance(self.sim, (AxiomaticF1EXPSim, AxiomaticF3EXPSim)):
+            # F1/F3 Axiomatic explain: the same tf/ln/tfln/idf/gamma leaf
+            # structure with each family's component texts
+            # (AxiomaticF1EXP.java:82-120, AxiomaticF3EXP.java:97-135)
+            aux = self.sim.aux(df, n_docs, ttf, sttf)
+            idf_v, avgdl = aux
+            s_p = float(self.sim.s)
+            fr = np.float64(freq) + 1.0
+            tf = 1.0 + float(np.log(1.0 + np.log(fr)))
+            is_f3 = isinstance(self.sim, AxiomaticF3EXPSim)
+            if is_f3:
+                ql = float(self.sim.query_len)
+                ln_c, gamma = 1.0, float(
+                    ((np.float64(dl) - ql) * s_p) * ql / avgdl
+                )
+                sc = max(0.0, tf * float(idf_v) - gamma)
+            else:
+                ln_c, gamma = float(
+                    (avgdl + s_p) / (avgdl + np.float64(dl) * s_p)
+                ), 0.0
+                sc = max(0.0, tf * ln_c * float(idf_v))
+            log_idf = isinstance(
+                self.sim, (AxiomaticF1LOGSim, AxiomaticF3LOGSim)
+            )
+            idf_text = (
+                "idf, inverted document frequency computed as "
+                "Math.log((N + 1) / n)" if log_idf else
+                "idf, inverted document frequency computed as "
+                "Math.pow((N + 1) / n, k)"
+            )
+            ln_text = (
+                "ln, document length, equals to 1" if is_f3 else
+                "ln, document length computed as "
+                "(avgdl + s) / (avgdl + dl * s)"
+            )
+            rows = [
+                ("tf, term frequency computed as 1 + log(1 + log(freq))",
+                 float(f32(tf))),
+                (ln_text, float(f32(ln_c))),
+                ("tfln, mixed term frequency and document length, "
+                 "equals to 1", 1.0),
+                ("freq, number of occurrences of term in the document",
+                 float(freq)),
+                ("dl, length of field", float(dl)),
+                ("avgdl, average length of field across all documents",
+                 float(avgdl)),
+                ("n, number of documents containing term", float(df)),
+                ("N, total number of documents with field", float(n_docs)),
+                (idf_text, float(f32(idf_v))),
+                ("gamma, computed as (dl - queryLen) * s * queryLen / avgdl"
+                 if is_f3 else "gamma", float(f32(gamma))),
                 ("score", float(f32(sc))),
             ]
         elif isinstance(self.sim, AxiomaticF2EXPSim):

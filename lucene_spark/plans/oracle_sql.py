@@ -2460,6 +2460,46 @@ WHERE tf.term = '{term}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def axiomatic_f13_topk_sql(term: str, family: str, s: float = 0.25,
+                           kp: float = 0.35, query_len: int = 1,
+                           k: int = 10) -> str:
+    """AxiomaticF1EXP/F1LOG/F3EXP/F3LOG term top-k — op points as in
+    functions/similarity.py (Axiomatic.java:95-106 combination):
+      tf    = 1 + ln(1 + ln(freq + 1))                  [all double]
+      F1:   ln = (avgdl + s) / (avgdl + dl * s); gamma = 0
+      F3:   ln = 1; gamma = (((dl - queryLen) * s) * queryLen) / avgdl
+      idf   = pow((N+1)/n, k) [exp] | ln((N+1)/n) [log]
+      score = f32(max(0, tf * ln * idf - gamma))
+    """
+    assert family in ("f1exp", "f1log", "f3exp", "f3log")
+    df = f"(SELECT doc_freq FROM tstats WHERE term = '{term}')"
+    n = "(SELECT doc_count FROM cstats)"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    avgdl = f"(CAST({sttf} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    if family.endswith("exp"):
+        idf = (f"pow((CAST({n} AS DOUBLE) + 1.0) / CAST({df} AS DOUBLE), "
+               f"{float(kp)!r})")
+    else:
+        idf = f"ln((CAST({n} AS DOUBLE) + 1.0) / CAST({df} AS DOUBLE))"
+    dl = "CAST(norm_tab.dec AS DOUBLE)"
+    tf = "(1.0 + ln(1.0 + ln(CAST(tf.freq AS DOUBLE) + 1.0)))"
+    if family.startswith("f1"):
+        ln_c = f"(({avgdl} + {float(s)!r}) / ({avgdl} + {dl} * {float(s)!r}))"
+        body = f"{tf} * {ln_c} * {idf}"
+    else:
+        ql = float(query_len)
+        gamma = f"(((({dl} - {ql!r}) * {float(s)!r}) * {ql!r}) / {avgdl})"
+        body = f"{tf} * {idf} - {gamma}"
+    score = f"CAST(greatest({body}, 0.0) AS FLOAT)"
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM tf
+JOIN dn ON dn.doc_id = tf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+WHERE tf.term = '{term}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
 def ib_topk_sql(term: str, c: float = 1.0, k: int = 10) -> str:
     """IBSimilarity(LL, D, H2) term top-k — same op points as
     functions/similarity.py IBSim (IBSimilarity.java + DistributionLL /
