@@ -1797,6 +1797,62 @@ def _q_interval_maxgaps_topk(spark, sf_dir):
     )
 
 
+INTERVAL_MAX_WIDTH = 8
+INTERVAL_SMALL = ("data", "query")
+
+
+def _q_interval_containing_topk(spark, sf_dir):
+    """Intervals.containing(unordered(t1, t2), or(small...)): big-side
+    minimal windows that contain a small occurrence
+    (ContainingIntervalsSource), compositional-tree path."""
+    from lucene_spark.plans import intervals as IV
+    from lucene_spark.plans.query import IntervalExprQ
+
+    return _topk_df(
+        spark, sf_dir,
+        IntervalExprQ(IV.containing(
+            IV.unordered(SLOPPY3[0], SLOPPY3[2]),
+            IV.or_(*INTERVAL_SMALL),
+        )),
+    )
+
+
+def _q_interval_maxwidth_topk(spark, sf_dir):
+    """Intervals.maxwidth(W, unordered(t1, t2)): width filter after the
+    minimizing antichain (FilteredIntervalsSource.MaxWidth)."""
+    from lucene_spark.plans import intervals as IV
+    from lucene_spark.plans.query import IntervalExprQ
+
+    return _topk_df(
+        spark, sf_dir,
+        IntervalExprQ(IV.maxwidth(
+            INTERVAL_MAX_WIDTH, IV.unordered(SLOPPY3[0], SLOPPY3[2]))),
+    )
+
+
+def _q_interval_before_topk(spark, sf_dir):
+    """Intervals.before(src, ref) — containedBy(src,
+    extend(PRECEDING(ref), MAX, 0)) with the reference's position-0
+    clamp (Intervals.java:491-494, OffsetIntervalsSource)."""
+    from lucene_spark.plans import intervals as IV
+    from lucene_spark.plans.query import IntervalExprQ
+
+    return _topk_df(
+        spark, sf_dir, IntervalExprQ(IV.before(PHRASE[0], PHRASE[1]))
+    )
+
+
+def _q_interval_atleast_topk(spark, sf_dir):
+    """Intervals.atLeast(2, t1, t2, t3): minimal windows spanning >= 2 of
+    the 3 sources (MinimumShouldMatchIntervalsSource)."""
+    from lucene_spark.plans import intervals as IV
+    from lucene_spark.plans.query import IntervalExprQ
+
+    return _topk_df(
+        spark, sf_dir, IntervalExprQ(IV.at_least(2, *SLOPPY3))
+    )
+
+
 def _q_span_or_topk(spark, sf_dir):
     """SpanOrQuery over term spans: union of member spans; freq = count of
     all member positions; weight = summed member idfs (no df blend)."""
@@ -2351,7 +2407,9 @@ def _q_monitor_pairs(spark, sf_dir):
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
     "interval_ordered_topk", "interval_unordered_topk",
-    "interval_maxgaps_topk", "dfr_topk", "ib_topk", "dfi_topk",
+    "interval_maxgaps_topk", "interval_containing_topk",
+    "interval_maxwidth_topk", "interval_before_topk",
+    "interval_atleast_topk", "dfr_topk", "ib_topk", "dfi_topk",
     "axiomatic_topk", "suggest_analyzing",
     "suggest_fuzzy", "suggest_free_text", "suggest_infix",
     "common_terms_topk", "feature_sat_topk", "feature_log_topk",
@@ -2516,6 +2574,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_ordered_topk": _q_interval_ordered_topk,
         "interval_unordered_topk": _q_interval_unordered_topk,
         "interval_maxgaps_topk": _q_interval_maxgaps_topk,
+        "interval_containing_topk": _q_interval_containing_topk,
+        "interval_maxwidth_topk": _q_interval_maxwidth_topk,
+        "interval_before_topk": _q_interval_before_topk,
+        "interval_atleast_topk": _q_interval_atleast_topk,
         "sloppy_match": _q_sloppy_match,
         "complete": _q_complete,
         "quality_metrics": _q_quality,
@@ -2725,6 +2787,13 @@ def oracle_sql() -> dict[str, str]:
             list(PHRASE), ordered=False),
         "interval_maxgaps_topk": osql.interval_topk_sql(
             list(SLOPPY3), ordered=False, max_gaps=INTERVAL_MAX_GAPS),
+        "interval_containing_topk": osql.interval_containing_sql(
+            SLOPPY3[0], SLOPPY3[2], list(INTERVAL_SMALL)),
+        "interval_maxwidth_topk": osql.interval_maxwidth_sql(
+            SLOPPY3[0], SLOPPY3[2], INTERVAL_MAX_WIDTH),
+        "interval_before_topk": osql.interval_before_sql(
+            PHRASE[0], PHRASE[1]),
+        "interval_atleast_topk": osql.interval_atleast2_sql(list(SLOPPY3)),
         "span_near_topk": osql.span_near_topk_sql(SLOPPY3, SPAN_NEAR_SLOP),
         "span_near_unordered_topk": osql.span_near_unordered_topk_sql(
             SLOPPY3, SPAN_NEAR_SLOP

@@ -70,8 +70,9 @@ def node_queries() -> dict:
     span-near, a 5k-term TermInSet (broadcast semi-join path, no clause
     cap), a leading wildcard (reversed-dictionary suffix seek), and the
     round-5 interval combinators (minimal-antichain positional scoring)."""
+    from lucene_spark.plans import intervals as IV
     from lucene_spark.plans.query import (
-        IntervalQ, SpanNearQ, TermInSetQ, WildcardQ,
+        IntervalExprQ, IntervalQ, SpanNearQ, TermInSetQ, WildcardQ,
     )
 
     in_set = tuple(f"zz{i:04d}" for i in range(5000 - len(_CORPUS_VOCAB)))
@@ -82,6 +83,9 @@ def node_queries() -> dict:
         "q_interval_ordered": IntervalQ(("table", "merge", "scan"),
                                         ordered=True),
         "q_interval_unordered": IntervalQ(("table", "scan"), ordered=False),
+        # late-r5 compositional tree path (interval_algebra antichain ops)
+        "q_interval_containing": IntervalExprQ(IV.containing(
+            IV.unordered("table", "scan"), IV.or_("data", "query"))),
     }
 
 

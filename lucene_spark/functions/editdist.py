@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["osa", "osa_distances"]
+__all__ = ["osa", "osa_distances", "osa_prefix_min"]
 
 
 def osa(a: str, b: str) -> int:
@@ -62,6 +62,46 @@ def osa_distances(terms, q: str) -> np.ndarray:
         return lens.copy()
     if L == 0:
         return np.full(N, m, dtype=np.int64)
+    prev = _osa_dp(terms, q, lens, L)
+    return prev[np.arange(N), lens]
+
+
+def osa_prefix_min(terms, q: str, d: int) -> np.ndarray:
+    """min over prefix lengths L of OSA(q, t[:L]) for each term,
+    restricted to |L − len(q)| <= d (a longer or shorter prefix can
+    never be within ``d`` edits). This is the FuzzySuggester automaton
+    test: an entry completes when SOME prefix of its analyzed form is
+    within ``d`` edits of the analyzed key
+    (suggest/.../analyzing/FuzzySuggester.java:44-91, with
+    transpositions the LevenshteinAutomata transposition alphabet).
+
+    The full-prefix column of the same vectorized DP already holds
+    OSA(q, t[:i]) for every i, so this is one masked min over the
+    allowed column range — no extra DP passes.
+    """
+    terms = list(terms)
+    N = len(terms)
+    if N == 0:
+        return np.empty(0, dtype=np.int64)
+    m = len(q)
+    lens = np.fromiter((len(t) for t in terms), np.int64, N)
+    L = int(lens.max()) if N else 0
+    if m == 0:
+        return np.zeros(N, dtype=np.int64)  # the empty prefix matches
+    if L == 0:
+        return np.full(N, m, dtype=np.int64)  # only the empty prefix
+    prev = _osa_dp(terms, q, lens, L)  # prev[:, i] = OSA(q, t[:i])
+    lo, hi = max(0, m - d), min(L, m + d)
+    window = prev[:, lo:hi + 1]
+    # prefixes past a term's own length are padding — mask them out
+    valid = np.arange(lo, hi + 1)[None, :] <= lens[:, None]
+    return np.where(valid, window, np.iinfo(np.int64).max).min(axis=1)
+
+
+def _osa_dp(terms, q: str, lens: np.ndarray, L: int) -> np.ndarray:
+    """The shared (N, L+1) final DP row: entry [t, i] = OSA(q, t[:i])."""
+    N = len(terms)
+    m = len(q)
     # padded char-code matrix (N, L)
     BIG = 1 << 20
     chars = np.zeros((N, L), dtype=np.int32)
@@ -93,4 +133,4 @@ def osa_distances(terms, q: str) -> np.ndarray:
         # new[i] = i + min_{k<=i}(base[k] - k)  (left-dependency unwound)
         new = idx + np.minimum.accumulate(base - idx, axis=1)
         pprev, prev = prev, new
-    return prev[np.arange(N), lens]
+    return prev

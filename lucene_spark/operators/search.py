@@ -84,6 +84,7 @@ from ..plans.query import (
     SpanPayloadCheckQ,
     FunctionScoreQ,
     IntervalQ,
+    IntervalExprQ,
     SpanNotQ,
     SpanOrQ,
     SynonymQ,
@@ -452,6 +453,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_sloppy(node, postings, ctx)
     if isinstance(node, IntervalQ):
         return _eval_interval(node, postings, ctx)
+    if isinstance(node, IntervalExprQ):
+        return _eval_interval_expr(node, postings, ctx)
     if isinstance(node, MultiPhraseQ):
         return _eval_multiphrase(node, postings, ctx)
     if isinstance(node, SpanFirstQ):
@@ -569,7 +572,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
                                     ctx.sim, ctx.aux_for(child.term))
     _PHRASE_LIKE = (PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SpanNearQ,
                     SpanFirstQ, SpanNotQ, SpanOrQ, SpanPayloadCheckQ,
-                    IntervalQ)
+                    IntervalQ, IntervalExprQ)
     if isinstance(child, _PHRASE_LIKE + (SynonymQ, BlendedQ)):
         # temporarily rebind the child's weight to the boosted one
         sub = ScoreCtx(
@@ -1224,6 +1227,111 @@ def _eval_interval(node: IntervalQ, postings: dict,
     return gids, (w * (one - pivot / (pivot + freqs))).astype(np.float32)
 
 
+def _interval_doc_candidates(node, postings: dict):
+    """Doc-level approximation of an interval tree (a SUPERSET of the
+    matching docs, like the reference's DISI approximations): conjunction
+    sources intersect (ConjunctionIntervalsSource), disjunctions union
+    (DisjunctionIntervalsSource), filters with a required positive side
+    (containing/containedBy/overlapping are ConjunctionIntervalsSource
+    subclasses — both operands must be present) intersect, difference
+    filters (not*/nonOverlapping, DifferenceIntervalsSource) need only the
+    minuend, atLeast counts membership across >= minShouldMatch children.
+    Returns a sorted unique gid array."""
+    from ..plans import intervals as IV
+
+    if isinstance(node, IV.ITerm):
+        tp = postings.get(node.term)
+        if tp is None:
+            return np.empty(0, np.int64)
+        return tp.gids
+    if isinstance(node, IV.INoMatch):
+        return np.empty(0, np.int64)
+    if isinstance(node, (IV.IOrdered, IV.IUnordered, IV.IBlock)):
+        gids = None
+        for c in node.children:
+            g = _interval_doc_candidates(c, postings)
+            gids = g if gids is None else np.intersect1d(
+                gids, g, assume_unique=True)
+            if not len(gids):
+                break
+        return gids
+    if isinstance(node, IV.IOr):
+        out = np.empty(0, np.int64)
+        for c in node.children:
+            out = np.union1d(out, _interval_doc_candidates(c, postings))
+        return out
+    if isinstance(node, IV.IAtLeast):
+        parts = [_interval_doc_candidates(c, postings)
+                 for c in node.children]
+        parts = [p for p in parts if len(p)]
+        if len(parts) < node.min_should_match:
+            return np.empty(0, np.int64)
+        u, cnt = np.unique(np.concatenate(parts), return_counts=True)
+        return u[cnt >= node.min_should_match]
+    if isinstance(node, (IV.IMaxGaps, IV.IMaxWidth, IV.IExtend, IV.IOffset)):
+        return _interval_doc_candidates(node.child, postings)
+    if isinstance(node, IV.IContaining):
+        return np.intersect1d(
+            _interval_doc_candidates(node.big, postings),
+            _interval_doc_candidates(node.small, postings),
+            assume_unique=True,
+        )
+    if isinstance(node, IV.IContainedBy):
+        return np.intersect1d(
+            _interval_doc_candidates(node.small, postings),
+            _interval_doc_candidates(node.big, postings),
+            assume_unique=True,
+        )
+    if isinstance(node, IV.IOverlapping):
+        return np.intersect1d(
+            _interval_doc_candidates(node.source, postings),
+            _interval_doc_candidates(node.reference, postings),
+            assume_unique=True,
+        )
+    if isinstance(node, (IV.INotContaining, IV.INotContainedBy,
+                         IV.INonOverlapping)):
+        m = node.minuend if hasattr(node, "minuend") else node.small
+        return _interval_doc_candidates(m, postings)
+    raise TypeError(f"not an interval source: {node!r}")
+
+
+def _eval_interval_expr(node: IntervalExprQ, postings: dict,
+                        ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """Compositional IntervalQuery: candidate docs from the tree's DISI
+    approximation, per-term point streams gathered over the shared
+    candidate keying, the tree evaluated bottom-up by the vectorized
+    antichain algebra (functions/interval_algebra.py), and the same
+    similarity-independent saturation scoring as the flat path — with
+    minExtent taken from the tree (IntervalScorer.java:72)."""
+    from ..functions.interval_algebra import eval_stream, stream_freqs
+    from ..plans.intervals import min_extent
+
+    gids = _interval_doc_candidates(node.root, postings)
+    if gids is None or not len(gids):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    e = np.empty(0, np.int64)
+    term_streams = {}
+    for t in node.terms:
+        tp = postings.get(t)
+        if tp is None or not len(tp.gids):
+            term_streams[t] = (e, e, e)
+            continue
+        idx = np.minimum(np.searchsorted(tp.gids, gids), len(tp.gids) - 1)
+        pres = tp.gids[idx] == gids
+        cand_ids = np.nonzero(pres)[0]
+        pos, sub = _gather_positions(tp, idx[pres])
+        k = (cand_ids[sub] << _POS_SHIFT) + pos
+        term_streams[t] = (k, k.copy(), np.zeros(len(k), np.int64))
+    ks, ke, _ = eval_stream(node.root, term_streams)
+    freqs = stream_freqs(ks, ke, len(gids), min_extent(node.root))
+    hit = freqs > 0
+    gids, freqs = gids[hit], freqs[hit]
+    w = ctx.phrase_weights[node]
+    pivot = np.float32(node.pivot)
+    one = np.float32(1.0)
+    return gids, (w * (one - pivot / (pivot + freqs))).astype(np.float32)
+
+
 def _slot_union(tps: "list[TermPostings]", gids: np.ndarray,
                 offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Union one MultiPhrase slot's postings over the candidate set.
@@ -1624,6 +1732,12 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
             return float("-inf")
         # saturation score < weight for any freq (IntervalScorer.getMaxScore
         # returns the boost) — a TIGHT bound, unlike phrase/span nodes
+        return float(ctx.phrase_weights[node])
+    if isinstance(node, IntervalExprQ):
+        # the tree may be a disjunction, so a missing term is not
+        # disqualifying; the saturation bound (== weight) is always valid
+        if not any(t in term_maxes for t in node.terms):
+            return float("-inf")
         return float(ctx.phrase_weights[node])
     if isinstance(node, BoolQ):
         ub = float(node.const_add)  # folded MatchAll clauses score 1.0 each
@@ -2403,6 +2517,58 @@ class Searcher:
             for r in rows
         ]
 
+    def _rewrite_interval_tree(self, root):
+        """Expand IPrefix/IWildcard interval leaves against the term
+        dictionary (MultiTermIntervalsSource.intervals: enumerate the
+        automaton's TermsEnum, throwing once the count passes
+        maxExpansions — MultiTermIntervalsSource.java:63-77). Zero
+        matches → INoMatch, one → ITerm, else IOr. Unchanged subtrees are
+        returned identically so the common no-multiterm case stays a
+        no-op."""
+        import dataclasses as _dc
+
+        from ..plans import intervals as IV
+
+        if isinstance(root, (IV.IPrefix, IV.IWildcard)):
+            if isinstance(root, IV.IPrefix):
+                probe, pat = PrefixQ(root.prefix), root.prefix + "*"
+            else:
+                probe, pat = WildcardQ(root.pattern), root.pattern
+            cap = int(root.max_expansions)
+            rows = (
+                self.matched_terms_df(probe)
+                .select("term").limit(cap + 1).collect()
+            )
+            if len(rows) > cap:
+                raise ValueError(
+                    f"Automaton [{pat}] expanded to too many terms "
+                    f"(limit {cap})"
+                )
+            terms = sorted(r["term"] for r in rows)
+            if not terms:
+                # empty expansion: the reference keeps the multi-term
+                # source (minExtent 1) with an empty iterator
+                return IV.INoMatch(pat, min_ext=1)
+            if len(terms) == 1:
+                return IV.ITerm(terms[0])
+            return IV.IOr(tuple(IV.ITerm(t) for t in terms))
+        if isinstance(root, (IV.ITerm, IV.INoMatch)):
+            return root
+        changed = False
+        kids = {f.name: getattr(root, f.name) for f in _dc.fields(root)}
+        for k, v in kids.items():
+            if isinstance(v, tuple) and v and IV._is_source(v[0]):
+                nv = tuple(self._rewrite_interval_tree(c) for c in v)
+                if any(a is not b for a, b in zip(nv, v)):
+                    kids[k] = nv
+                    changed = True
+            elif IV._is_source(v):
+                nv = self._rewrite_interval_tree(v)
+                if nv is not v:
+                    kids[k] = nv
+                    changed = True
+        return type(root)(**kids) if changed else root
+
     def rewrite(self, node):
         """Resolve multi-term nodes against the term dictionary
         (Query.rewrite fixpoint, IndexSearcher.java:761-768).
@@ -2425,10 +2591,15 @@ class Searcher:
             node,
             (TermQ, PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SynonymQ,
              SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ, SpanPayloadCheckQ,
-             IntervalQ, MatchAllQ, TermInSetQ, TermSetRefQ, BlendedQ,
-             DocValuesRangeQ),
+             IntervalQ, MatchAllQ, TermInSetQ, TermSetRefQ,
+             BlendedQ, DocValuesRangeQ),
         ):
             return node
+        if isinstance(node, IntervalExprQ):
+            root2 = self._rewrite_interval_tree(node.root)
+            if root2 is node.root:
+                return node
+            return IntervalExprQ(root=root2, pivot=node.pivot)
         if isinstance(node, FuzzyQ):
             pairs = self._fuzzy_candidates(node)
             if not pairs:
@@ -2600,7 +2771,7 @@ class Searcher:
                 elif isinstance(n.child, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                                           SpanNearQ, SpanFirstQ, SpanNotQ,
                                           SpanOrQ, SpanPayloadCheckQ,
-                                          IntervalQ)):
+                                          IntervalQ, IntervalExprQ)):
                     base = phrase_weights.get(n.child, np.float32(0.0))
                 elif isinstance(n.child, SynonymQ):
                     base = syn_weights.get(n.child, np.float32(0.0))
@@ -2616,7 +2787,7 @@ class Searcher:
                     raise TypeError(f"BoostQ supports leaf nodes, got {n.child!r}")
                 # float32 multiply, the BM25Scorer ctor's cast point
                 boost_weights[n] = np.float32(np.float32(n.boost) * base)
-            elif isinstance(n, IntervalQ):
+            elif isinstance(n, (IntervalQ, IntervalExprQ)):
                 # similarity-independent: the weight slot is the saturation
                 # function's w (1.0; BoostQ folds multiply the raw boost) —
                 # IntervalQuery never consults searcher.getSimilarity()
@@ -4377,7 +4548,7 @@ def _has_phrase(node) -> bool:
     # SpanOrQ needs no positions: width-0 spans make freq == Σ member tfs
     if isinstance(node, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                          SpanFirstQ, SpanNotQ, SpanNearQ,
-                         SpanPayloadCheckQ, IntervalQ)):
+                         SpanPayloadCheckQ, IntervalQ, IntervalExprQ)):
         return True
     if isinstance(node, BoolQ):
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)

@@ -185,25 +185,21 @@ def fuzzy_lookup(
     reference (1 edit / 1-char pinned prefix / 3-char minimum).
 
     Spark-first: the prefix edit distance to the analyzed key ``q`` is
-    ``min over L in [len(q)-d, len(q)+d] of lev(q, akey[:L])`` — a
-    prefix longer than ``len(q)+d`` can never be within ``d`` — so the
-    automaton intersection becomes ``2d+1`` JVM-side ``levenshtein``
-    expressions over ``substring(akey)``, after a pushed-down StartsWith
-    on the pinned non-fuzzy prefix prunes the sorted table's row groups.
-    Nothing leaves the JVM.
-
-    Deviation: the reference defaults ``transpositions=true``
-    (Damerau — a swap costs 1); Spark's ``levenshtein`` is classic (a
-    swap costs 2), so only ``transpositions=False`` is supported and the
-    reference default raises NotImplementedError.
+    ``min over L in [len(q)-d, len(q)+d] of dist(q, akey[:L])`` — a
+    prefix longer than ``len(q)+d`` can never be within ``d``. With
+    ``transpositions=False`` the automaton intersection becomes ``2d+1``
+    JVM-side ``levenshtein`` expressions over ``substring(akey)``;
+    nothing leaves the JVM. With ``transpositions=True`` (the reference
+    default: a swap costs 1 — the OSA form FuzzyQuery's
+    LevenshteinAutomata pin, ``functions/editdist.py``) Spark has no
+    built-in, so the distance runs as ONE Arrow-batched pandas_udf over
+    the shared vectorized OSA DP (whose final row already holds the
+    distance to every prefix — one masked min, no extra DP passes). In
+    both paths a pushed-down StartsWith on the pinned non-fuzzy prefix
+    prunes the sorted table's row groups first.
     """
     from ..functions.analysis import analyze_batch
 
-    if transpositions:
-        raise NotImplementedError(
-            "transpositions=True (Damerau distance) is not expressible "
-            "with Spark's levenshtein; pass transpositions=False"
-        )
     sep = " " if preserve_sep else ""
     ab = analyze_batch([key])
     toks = ab.tok_terms_pa.to_pylist()
@@ -223,13 +219,31 @@ def fuzzy_lookup(
         sug = sug.filter(
             F.col("akey").startswith(q[: non_fuzzy_prefix])
         )
-    lens = range(max(1, len(q) - max_edits), len(q) + max_edits + 1)
-    dists = [
-        F.levenshtein(F.substring("akey", 1, L), F.lit(q)) for L in lens
-    ]
-    dist = dists[0] if len(dists) == 1 else F.least(*dists)
+    if transpositions:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        d, qq = int(max_edits), q
+
+        @pandas_udf("long")
+        def _osa_pref(akeys: pd.Series) -> pd.Series:
+            from ..functions.editdist import osa_prefix_min
+
+            return pd.Series(
+                osa_prefix_min(akeys.fillna("").tolist(), qq, d)
+            )
+
+        keep = _osa_pref(F.col("akey")) <= max_edits
+    else:
+        lens = range(max(1, len(q) - max_edits), len(q) + max_edits + 1)
+        dists = [
+            F.levenshtein(F.substring("akey", 1, L), F.lit(q)) for L in lens
+        ]
+        keep = (
+            dists[0] if len(dists) == 1 else F.least(*dists)
+        ) <= max_edits
     per_surface = (
-        sug.filter(dist <= max_edits)
+        sug.filter(keep)
         .groupBy("surface")
         .agg(F.max("weight").alias("weight"))
     )

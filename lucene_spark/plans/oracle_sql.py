@@ -1093,6 +1093,172 @@ FROM nf
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def _interval_sat_tail(min_ext: int, pivot: float = 1.0,
+                       boost: float = 1.0, k: int = 10) -> str:
+    """Shared saturation-scoring tail over an ``iemit(doc_id, istart,
+    iend)`` CTE: freq = float32 left-to-right fold of
+    1/max(len − minExtent + 1, 1) in start order (IntervalScorer.
+    ensureFreq), score = f32(w × f32(1 − f32(pivot / f32(pivot +
+    freq)))) (IntervalScoreFunction.SaturationFunction)."""
+    inc = _f4(
+        f"1.0 / CAST(greatest(iend - istart + 1 - {int(min_ext)} + 1, 1)"
+        " AS DOUBLE)"
+    )
+    p = _f4(repr(float(pivot)))
+    w = _f4(repr(float(boost)))
+    d1 = _f4(f"CAST({p} AS DOUBLE) + CAST(nf.freq AS DOUBLE)")
+    d2 = _f4(f"CAST({p} AS DOUBLE) / CAST({d1} AS DOUBLE)")
+    d3 = _f4(f"1.0 - CAST({d2} AS DOUBLE)")
+    score = _f4(f"CAST({w} AS DOUBLE) * CAST({d3} AS DOUBLE)")
+    return f"""iacc AS (
+  SELECT doc_id, istart, CAST({inc} AS FLOAT) AS w FROM iemit
+),
+nf AS (
+  SELECT doc_id,
+         list_reduce(
+           list(w ORDER BY istart),
+           (a, x) -> CAST(CAST(a AS DOUBLE) + CAST(x AS DOUBLE) AS FLOAT)
+         ) AS freq
+  FROM iacc GROUP BY doc_id
+)
+SELECT nf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM nf
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def _unordered2_minimal_cte(t1: str, t2: str) -> str:
+    """The 2-term unordered minimal antichain as an ``iminimal(doc_id,
+    istart, iend)`` CTE (UnorderedIntervalsSource: per member position
+    the window to each term's first at-or-after occurrence, then the
+    start-maximizing minimization)."""
+    return f"""iends AS (
+  SELECT s.doc_id, s.istart,
+         (SELECT min(b.pos) FROM toks b
+          WHERE b.doc_id = s.doc_id AND b.term = '{t1}'
+            AND b.pos >= s.istart) AS c0,
+         (SELECT min(b.pos) FROM toks b
+          WHERE b.doc_id = s.doc_id AND b.term = '{t2}'
+            AND b.pos >= s.istart) AS c1
+  FROM (SELECT DISTINCT doc_id, pos AS istart FROM toks
+        WHERE term IN ('{t1}', '{t2}')) s
+),
+ivalid AS (
+  SELECT doc_id, istart, greatest(c0, c1) AS iend
+  FROM iends WHERE c0 IS NOT NULL AND c1 IS NOT NULL
+),
+iminimal AS (
+  SELECT doc_id, max(istart) AS istart, iend
+  FROM ivalid GROUP BY doc_id, iend
+)"""
+
+
+def interval_containing_sql(t1: str, t2: str, small: "list[str]",
+                            k: int = 10) -> str:
+    """Intervals.containing(unordered(t1, t2), or(small...)) oracle
+    (ContainingIntervalsSource): the big side's minimal windows that
+    contain >= 1 occurrence of any small term (width-1 points, so the
+    or-disjunction's antichain is just the position union); minExtent =
+    big.minExtent = 2 (ContainingIntervalsSource.java:69-70)."""
+    lst = ", ".join(f"'{t}'" for t in small)
+    return f"""WITH {base_ctes()},
+{_unordered2_minimal_cte(t1, t2)},
+iemit AS (
+  SELECT m.doc_id, m.istart, m.iend
+  FROM iminimal m
+  WHERE EXISTS (
+    SELECT 1 FROM toks p
+    WHERE p.doc_id = m.doc_id AND p.term IN ({lst})
+      AND p.pos >= m.istart AND p.pos <= m.iend
+  )
+),
+{_interval_sat_tail(min_ext=2, k=k)}"""
+
+
+def interval_maxwidth_sql(t1: str, t2: str, width: int,
+                          k: int = 10) -> str:
+    """Intervals.maxwidth(width, unordered(t1, t2)) oracle
+    (FilteredIntervalsSource.MaxWidth): width filter AFTER the minimizing
+    antichain; minExtent passes through (= 2)."""
+    return f"""WITH {base_ctes()},
+{_unordered2_minimal_cte(t1, t2)},
+iemit AS (
+  SELECT doc_id, istart, iend FROM iminimal
+  WHERE iend - istart + 1 <= {int(width)}
+),
+{_interval_sat_tail(min_ext=2, k=k)}"""
+
+
+def interval_before_sql(src: str, ref: str, k: int = 10) -> str:
+    """Intervals.before(src, ref) oracle: containedBy(src,
+    extend(PRECEDING(ref), MAX, 0)) — a src occurrence p matches iff
+    p <= max over ref occurrences q of max(0, q − 1)
+    (OffsetIntervalsSource's position-0 clamp kept); each emitted point
+    adds 1 to freq (minExtent = src.minExtent = 1,
+    ContainedByIntervalsSource.java:78-79)."""
+    return f"""WITH {base_ctes()},
+iemit AS (
+  SELECT a.doc_id, a.pos AS istart, a.pos AS iend
+  FROM toks a
+  WHERE a.term = '{src}'
+    AND a.pos <= (
+      SELECT max(CASE WHEN b.pos = 0 THEN 0 ELSE b.pos - 1 END)
+      FROM toks b WHERE b.doc_id = a.doc_id AND b.term = '{ref}'
+    )
+),
+{_interval_sat_tail(min_ext=1, k=k)}"""
+
+
+def interval_atleast2_sql(terms: "list[str]", k: int = 10) -> str:
+    """Intervals.atLeast(2, t1, t2, t3) oracle
+    (MinimumShouldMatchIntervalsSource): per candidate start s (any
+    member occurrence), each term's first occurrence >= s; the window
+    spans the two smallest — [least, second-least] — when >= 2 exist;
+    start-maximizing minimization; minExtent = sum of the 2 smallest
+    child extents = 2 (MinimumShouldMatchIntervalsSource.java:103-113)."""
+    t1, t2, t3 = terms
+    inf = 1 << 60
+    return f"""WITH {base_ctes()},
+iends AS (
+  SELECT s.doc_id, s.istart,
+         coalesce((SELECT min(b.pos) FROM toks b
+          WHERE b.doc_id = s.doc_id AND b.term = '{t1}'
+            AND b.pos >= s.istart), {inf}) AS c0,
+         coalesce((SELECT min(b.pos) FROM toks b
+          WHERE b.doc_id = s.doc_id AND b.term = '{t2}'
+            AND b.pos >= s.istart), {inf}) AS c1,
+         coalesce((SELECT min(b.pos) FROM toks b
+          WHERE b.doc_id = s.doc_id AND b.term = '{t3}'
+            AND b.pos >= s.istart), {inf}) AS c2
+  FROM (SELECT DISTINCT doc_id, pos AS istart FROM toks
+        WHERE term IN ('{t1}', '{t2}', '{t3}')) s
+),
+ivalid AS (
+  SELECT doc_id, least(c0, c1, c2) AS wstart,
+         c0 + c1 + c2 - least(c0, c1, c2) - greatest(c0, c1, c2) AS wend
+  FROM iends
+  WHERE c0 + c1 + c2 - least(c0, c1, c2) - greatest(c0, c1, c2) < {inf}
+),
+igrouped AS (
+  SELECT doc_id, max(wstart) AS istart, wend AS iend
+  FROM ivalid GROUP BY doc_id, wend
+),
+iemit AS (
+  -- unlike plain unordered, atLeast window starts are not strictly
+  -- increasing in the candidate order (the min chosen start can
+  -- repeat), so equal-start containments survive the group-by and the
+  -- full antichain needs the running-max start filter
+  SELECT doc_id, istart, iend FROM (
+    SELECT doc_id, istart, iend,
+           max(istart) OVER (
+             PARTITION BY doc_id ORDER BY iend
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM igrouped
+  ) WHERE prev_max IS NULL OR istart > prev_max
+),
+{_interval_sat_tail(min_ext=2, k=k)}"""
+
+
 def complete_sql(prefix: str, n: int = 5) -> str:
     return f"""WITH {base_ctes()}
 SELECT term, total_term_freq AS weight FROM tstats

@@ -29,6 +29,7 @@ __all__ = [
     "BlendedQ", "FunctionScoreQ", "DocValuesRangeQ",
     "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ", "SpanPayloadCheckQ",
     "IntervalQ",
+    "IntervalExprQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
 ]
 
@@ -334,6 +335,39 @@ class IntervalQ:
         # IntervalScoreFunction.saturationFunction's ctor check
         if not (self.pivot > 0 and math.isfinite(self.pivot)):
             raise ValueError(f"pivot must be > 0, got: {self.pivot}")
+
+
+@dataclass(frozen=True)
+class IntervalExprQ:
+    """IntervalQuery over a COMPOSITIONAL source tree — the full
+    ``Intervals.java`` factory surface (or/containing/containedBy/
+    overlapping/nonOverlapping/before/after/extend/maxwidth/atLeast/...),
+    built with :mod:`lucene_spark.plans.intervals` and evaluated by the
+    vectorized antichain algebra in
+    :mod:`lucene_spark.functions.interval_algebra`.
+
+    ``IntervalQ`` remains the fast path for the flat ordered/unordered +
+    maxgaps shape; this node covers everything else. Scoring is the same
+    similarity-independent saturation function
+    (``IntervalScoreFunction.SaturationFunction``) with minExtent taken
+    from the tree root (``IntervalScorer.java:72``)."""
+
+    root: object
+    pivot: float = 1.0
+
+    def __post_init__(self):
+        from .intervals import _is_source
+
+        if not _is_source(self.root):
+            raise TypeError(f"not an interval source: {self.root!r}")
+        if not (self.pivot > 0 and math.isfinite(self.pivot)):
+            raise ValueError(f"pivot must be > 0, got: {self.pivot}")
+
+    @property
+    def terms(self) -> tuple:
+        from .intervals import tree_terms
+
+        return tree_terms(self.root)
 
 
 @dataclass(frozen=True)
@@ -929,6 +963,11 @@ def map_terms(node, fn):
     if isinstance(node, (PhraseQ, SloppyQ, NearQ, IntervalQ, SpanNearQ,
                          SpanOrQ, SynonymQ, BlendedQ, SpanPayloadCheckQ)):
         return _dc.replace(node, terms=tuple(fn(t) for t in node.terms))
+    if isinstance(node, IntervalExprQ):
+        from .intervals import map_tree_terms
+
+        return IntervalExprQ(root=map_tree_terms(node.root, fn),
+                             pivot=node.pivot)
     if isinstance(node, MultiPhraseQ):
         return _dc.replace(
             node, termss=tuple(tuple(fn(t) for t in ts) for ts in node.termss)
@@ -995,6 +1034,13 @@ def qualify_node(node, field: str):
         return IntervalQ(
             terms=tuple(qualify(field, t) for t in node.terms),
             ordered=node.ordered, max_gaps=node.max_gaps, pivot=node.pivot,
+        )
+    if isinstance(node, IntervalExprQ):
+        from .intervals import map_tree_terms
+
+        return IntervalExprQ(
+            root=map_tree_terms(node.root, lambda t: qualify(field, t)),
+            pivot=node.pivot,
         )
     if isinstance(node, SpanFirstQ):
         return SpanFirstQ(term=qualify(field, node.term), end=node.end)
@@ -1102,7 +1148,7 @@ def query_terms(node) -> set[str]:
         return {node.term}
     if isinstance(node, (PhraseQ, MultiPhraseQ, SynonymQ, NearQ, SloppyQ,
                          BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ,
-                         SpanPayloadCheckQ, IntervalQ)):
+                         SpanPayloadCheckQ, IntervalQ, IntervalExprQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()

@@ -103,9 +103,48 @@ def test_fuzzy_below_min_length_is_exact(spark, sugg_path):
     assert fuzzy_lookup(spark, sugg_path, "gx", n=10).count() == 0
 
 
-def test_fuzzy_transpositions_unsupported(spark, sugg_path):
-    with pytest.raises(NotImplementedError):
-        fuzzy_lookup(spark, sugg_path, "ghost", transpositions=True)
+def test_fuzzy_transposition_swap_costs_one(spark, sugg_path):
+    """'hgost' = 'ghost' with the first pair swapped. Under the
+    reference default transpositions=true a swap is ONE edit — but the
+    pinned non-fuzzy first char differs, so pin-respecting swap must be
+    inside: 'gohst' (o<->h swapped) matches every ghost* entry with
+    transpositions=True and NONE with classic Levenshtein (swap = 2
+    edits > max_edits=1)."""
+    got = fuzzy_lookup(
+        spark, sugg_path, "gohst", n=10, transpositions=True
+    ).collect()
+    surfaces = {r["surface"] for r in got}
+    assert "the ghost busters" in surfaces and "ghost rider" in surfaces
+    classic = fuzzy_lookup(
+        spark, sugg_path, "gohst", n=10, transpositions=False
+    ).collect()
+    assert classic == []
+
+
+def test_fuzzy_transpositions_matches_scalar_oracle(spark, sugg_path):
+    """Arrow-batched prefix-OSA kernel == the scalar OSA over every
+    allowed prefix length, for every table row."""
+    from lucene_spark.functions.editdist import osa
+
+    q, d = "gohst", 1
+    rows = spark.read.parquet(sugg_path).select("akey", "surface").collect()
+    expect = set()
+    for r in rows:
+        ak = r["akey"]
+        best = min(
+            osa(q, ak[:L])
+            for L in range(max(0, len(q) - d),
+                           min(len(ak), len(q) + d) + 1)
+        )
+        if best <= d and ak[:1] == q[:1]:
+            expect.add(r["surface"])
+    got = {
+        r["surface"]
+        for r in fuzzy_lookup(
+            spark, sugg_path, q, n=100, transpositions=True
+        ).collect()
+    }
+    assert got == expect
 
 
 def test_max_surface_per_key_cap(spark, tmp_path):
