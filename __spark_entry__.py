@@ -1131,6 +1131,48 @@ def _q_modifier_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, f"+{T_HOT} {T_MID} -{T_B}")
 
 
+def _q_simple_parse_topk(spark, sf_dir):
+    """SimpleQueryParser (queryparser/simple/SimpleQueryParser.java):
+    ``a + b | c`` — the operator change wraps the AND pair as one clause
+    of a new SHOULD parent (right-to-left precedence, java:460-472)."""
+    from lucene_spark.plans.simple_parser import parse_simple
+
+    node = parse_simple(f"{T_HOT} + {T_MID} | {T_B}")
+    pdf = _searcher(spark, sf_dir).search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_simple_parse_not_topk(spark, sf_dir):
+    """SimpleQueryParser negation wrapper: ``-a b`` parses to
+    SHOULD(BQ[MUST_NOT a, SHOULD MatchAll], b) — every doc without ``a``
+    scores 1.0 plus ``b``'s BM25 score where it matches (java:441-448)."""
+    from lucene_spark.plans.simple_parser import parse_simple
+
+    node = parse_simple(f"-{T_B} {T_HOT}")
+    pdf = _searcher(spark, sf_dir).search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_simple_parse_must_not_topk(spark, sf_dir):
+    """SimpleQueryParser ``a + -b``: the negation wrapper as a REQUIRED
+    clause — MUST(a, BQ[MUST_NOT b, SHOULD MatchAll]); docs contain ``a``,
+    lack ``b``, score bm25(a) + 1.0 inside one double sum (java:441-448)."""
+    from lucene_spark.plans.simple_parser import parse_simple
+
+    node = parse_simple(f"{T_HOT} + -{T_B}")
+    pdf = _searcher(spark, sf_dir).search(node, k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
 def _q_term_postings(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return s.postings(T_MID).select(
@@ -2406,6 +2448,8 @@ def _q_monitor_pairs(spark, sf_dir):
 # similarity/IODV/spatial/facet-range/sorted fine print; everything here
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
+    "simple_parse_topk", "simple_parse_not_topk",
+    "simple_parse_must_not_topk",
     "interval_ordered_topk", "interval_unordered_topk",
     "interval_maxgaps_topk", "interval_containing_topk",
     "interval_maxwidth_topk", "interval_before_topk",
@@ -2448,6 +2492,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_and": _q_topk_and,
         "topk_not": _q_topk_not,
         "modifier_topk": _q_modifier_topk,
+        "simple_parse_topk": _q_simple_parse_topk,
+        "simple_parse_not_topk": _q_simple_parse_not_topk,
+        "simple_parse_must_not_topk": _q_simple_parse_must_not_topk,
         "explain_term": _q_explain_term,
         "term_postings": _q_term_postings,
         "term_stats": _q_term_stats,
@@ -2629,6 +2676,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_and": osql.topk_and_sql(T_HOT, T_MID),
         "topk_not": osql.topk_not_sql(T_B, T_HOT),
         "modifier_topk": osql.req_opt_not_topk_sql(T_HOT, T_MID, T_B),
+        "simple_parse_topk": osql.simple_mixed_topk_sql(T_HOT, T_MID, T_B),
+        "simple_parse_not_topk": osql.simple_not_topk_sql(T_B, T_HOT),
+        "simple_parse_must_not_topk": osql.simple_must_not_topk_sql(T_HOT, T_B),
         "explain_term": osql.explain_term_sql(T_HOT),
         "term_postings": osql.term_postings_sql(T_MID),
         "term_stats": osql.term_stats_sql(),

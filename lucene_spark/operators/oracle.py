@@ -18,7 +18,7 @@ import numpy as np
 
 from ..functions.analysis import analyze_batch
 from ..functions.smallfloat import LENGTH_TABLE, int_to_byte4
-from ..plans.query import BoolQ, NearQ, PhraseQ, SloppyQ, TermQ
+from ..plans.query import BoolQ, MatchAllQ, NearQ, PhraseQ, SloppyQ, TermQ
 
 
 def _f32(x: float) -> np.float32:
@@ -67,6 +67,9 @@ class BruteForceIndex:
 
     def _doc_score(self, node, g: int, cache) -> "np.float32 | None":
         """Score of doc g for node, or None if not a match."""
+        if isinstance(node, MatchAllQ):
+            # MatchAllDocsQuery.score() == 1.0 on every doc
+            return _f32(1.0)
         if isinstance(node, TermQ):
             f = self.postings.get(node.term, {}).get(g)
             if f is None:
@@ -119,6 +122,8 @@ class BruteForceIndex:
         raise TypeError(node)
 
     def _matches(self, node, g: int) -> bool:
+        if isinstance(node, MatchAllQ):
+            return True
         if isinstance(node, TermQ):
             return g in self.postings.get(node.term, {})
         if isinstance(node, PhraseQ):

@@ -2072,6 +2072,15 @@ def _contains_matchall(node) -> bool:
     return False
 
 
+def _is_ma_clause(c) -> bool:
+    """Direct MatchAll boolean clause, bare or boost-folded
+    (ConstantScoreQuery(MatchAllDocsQuery) — what _distribute_boost and
+    the duplicate-SHOULD merge produce)."""
+    return isinstance(c, MatchAllQ) or (
+        isinstance(c, ConstScoreQ) and isinstance(c.child, MatchAllQ)
+    )
+
+
 # ------------------------------------------------------------------ searcher
 
 # worker-local top-k heaps: query id -> min-heap of scores. Python workers
@@ -2637,7 +2646,7 @@ class Searcher:
             filt = tuple(
                 ConstScoreQ(self.rewrite(c), boost=0.0) for c in node.filter
             )
-            return BoolQ(
+            out = BoolQ(
                 must=tuple(self.rewrite(c) for c in node.must) + filt,
                 should=tuple(self.rewrite(c) for c in node.should),
                 must_not=tuple(self.rewrite(c) for c in node.must_not),
@@ -2645,6 +2654,29 @@ class Searcher:
                 const_add=node.const_add,
                 n_free_opt=node.n_free_opt,
             ).simplified()
+            # simplified's duplicate-clause merge (BooleanQuery.java:405-437)
+            # can surface BoostQ wrappers — fold them into scorer weights
+            # like any other boost (so e.g. a doubled MatchAll SHOULD clause
+            # becomes ConstScore(MatchAll, 2) the matchall fold understands)
+            if isinstance(out, BoostQ):
+                return self._distribute_boost(out.child, np.float32(out.boost))
+            if isinstance(out, BoolQ) and any(
+                isinstance(c, BoostQ) for c in out.must + out.should
+            ):
+                def dist(c):
+                    if isinstance(c, BoostQ):
+                        return self._distribute_boost(c.child, np.float32(c.boost))
+                    return c
+
+                out = BoolQ(
+                    must=tuple(dist(c) for c in out.must),
+                    should=tuple(dist(c) for c in out.should),
+                    must_not=out.must_not,
+                    msm=out.msm,
+                    const_add=out.const_add,
+                    n_free_opt=out.n_free_opt,
+                )
+            return out
         if isinstance(node, DisMaxQ):
             return DisMaxQ(
                 clauses=tuple(self.rewrite(c) for c in node.clauses), tie=node.tie
@@ -3130,6 +3162,10 @@ class Searcher:
         if node is None:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         node = self.rewrite(node)
+        if isinstance(node, BoolQ):
+            split = self._split_neg_wrappers(node, k, prune, after, use_cache)
+            if split is not None:
+                return split
         keep_bcs: tuple = ()
         cache_fill = False
         if (use_cache and self.query_cache is not None
@@ -3180,7 +3216,7 @@ class Searcher:
         if isinstance(node, ConstScoreQ) and isinstance(node.child, TermSetRefQ):
             return self._term_set_scan(node.child, node.boost)
         if isinstance(node, BoolQ) and any(
-            isinstance(c, MatchAllQ)
+            _is_ma_clause(c)
             for c in node.must + node.should + node.must_not
         ):
             if dv_df is not None or keep_bcs:
@@ -3267,6 +3303,80 @@ class Searcher:
             )
         return out
 
+    def _split_neg_wrappers(self, node: BoolQ, k: int, prune: bool,
+                            after: "tuple[float, int] | None",
+                            use_cache: bool) -> "DataFrame | None":
+        """Desugar SimpleQueryParser's negation wrapper when it sits as a
+        clause of a bigger boolean.
+
+        ``-token`` parses to ``BQ[SHOULD MatchAll, MUST_NOT branch]``
+        (queryparser/simple/SimpleQueryParser.java:441-448); nested under
+        another boolean, Lucene just scores it as one more clause whose
+        scorer yields 1.0 on every doc outside the branch. Kernels here
+        only fold MatchAll constants at the TOP level, so lift the wrapper
+        into equivalent top-level plans instead:
+
+        - wrapper in MUST: the doc must avoid the branch and collects a
+          float32 1.0 inside the double sum — exactly a MUST MatchAll plus
+          the branch appended to the outer MUST_NOT.
+        - wrapper in SHOULD: split the doc universe on branch membership.
+          Docs MATCHING the branch (wrapper scores nothing there): the
+          branch becomes a required non-scoring clause (the FILTER
+          desugar) and the wrapper leaves msm to the remaining SHOULDs.
+          Docs NOT matching: the wrapper is a free-matching SHOULD
+          MatchAll with the branch in MUST_NOT. The two plans are
+          disjoint, each adds the 1.0 INSIDE the double score sum (via
+          ``const_add``), so the union is bit-exact vs Lucene's outer
+          BooleanScorer accumulation.
+
+        Returns None when no wrapper clause is present (the common path).
+        """
+        def is_wrap(c):
+            return (isinstance(c, BoolQ) and not c.must and not c.filter
+                    and c.must_not and c.msm == 0 and c.const_add == 0.0
+                    and c.n_free_opt == 0 and len(c.should) == 1
+                    and isinstance(c.should[0], MatchAllQ))
+
+        if not any(is_wrap(c) for c in node.must + node.should):
+            return None
+        must, must_not = list(node.must), list(node.must_not)
+        for i, c in enumerate(must):
+            if is_wrap(c):
+                must[i] = MatchAllQ()
+                must_not.extend(c.must_not)
+        should = list(node.should)
+        wi = next((i for i, c in enumerate(should) if is_wrap(c)), None)
+        if wi is None:
+            lifted = BoolQ(tuple(must), tuple(should), tuple(must_not),
+                           node.msm, node.const_add, node.n_free_opt)
+            return self.candidates(lifted, k=k, prune=prune, after=after,
+                                   use_cache=use_cache)
+        wrap = should.pop(wi)
+        # docs NOT matching the branch: free SHOULD MatchAll, branch excluded
+        p_out = BoolQ(tuple(must), tuple(should) + (MatchAllQ(),),
+                      tuple(must_not) + tuple(wrap.must_not),
+                      node.msm, node.const_add, node.n_free_opt)
+        # docs matching the branch: wrapper contributes nothing; require the
+        # branch non-scoring (ConstantScore(0) MUST — the FILTER desugar).
+        # With no other required clause the original needed >=1 SHOULD
+        # match; the new required filter would make SHOULD optional, so pin
+        # msm explicitly.
+        branch = BoolQ(should=tuple(wrap.must_not)).simplified()
+        p_in = BoolQ(tuple(must) + (ConstScoreQ(branch, boost=0.0),),
+                     tuple(should), tuple(must_not),
+                     (node.msm if (node.must or node.n_free_opt)
+                      else max(node.msm, 1)),
+                     node.const_add, node.n_free_opt)
+        out = self.candidates(p_out, k=k, prune=prune, after=after,
+                              use_cache=use_cache)
+        if not should and p_in.msm > node.n_free_opt + len(should):
+            # no remaining SHOULD can satisfy msm: the in-branch half
+            # matches nothing (e.g. a bare nested `-a` disjunction)
+            return out
+        inn = self.candidates(p_in, k=k, prune=prune, after=after,
+                              use_cache=use_cache)
+        return out.unionByName(inn)
+
     def _bool_matchall(self, node: BoolQ, k: int, prune: bool,
                        after: "tuple[float, int] | None") -> DataFrame:
         """BooleanQuery with direct MatchAllDocsQuery scoring clauses
@@ -3283,16 +3393,22 @@ class Searcher:
         score (real matches add >= 0), so kernel-side θ-pruning stays
         valid. A MUST_NOT MatchAll matches nothing.
         """
-        if any(isinstance(c, MatchAllQ) for c in node.must_not):
+        if any(_is_ma_clause(c) for c in node.must_not):
             return self.spark.createDataFrame([], RESULT_SCHEMA)
-        must_ma = [c for c in node.must if isinstance(c, MatchAllQ)]
-        should_ma = [c for c in node.should if isinstance(c, MatchAllQ)]
+        must_ma = [c for c in node.must if _is_ma_clause(c)]
+        should_ma = [c for c in node.should if _is_ma_clause(c)]
+        # each MatchAll clause scores float32(boost) (1.0 bare); the sum
+        # of those float32 terms in double is the folded constant
+        ma_const = sum(
+            float(np.float32(c.boost)) if isinstance(c, ConstScoreQ) else 1.0
+            for c in must_ma + should_ma
+        )
         reduced = BoolQ(
-            must=tuple(c for c in node.must if not isinstance(c, MatchAllQ)),
-            should=tuple(c for c in node.should if not isinstance(c, MatchAllQ)),
+            must=tuple(c for c in node.must if not _is_ma_clause(c)),
+            should=tuple(c for c in node.should if not _is_ma_clause(c)),
             must_not=node.must_not,
             msm=node.msm,
-            const_add=node.const_add + float(len(must_ma) + len(should_ma)),
+            const_add=node.const_add + ma_const,
             n_free_opt=node.n_free_opt + len(should_ma),
         )
         base = self.candidates(reduced, k=k, prune=prune, after=after)
@@ -3306,7 +3422,8 @@ class Searcher:
         fill = self.doc_rows().select("gid")
         if node.must_not:
             neg = self.candidates(
-                BoolQ(should=tuple(node.must_not)).simplified(), prune=False
+                BoolQ(should=tuple(node.must_not)).simplified(),
+                k=_ALL_K, prune=False
             )
             fill = fill.join(neg.select("gid"), "gid", "left_anti")
         fill = fill.join(base.select("gid"), "gid", "left_anti")
@@ -3529,7 +3646,8 @@ class Searcher:
             fill = fill.join(dv_df.select("gid"), "gid", "left_semi")
         if node.must_not:
             neg = self.candidates(
-                BoolQ(should=tuple(node.must_not)).simplified(), prune=False
+                BoolQ(should=tuple(node.must_not)).simplified(),
+                k=_ALL_K, prune=False
             )
             fill = fill.join(neg.select("gid"), "gid", "left_anti")
         if base is not None:

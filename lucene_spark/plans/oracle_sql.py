@@ -2781,3 +2781,51 @@ def ascii_fold_sql(synth_from: str, synth_to: str) -> str:
 SELECT doc_id,
        strip_accents(translate(text, '{synth_from}', '{synth_to}')) AS folded
 FROM documents ORDER BY doc_id"""
+
+
+def simple_mixed_topk_sql(t1: str, t2: str, t3: str, k: int = 10) -> str:
+    """SimpleQueryParser right-to-left precedence: ``t1 + t2 | t3``
+    parses to SHOULD(MUST(t1, t2), t3) (SimpleQueryParser.java:460-472 —
+    the operator change wraps the AND pair as one clause). Inner MUST
+    sums the two float32 term scores in double with ONE float32 cast;
+    the outer SHOULD sums its matching clauses the same way."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', t1)},{scored_term_cte('s2', t2)},{scored_term_cte('s3', t3)},
+sand AS (
+  SELECT s1.doc_id, CAST(CAST(s1.score + s2.score AS FLOAT) AS DOUBLE) AS score
+  FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+)
+SELECT doc_id, CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM (SELECT * FROM sand UNION ALL SELECT * FROM s3)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def simple_must_not_topk_sql(must_t: str, not_t: str, k: int = 10) -> str:
+    """SimpleQueryParser ``a + -b``: MUST(a, BQ[MUST_NOT b, SHOULD
+    MatchAll]) — the negation wrapper as a REQUIRED clause. Docs must
+    contain ``must_t``, must not contain ``not_t``, and the wrapper's
+    MatchAll contributes a float32 1.0 inside the double sum
+    (SimpleQueryParser.java:441-448 + BooleanWeight conjunction)."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', must_t)}
+SELECT doc_id, CAST(CAST(score + 1.0 AS FLOAT) AS DOUBLE) AS score
+FROM s1
+WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{not_t}')
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def simple_not_topk_sql(not_t: str, should_t: str, k: int = 10) -> str:
+    """SimpleQueryParser negation: ``-a b`` (default operator OR) parses
+    to SHOULD(BQ[MUST_NOT a, SHOULD MatchAll], b) — buildQueryTree's
+    negation wrapper (SimpleQueryParser.java:441-448). The wrapper
+    matches every doc without ``not_t`` at score 1.0
+    (MatchAllDocsQuery.score()); the outer SHOULD adds ``should_t``'s
+    BM25 score where it matches, double sum, one float32 cast."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s1', should_t)}
+SELECT doc_id, CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+FROM (
+  SELECT doc_id, 1.0 AS score FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{not_t}')
+  UNION ALL SELECT doc_id, score FROM s1
+)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""

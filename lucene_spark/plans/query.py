@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 import re as _re
+import struct as _struct
 
 from dataclasses import dataclass, field
 
@@ -546,6 +547,12 @@ def blended_term_query(terms, boosts=None, *, rewrite: str = "boolean",
     raise ValueError(f"unknown rewrite: {rewrite}")
 
 
+def _f32_value(x: float) -> float:
+    """float -> IEEE float32 -> float (``entry.getValue().floatValue()``,
+    BooleanQuery.java:422 — the boost sum's single float cast)."""
+    return _struct.unpack("f", _struct.pack("f", x))[0]
+
+
 @dataclass(frozen=True)
 class BoolQ:
     must: tuple = ()
@@ -568,9 +575,36 @@ class BoolQ:
     filter: tuple = ()
 
     def simplified(self):
-        """1-clause collapse + dedupe (BooleanQuery.rewrite subset)."""
-        must = tuple(dict.fromkeys(self.must))
-        should = tuple(dict.fromkeys(self.should))
+        """1-clause collapse + duplicate-clause rewrite (BooleanQuery
+        .rewrite subset, core/search/BooleanQuery.java:321-470): FILTER /
+        MUST_NOT duplicates dedupe silently (java:321-328); duplicate
+        SHOULD (only when minimumNumberShouldMatch <= 1, java:406) and
+        MUST (java:437) clauses merge by SUMMING their boosts — double
+        accumulation, one float32 cast, BoostQuery wrapper unless the sum
+        is 1 (java:405-437)."""
+        def merge(clauses):
+            acc: dict = {}
+            for c in clauses:
+                b = 1.0
+                while isinstance(c, BoostQ):
+                    b *= float(c.boost)
+                    c = c.child
+                acc[c] = acc.get(c, 0.0) + b
+            out = []
+            for c, b in acc.items():
+                b32 = _f32_value(b)
+                if b32 == 1.0 or (isinstance(c, ConstScoreQ) and c.boost == 0.0):
+                    out.append(c)
+                else:
+                    out.append(BoostQ(c, boost=b32))
+            return tuple(out)
+
+        must = merge(self.must)
+        if self.msm <= 1:
+            should = merge(self.should)
+        else:
+            # duplicates matter for SHOULD under msm > 1 (java:148)
+            should = self.should
         must_not = tuple(dict.fromkeys(self.must_not))
         filt = tuple(dict.fromkeys(self.filter))
         if (self.msm <= 1 and self.const_add == 0.0

@@ -153,6 +153,81 @@ def test_parsed_queries(searcher, oracle):
     )
 
 
+def test_nested_negation_wrapper(searcher, oracle):
+    """SimpleQueryParser's ``-token`` wrapper (BQ[SHOULD MatchAll,
+    MUST_NOT branch], SimpleQueryParser.java:441-448) nested inside a
+    bigger boolean — the searcher's _split_neg_wrappers desugar vs the
+    brute-force doc-at-a-time oracle (scores f32-exact)."""
+    from lucene_spark.plans.query import MatchAllQ
+
+    hot, mid, rare = _hot_mid_rare(oracle)
+
+    def W(c):
+        return BoolQ(should=(MatchAllQ(),), must_not=(c,))
+
+    # wrapper as an optional clause: `-mid rare` (default OR)
+    _check_query(searcher, oracle,
+                 BoolQ(should=(W(TermQ(mid)), TermQ(rare))), msg="-a b")
+    # wrapper as a required clause: `hot + -mid`
+    _check_query(searcher, oracle,
+                 BoolQ(must=(TermQ(hot), W(TermQ(mid)))), msg="a + -b")
+    # two wrappers, both optional: `-mid | -rare` (XOR-of-absence shape)
+    _check_query(searcher, oracle,
+                 BoolQ(should=(W(TermQ(mid)), W(TermQ(rare)))), msg="-a | -b")
+    # two wrappers, both required: `-mid + -rare`
+    _check_query(searcher, oracle,
+                 BoolQ(must=(W(TermQ(mid)), W(TermQ(rare)))), msg="-a + -b")
+    # wrapper beside several scoring clauses with an outer must_not
+    _check_query(
+        searcher, oracle,
+        BoolQ(should=(W(TermQ(rare)), TermQ(mid), TermQ(hot)),
+              must_not=(PhraseQ((hot, hot), (0, 1)),)),
+        msg="-a b c NOT phrase",
+    )
+
+
+def test_matchall_with_dense_must_not(searcher, oracle):
+    """Universe-fill exclusion must be EXHAUSTIVE: a MatchAll with a
+    must_not whose match set far exceeds k (the hot term) — regression
+    for the per-bucket-top-k-capped neg set in _bool_matchall."""
+    from lucene_spark.plans.query import MatchAllQ
+
+    hot, mid, _ = _hot_mid_rare(oracle)
+    assert len(oracle.postings[hot]) > 10  # the bug needs |neg| > k
+    _check_query(searcher, oracle,
+                 BoolQ(should=(MatchAllQ(),), must_not=(TermQ(hot),)),
+                 msg="* NOT hot")
+    _check_query(searcher, oracle,
+                 BoolQ(should=(MatchAllQ(),), must_not=(TermQ(hot), TermQ(mid))),
+                 msg="* NOT hot NOT mid")
+
+
+def test_duplicate_clause_boost_sum(searcher):
+    """BooleanQuery.rewrite merges duplicate SHOULD (msm<=1) and MUST
+    clauses by summing boosts (BooleanQuery.java:405-437): a doubled
+    clause scores exactly like an explicit BoostQuery(clause, 2)."""
+    from lucene_spark.plans.query import BoostQ
+
+    import pyspark.sql.functions as F
+    terms = (searcher.spark.read.parquet(searcher.index_dir + "/terms")
+             .orderBy(F.desc("doc_freq")).limit(5).toPandas())
+    hot = terms["term"].iloc[2]
+    dup = searcher.search(BoolQ(should=(TermQ(hot), TermQ(hot))), k=10,
+                          with_keys=False)
+    boosted = searcher.search(BoostQ(TermQ(hot), boost=2.0), k=10,
+                              with_keys=False)
+    assert list(dup["gid"]) == list(boosted["gid"])
+    assert [np.float32(s) for s in dup["score"]] == [
+        np.float32(s) for s in boosted["score"]
+    ]
+    dup_m = searcher.search(BoolQ(must=(TermQ(hot), TermQ(hot))), k=10,
+                            with_keys=False)
+    assert list(dup_m["gid"]) == list(boosted["gid"])
+    assert [np.float32(s) for s in dup_m["score"]] == [
+        np.float32(s) for s in boosted["score"]
+    ]
+
+
 def test_no_match_and_stopword_queries(searcher, oracle):
     got = searcher.search("zzznope12345", k=10)
     assert len(got) == 0
