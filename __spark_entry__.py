@@ -1619,6 +1619,24 @@ def _q_geo_polygon(spark, sf_dir):
     return spatial.geo_polygon(pts, GEO_POLY_LATS, GEO_POLY_LONS)
 
 
+# interior ring (hole) fully inside the pentagon; same
+# no-representable-boundary-point property as the shell
+GEO_HOLE_LATS = [-5.0, 15.0, 15.0, -5.0, -5.0]
+GEO_HOLE_LONS = [-10.0, -10.0, 20.0, 20.0, -10.0]
+
+
+def _q_geo_polygon_holes(spark, sf_dir):
+    """Polygon with an interior hole (Polygon2D.java:109): shell
+    containment minus hole containment, hole boundary excluded."""
+    from lucene_spark.operators import spatial
+
+    pts = spatial.read_points(spark, _points_for(spark, sf_dir))
+    return spatial.geo_polygon(
+        pts, GEO_POLY_LATS, GEO_POLY_LONS,
+        holes=[(GEO_HOLE_LATS, GEO_HOLE_LONS)],
+    )
+
+
 # 3 real vocab terms + thousands of misses: proves the >1024-clause bypass
 TERM_SET = [T_HOT, T_MID, T_B] + [f"zz{i}" for i in range(4997)]
 
@@ -2460,7 +2478,7 @@ _NEVER_DRIVER_SAMPLED = [
     "drill_sideways", "combined_field_topk", "word_breaks",
     "word_combine", "blended_dismax_topk", "phrase_wildcard_topk",
     "axiomatic_f1exp_topk", "axiomatic_f3log_topk",
-    "geo_polygon", "monitor_match", "monitor_pairs",
+    "geo_polygon", "geo_polygon_holes", "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
@@ -2601,6 +2619,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance": _q_geo_distance,
         "geo_nearest": _q_geo_nearest,
         "geo_polygon": _q_geo_polygon,
+        "geo_polygon_holes": _q_geo_polygon_holes,
         "iodv_index_topk": _q_iodv_index_topk,
         "iodv_dv_topk": _q_iodv_dv_topk,
         "term_vectors": _q_term_vectors,
@@ -2813,6 +2832,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance": ospat.geo_distance_sql(*GEO_CENTER, GEO_RADIUS_M),
         "geo_nearest": ospat.geo_nearest_sql(*GEO_CENTER, GEO_K),
         "geo_polygon": ospat.geo_polygon_sql(GEO_POLY_LATS, GEO_POLY_LONS),
+        "geo_polygon_holes": ospat.geo_polygon_sql(
+            GEO_POLY_LATS, GEO_POLY_LONS,
+            holes=[(GEO_HOLE_LATS, GEO_HOLE_LONS)]),
         "iodv_index_topk": osql.iodv_topk_sql(
             T_HOT, SORT_EXPR, *IODV_NARROW, k=IODV_K),
         "iodv_dv_topk": osql.iodv_topk_sql(

@@ -3332,17 +3332,23 @@ class Searcher:
         Returns None when no wrapper clause is present (the common path).
         """
         def is_wrap(c):
+            # the wrapper's MatchAll may carry a folded boost
+            # (ConstScore(MatchAll, n) after the duplicate-SHOULD merge)
             return (isinstance(c, BoolQ) and not c.must and not c.filter
                     and c.must_not and c.msm == 0 and c.const_add == 0.0
                     and c.n_free_opt == 0 and len(c.should) == 1
-                    and isinstance(c.should[0], MatchAllQ))
+                    and _is_ma_clause(c.should[0]))
+
+        def wrap_ma(c):
+            # the wrapper's scoring MatchAll clause, boost preserved
+            return c.should[0]
 
         if not any(is_wrap(c) for c in node.must + node.should):
             return None
         must, must_not = list(node.must), list(node.must_not)
         for i, c in enumerate(must):
             if is_wrap(c):
-                must[i] = MatchAllQ()
+                must[i] = wrap_ma(c)
                 must_not.extend(c.must_not)
         should = list(node.should)
         wi = next((i for i, c in enumerate(should) if is_wrap(c)), None)
@@ -3353,7 +3359,7 @@ class Searcher:
                                    use_cache=use_cache)
         wrap = should.pop(wi)
         # docs NOT matching the branch: free SHOULD MatchAll, branch excluded
-        p_out = BoolQ(tuple(must), tuple(should) + (MatchAllQ(),),
+        p_out = BoolQ(tuple(must), tuple(should) + (wrap_ma(wrap),),
                       tuple(must_not) + tuple(wrap.must_not),
                       node.msm, node.const_add, node.n_free_opt)
         # docs matching the branch: wrapper contributes nothing; require the

@@ -335,16 +335,10 @@ def _polygon_edges(lats: "list[float]", lons: "list[float]"):
     ]
 
 
-def geo_polygon(
-    points: DataFrame, lats: "list[float]", lons: "list[float]"
-) -> DataFrame:
-    """LatLonPoint.newPolygonQuery (single ring, no holes) — bounding-box
-    prune pushed into the Parquet scan (same encoded ranges as
-    newBoxQuery), then the EXACT point-in-polygon test of
-    Polygon2D.contains / EdgeTree.containsPnPoly (core/geo/Polygon2D.java:
-    105-111, EdgeTree.java:106-138 — W. R. Franklin's PNPOLY with
-    Lucene's on-edge rule) over the DECODED quantized coordinates against
-    the RAW polygon vertices, entirely as codegen'd column expressions:
+def _ring_contains(lats: "list[float]", lons: "list[float]"):
+    """Column predicate: decoded point inside (or on) the closed ring —
+    EdgeTree.containsPnPoly (core/geo/EdgeTree.java:106-138, W. R.
+    Franklin's PNPOLY with Lucene's on-edge rule):
 
       per edge, within the direction-insensitive y-band:
         on-edge  = x inside the edge's x-band AND orient(e1, e2, p) == 0
@@ -355,8 +349,8 @@ def geo_polygon(
 
     Horizontal edges ((y1 > y) != (y2 > y) impossible) skip the crossing
     term at plan-build time, so no division by zero ever evaluates. The
-    XOR parity compiles to sum-of-ints % 2 — one whole-stage-codegen
-    projection, no UDF, no shuffle."""
+    XOR parity compiles to sum-of-ints % 2 — pure codegen'd expressions,
+    no UDF."""
     edges = _polygon_edges(lats, lons)
     x = F.col("lon_enc") * F.lit(LON_DECODE)
     y = F.col("lat_enc") * F.lit(LAT_DECODE)
@@ -386,7 +380,29 @@ def geo_polygon(
         parity = sum(cross_terms[1:], cross_terms[0]) % 2 == 1
     else:
         parity = F.lit(False)
+    return on_edge_any | parity
+
+
+def geo_polygon(
+    points: DataFrame, lats: "list[float]", lons: "list[float]",
+    holes: "list[tuple[list[float], list[float]]] | None" = None,
+) -> DataFrame:
+    """LatLonPoint.newPolygonQuery — bounding-box prune pushed into the
+    Parquet scan (same encoded ranges as newBoxQuery), then the EXACT
+    point-in-polygon test of Polygon2D.contains (core/geo/Polygon2D.java:
+    105-111) over the DECODED quantized coordinates against the RAW
+    polygon vertices, entirely as codegen'd column expressions (see
+    :func:`_ring_contains`).
+
+    ``holes``: interior rings, each a (lats, lons) closed ring. A point
+    inside the shell is contained unless ANY hole contains it —
+    Polygon2D.java:109 ``return holes == null || holes.contains(x, y) ==
+    false``; a point ON a hole's boundary counts as inside the hole and
+    is therefore EXCLUDED (the hole component's contains includes its
+    edges), matching the reference's code path exactly. One codegen'd
+    projection, no UDF, no shuffle, holes or not."""
+    pred = _ring_contains(lats, lons)
+    for h_lats, h_lons in holes or ():
+        pred = pred & ~_ring_contains(h_lats, h_lons)
     box = _box_pred(min(lats), max(lats), min(lons), max(lons))
-    return points.filter(box & (on_edge_any | parity)).select(
-        "gid", "lat_enc", "lon_enc"
-    )
+    return points.filter(box & pred).select("gid", "lat_enc", "lon_enc")

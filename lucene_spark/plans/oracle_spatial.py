@@ -91,13 +91,31 @@ def geo_nearest_sql(qlat: float, qlon: float, k: int) -> str:
     )
 
 
-def geo_polygon_sql(lats: "list[float]", lons: "list[float]") -> str:
+def geo_polygon_sql(lats: "list[float]", lons: "list[float]",
+                    holes: "list[tuple[list[float], list[float]]] | None" = None,
+                    ) -> str:
     """Point-in-polygon membership — the same per-edge PNPOLY expressions
     as spatial.geo_polygon (EdgeTree.containsPnPoly + GeoUtils.orient,
     plain double math), generated from the same vertex list so both
     engines evaluate an identical expression tree over the decoded
     quantized coordinates. On-edge OR odd crossing parity; horizontal
-    edges emit no crossing term (no division by zero)."""
+    edges emit no crossing term (no division by zero). ``holes``:
+    interior rings excluded with the same ring test, boundary included
+    in the hole (Polygon2D.java:109)."""
+    shell = _ring_contains_sql(lats, lons)
+    hole_preds = [
+        f"NOT {_ring_contains_sql(h_lats, h_lons)}"
+        for h_lats, h_lons in holes or ()
+    ]
+    pred = " AND ".join([shell] + hole_preds)
+    return (
+        f"WITH {_PTS_CTE} "
+        f"SELECT gid, lat_enc, lon_enc FROM pts "
+        f"WHERE {pred}"
+    )
+
+
+def _ring_contains_sql(lats: "list[float]", lons: "list[float]") -> str:
     x = f"(lon_enc * {LON_DECODE_SQL})"
     y = f"(lat_enc * {LAT_DECODE_SQL})"
     on_edges, crossings = [], []
@@ -128,8 +146,4 @@ def geo_polygon_sql(lats: "list[float]", lons: "list[float]") -> str:
             )
     on_any = "(" + " OR ".join(on_edges) + ")"
     parity = "((" + " + ".join(crossings) + ") % 2 = 1)" if crossings else "FALSE"
-    return (
-        f"WITH {_PTS_CTE} "
-        f"SELECT gid, lat_enc, lon_enc FROM pts "
-        f"WHERE {on_any} OR {parity}"
-    )
+    return f"({on_any} OR {parity})"

@@ -246,6 +246,29 @@ def test_polygon_matches_brute(spark, points_dir):
         )
     }
     assert got == want and len(want) > 100
+    # with an interior hole (Polygon2D.java:109): shell minus hole,
+    # hole boundary excluded — against the same brute PNPOLY replay
+    h_lats = [-5.0, 15.0, 15.0, -5.0, -5.0]
+    h_lons = [-10.0, -10.0, 20.0, 20.0, -10.0]
+    got_h = {
+        r.gid
+        for r in sp.geo_polygon(
+            sp.read_points(spark, points_dir), POLY_LATS, POLY_LONS,
+            holes=[(h_lats, h_lons)],
+        ).collect()
+    }
+    want_h = {
+        g
+        for g, la, lo in _brute_points()
+        if _pnpoly_contains(
+            POLY_LATS, POLY_LONS, la * sp.LAT_DECODE, lo * sp.LON_DECODE
+        )
+        and not _pnpoly_contains(
+            h_lats, h_lons, la * sp.LAT_DECODE, lo * sp.LON_DECODE
+        )
+    }
+    assert got_h == want_h
+    assert got_h < got  # the hole actually removed interior points
     # the polygon is a strict subset of its bounding box
     bbox = {
         r.gid
