@@ -1619,6 +1619,41 @@ def _q_geo_polygon(spark, sf_dir):
     return spatial.geo_polygon(pts, GEO_POLY_LATS, GEO_POLY_LONS)
 
 
+_SHAPES_CACHE: dict = {}
+
+# box over the dense mid-latitudes: splits the synthetic rect population
+# into nonempty intersects / within / disjoint sets at every sf
+SHAPE_BOX = (-20.0, 25.0, -40.0, 30.0)
+
+
+def _shapes_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the z-ordered triangle table for a testdata dir —
+    LatLonShape's tessellated index over deterministic per-event rects."""
+    from lucene_spark.operators.shapes import build_shapes, synth_rects
+
+    if sf_dir in _SHAPES_CACHE:
+        return _SHAPES_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    out = f"/tmp/lucene_spark_shapes_{INDEX_FORMAT_VERSION}_{tag}"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    build_shapes(spark, synth_rects(ev, "event_id"), out)
+    _SHAPES_CACHE[sf_dir] = out
+    return out
+
+
+def _q_shape_box(rel):
+    def q(spark, sf_dir):
+        """LatLonShape.newBoxQuery over tessellated per-doc polygons:
+        doc-level gid set for the given ShapeField.QueryRelation
+        (Rectangle2D triangle relations + one groupBy rollup)."""
+        from lucene_spark.operators import shapes
+
+        tri = shapes.read_shapes(spark, _shapes_for(spark, sf_dir))
+        return shapes.shape_box(tri, rel, *SHAPE_BOX).orderBy("gid")
+
+    return q
+
+
 # interior ring (hole) fully inside the pentagon; same
 # no-representable-boundary-point property as the shell
 GEO_HOLE_LATS = [-5.0, 15.0, 15.0, -5.0, -5.0]
@@ -2478,7 +2513,9 @@ _NEVER_DRIVER_SAMPLED = [
     "drill_sideways", "combined_field_topk", "word_breaks",
     "word_combine", "blended_dismax_topk", "phrase_wildcard_topk",
     "axiomatic_f1exp_topk", "axiomatic_f3log_topk",
-    "geo_polygon", "geo_polygon_holes", "monitor_match", "monitor_pairs",
+    "geo_polygon", "geo_polygon_holes", "shape_box_intersects",
+    "shape_box_within", "shape_box_disjoint",
+    "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
     "filter_topk", "multiphrase_topk", "sloppy3_topk",
@@ -2620,6 +2657,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest": _q_geo_nearest,
         "geo_polygon": _q_geo_polygon,
         "geo_polygon_holes": _q_geo_polygon_holes,
+        "shape_box_intersects": _q_shape_box("intersects"),
+        "shape_box_within": _q_shape_box("within"),
+        "shape_box_disjoint": _q_shape_box("disjoint"),
         "iodv_index_topk": _q_iodv_index_topk,
         "iodv_dv_topk": _q_iodv_dv_topk,
         "term_vectors": _q_term_vectors,
@@ -2832,6 +2872,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance": ospat.geo_distance_sql(*GEO_CENTER, GEO_RADIUS_M),
         "geo_nearest": ospat.geo_nearest_sql(*GEO_CENTER, GEO_K),
         "geo_polygon": ospat.geo_polygon_sql(GEO_POLY_LATS, GEO_POLY_LONS),
+        "shape_box_intersects": ospat.shape_box_sql("intersects", *SHAPE_BOX),
+        "shape_box_within": ospat.shape_box_sql("within", *SHAPE_BOX),
+        "shape_box_disjoint": ospat.shape_box_sql("disjoint", *SHAPE_BOX),
         "geo_polygon_holes": ospat.geo_polygon_sql(
             GEO_POLY_LATS, GEO_POLY_LONS,
             holes=[(GEO_HOLE_LATS, GEO_HOLE_LONS)]),

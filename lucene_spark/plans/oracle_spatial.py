@@ -147,3 +147,62 @@ def _ring_contains_sql(lats: "list[float]", lons: "list[float]") -> str:
     on_any = "(" + " OR ".join(on_edges) + ")"
     parity = "((" + " + ".join(crossings) + ") % 2 = 1)" if crossings else "FALSE"
     return f"({on_any} OR {parity})"
+
+
+# must mirror lucene_spark.operators.shapes.synth_rects + tessellate's
+# floor quantization of every ring vertex: the rect's encoded bbox IS the
+# quantized geometry, so box relations reduce to closed-interval algebra
+_RECTS_CTE = f"""
+rects AS (
+  SELECT
+    event_id AS gid,
+    CAST(FLOOR(lat0 / {LAT_DECODE_SQL}) AS BIGINT) AS rminy,
+    CAST(FLOOR(LEAST(lat0 + ((event_id % 97) / 10.0 + 0.5), 89.9)
+               / {LAT_DECODE_SQL}) AS BIGINT) AS rmaxy,
+    CAST(FLOOR(lon0 / {LON_DECODE_SQL}) AS BIGINT) AS rminx,
+    CAST(FLOOR(LEAST(lon0 + ((event_id % 89) / 10.0 + 0.5), 179.9)
+               / {LON_DECODE_SQL}) AS BIGINT) AS rmaxx
+  FROM (
+    SELECT
+      event_id,
+      ((event_id * 7919) % 1700000) / 10000.0 - 85.0 AS lat0,
+      ((event_id * 104729) % 3500000) / 10000.0 - 175.0 AS lon0
+    FROM events
+  )
+)
+"""
+
+
+def shape_box_sql(relation: str, min_lat: float, max_lat: float,
+                  min_lon: float, max_lon: float) -> str:
+    """Doc-level box relation over the synthetic rectangle shapes —
+    INDEPENDENT of the engine's tessellation: an axis-aligned rect
+    relates to a box by closed-interval algebra on the quantized bboxes
+    (Rectangle2D's boundary-inclusive intersects / containsTriangle
+    reduce to exactly this for rectangle shapes), so the oracle checks
+    the whole tessellate -> triangle-predicate -> groupBy pipeline
+    against plain arithmetic."""
+    from ..operators.spatial import (
+        encode_latitude, encode_latitude_ceil,
+        encode_longitude, encode_longitude_ceil,
+    )
+
+    qminy = encode_latitude_ceil(min_lat)
+    qmaxy = encode_latitude(max_lat)
+    qminx = encode_longitude_ceil(min_lon)
+    qmaxx = encode_longitude(max_lon)
+    inter = (f"rmaxy >= {qminy} AND rminy <= {qmaxy} "
+             f"AND rmaxx >= {qminx} AND rminx <= {qmaxx}")
+    if relation == "intersects":
+        pred = inter
+    elif relation == "within":
+        pred = (f"rminy >= {qminy} AND rmaxy <= {qmaxy} "
+                f"AND rminx >= {qminx} AND rmaxx <= {qmaxx}")
+    elif relation == "disjoint":
+        pred = f"NOT ({inter})"
+    else:
+        raise ValueError(relation)
+    return (
+        f"WITH {_RECTS_CTE} "
+        f"SELECT gid FROM rects WHERE {pred} ORDER BY gid"
+    )
