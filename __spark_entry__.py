@@ -1641,6 +1641,21 @@ def _shapes_for(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _q_shape_polygon(rel):
+    def q(spark, sf_dir):
+        """LatLonShape.newPolygonQuery over tessellated per-doc polygons:
+        Polygon2D triangle relations (PNPOLY vertex containment +
+        boundary-disciplined edge crossings) + one groupBy rollup."""
+        from lucene_spark.operators import shapes
+
+        tri = shapes.read_shapes(spark, _shapes_for(spark, sf_dir))
+        return shapes.shape_polygon(
+            tri, rel, GEO_POLY_LATS, GEO_POLY_LONS
+        ).orderBy("gid")
+
+    return q
+
+
 def _q_shape_box(rel):
     def q(spark, sf_dir):
         """LatLonShape.newBoxQuery over tessellated per-doc polygons:
@@ -2514,7 +2529,8 @@ _NEVER_DRIVER_SAMPLED = [
     "word_combine", "blended_dismax_topk", "phrase_wildcard_topk",
     "axiomatic_f1exp_topk", "axiomatic_f3log_topk",
     "geo_polygon", "geo_polygon_holes", "shape_box_intersects",
-    "shape_box_within", "shape_box_disjoint",
+    "shape_box_within", "shape_box_disjoint", "shape_polygon_intersects",
+    "shape_polygon_within", "shape_polygon_disjoint",
     "monitor_match", "monitor_pairs",
     "english_topk", "porter_stems",
     "span_payload_topk", "span_near_topk", "highlight_offsets",
@@ -2660,6 +2676,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_box_intersects": _q_shape_box("intersects"),
         "shape_box_within": _q_shape_box("within"),
         "shape_box_disjoint": _q_shape_box("disjoint"),
+        "shape_polygon_intersects": _q_shape_polygon("intersects"),
+        "shape_polygon_within": _q_shape_polygon("within"),
+        "shape_polygon_disjoint": _q_shape_polygon("disjoint"),
         "iodv_index_topk": _q_iodv_index_topk,
         "iodv_dv_topk": _q_iodv_dv_topk,
         "term_vectors": _q_term_vectors,
@@ -2875,6 +2894,12 @@ def oracle_sql() -> dict[str, str]:
         "shape_box_intersects": ospat.shape_box_sql("intersects", *SHAPE_BOX),
         "shape_box_within": ospat.shape_box_sql("within", *SHAPE_BOX),
         "shape_box_disjoint": ospat.shape_box_sql("disjoint", *SHAPE_BOX),
+        "shape_polygon_intersects": ospat.shape_polygon_sql(
+            "intersects", GEO_POLY_LATS, GEO_POLY_LONS),
+        "shape_polygon_within": ospat.shape_polygon_sql(
+            "within", GEO_POLY_LATS, GEO_POLY_LONS),
+        "shape_polygon_disjoint": ospat.shape_polygon_sql(
+            "disjoint", GEO_POLY_LATS, GEO_POLY_LONS),
         "geo_polygon_holes": ospat.geo_polygon_sql(
             GEO_POLY_LATS, GEO_POLY_LONS,
             holes=[(GEO_HOLE_LATS, GEO_HOLE_LONS)]),

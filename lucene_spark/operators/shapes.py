@@ -74,7 +74,7 @@ from .spatial import (
 
 __all__ = [
     "tessellate", "build_shapes", "read_shapes", "synth_rects",
-    "shape_box", "INTERSECTS", "WITHIN", "DISJOINT",
+    "shape_box", "shape_polygon", "INTERSECTS", "WITHIN", "DISJOINT",
 ]
 
 INTERSECTS = "intersects"
@@ -401,3 +401,125 @@ def shape_box(
         )
     raise ValueError(f"unsupported relation {relation!r} (CONTAINS needs "
                      "tessellation edge-origin flags; see COVERAGE.md)")
+
+
+def _tri_dec():
+    """Decoded triangle vertex/bbox columns — EXACT doubles (an int32
+    times a dyadic constant is one errorless IEEE multiply)."""
+    from .spatial import LAT_DECODE, LON_DECODE
+
+    d = {}
+    for c in ("ay", "by", "cy", "min_y", "max_y"):
+        d[c] = F.col(c) * F.lit(LAT_DECODE)
+    for c in ("ax", "bx", "cx", "min_x", "max_x"):
+        d[c] = F.col(c) * F.lit(LON_DECODE)
+    return d
+
+
+def _crosses_tri(d, edges, include_boundary: bool):
+    """EdgeTree.crossesTriangle (core/geo/EdgeTree.java:166-222): every
+    polygon edge within the triangle's bbox band tested against the
+    three triangle edges — boundary-inclusive (``<= 0``,
+    lineCrossesLineWithBoundary) or strict (``< 0``, lineCrossesLine)."""
+    out = F.lit(False)
+    tri_edges = [
+        (d["ay"], d["ax"], d["by"], d["bx"]),
+        (d["by"], d["bx"], d["cy"], d["cx"]),
+        (d["cy"], d["cx"], d["ay"], d["ax"]),
+    ]
+    for (dy, dx, ey, ex) in edges:
+        guard = ~(
+            ((F.lit(dy) < d["min_y"]) & (F.lit(ey) < d["min_y"]))
+            | ((F.lit(dy) > d["max_y"]) & (F.lit(ey) > d["max_y"]))
+            | ((F.lit(dx) < d["min_x"]) & (F.lit(ex) < d["min_x"]))
+            | ((F.lit(dx) > d["max_x"]) & (F.lit(ex) > d["max_x"]))
+        )
+        edge_hit = F.lit(False)
+        for (sy, sx, ty, tx) in tri_edges:
+            o1 = _orient_c(F.lit(dy), F.lit(dx), F.lit(ey), F.lit(ex), sy, sx)
+            o2 = _orient_c(F.lit(dy), F.lit(dx), F.lit(ey), F.lit(ex), ty, tx)
+            o3 = _orient_c(sy, sx, ty, tx, F.lit(dy), F.lit(dx))
+            o4 = _orient_c(sy, sx, ty, tx, F.lit(ey), F.lit(ex))
+            if include_boundary:
+                edge_hit = edge_hit | ((o1 * o2 <= 0) & (o3 * o4 <= 0))
+            else:
+                edge_hit = edge_hit | ((o1 * o2 < 0) & (o3 * o4 < 0))
+        out = out | (guard & edge_hit)
+    return out
+
+
+def shape_polygon(
+    shapes: DataFrame,
+    relation: str,
+    lats: "list[float]",
+    lons: "list[float]",
+) -> DataFrame:
+    """LatLonShape.newPolygonQuery (single-ring query polygon) — doc-level
+    gid set, relations per Polygon2D (core/geo/Polygon2D.java:174-242,
+    holes=null):
+
+    - INTERSECTS (``intersectsTriangle``): any-triangle-vertex-in-polygon
+      (EdgeTree PNPOLY with the on-edge rule) OR first-polygon-vertex-in-
+      triangle OR any polygon edge crosses any triangle edge
+      (boundary-inclusive). The polygon-bbox-vs-triangle-bbox shortcut is
+      the SCAN PREFILTER (four pushed-down int comparisons).
+    - WITHIN (``containsTriangle``): every triangle has all three
+      vertices contained with NO strict edge crossing (includeBoundary =
+      false — a shared boundary still counts as contained).
+    - DISJOINT: no triangle intersects.
+
+    All geometry runs in decoded-degree doubles: triangle coordinates
+    decode EXACTLY (int32 x dyadic), the polygon stays raw, and orients
+    round exactly like the reference's double ``orient``."""
+    from .spatial import _polygon_edges, _ring_contains
+
+    edges = _polygon_edges(lats, lons)
+    d = _tri_dec()
+
+    def contains(y, x):
+        return _ring_contains(lats, lons, y=y, x=x)
+
+    if relation == WITHIN:
+        ok = (
+            contains(d["ay"], d["ax"]) & contains(d["by"], d["bx"])
+            & contains(d["cy"], d["cx"])
+            & ~_crosses_tri(d, edges, include_boundary=False)
+        )
+        return (
+            shapes.groupBy("gid")
+            .agg(F.min(ok.cast("int")).alias("all_in"))
+            .filter(F.col("all_in") == 1)
+            .select("gid")
+        )
+    # Component2D.disjoint shortcut in ENCODED space (pushes into the scan)
+    min_y = encode_latitude_ceil(min(lats))
+    max_y = encode_latitude(max(lats))
+    min_x = encode_longitude_ceil(min(lons))
+    max_x = encode_longitude(max(lons))
+    overlap = (
+        (F.col("max_y") >= min_y) & (F.col("min_y") <= max_y)
+        & (F.col("max_x") >= min_x) & (F.col("min_x") <= max_x)
+    )
+    p0y, p0x = float(lats[0]), float(lons[0])
+    o_a = _orient_c(F.lit(p0y), F.lit(p0x), d["ay"], d["ax"], d["by"], d["bx"])
+    o_b = _orient_c(F.lit(p0y), F.lit(p0x), d["by"], d["bx"], d["cy"], d["cx"])
+    o_c = _orient_c(F.lit(p0y), F.lit(p0x), d["cy"], d["cx"], d["ay"], d["ax"])
+    p0_in_tri = (
+        (d["min_y"] <= p0y) & (d["max_y"] >= p0y)
+        & (d["min_x"] <= p0x) & (d["max_x"] >= p0x)
+        & (
+            ((o_a >= 0) & (o_b >= 0) & (o_c >= 0))
+            | ((o_a <= 0) & (o_b <= 0) & (o_c <= 0))
+        )
+    )
+    hit = (
+        contains(d["ay"], d["ax"]) | contains(d["by"], d["bx"])
+        | contains(d["cy"], d["cx"]) | p0_in_tri
+        | _crosses_tri(d, edges, include_boundary=True)
+    )
+    inter = shapes.filter(overlap).filter(hit).select("gid").distinct()
+    if relation == INTERSECTS:
+        return inter
+    if relation == DISJOINT:
+        return shapes.select("gid").distinct().join(inter, "gid", "left_anti")
+    raise ValueError(f"unsupported relation {relation!r}")

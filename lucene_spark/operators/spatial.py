@@ -335,10 +335,13 @@ def _polygon_edges(lats: "list[float]", lons: "list[float]"):
     ]
 
 
-def _ring_contains(lats: "list[float]", lons: "list[float]"):
+def _ring_contains(lats: "list[float]", lons: "list[float]",
+                   y: "F.Column | None" = None,
+                   x: "F.Column | None" = None):
     """Column predicate: decoded point inside (or on) the closed ring —
     EdgeTree.containsPnPoly (core/geo/EdgeTree.java:106-138, W. R.
-    Franklin's PNPOLY with Lucene's on-edge rule):
+    Franklin's PNPOLY with Lucene's on-edge rule). ``y``/``x`` override
+    the tested point (default: this table's decoded lat/lon columns):
 
       per edge, within the direction-insensitive y-band:
         on-edge  = x inside the edge's x-band AND orient(e1, e2, p) == 0
@@ -352,8 +355,10 @@ def _ring_contains(lats: "list[float]", lons: "list[float]"):
     XOR parity compiles to sum-of-ints % 2 — pure codegen'd expressions,
     no UDF."""
     edges = _polygon_edges(lats, lons)
-    x = F.col("lon_enc") * F.lit(LON_DECODE)
-    y = F.col("lat_enc") * F.lit(LAT_DECODE)
+    if x is None:
+        x = F.col("lon_enc") * F.lit(LON_DECODE)
+    if y is None:
+        y = F.col("lat_enc") * F.lit(LAT_DECODE)
     on_edge_any = F.lit(False)
     cross_terms = []
     for y1, x1, y2, x2 in edges:

@@ -115,9 +115,12 @@ def geo_polygon_sql(lats: "list[float]", lons: "list[float]",
     )
 
 
-def _ring_contains_sql(lats: "list[float]", lons: "list[float]") -> str:
-    x = f"(lon_enc * {LON_DECODE_SQL})"
-    y = f"(lat_enc * {LAT_DECODE_SQL})"
+def _ring_contains_sql(lats: "list[float]", lons: "list[float]",
+                       y: "str | None" = None, x: "str | None" = None) -> str:
+    if x is None:
+        x = f"(lon_enc * {LON_DECODE_SQL})"
+    if y is None:
+        y = f"(lat_enc * {LAT_DECODE_SQL})"
     on_edges, crossings = [], []
     for i in range(len(lats) - 1):
         y1, x1, y2, x2 = lats[i], lons[i], lats[i + 1], lons[i + 1]
@@ -200,6 +203,73 @@ def shape_box_sql(relation: str, min_lat: float, max_lat: float,
                 f"AND rminx >= {qminx} AND rmaxx <= {qmaxx}")
     elif relation == "disjoint":
         pred = f"NOT ({inter})"
+    else:
+        raise ValueError(relation)
+    return (
+        f"WITH {_RECTS_CTE} "
+        f"SELECT gid FROM rects WHERE {pred} ORDER BY gid"
+    )
+
+
+def shape_polygon_sql(relation: str, lats: "list[float]",
+                      lons: "list[float]") -> str:
+    """Doc-level polygon relation over the synthetic rectangle shapes —
+    independent of the engine's tessellation AND of its triangle
+    predicates: a rect relates to a simple polygon via rect-corner-in-
+    polygon (PNPOLY on decoded corners), polygon-vertex-in-rect, and
+    rect-edge-vs-polygon-edge crossings (boundary-inclusive for
+    INTERSECTS, strict for WITHIN, GeoUtils.lineCrossesLine[WithBoundary]
+    exactly). The engine must reach the same doc answers through
+    triangles."""
+    # decoded rect corners (exact: int * dyadic)
+    ylo, yhi = f"(rminy * {LAT_DECODE_SQL})", f"(rmaxy * {LAT_DECODE_SQL})"
+    xlo, xhi = f"(rminx * {LON_DECODE_SQL})", f"(rmaxx * {LON_DECODE_SQL})"
+    corners = [(ylo, xlo), (ylo, xhi), (yhi, xhi), (yhi, xlo)]
+    corner_in = " OR ".join(
+        _ring_contains_sql(lats, lons, y=cy, x=cx) for cy, cx in corners
+    )
+    vert_in_rect = " OR ".join(
+        f"({la!r} >= {ylo} AND {la!r} <= {yhi} "
+        f"AND {lo!r} >= {xlo} AND {lo!r} <= {xhi})"
+        for la, lo in zip(lats[:-1], lons[:-1])
+    )
+
+    def orient(ay, ax, by, bx, cy, cx):
+        return (f"(CASE WHEN ({bx} - {ax}) * ({cy} - {ay}) > "
+                f"({cx} - {ax}) * ({by} - {ay}) THEN 1 "
+                f"WHEN ({bx} - {ax}) * ({cy} - {ay}) < "
+                f"({cx} - {ax}) * ({by} - {ay}) THEN -1 ELSE 0 END)")
+
+    rect_edges = [
+        (ylo, xlo, ylo, xhi), (ylo, xhi, yhi, xhi),
+        (yhi, xhi, yhi, xlo), (yhi, xlo, ylo, xlo),
+    ]
+    op = "<=" if relation != "within" else "<"
+    crossings = []
+    for i in range(len(lats) - 1):
+        dy, dx = repr(lats[i]), repr(lons[i])
+        ey, ex = repr(lats[i + 1]), repr(lons[i + 1])
+        for (sy, sx, ty, tx) in rect_edges:
+            o1 = orient(dy, dx, ey, ex, sy, sx)
+            o2 = orient(dy, dx, ey, ex, ty, tx)
+            o3 = orient(sy, sx, ty, tx, dy, dx)
+            o4 = orient(sy, sx, ty, tx, ey, ex)
+            crossings.append(
+                f"({o1} * {o2} {op} 0 AND {o3} * {o4} {op} 0)"
+            )
+    crosses = "(" + " OR ".join(crossings) + ")"
+    inter = f"(({corner_in}) OR ({vert_in_rect}) OR {crosses})"
+    if relation == "intersects":
+        pred = inter
+    elif relation == "within":
+        # all 4 corners contained, no strict crossing (containsTriangle's
+        # includeBoundary=false discipline)
+        all_in = " AND ".join(
+            _ring_contains_sql(lats, lons, y=cy, x=cx) for cy, cx in corners
+        )
+        pred = f"(({all_in}) AND NOT {crosses})"
+    elif relation == "disjoint":
+        pred = f"NOT {inter}"
     else:
         raise ValueError(relation)
     return (

@@ -258,3 +258,68 @@ def test_star_polygons_end_to_end(spark, tmp_path):
     assert got_disj == set(rings) - want_inter
     # sanity: the box splits the population three ways
     assert want_within and want_inter - want_within and got_disj
+
+
+# ------------------------------------------------------ polygon query
+
+def test_polygon_query_branches(spark, tmp_path):
+    quad = _one_shape(
+        spark, tmp_path,
+        [8.0, 12.0, 12.0, 8.0, 8.0], [18.0, 18.0, 22.0, 22.0, 18.0],
+    )
+
+    def rel(r, lats, lons):
+        return {x.gid for x in sh.shape_polygon(quad, r, lats, lons).collect()}
+
+    # triangle query polygon strictly inside the shape: only the
+    # p0-in-triangle branch can fire
+    tri_in = ([9.3, 10.7, 10.7, 9.3], [19.3, 19.3, 20.7, 19.3])
+    assert rel(sh.INTERSECTS, *tri_in) == {7}
+    assert rel(sh.WITHIN, *tri_in) == set()
+    # big pentagon containing the shape: within
+    penta = ([-30.0, -40.0, 10.0, 50.0, 20.0, -30.0],
+             [-60.0, 20.0, 70.0, 10.0, -55.0, -60.0])
+    assert rel(sh.WITHIN, *penta) == {7}
+    assert rel(sh.INTERSECTS, *penta) == {7}
+    # polygon overlapping one corner of the shape (edge crossings)
+    corner = ([11.0, 14.0, 14.0, 11.0, 11.0], [21.0, 21.0, 25.0, 25.0, 21.0])
+    assert rel(sh.INTERSECTS, *corner) == {7}
+    assert rel(sh.WITHIN, *corner) == set()
+    # far away: disjoint
+    far = ([50.0, 55.0, 55.0, 50.0, 50.0], [50.0, 50.0, 55.0, 55.0, 50.0])
+    assert rel(sh.INTERSECTS, *far) == set()
+    assert rel(sh.DISJOINT, *far) == {7}
+    # concave (arrow) polygon whose notch excludes the shape's center
+    # column but whose arms overlap it
+    arrow = ([6.0, 16.0, 16.0, 10.5, 16.0, 6.0],
+             [16.0, 16.0, 19.0, 20.0, 23.0, 16.0])
+    assert rel(sh.INTERSECTS, *arrow) == {7}
+
+
+def test_polygon_query_matches_box_on_rect_polygon(spark, tmp_path):
+    """A rectangular query polygon must answer like shape_box with the
+    same bounds (coords chosen away from quantization boundaries)."""
+    docs = []
+    for gid in range(40):
+        la = -60.0 + (gid * 37 % 120) + 0.123
+        lo = -150.0 + (gid * 61 % 300) + 0.321
+        lats, lons = _star(gid, 4, base_r=2.5, lat0=la, lon0=lo)
+        docs.append((gid, lats, lons))
+    src = spark.createDataFrame(
+        docs, "gid long, lats array<double>, lons array<double>"
+    )
+    out = str(tmp_path / "mix")
+    sh.build_shapes(spark, src, out, n_files=2)
+    tri = sh.read_shapes(spark, out)
+    box = (-15.234, 26.0, -55.678, 35.789)
+    ring_lats = [box[0], box[0], box[1], box[1], box[0]]
+    ring_lons = [box[2], box[3], box[3], box[2], box[2]]
+    for r in (sh.INTERSECTS, sh.WITHIN, sh.DISJOINT):
+        got_b = {x.gid for x in sh.shape_box(tri, r, *box).collect()}
+        got_p = {x.gid
+                 for x in sh.shape_polygon(tri, r, ring_lats, ring_lons)
+                 .collect()}
+        assert got_b == got_p, r
+    inter = {x.gid for x in sh.shape_box(tri, sh.INTERSECTS, *box).collect()}
+    within = {x.gid for x in sh.shape_box(tri, sh.WITHIN, *box).collect()}
+    assert within and within < inter  # non-trivial split
