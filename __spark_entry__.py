@@ -1621,24 +1621,58 @@ def _q_geo_polygon(spark, sf_dir):
 
 _SHAPES_CACHE: dict = {}
 
+# triangle-table layout version: s2 adds the per-edge origin flags
+# (fab/fbc/fca) that power the CONTAINS relation
+SHAPES_FORMAT = "s2"
+
 # box over the dense mid-latitudes: splits the synthetic rect population
 # into nonempty intersects / within / disjoint sets at every sf
 SHAPE_BOX = (-20.0, 25.0, -40.0, 30.0)
+# small box for CONTAINS: strictly inside several synthetic rects, apart
+# from / astride their holes depending on the per-doc hole position
+# (picked so both contains gates are nonempty at sf0.01: 9 docs each)
+SHAPE_CBOX = (-12.55, -12.34, 12.05, 12.26)
+# small convex (triangle) query polygon for polygon-CONTAINS, vertices
+# off the quantization grid
+SHAPE_CPOLY_LATS = [-12.53, -12.36, -12.45, -12.53]
+SHAPE_CPOLY_LONS = [12.07, 12.12, 12.24, 12.07]
+
+
+def _shape_table_for(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Build (once) a z-ordered triangle table for a testdata dir —
+    LatLonShape's tessellated index over deterministic per-event
+    geometry: ``rects`` (polygons), ``holes`` (polygon + interior
+    ring), ``lines`` (diagonal segments), ``points``."""
+    from lucene_spark.operators import shapes as sh
+
+    key = (sf_dir, kind)
+    if key in _SHAPES_CACHE:
+        return _SHAPES_CACHE[key]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    out = f"/tmp/lucene_spark_shapes_{SHAPES_FORMAT}_{kind}_{tag}"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if kind == "rects":
+        sh.build_shapes(spark, sh.synth_rects(ev, "event_id"), out)
+    elif kind == "holes":
+        sh.build_shapes(spark, sh.synth_rects_holes(ev, "event_id"), out,
+                        holes_col="holes")
+    elif kind == "lines":
+        sh.build_shape_lines(spark, sh.synth_lines(ev, "event_id"), out)
+    elif kind == "points":
+        from lucene_spark.operators.spatial import synth_latlon
+
+        lat, lon = synth_latlon("event_id")
+        pts = ev.select(F.col("event_id").alias("gid"),
+                        lat.alias("lat"), lon.alias("lon"))
+        sh.build_shape_points(spark, pts, out)
+    else:
+        raise ValueError(kind)
+    _SHAPES_CACHE[key] = out
+    return out
 
 
 def _shapes_for(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once) the z-ordered triangle table for a testdata dir —
-    LatLonShape's tessellated index over deterministic per-event rects."""
-    from lucene_spark.operators.shapes import build_shapes, synth_rects
-
-    if sf_dir in _SHAPES_CACHE:
-        return _SHAPES_CACHE[sf_dir]
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    out = f"/tmp/lucene_spark_shapes_{INDEX_FORMAT_VERSION}_{tag}"
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    build_shapes(spark, synth_rects(ev, "event_id"), out)
-    _SHAPES_CACHE[sf_dir] = out
-    return out
+    return _shape_table_for(spark, sf_dir, "rects")
 
 
 def _q_shape_polygon(rel):
@@ -1667,6 +1701,71 @@ def _q_shape_box(rel):
         return shapes.shape_box(tri, rel, *SHAPE_BOX).orderBy("gid")
 
     return q
+
+
+def _q_shape_box_contains(spark, sf_dir):
+    """LatLonShape CONTAINS relation (Rectangle2D.withinTriangle over
+    the tessellation edge-origin flags): docs whose polygon contains
+    the query box."""
+    from lucene_spark.operators import shapes
+
+    tri = shapes.read_shapes(spark, _shapes_for(spark, sf_dir))
+    return shapes.shape_box(tri, shapes.CONTAINS, *SHAPE_CBOX) \
+        .orderBy("gid")
+
+
+def _q_shape_polygon_contains(spark, sf_dir):
+    """Polygon2D.withinTriangle: docs whose polygon contains the convex
+    query triangle."""
+    from lucene_spark.operators import shapes
+
+    tri = shapes.read_shapes(spark, _shapes_for(spark, sf_dir))
+    return shapes.shape_polygon(
+        tri, shapes.CONTAINS, SHAPE_CPOLY_LATS, SHAPE_CPOLY_LONS
+    ).orderBy("gid")
+
+
+def _q_shape_holes_box(rel, box=None):
+    def q(spark, sf_dir):
+        """Box relations over polygons WITH an interior ring —
+        Tessellator's Eberly hole elimination feeding the same triangle
+        relations; the hole boundary stays part of the shape."""
+        from lucene_spark.operators import shapes
+
+        tri = shapes.read_shapes(
+            spark, _shape_table_for(spark, sf_dir, "holes")
+        )
+        return shapes.shape_box(
+            tri, rel, *(box or SHAPE_BOX)
+        ).orderBy("gid")
+
+    return q
+
+
+def _q_shape_line_box(rel):
+    def q(spark, sf_dir):
+        """LatLonShape line shapes (degenerate (a, b, a) triangles, one
+        per segment) under the box relations."""
+        from lucene_spark.operators import shapes
+
+        tri = shapes.read_shapes(
+            spark, _shape_table_for(spark, sf_dir, "lines")
+        )
+        return shapes.shape_box(tri, rel, *SHAPE_BOX).orderBy("gid")
+
+    return q
+
+
+def _q_shape_point_box(spark, sf_dir):
+    """LatLonShape point shapes (fully degenerate triangles) under box
+    INTERSECTS."""
+    from lucene_spark.operators import shapes
+
+    tri = shapes.read_shapes(
+        spark, _shape_table_for(spark, sf_dir, "points")
+    )
+    return shapes.shape_box(tri, shapes.INTERSECTS, *SHAPE_BOX) \
+        .orderBy("gid")
 
 
 # interior ring (hole) fully inside the pentagon; same
@@ -2516,6 +2615,11 @@ def _q_monitor_pairs(spark, sf_dir):
 # similarity/IODV/spatial/facet-range/sorted fine print; everything here
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
+    "shape_box_contains", "shape_polygon_contains",
+    "shape_holes_box_intersects", "shape_holes_box_within",
+    "shape_holes_box_disjoint", "shape_holes_box_contains",
+    "shape_line_box_intersects", "shape_line_box_within",
+    "shape_point_box_intersects",
     "simple_parse_topk", "simple_parse_not_topk",
     "simple_parse_must_not_topk",
     "interval_ordered_topk", "interval_unordered_topk",
@@ -2679,6 +2783,16 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_polygon_intersects": _q_shape_polygon("intersects"),
         "shape_polygon_within": _q_shape_polygon("within"),
         "shape_polygon_disjoint": _q_shape_polygon("disjoint"),
+        "shape_box_contains": _q_shape_box_contains,
+        "shape_polygon_contains": _q_shape_polygon_contains,
+        "shape_holes_box_intersects": _q_shape_holes_box("intersects"),
+        "shape_holes_box_within": _q_shape_holes_box("within"),
+        "shape_holes_box_disjoint": _q_shape_holes_box("disjoint"),
+        "shape_holes_box_contains": _q_shape_holes_box(
+            "contains", SHAPE_CBOX),
+        "shape_line_box_intersects": _q_shape_line_box("intersects"),
+        "shape_line_box_within": _q_shape_line_box("within"),
+        "shape_point_box_intersects": _q_shape_point_box,
         "iodv_index_topk": _q_iodv_index_topk,
         "iodv_dv_topk": _q_iodv_dv_topk,
         "term_vectors": _q_term_vectors,
@@ -2900,6 +3014,23 @@ def oracle_sql() -> dict[str, str]:
             "within", GEO_POLY_LATS, GEO_POLY_LONS),
         "shape_polygon_disjoint": ospat.shape_polygon_sql(
             "disjoint", GEO_POLY_LATS, GEO_POLY_LONS),
+        "shape_box_contains": ospat.shape_box_contains_sql(*SHAPE_CBOX),
+        "shape_polygon_contains": ospat.shape_polygon_contains_sql(
+            SHAPE_CPOLY_LATS, SHAPE_CPOLY_LONS),
+        "shape_holes_box_intersects": ospat.shape_holes_box_sql(
+            "intersects", *SHAPE_BOX),
+        "shape_holes_box_within": ospat.shape_holes_box_sql(
+            "within", *SHAPE_BOX),
+        "shape_holes_box_disjoint": ospat.shape_holes_box_sql(
+            "disjoint", *SHAPE_BOX),
+        "shape_holes_box_contains": ospat.shape_holes_box_sql(
+            "contains", *SHAPE_CBOX),
+        "shape_line_box_intersects": ospat.shape_line_box_sql(
+            "intersects", *SHAPE_BOX),
+        "shape_line_box_within": ospat.shape_line_box_sql(
+            "within", *SHAPE_BOX),
+        "shape_point_box_intersects": ospat.shape_point_box_sql(
+            *SHAPE_BOX),
         "geo_polygon_holes": ospat.geo_polygon_sql(
             GEO_POLY_LATS, GEO_POLY_LONS,
             holes=[(GEO_HOLE_LATS, GEO_HOLE_LONS)]),

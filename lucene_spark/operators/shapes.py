@@ -51,10 +51,33 @@ row groups and reduce with one partial-aggregated groupBy; nothing is
 collected, nothing quadratic in documents. Triangle fan-out is
 O(vertices) per polygon, so storage stays linear in input size.
 
-CONTAINS (query geometry within the shape) is NOT implemented: it needs
-the reference's per-edge original/shared flags from the tessellation
-(``WithinRelation`` bookkeeping) — documented out of scope in
-COVERAGE.md.
+Round-5 late additions (closing COVERAGE.md's in-module gaps):
+
+- **Holes in indexed polygons**: ``Tessellator.java:330-420``'s hole
+  elimination (David Eberly bridge: splice each hole into the outer ring
+  through a mutually-visible vertex pair, then ear-clip the weakly
+  simple result). Bridge visibility runs on exact integer tests, so no
+  epsilon cases; bridge edges are marked NOT-from-polygon unless they
+  coincide with an original edge (``Tessellator.java:383-386``).
+- **Per-edge origin flags** (``isEdgeFromPolygon``,
+  ``Tessellator.java:540-545,956-972``): each emitted triangle row
+  carries ``fab/fbc/fca`` — whether that edge lies on the ORIGINAL
+  polygon boundary (outer or hole ring) vs an internal tessellation
+  diagonal. These power the CONTAINS relation.
+- **CONTAINS** (query geometry within the indexed shape):
+  ``Rectangle2D.withinTriangle`` / ``Polygon2D.withinTriangle`` — per
+  triangle: a triangle (= shape) vertex inside the query geometry →
+  NOTWITHIN; a triangle edge crossing the query → NOTWITHIN if the edge
+  is original else CANDIDATE; query's anchor point inside the triangle →
+  CANDIDATE. Doc matches iff any CANDIDATE and no NOTWITHIN
+  (``SpatialQuery``'s within combination). One groupBy(gid) with two
+  bool_or aggregates — same shuffle shape as the other relations.
+- **Line and point shapes**: ``LatLonShape.createIndexableFields`` for
+  lines emits one degenerate triangle (a, b, a) per segment with the
+  segment edge marked original; points emit (a, a, a). The box/polygon
+  relation predicates evaluate correctly on degenerate triangles (the
+  reference's ``withinPoint``/``withinLine`` reductions fall out of the
+  general formulas: a line or point shape can never CONTAIN a query).
 """
 
 from __future__ import annotations
@@ -73,18 +96,37 @@ from .spatial import (
 )
 
 __all__ = [
-    "tessellate", "build_shapes", "read_shapes", "synth_rects",
-    "shape_box", "shape_polygon", "INTERSECTS", "WITHIN", "DISJOINT",
+    "tessellate", "tessellate_with_flags", "build_shapes",
+    "build_shape_lines", "build_shape_points", "read_shapes",
+    "synth_rects", "synth_rects_holes", "synth_lines",
+    "shape_box", "shape_polygon",
+    "INTERSECTS", "WITHIN", "DISJOINT", "CONTAINS",
 ]
 
 INTERSECTS = "intersects"
 WITHIN = "within"
 DISJOINT = "disjoint"
+CONTAINS = "contains"
 
 _TRI_SCHEMA = (
     "gid long, ay long, ax long, by long, bx long, cy long, cx long, "
-    "min_y long, max_y long, min_x long, max_x long"
+    "min_y long, max_y long, min_x long, max_x long, "
+    "fab boolean, fbc boolean, fca boolean"
 )
+
+
+def encode_lat_col(c: "F.Column") -> "F.Column":
+    """GeoEncodingUtils.encodeLatitude as a column expression (floor
+    quantization + the nextDown clamp at +90)."""
+    from .spatial import LAT_DECODE
+
+    return F.least(F.floor(c / F.lit(LAT_DECODE)), F.lit((1 << 31) - 1))
+
+
+def encode_lon_col(c: "F.Column") -> "F.Column":
+    from .spatial import LON_DECODE
+
+    return F.least(F.floor(c / F.lit(LON_DECODE)), F.lit((1 << 31) - 1))
 
 
 # ---------------------------------------------------------------- tessellate
@@ -104,17 +146,58 @@ def _point_in_tri_i(y, x, ay, ax, by, bx, cy, cx) -> bool:
     return (a >= 0 and b >= 0 and c >= 0) or (a <= 0 and b <= 0 and c <= 0)
 
 
-def tessellate(lats: "list[float]", lons: "list[float]") -> "np.ndarray":
-    """Ear-clip a simple closed ring into triangles over the QUANTIZED
-    vertices (Tessellator.java operates on encoded values; the indexed
-    geometry is the union of these triangles on the decoded grid).
+def _on_seg_i(py, px, ay, ax, by, bx) -> bool:
+    """Exact: point on the closed segment (a, b) (Tessellator's
+    isPointInLine: collinear + inside the segment bbox)."""
+    return (
+        _orient_i(ay, ax, by, bx, py, px) == 0
+        and min(ax, bx) <= px <= max(ax, bx)
+        and min(ay, by) <= py <= max(ay, by)
+    )
 
-    Returns an (n_tris, 6) int64 array of encoded ``ay ax by bx cy cx``
-    rows. Orientation tests and the ear containment checks run in exact
-    Python integer arithmetic — no floating-point robustness cases.
-    Zero-area (collinear) corners are clipped without emitting a
-    triangle. Raises on self-intersecting input (no ear found).
-    """
+
+def _seg_intersect_excl(p, q, a, b) -> bool:
+    """Exact: closed segments (p, q) and (a, b) share a point OTHER than
+    an endpoint value common to both — the visibility test for hole
+    bridges and ear diagonals (touching at a shared vertex is how a
+    bridged ring legally touches itself; anything more is a crossing)."""
+    o1 = _orient_i(*p, *q, *a)
+    o2 = _orient_i(*p, *q, *b)
+    o3 = _orient_i(*a, *b, *p)
+    o4 = _orient_i(*a, *b, *q)
+    if o1 == 0 and o2 == 0 and o3 == 0 and o4 == 0:
+        # collinear: lexicographic order IS line order for collinear pts
+        s1, s2 = sorted((p, q))
+        t1, t2 = sorted((a, b))
+        lo, hi = max(s1, t1), min(s2, t2)
+        if lo > hi:
+            return False
+        if lo == hi:  # touch at exactly one point
+            return not (lo in (p, q) and lo in (a, b))
+        return True  # overlap with positive length
+    shared = {p, q} & {a, b}
+    if not shared:
+        return o1 * o2 <= 0 and o3 * o4 <= 0
+    # non-collinear with a shared endpoint: at most one intersection
+    # point; it is illegal only if a NON-shared endpoint sits on the
+    # other segment's interior
+    for e, (s, t) in ((a, (p, q)), (b, (p, q)), (p, (a, b)), (q, (a, b))):
+        if e not in shared and _on_seg_i(*e, *s, *t):
+            return True
+    return False
+
+
+def _edge_on_original(p, q, orig_edges) -> bool:
+    """Tessellator.isEdgeFromPolygon (java:956-972): the edge (p, q) lies
+    collinear WITHIN one original ring edge — then crossing it means
+    crossing the true polygon boundary, not a tessellation diagonal."""
+    for (a, b) in orig_edges:
+        if _on_seg_i(*p, *a, *b) and _on_seg_i(*q, *a, *b):
+            return True
+    return False
+
+
+def _quantize_ring(lats, lons):
     if len(lats) != len(lons):
         raise ValueError("lats and lons must have the same length")
     if len(lats) < 4 or lats[0] != lats[-1] or lons[0] != lons[-1]:
@@ -125,69 +208,203 @@ def tessellate(lats: "list[float]", lons: "list[float]") -> "np.ndarray":
     verts = [p for i, p in enumerate(v) if p != v[i - 1]]
     if len(verts) < 3:
         raise ValueError("polygon collapsed under quantization")
-    # normalize to CCW by exact shoelace sign
-    area2 = sum(
+    return verts
+
+
+def _ring_area2_signed(verts) -> int:
+    return sum(
         verts[i][1] * verts[(i + 1) % len(verts)][0]
         - verts[(i + 1) % len(verts)][1] * verts[i][0]
         for i in range(len(verts))
     )
-    if area2 < 0:
-        verts.reverse()
+
+
+def _splice_hole(verts, flags, hole, orig_edges):
+    """Eberly hole elimination (Tessellator.eliminateHole,
+    java:330-392): bridge the hole's leftmost vertex to a mutually
+    visible vertex of the current ring, splicing the hole in as a
+    weakly simple detour. Exact-integer visibility: the bridge may not
+    touch ANY current-ring or hole edge except at its own endpoints.
+    Bridge edges inherit from-polygon only when they coincide with an
+    original edge (java:383-386)."""
+    hi = min(range(len(hole)), key=lambda i: (hole[i][1], hole[i][0]))
+    h = hole[hi]
+    all_edges = [
+        (verts[i], verts[(i + 1) % len(verts)]) for i in range(len(verts))
+    ] + [(hole[i], hole[(i + 1) % len(hole)]) for i in range(len(hole))]
+    best = None
+    for vi in range(len(verts)):
+        v = verts[vi]
+        if v == h:
+            continue
+        if any(_seg_intersect_excl(h, v, a, b) for a, b in all_edges):
+            continue
+        d = (v[0] - h[0]) ** 2 + (v[1] - h[1]) ** 2
+        if best is None or d < best[0]:
+            best = (d, vi)
+    if best is None:
+        raise ValueError("no visible hole bridge (hole outside shell?)")
+    vi = best[1]
+    v = verts[vi]
+    bridge_flag = _edge_on_original(v, h, orig_edges)
+    # ring: ... v, h, hole[hi+1..], hole[hi](=h), v, verts[vi+1..] ...
+    hole_cycle = hole[hi:] + hole[:hi] + [h]
+    new_verts = verts[: vi + 1] + hole_cycle + verts[vi:]
+    # hole edge flags are all original; the two bridge edges share one flag
+    hole_flags = [True] * (len(hole_cycle) - 1)
+    new_flags = (
+        flags[:vi] + [bridge_flag] + hole_flags + [bridge_flag] + flags[vi:]
+    )
+    return new_verts, new_flags
+
+
+def _tessellate_rings(rings):
+    """Ear-clip a polygon (outer ring + optional holes) over the
+    QUANTIZED vertices, tracking per-edge origin flags.
+
+    ``rings``: [(lats, lons), ...] — first the shell, rest holes.
+    Returns (tris, flags): (n, 6) int64 ``ay ax by bx cy cx`` and
+    (n, 3) bool ``ab bc ca`` from-polygon flags. Exact integer
+    orientation/containment tests throughout; an exact area-conservation
+    check (shell − holes) rejects self-intersecting input that ear
+    clipping alone cannot detect."""
+    shell = _quantize_ring(*rings[0])
+    if _ring_area2_signed(shell) < 0:
+        shell.reverse()  # normalize shell to CCW
+    holes = []
+    for (hla, hlo) in rings[1:]:
+        hv = _quantize_ring(hla, hlo)
+        if _ring_area2_signed(hv) > 0:
+            hv.reverse()  # holes wind CW (opposite the shell)
+        holes.append(hv)
+    # the original polygon boundary = shell + hole edges (flag source)
+    orig_edges = [
+        (r[i], r[(i + 1) % len(r)]) for r in [shell] + holes
+        for i in range(len(r))
+    ]
+    want_area2 = abs(_ring_area2_signed(shell)) - sum(
+        abs(_ring_area2_signed(h)) for h in holes
+    )
+    if want_area2 <= 0:
+        raise ValueError("holes cover the entire shell")
+
+    verts = list(shell)
+    flags = [True] * len(verts)  # flags[i]: edge verts[i] -> verts[i+1]
+    # splice holes left-to-right (Tessellator sorts holes by minX)
+    for hole in sorted(holes, key=lambda hv: min(x for _, x in hv)):
+        verts, flags = _splice_hole(verts, flags, hole, orig_edges)
+
     tris: list[tuple] = []
+    tflags: list[tuple] = []
     n = len(verts)
-    idx = list(range(n))
     guard = 0
-    while len(idx) > 3:
+
+    def emit(k):
+        """Clip the ear at position k, emitting triangle + edge flags."""
+        m = len(verts)
+        i0, i1, i2 = (k - 1) % m, k, (k + 1) % m
+        tris.append(verts[i0] + verts[i1] + verts[i2])
+        tflags.append((flags[i0], flags[i1],
+                       _edge_on_original(verts[i0], verts[i2], orig_edges)))
+
+    while len(verts) > 3:
+        m = len(verts)
         clipped = False
-        for k in range(len(idx)):
-            i0, i1, i2 = (idx[k - 1], idx[k], idx[(k + 1) % len(idx)])
-            (ay, ax), (by, bx), (cy, cx) = verts[i0], verts[i1], verts[i2]
-            o = _orient_i(ay, ax, by, bx, cy, cx)
+        for k in range(m):
+            i0, i1, i2 = (k - 1) % m, k, (k + 1) % m
+            a, b, c = verts[i0], verts[i1], verts[i2]
+            o = _orient_i(*a, *b, *c)
             if o == 0:
-                # collinear corner: remove, no area to emit
-                idx.pop(k)
+                # collinear corner: remove, no area; the merged edge is
+                # from-polygon only if it lies on an original edge
+                flags[i0] = _edge_on_original(a, c, orig_edges)
+                verts.pop(k)
+                flags.pop(k)
                 clipped = True
                 break
             if o < 0:
                 continue  # reflex corner, not an ear
-            # ear is valid if no OTHER remaining vertex lies in it
+            # ear is valid if no non-corner vertex lies in it AND no ring
+            # edge crosses the closing diagonal (the bridged ring touches
+            # itself at duplicated vertices — value-equal corners allowed)
             blocked = False
-            for j in idx:
+            for j in range(m):
                 if j in (i0, i1, i2):
                     continue
-                (py, px) = verts[j]
-                if _point_in_tri_i(py, px, ay, ax, by, bx, cy, cx):
+                p = verts[j]
+                if p in (a, b, c):
+                    continue  # bridge duplicate of a corner value
+                if _point_in_tri_i(*p, *a, *b, *c):
                     blocked = True
                     break
+            if not blocked:
+                for j in range(m):
+                    j2 = (j + 1) % m
+                    if j in (i0, i1) or j2 in (i0,):
+                        continue  # edges incident to the diagonal ends
+                    if _seg_intersect_excl(a, c, verts[j], verts[j2]):
+                        blocked = True
+                        break
             if blocked:
                 continue
-            tris.append((ay, ax, by, bx, cy, cx))
-            idx.pop(k)
+            emit(k)
+            flags[i0] = tflags[-1][2]  # new boundary edge i0 -> i2
+            verts.pop(k)
+            flags.pop(k)
             clipped = True
             break
         guard += 1
-        if not clipped or guard > 2 * n * n:
+        if not clipped or guard > 4 * n * n:
             raise ValueError("tessellation failed: polygon is not simple")
-    (ay, ax), (by, bx), (cy, cx) = (verts[idx[0]], verts[idx[1]], verts[idx[2]])
-    final_o = _orient_i(ay, ax, by, bx, cy, cx)
+    a, b, c = verts
+    final_o = _orient_i(*a, *b, *c)
     if final_o < 0:
         # a CW remainder after clipping CCW ears: the ring winds back
         # over itself (bowtie) — every valid ear sequence ends CCW
         raise ValueError("tessellation failed: polygon is not simple")
     if final_o > 0:
-        tris.append((ay, ax, by, bx, cy, cx))
+        tris.append(a + b + c)
+        tflags.append((flags[0], flags[1], flags[2]))
     if not tris:
         raise ValueError("polygon has zero area after quantization")
-    # exact area conservation: clipped ears of a SIMPLE ring sum to the
-    # shoelace area; a self-intersecting input that still found ears (a
+    # exact area conservation: clipped ears of a (weakly) simple ring sum
+    # to shell − holes; self-intersecting input that still found ears (a
     # bowtie) fails this check — ear clipping alone cannot detect it
     tri_area2 = sum(
         (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
         for ay, ax, by, bx, cy, cx in tris
     )
-    if tri_area2 != abs(area2):
+    if tri_area2 != want_area2:
         raise ValueError("tessellation failed: polygon is not simple")
-    return np.asarray(tris, dtype=np.int64)
+    return (np.asarray(tris, dtype=np.int64),
+            np.asarray(tflags, dtype=bool))
+
+
+def tessellate(lats: "list[float]", lons: "list[float]",
+               holes: "list[tuple[list[float], list[float]]] | None" = None,
+               ) -> "np.ndarray":
+    """Ear-clip a polygon (simple closed shell ring + optional hole
+    rings) into triangles over the QUANTIZED vertices (Tessellator.java
+    operates on encoded values; the indexed geometry is the union of
+    these triangles on the decoded grid).
+
+    Returns an (n_tris, 6) int64 array of encoded ``ay ax by bx cy cx``
+    rows. Orientation tests and the ear containment checks run in exact
+    Python integer arithmetic — no floating-point robustness cases.
+    Zero-area (collinear) corners are clipped without emitting a
+    triangle. Raises on self-intersecting input (no ear found)."""
+    tris, _ = _tessellate_rings([(lats, lons)] + list(holes or ()))
+    return tris
+
+
+def tessellate_with_flags(
+    lats: "list[float]", lons: "list[float]",
+    holes: "list[tuple[list[float], list[float]]] | None" = None,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Like :func:`tessellate` but also returns the (n, 3) bool array of
+    per-edge from-polygon flags (ab, bc, ca) — Tessellator.java's
+    ``isABfromPolygon``/``isBCfromPolygon``/``isCAfromPolygon``."""
+    return _tessellate_rings([(lats, lons)] + list(holes or ()))
 
 
 # --------------------------------------------------------------------- build
@@ -208,6 +425,71 @@ def synth_rects(src: DataFrame, id_col: str = "event_id") -> DataFrame:
     )
 
 
+def synth_rects_holes(src: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """synth_rects' outer ring plus ONE interior rectangular hole
+    spanning the [1/4, 1/2] fractions of each side — strictly interior
+    (margins ≥ 0.125°, ~3e6 quantization steps), deterministic, and
+    mirrored exactly by the DuckDB oracle (identical float expression
+    trees on both engines)."""
+    gid = F.col(id_col)
+    lat0, lon0 = synth_latlon(id_col)
+    lat1 = F.least(lat0 + ((gid % 97) / 10.0 + 0.5), F.lit(89.9))
+    lon1 = F.least(lon0 + ((gid % 89) / 10.0 + 0.5), F.lit(179.9))
+    hlat0 = lat0 + (lat1 - lat0) * 0.25
+    hlat1 = lat0 + (lat1 - lat0) * 0.5
+    hlon0 = lon0 + (lon1 - lon0) * 0.25
+    hlon1 = lon0 + (lon1 - lon0) * 0.5
+    hole = F.struct(
+        F.array(hlat0, hlat0, hlat1, hlat1, hlat0).alias("lats"),
+        F.array(hlon0, hlon1, hlon1, hlon0, hlon0).alias("lons"),
+    )
+    return src.select(
+        gid.cast("long").alias("gid"),
+        F.array(lat0, lat0, lat1, lat1, lat0).alias("lats"),
+        F.array(lon0, lon1, lon1, lon0, lon0).alias("lons"),
+        F.array(hole).alias("holes"),
+    )
+
+
+def synth_lines(src: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Deterministic per-doc 2-point linestring — the diagonal of the
+    synth_rects rectangle (min corner → max corner)."""
+    gid = F.col(id_col)
+    lat0, lon0 = synth_latlon(id_col)
+    lat1 = F.least(lat0 + ((gid % 97) / 10.0 + 0.5), F.lit(89.9))
+    lon1 = F.least(lon0 + ((gid % 89) / 10.0 + 0.5), F.lit(179.9))
+    return src.select(
+        gid.cast("long").alias("gid"),
+        F.array(lat0, lat1).alias("lats"),
+        F.array(lon0, lon1).alias("lons"),
+    )
+
+
+def _tri_block(gid, t, f) -> "pd.DataFrame":
+    """One doc's triangle rows (+ bbox + edge-origin flags)."""
+    ys = t[:, (0, 2, 4)]
+    xs = t[:, (1, 3, 5)]
+    return pd.DataFrame({
+        "gid": np.full(len(t), gid, dtype=np.int64),
+        "ay": t[:, 0], "ax": t[:, 1],
+        "by": t[:, 2], "bx": t[:, 3],
+        "cy": t[:, 4], "cx": t[:, 5],
+        "min_y": ys.min(axis=1), "max_y": ys.max(axis=1),
+        "min_x": xs.min(axis=1), "max_x": xs.max(axis=1),
+        "fab": f[:, 0], "fbc": f[:, 1], "fca": f[:, 2],
+    })
+
+
+def _empty_tri_block() -> "pd.DataFrame":
+    cols = {}
+    for c in _TRI_SCHEMA.split(", "):
+        name, typ = c.split()
+        cols[name] = pd.Series(
+            dtype=bool if typ == "boolean" else np.int64
+        )
+    return pd.DataFrame(cols)
+
+
 def build_shapes(
     spark: SparkSession,
     src: DataFrame,
@@ -215,39 +497,49 @@ def build_shapes(
     id_col: str = "gid",
     lats_col: str = "lats",
     lons_col: str = "lons",
+    holes_col: "str | None" = None,
     n_files: int = 8,
 ) -> str:
-    """Tessellate every document's ring in a distributed Arrow kernel and
-    write the z-ordered triangle table (LatLonShape.createIndexableFields
-    + the BKD-analog layout)."""
-    rows = src.select(
+    """Tessellate every document's polygon in a distributed Arrow kernel
+    and write the z-ordered triangle table
+    (LatLonShape.createIndexableFields + the BKD-analog layout).
+
+    ``holes_col`` (optional): a column of ``array<struct<lats:
+    array<double>, lons: array<double>>>`` hole rings, eliminated via
+    Eberly bridges before ear clipping (Tessellator.java:330+)."""
+    cols = [
         F.col(id_col).cast("long").alias("gid"),
         F.col(lats_col).alias("lats"),
         F.col(lons_col).alias("lons"),
-    )
+    ]
+    if holes_col is not None:
+        cols.append(F.col(holes_col).alias("holes"))
+    rows = src.select(*cols)
+    with_holes = holes_col is not None
 
     def kernel(batches):
         for pdf in batches:
             out = []
-            for gid, lats, lons in zip(pdf["gid"], pdf["lats"], pdf["lons"]):
-                t = tessellate(list(lats), list(lons))
-                ys = t[:, (0, 2, 4)]
-                xs = t[:, (1, 3, 5)]
-                block = pd.DataFrame({
-                    "gid": np.full(len(t), gid, dtype=np.int64),
-                    "ay": t[:, 0], "ax": t[:, 1],
-                    "by": t[:, 2], "bx": t[:, 3],
-                    "cy": t[:, 4], "cx": t[:, 5],
-                    "min_y": ys.min(axis=1), "max_y": ys.max(axis=1),
-                    "min_x": xs.min(axis=1), "max_x": xs.max(axis=1),
-                })
-                out.append(block)
-            yield pd.concat(out) if out else pd.DataFrame(
-                {c.split()[0]: pd.Series(dtype=np.int64)
-                 for c in _TRI_SCHEMA.split(", ")}
-            )
+            holes_seq = (pdf["holes"] if with_holes
+                         else [None] * len(pdf))
+            for gid, lats, lons, hs in zip(
+                pdf["gid"], pdf["lats"], pdf["lons"], holes_seq
+            ):
+                holes = (
+                    [(list(h["lats"]), list(h["lons"])) for h in hs]
+                    if hs is not None and len(hs) else None
+                )
+                t, f = tessellate_with_flags(
+                    list(lats), list(lons), holes
+                )
+                out.append(_tri_block(gid, t, f))
+            yield pd.concat(out) if out else _empty_tri_block()
 
     tri = rows.mapInPandas(kernel, schema=_TRI_SCHEMA)
+    return _write_tri(tri, out_dir, n_files)
+
+
+def _write_tri(tri: DataFrame, out_dir: str, n_files: int) -> str:
     # z-order by the bbox center: row-group min/max stats on min/max_y/x
     # stay tight, so a box query prunes row groups like BKD cells
     ctr_y = ((F.col("min_y") + F.col("max_y")) / 2 + F.lit(2**31)).cast("long")
@@ -267,6 +559,77 @@ def build_shapes(
         .parquet(out_dir)
     )
     return out_dir
+
+
+def build_shape_lines(
+    spark: SparkSession,
+    src: DataFrame,
+    out_dir: str,
+    id_col: str = "gid",
+    lats_col: str = "lats",
+    lons_col: str = "lons",
+    n_files: int = 8,
+) -> str:
+    """LatLonShape.createIndexableFields(field, Line): each segment of
+    the linestring indexes as ONE degenerate triangle (a, b, a) with the
+    segment edge marked from-polygon (LatLonShape.java linesToFields;
+    ShapeField TYPE=LINE decodes back to exactly this). Pure column
+    work — explode over segments, no Python geometry at all."""
+    seg = (
+        src.select(
+            F.col(id_col).cast("long").alias("gid"),
+            F.transform(F.col(lats_col), encode_lat_col).alias("eys"),
+            F.transform(F.col(lons_col), encode_lon_col).alias("exs"),
+        )
+        .select("gid", "eys", "exs",
+                F.posexplode("eys").alias("i", "ay"))
+        .filter(F.col("i") < F.size("eys") - 1)
+        .select(
+            "gid",
+            F.col("ay").cast("long"),
+            F.col("exs")[F.col("i")].cast("long").alias("ax"),
+            F.col("eys")[F.col("i") + 1].cast("long").alias("by"),
+            F.col("exs")[F.col("i") + 1].cast("long").alias("bx"),
+        )
+    )
+    tri = seg.select(
+        "gid", "ay", "ax", "by", "bx",
+        F.col("ay").alias("cy"), F.col("ax").alias("cx"),
+        F.least("ay", "by").alias("min_y"),
+        F.greatest("ay", "by").alias("max_y"),
+        F.least("ax", "bx").alias("min_x"),
+        F.greatest("ax", "bx").alias("max_x"),
+        F.lit(True).alias("fab"), F.lit(True).alias("fbc"),
+        F.lit(False).alias("fca"),
+    )
+    return _write_tri(tri, out_dir, n_files)
+
+
+def build_shape_points(
+    spark: SparkSession,
+    src: DataFrame,
+    out_dir: str,
+    id_col: str = "gid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    n_files: int = 8,
+) -> str:
+    """LatLonShape.createIndexableFields(field, lat, lon): a point shape
+    indexes as ONE fully degenerate triangle (a, a, a) (ShapeField
+    TYPE=POINT). One projection, no kernel."""
+    y = encode_lat_col(F.col(lat_col)).cast("long")
+    x = encode_lon_col(F.col(lon_col)).cast("long")
+    tri = src.select(
+        F.col(id_col).cast("long").alias("gid"),
+        y.alias("ay"), x.alias("ax"),
+        y.alias("by"), x.alias("bx"),
+        y.alias("cy"), x.alias("cx"),
+        y.alias("min_y"), y.alias("max_y"),
+        x.alias("min_x"), x.alias("max_x"),
+        F.lit(False).alias("fab"), F.lit(False).alias("fbc"),
+        F.lit(False).alias("fca"),
+    )
+    return _write_tri(tri, out_dir, n_files)
 
 
 def read_shapes(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -316,6 +679,9 @@ def shape_box(
       (``Rectangle2D.containsTriangle`` = bbox within; one bool_and).
     - DISJOINT: no triangle intersects — the doc universe anti-joined
       against the INTERSECTS set.
+    - CONTAINS: the shape contains the box
+      (``Rectangle2D.withinTriangle`` per triangle over the edge-origin
+      flags; any CANDIDATE + no NOTWITHIN across the doc's triangles).
 
     Dateline-crossing query boxes (min_lon > max_lon) are not supported
     (the reference splits those into two boxes; callers can OR two
@@ -369,12 +735,12 @@ def shape_box(
         (float(max_y), float(max_x), float(max_y), float(min_x)),
         (float(max_y), float(min_x), float(min_y), float(min_x)),
     ]
-    edge_cross = F.lit(False)
-    for (sy, sx, ey, ex) in [(ay, ax, by, bx), (by, bx, cy, cx),
-                             (cy, cx, ay, ax)]:
-        # Rectangle2D.edgesIntersect's segment-bbox shortcut — besides
-        # pruning, it rejects collinear-but-disjoint segments that the
-        # boundary-inclusive orient test would miscount as crossing
+
+    def edges_intersect(sy, sx, ey, ex):
+        """Rectangle2D.edgesIntersect: the segment-bbox shortcut — which
+        besides pruning rejects collinear-but-disjoint segments that the
+        boundary-inclusive orient test would miscount as crossing — then
+        lineCrossesLineWithBoundary against each box edge."""
         seg_ok = (
             (F.greatest(sx, ex) >= min_x) & (F.least(sx, ex) <= max_x)
             & (F.least(sy, ey) <= max_y) & (F.greatest(sy, ey) >= min_y)
@@ -384,11 +750,42 @@ def shape_box(
             seg_cross = seg_cross | _crosses_with_boundary(
                 sy, sx, ey, ex, y1, x1, y2, x2
             )
-        edge_cross = edge_cross | (seg_ok & seg_cross)
-    hit = (
-        in_box(ay, ax) | in_box(by, bx) | in_box(cy, cx)
-        | corner_in_tri | edge_cross
-    )
+        return seg_ok & seg_cross
+
+    cross_ab = edges_intersect(ay, ax, by, bx)
+    cross_bc = edges_intersect(by, bx, cy, cx)
+    cross_ca = edges_intersect(cy, cx, ay, ax)
+    edge_cross = cross_ab | cross_bc | cross_ca
+    vertex_in = in_box(ay, ax) | in_box(by, bx) | in_box(cy, cx)
+    if relation == CONTAINS:
+        # Rectangle2D.withinTriangle (java:180-238): a shape vertex
+        # inside the (closed) box, or an ORIGINAL edge crossing it →
+        # NOTWITHIN; crossing only internal tessellation edges, or the
+        # box fully inside the triangle → CANDIDATE. Doc contains the
+        # box iff any CANDIDATE and no NOTWITHIN (SpatialQuery's
+        # within combination). Triangles with disjoint bboxes are
+        # WithinRelation.DISJOINT — pruned by the pushed-down overlap
+        # prefilter, which cannot flip a doc's verdict.
+        notwithin = (
+            vertex_in
+            | (cross_ab & F.col("fab")) | (cross_bc & F.col("fbc"))
+            | (cross_ca & F.col("fca"))
+        )
+        candidate = (
+            (cross_ab & ~F.col("fab")) | (cross_bc & ~F.col("fbc"))
+            | (cross_ca & ~F.col("fca")) | corner_in_tri
+        )
+        agg = (
+            shapes.filter(overlap)
+            .groupBy("gid")
+            .agg(F.max(notwithin.cast("int")).alias("nw"),
+                 F.max(candidate.cast("int")).alias("cand"))
+        )
+        return (
+            agg.filter((F.col("cand") == 1) & (F.col("nw") == 0))
+            .select("gid")
+        )
+    hit = vertex_in | corner_in_tri | edge_cross
     inter = (
         shapes.filter(overlap).filter(hit).select("gid").distinct()
     )
@@ -399,8 +796,7 @@ def shape_box(
             shapes.select("gid").distinct()
             .join(inter, "gid", "left_anti")
         )
-    raise ValueError(f"unsupported relation {relation!r} (CONTAINS needs "
-                     "tessellation edge-origin flags; see COVERAGE.md)")
+    raise ValueError(f"unsupported relation {relation!r}")
 
 
 def _tri_dec():
@@ -416,17 +812,12 @@ def _tri_dec():
     return d
 
 
-def _crosses_tri(d, edges, include_boundary: bool):
-    """EdgeTree.crossesTriangle (core/geo/EdgeTree.java:166-222): every
-    polygon edge within the triangle's bbox band tested against the
-    three triangle edges — boundary-inclusive (``<= 0``,
+def _cross_one_tri_edge(d, edges, tri_edge, include_boundary: bool):
+    """EdgeTree.crossesLine for ONE triangle edge vs every polygon edge
+    within the triangle's bbox band — boundary-inclusive (``<= 0``,
     lineCrossesLineWithBoundary) or strict (``< 0``, lineCrossesLine)."""
+    (sy, sx, ty, tx) = tri_edge
     out = F.lit(False)
-    tri_edges = [
-        (d["ay"], d["ax"], d["by"], d["bx"]),
-        (d["by"], d["bx"], d["cy"], d["cx"]),
-        (d["cy"], d["cx"], d["ay"], d["ax"]),
-    ]
     for (dy, dx, ey, ex) in edges:
         guard = ~(
             ((F.lit(dy) < d["min_y"]) & (F.lit(ey) < d["min_y"]))
@@ -434,17 +825,32 @@ def _crosses_tri(d, edges, include_boundary: bool):
             | ((F.lit(dx) < d["min_x"]) & (F.lit(ex) < d["min_x"]))
             | ((F.lit(dx) > d["max_x"]) & (F.lit(ex) > d["max_x"]))
         )
-        edge_hit = F.lit(False)
-        for (sy, sx, ty, tx) in tri_edges:
-            o1 = _orient_c(F.lit(dy), F.lit(dx), F.lit(ey), F.lit(ex), sy, sx)
-            o2 = _orient_c(F.lit(dy), F.lit(dx), F.lit(ey), F.lit(ex), ty, tx)
-            o3 = _orient_c(sy, sx, ty, tx, F.lit(dy), F.lit(dx))
-            o4 = _orient_c(sy, sx, ty, tx, F.lit(ey), F.lit(ex))
-            if include_boundary:
-                edge_hit = edge_hit | ((o1 * o2 <= 0) & (o3 * o4 <= 0))
-            else:
-                edge_hit = edge_hit | ((o1 * o2 < 0) & (o3 * o4 < 0))
-        out = out | (guard & edge_hit)
+        o1 = _orient_c(F.lit(dy), F.lit(dx), F.lit(ey), F.lit(ex), sy, sx)
+        o2 = _orient_c(F.lit(dy), F.lit(dx), F.lit(ey), F.lit(ex), ty, tx)
+        o3 = _orient_c(sy, sx, ty, tx, F.lit(dy), F.lit(dx))
+        o4 = _orient_c(sy, sx, ty, tx, F.lit(ey), F.lit(ex))
+        if include_boundary:
+            hit = (o1 * o2 <= 0) & (o3 * o4 <= 0)
+        else:
+            hit = (o1 * o2 < 0) & (o3 * o4 < 0)
+        out = out | (guard & hit)
+    return out
+
+
+def _tri_edges(d):
+    return [
+        (d["ay"], d["ax"], d["by"], d["bx"]),
+        (d["by"], d["bx"], d["cy"], d["cx"]),
+        (d["cy"], d["cx"], d["ay"], d["ax"]),
+    ]
+
+
+def _crosses_tri(d, edges, include_boundary: bool):
+    """EdgeTree.crossesTriangle (core/geo/EdgeTree.java:166-222): any of
+    the three triangle edges crosses any polygon edge."""
+    out = F.lit(False)
+    for te in _tri_edges(d):
+        out = out | _cross_one_tri_edge(d, edges, te, include_boundary)
     return out
 
 
@@ -467,6 +873,9 @@ def shape_polygon(
       vertices contained with NO strict edge crossing (includeBoundary =
       false — a shared boundary still counts as contained).
     - DISJOINT: no triangle intersects.
+    - CONTAINS (``withinTriangle``): the shape contains the query
+      polygon — per-triangle WithinRelation over the edge-origin flags,
+      any CANDIDATE + no NOTWITHIN across the doc's triangles.
 
     All geometry runs in decoded-degree doubles: triangle coordinates
     decode EXACTLY (int32 x dyadic), the polygon stays raw, and orients
@@ -512,9 +921,41 @@ def shape_polygon(
             | ((o_a <= 0) & (o_b <= 0) & (o_c <= 0))
         )
     )
-    hit = (
+    vertex_in = (
         contains(d["ay"], d["ax"]) | contains(d["by"], d["bx"])
-        | contains(d["cy"], d["cx"]) | p0_in_tri
+        | contains(d["cy"], d["cx"])
+    )
+    if relation == CONTAINS:
+        # Polygon2D.withinTriangle (java:273-340): a shape vertex inside
+        # the query polygon, or an ORIGINAL triangle edge crossing it →
+        # NOTWITHIN; crossing only internal edges, or the polygon's
+        # anchor vertex inside the triangle → CANDIDATE. Doc contains
+        # the polygon iff any CANDIDATE and no NOTWITHIN.
+        te = _tri_edges(d)
+        cross_ab = _cross_one_tri_edge(d, edges, te[0], True)
+        cross_bc = _cross_one_tri_edge(d, edges, te[1], True)
+        cross_ca = _cross_one_tri_edge(d, edges, te[2], True)
+        notwithin = (
+            vertex_in
+            | (cross_ab & F.col("fab")) | (cross_bc & F.col("fbc"))
+            | (cross_ca & F.col("fca"))
+        )
+        candidate = (
+            (cross_ab & ~F.col("fab")) | (cross_bc & ~F.col("fbc"))
+            | (cross_ca & ~F.col("fca")) | p0_in_tri
+        )
+        agg = (
+            shapes.filter(overlap)
+            .groupBy("gid")
+            .agg(F.max(notwithin.cast("int")).alias("nw"),
+                 F.max(candidate.cast("int")).alias("cand"))
+        )
+        return (
+            agg.filter((F.col("cand") == 1) & (F.col("nw") == 0))
+            .select("gid")
+        )
+    hit = (
+        vertex_in | p0_in_tri
         | _crosses_tri(d, edges, include_boundary=True)
     )
     inter = shapes.filter(overlap).filter(hit).select("gid").distinct()

@@ -276,3 +276,217 @@ def shape_polygon_sql(relation: str, lats: "list[float]",
         f"WITH {_RECTS_CTE} "
         f"SELECT gid FROM rects WHERE {pred} ORDER BY gid"
     )
+
+
+# hole corners quantized exactly like synth_rects_holes + tessellate
+# (the [1/4, 1/2] side fractions, computed in the same double expression
+# tree, then floor-encoded)
+_RECTS_HOLES_CTE = f"""
+rects AS (
+  SELECT
+    event_id AS gid,
+    CAST(FLOOR(lat0 / {LAT_DECODE_SQL}) AS BIGINT) AS rminy,
+    CAST(FLOOR(lat1 / {LAT_DECODE_SQL}) AS BIGINT) AS rmaxy,
+    CAST(FLOOR(lon0 / {LON_DECODE_SQL}) AS BIGINT) AS rminx,
+    CAST(FLOOR(lon1 / {LON_DECODE_SQL}) AS BIGINT) AS rmaxx,
+    CAST(FLOOR((lat0 + (lat1 - lat0) * 0.25) / {LAT_DECODE_SQL}) AS BIGINT)
+      AS hminy,
+    CAST(FLOOR((lat0 + (lat1 - lat0) * 0.5) / {LAT_DECODE_SQL}) AS BIGINT)
+      AS hmaxy,
+    CAST(FLOOR((lon0 + (lon1 - lon0) * 0.25) / {LON_DECODE_SQL}) AS BIGINT)
+      AS hminx,
+    CAST(FLOOR((lon0 + (lon1 - lon0) * 0.5) / {LON_DECODE_SQL}) AS BIGINT)
+      AS hmaxx
+  FROM (
+    SELECT
+      event_id, lat0, lon0,
+      LEAST(lat0 + ((event_id % 97) / 10.0 + 0.5), 89.9) AS lat1,
+      LEAST(lon0 + ((event_id % 89) / 10.0 + 0.5), 179.9) AS lon1
+    FROM (
+      SELECT
+        event_id,
+        ((event_id * 7919) % 1700000) / 10000.0 - 85.0 AS lat0,
+        ((event_id * 104729) % 3500000) / 10000.0 - 175.0 AS lon0
+      FROM events
+    )
+  )
+)
+"""
+
+
+def _enc_box(min_lat, max_lat, min_lon, max_lon):
+    from ..operators.spatial import (
+        encode_latitude, encode_latitude_ceil,
+        encode_longitude, encode_longitude_ceil,
+    )
+
+    return (encode_latitude_ceil(min_lat), encode_latitude(max_lat),
+            encode_longitude_ceil(min_lon), encode_longitude(max_lon))
+
+
+def shape_box_contains_sql(min_lat: float, max_lat: float,
+                           min_lon: float, max_lon: float) -> str:
+    """CONTAINS (shape ⊇ box) over the synthetic rectangles: closed-
+    interval algebra says a rect contains the box iff the box is
+    STRICTLY inside (any shared boundary row/column makes an original
+    edge cross the closed box → Rectangle2D.withinTriangle NOTWITHIN).
+    Independent of the engine's tessellation, flags and aggregation."""
+    qminy, qmaxy, qminx, qmaxx = _enc_box(min_lat, max_lat,
+                                          min_lon, max_lon)
+    pred = (f"rminy < {qminy} AND rmaxy > {qmaxy} "
+            f"AND rminx < {qminx} AND rmaxx > {qmaxx}")
+    return (
+        f"WITH {_RECTS_CTE} "
+        f"SELECT gid FROM rects WHERE {pred} ORDER BY gid"
+    )
+
+
+def shape_holes_box_sql(relation: str, min_lat: float, max_lat: float,
+                        min_lon: float, max_lon: float) -> str:
+    """Box relations over rect-with-rect-hole shapes, by interval
+    algebra on the quantized corners:
+
+    - intersects: box meets the outer rect AND is not strictly inside
+      the hole interior (the hole BOUNDARY belongs to the shape);
+    - within: triangles span the outer rect, so within == outer bbox
+      inside the box (the hole is interior and cannot widen the bbox);
+    - disjoint: complement of intersects;
+    - contains: box strictly inside the outer rect AND strictly
+      separated from the (closed) hole — touching the hole boundary
+      crosses an original edge (NOTWITHIN), and a box that swallows the
+      hole has shape vertices inside it (NOTWITHIN)."""
+    qminy, qmaxy, qminx, qmaxx = _enc_box(min_lat, max_lat,
+                                          min_lon, max_lon)
+    outer_overlap = (f"rmaxy >= {qminy} AND rminy <= {qmaxy} "
+                     f"AND rmaxx >= {qminx} AND rminx <= {qmaxx}")
+    inside_hole = (f"{qminy} > hminy AND {qmaxy} < hmaxy "
+                   f"AND {qminx} > hminx AND {qmaxx} < hmaxx")
+    if relation == "intersects":
+        pred = f"({outer_overlap}) AND NOT ({inside_hole})"
+    elif relation == "within":
+        pred = (f"rminy >= {qminy} AND rmaxy <= {qmaxy} "
+                f"AND rminx >= {qminx} AND rmaxx <= {qmaxx}")
+    elif relation == "disjoint":
+        pred = f"NOT (({outer_overlap}) AND NOT ({inside_hole}))"
+    elif relation == "contains":
+        strict_in = (f"rminy < {qminy} AND rmaxy > {qmaxy} "
+                     f"AND rminx < {qminx} AND rmaxx > {qmaxx}")
+        hole_apart = (f"({qmaxy} < hminy OR {qminy} > hmaxy "
+                      f"OR {qmaxx} < hminx OR {qminx} > hmaxx)")
+        pred = f"({strict_in}) AND {hole_apart}"
+    else:
+        raise ValueError(relation)
+    return (
+        f"WITH {_RECTS_HOLES_CTE} "
+        f"SELECT gid FROM rects WHERE {pred} ORDER BY gid"
+    )
+
+
+def shape_polygon_contains_sql(lats: "list[float]",
+                               lons: "list[float]") -> str:
+    """CONTAINS (shape ⊇ query polygon) over the synthetic rectangles:
+    a CONVEX query polygon is inside a rect iff every vertex is strictly
+    inside it (decoded-degree comparison; the query coordinates are
+    chosen off the quantization grid, so strict double comparisons are
+    exact decisions)."""
+    ylo, yhi = f"(rminy * {LAT_DECODE_SQL})", f"(rmaxy * {LAT_DECODE_SQL})"
+    xlo, xhi = f"(rminx * {LON_DECODE_SQL})", f"(rmaxx * {LON_DECODE_SQL})"
+    pred = " AND ".join(
+        f"({ylo} < {la!r} AND {yhi} > {la!r} "
+        f"AND {xlo} < {lo!r} AND {xhi} > {lo!r})"
+        for la, lo in zip(lats[:-1], lons[:-1])
+    )
+    return (
+        f"WITH {_RECTS_CTE} "
+        f"SELECT gid FROM rects WHERE {pred} ORDER BY gid"
+    )
+
+
+# segment endpoints = the synth_rects diagonal, quantized
+_LINES_CTE = f"""
+segs AS (
+  SELECT
+    event_id AS gid,
+    CAST(FLOOR(lat0 / {LAT_DECODE_SQL}) AS BIGINT) AS py,
+    CAST(FLOOR(lon0 / {LON_DECODE_SQL}) AS BIGINT) AS px,
+    CAST(FLOOR(lat1 / {LAT_DECODE_SQL}) AS BIGINT) AS qy,
+    CAST(FLOOR(lon1 / {LON_DECODE_SQL}) AS BIGINT) AS qx
+  FROM (
+    SELECT
+      event_id, lat0, lon0,
+      LEAST(lat0 + ((event_id % 97) / 10.0 + 0.5), 89.9) AS lat1,
+      LEAST(lon0 + ((event_id % 89) / 10.0 + 0.5), 179.9) AS lon1
+    FROM (
+      SELECT
+        event_id,
+        ((event_id * 7919) % 1700000) / 10000.0 - 85.0 AS lat0,
+        ((event_id * 104729) % 3500000) / 10000.0 - 175.0 AS lon0
+      FROM events
+    )
+  )
+)
+"""
+
+
+def shape_line_box_sql(relation: str, min_lat: float, max_lat: float,
+                       min_lon: float, max_lon: float) -> str:
+    """Box relations over the synthetic diagonal segments — independent
+    of the degenerate-triangle pipeline: endpoint-in-box OR the
+    boundary-inclusive segment-vs-box-edge crossing (the same double
+    orient expression trees the engine evaluates, so the comparison is
+    bit-identical)."""
+    qminy, qmaxy, qminx, qmaxx = _enc_box(min_lat, max_lat,
+                                          min_lon, max_lon)
+
+    def orient(ay, ax, by, bx, cy, cx):
+        return (f"(CASE WHEN ({bx} - {ax}) * ({cy} - {ay}) > "
+                f"({cx} - {ax}) * ({by} - {ay}) THEN 1 "
+                f"WHEN ({bx} - {ax}) * ({cy} - {ay}) < "
+                f"({cx} - {ax}) * ({by} - {ay}) THEN -1 ELSE 0 END)")
+
+    p_in = (f"(py >= {qminy} AND py <= {qmaxy} "
+            f"AND px >= {qminx} AND px <= {qmaxx})")
+    q_in = (f"(qy >= {qminy} AND qy <= {qmaxy} "
+            f"AND qx >= {qminx} AND qx <= {qmaxx})")
+    bbox_ok = (
+        f"(GREATEST(px, qx) >= {qminx} AND LEAST(px, qx) <= {qmaxx} "
+        f"AND LEAST(py, qy) <= {qmaxy} AND GREATEST(py, qy) >= {qminy})"
+    )
+    corners = [(qminy, qminx), (qminy, qmaxx), (qmaxy, qmaxx),
+               (qmaxy, qminx)]
+    crossings = []
+    for i in range(4):
+        (y1, x1), (y2, x2) = corners[i], corners[(i + 1) % 4]
+        o1 = orient(y1, x1, y2, x2, "py", "px")
+        o2 = orient(y1, x1, y2, x2, "qy", "qx")
+        o3 = orient("py", "px", "qy", "qx", y1, x1)
+        o4 = orient("py", "px", "qy", "qx", y2, x2)
+        crossings.append(f"({o1} * {o2} <= 0 AND {o3} * {o4} <= 0)")
+    inter = (f"({p_in} OR {q_in} OR ({bbox_ok} AND "
+             f"({' OR '.join(crossings)})))")
+    if relation == "intersects":
+        pred = inter
+    elif relation == "within":
+        pred = f"({p_in} AND {q_in})"
+    elif relation == "disjoint":
+        pred = f"NOT {inter}"
+    else:
+        raise ValueError(relation)
+    return (
+        f"WITH {_LINES_CTE} "
+        f"SELECT gid FROM segs WHERE {pred} ORDER BY gid"
+    )
+
+
+def shape_point_box_sql(min_lat: float, max_lat: float,
+                        min_lon: float, max_lon: float) -> str:
+    """Point shapes (fully degenerate triangles): box INTERSECTS is
+    plain encoded-interval membership over the synthetic points."""
+    qminy, qmaxy, qminx, qmaxx = _enc_box(min_lat, max_lat,
+                                          min_lon, max_lon)
+    return (
+        f"WITH {_PTS_CTE} "
+        f"SELECT gid FROM pts "
+        f"WHERE lat_enc >= {qminy} AND lat_enc <= {qmaxy} "
+        f"AND lon_enc >= {qminx} AND lon_enc <= {qmaxx} ORDER BY gid"
+    )

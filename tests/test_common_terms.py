@@ -14,6 +14,13 @@ from lucene_spark.plans.query import BoolQ, BoostQ, TermQ
 SF = "/root/testdata/sf0.001"  # 31-term vocab: 'dup' df≈25, rest df≥370
 
 
+def _group(q):
+    """Unwrap the optional BoostQuery — the reference wraps groups
+    unconditionally (java:192,201) but BoostQuery.rewrite drops boost==1
+    wrappers, and common_terms_query returns the REWRITTEN tree."""
+    return q.child if isinstance(q, BoostQ) else q
+
+
 @pytest.fixture(scope="module")
 def searcher(spark):
     return Searcher(spark, entry._index_for(spark, SF))
@@ -26,12 +33,12 @@ def test_classification_split(searcher):
         searcher, ["dup", "batch", "zzzmissing"], max_term_frequency=0.1
     )
     assert isinstance(node, BoolQ)
-    (low_boost,) = node.must
-    (high_boost,) = node.should
-    assert set(t.term for t in low_boost.child.should) == {
+    (low_q,) = node.must
+    (high_q,) = node.should
+    assert set(t.term for t in _group(low_q).should) == {
         "dup", "zzzmissing"
     }
-    assert set(t.term for t in high_boost.child.should) == {"batch"}
+    assert set(t.term for t in _group(high_q).should) == {"batch"}
 
 
 def test_absolute_threshold(searcher):
@@ -39,8 +46,8 @@ def test_absolute_threshold(searcher):
     node = common_terms_query(
         searcher, ["dup", "batch"], max_term_frequency=30.0
     )
-    (low_boost,) = node.must
-    assert [t.term for t in low_boost.child.should] == ["dup"]
+    (low_q,) = node.must
+    assert [t.term for t in _group(low_q).should] == ["dup"]
 
 
 def test_degenerate_cases(searcher):
@@ -56,8 +63,9 @@ def test_all_high_upgrades_to_conjunction(searcher):
     node = common_terms_query(
         searcher, ["batch", "scan"], max_term_frequency=0.1
     )
-    assert isinstance(node, BoostQ)
-    assert node.child.must and not node.child.should
+    grp = _group(node)
+    assert isinstance(grp, BoolQ)
+    assert grp.must and not grp.should
     got = searcher.search(node, k=10, with_keys=False)
     want = searcher.search(
         BoolQ(must=(TermQ("batch"), TermQ("scan"))), k=10, with_keys=False
@@ -82,8 +90,8 @@ def test_msm_binds_low_group(searcher):
         searcher, ["dup", "zzzmissing", "batch"], max_term_frequency=0.1,
         low_freq_min_should_match=1.0,
     )
-    (low_boost,) = node.must
-    assert low_boost.child.msm == 1
+    (low_q,) = node.must
+    assert _group(low_q).msm == 1
 
 
 def test_nested_scores_match_flat_composition(searcher):
@@ -117,8 +125,8 @@ def test_low_freq_must_occur(searcher):
         searcher, ["dup", "fast", "scan"], max_term_frequency=0.8,
         low_freq_occur="MUST",
     )
-    (low_boost,) = node.must
-    assert set(t.term for t in low_boost.child.must) == {"dup", "fast"}
+    (low_q,) = node.must
+    assert set(t.term for t in _group(low_q).must) == {"dup", "fast"}
     got = searcher.search(node, k=5, with_keys=False)
     # match set: docs with BOTH dup and fast
     both = searcher.search(BoolQ(must=(TermQ("dup"), TermQ("fast"))),

@@ -323,3 +323,303 @@ def test_polygon_query_matches_box_on_rect_polygon(spark, tmp_path):
     inter = {x.gid for x in sh.shape_box(tri, sh.INTERSECTS, *box).collect()}
     within = {x.gid for x in sh.shape_box(tri, sh.WITHIN, *box).collect()}
     assert within and within < inter  # non-trivial split
+
+
+# --------------------------------------------------- holes + edge flags
+
+def _star_hole(cid, lat0, lon0, r=0.9):
+    """Small rectangle hole near the star center (inside the inner
+    radius, which is >= 0.3 * base_r)."""
+    return ([lat0 - r/3, lat0 - r/3, lat0 + r/3, lat0 + r/3, lat0 - r/3],
+            [lon0 - r/3, lon0 + r/3, lon0 + r/3, lon0 - r/3, lon0 - r/3])
+
+
+@pytest.mark.parametrize("cid,n_arms", [(11, 3), (12, 5), (13, 7)])
+def test_tessellate_holes_membership(cid, n_arms):
+    """Holed tessellation: union == (shell, boundary-inclusive) minus
+    (hole interior, boundary stays in) — checked point-exactly; area ==
+    shell - hole; every triangle CCW; flags mark exactly the edges on
+    the original boundary (shell or hole)."""
+    lats, lons = _star(cid, n_arms, base_r=3.0)
+    hla, hlo = _star_hole(cid, 10.0, 20.0)
+    shell = [(encode_latitude(la), encode_longitude(lo))
+             for la, lo in zip(lats[:-1], lons[:-1])]
+    hole = [(encode_latitude(la), encode_longitude(lo))
+            for la, lo in zip(hla[:-1], hlo[:-1])]
+    tris, flags = sh.tessellate_with_flags(lats, lons, [(hla, hlo)])
+    assert sum(_tri_area2(t) for t in tris) == (
+        _ring_area2(shell) - _ring_area2(hole)
+    )
+    orig_edges = (
+        [(shell[i], shell[(i + 1) % len(shell)]) for i in range(len(shell))]
+        + [(hole[i], hole[(i + 1) % len(hole)]) for i in range(len(hole))]
+    )
+    for t, f in zip(tris, flags):
+        ay, ax, by, bx, cy, cx = (int(v) for v in t)
+        assert _orient(ay, ax, by, bx, cy, cx) == 1
+        for (p, q), flag in zip(
+            [((ay, ax), (by, bx)), ((by, bx), (cy, cx)),
+             ((cy, cx), (ay, ax))], f
+        ):
+            on_orig = sh._edge_on_original(p, q, orig_edges)
+            assert bool(flag) == on_orig, (p, q, flag)
+    # membership equivalence on a sample grid
+    ys = [v[0] for v in shell]
+    xs = [v[1] for v in shell]
+    rng = random.Random(7 + cid)
+
+    def on_ring_edge(verts, py, px):
+        n = len(verts)
+        return any(
+            _on_edge(py, px, *verts[i], *verts[(i + 1) % n])
+            for i in range(n)
+        )
+
+    for _ in range(400):
+        py = rng.randrange(min(ys) - 5, max(ys) + 6)
+        px = rng.randrange(min(xs) - 5, max(xs) + 6)
+        want = _pnpoly(shell, py, px) and (
+            not _pnpoly(hole, py, px) or on_ring_edge(hole, py, px)
+        )
+        got = any(
+            sh._point_in_tri_i(py, px, *(int(v) for v in t)) for t in tris
+        )
+        assert got == want, (py, px)
+    # and some points sampled inside the hole band specifically
+    hys = [v[0] for v in hole]
+    hxs = [v[1] for v in hole]
+    for _ in range(200):
+        py = rng.randrange(min(hys) - 2, max(hys) + 3)
+        px = rng.randrange(min(hxs) - 2, max(hxs) + 3)
+        want = _pnpoly(shell, py, px) and (
+            not _pnpoly(hole, py, px) or on_ring_edge(hole, py, px)
+        )
+        got = any(
+            sh._point_in_tri_i(py, px, *(int(v) for v in t)) for t in tris
+        )
+        assert got == want, (py, px)
+
+
+# ----------------------------------------------------------- CONTAINS
+
+def _brute_within_relation(tris, flags, qminy, qmaxy, qminx, qmaxx):
+    """Exact-integer replay of Rectangle2D.withinTriangle +
+    SpatialQuery's within combination."""
+    corners = [(qminy, qminx), (qminy, qmaxx), (qmaxy, qmaxx),
+               (qmaxy, qminx)]
+
+    def in_box(y, x):
+        return qminy <= y <= qmaxy and qminx <= x <= qmaxx
+
+    def edge_intersects(y1, x1, y2, x2):
+        if (max(x1, x2) < qminx or min(x1, x2) > qmaxx
+                or min(y1, y2) > qmaxy or max(y1, y2) < qminy):
+            return False
+        for i in range(4):
+            (ey1, ex1), (ey2, ex2) = corners[i], corners[(i + 1) % 4]
+            o1 = _orient(ey1, ex1, ey2, ex2, y1, x1)
+            o2 = _orient(ey1, ex1, ey2, ex2, y2, x2)
+            o3 = _orient(y1, x1, y2, x2, ey1, ex1)
+            o4 = _orient(y1, x1, y2, x2, ey2, ex2)
+            if o1 * o2 <= 0 and o3 * o4 <= 0:
+                return True
+        return False
+
+    any_candidate = False
+    for t, f in zip(tris, flags):
+        ay, ax, by, bx, cy, cx = (int(v) for v in t)
+        if (max(ay, by, cy) < qminy or min(ay, by, cy) > qmaxy
+                or max(ax, bx, cx) < qminx or min(ax, bx, cx) > qmaxx):
+            continue  # DISJOINT
+        if in_box(ay, ax) or in_box(by, bx) or in_box(cy, cx):
+            return False  # NOTWITHIN
+        cand = False
+        for (p, q), flag in zip(
+            [((ay, ax), (by, bx)), ((by, bx), (cy, cx)),
+             ((cy, cx), (ay, ax))], f
+        ):
+            if edge_intersects(*p, *q):
+                if flag:
+                    return False  # NOTWITHIN
+                cand = True
+        if cand or sh._point_in_tri_i(qminy, qminx, ay, ax, by, bx,
+                                      cy, cx):
+            any_candidate = True
+    return any_candidate
+
+
+def test_contains_box_end_to_end(spark, tmp_path):
+    """CONTAINS over 40 holed stars vs the exact per-triangle replay;
+    the query box is small so several shapes contain it."""
+    docs, shapes_py = [], {}
+    for gid in range(40):
+        lat0 = 8.0 + (gid % 5) * 0.8
+        lon0 = 18.0 + (gid % 7) * 0.9
+        lats, lons = _star(gid + 50, 3 + gid % 4, base_r=4.0,
+                           lat0=lat0, lon0=lon0)
+        hla, hlo = _star_hole(gid, lat0, lon0, r=1.0)
+        docs.append((gid, lats, lons, [(hla, hlo)]))
+        shapes_py[gid] = sh.tessellate_with_flags(lats, lons, [(hla, hlo)])
+    src = spark.createDataFrame(
+        [(g, la, lo, [{"lats": h[0], "lons": h[1]} for h in hs])
+         for g, la, lo, hs in docs],
+        "gid long, lats array<double>, lons array<double>, "
+        "holes array<struct<lats: array<double>, lons: array<double>>>",
+    )
+    out = str(tmp_path / "holed")
+    sh.build_shapes(spark, src, out, holes_col="holes", n_files=2)
+    tri = sh.read_shapes(spark, out)
+    # a small box near the star field, away from the holes
+    box = (9.1, 9.6, 19.6, 20.4)
+    from lucene_spark.operators.spatial import (
+        encode_latitude_ceil, encode_longitude_ceil,
+    )
+    qminy = encode_latitude_ceil(box[0])
+    qmaxy = encode_latitude(box[1])
+    qminx = encode_longitude_ceil(box[2])
+    qmaxx = encode_longitude(box[3])
+    want = {g for g, (t, f) in shapes_py.items()
+            if _brute_within_relation(t, f, qminy, qmaxy, qminx, qmaxx)}
+    got = {r.gid for r in sh.shape_box(tri, sh.CONTAINS, *box).collect()}
+    assert got == want
+    # non-trivial: some shapes contain the box, some don't
+    assert want and len(want) < len(shapes_py)
+    # a box inside a hole is NOT contained: center the box inside gid 0's
+    # hole (hole spans +-1/3 deg around the star center)
+    lat0, lon0 = 8.0, 18.0
+    hole_box = (lat0 - 0.05, lat0 + 0.05, lon0 - 0.05, lon0 + 0.05)
+    got_hole = {r.gid
+                for r in sh.shape_box(tri, sh.CONTAINS, *hole_box).collect()}
+    assert 0 not in got_hole
+    # INTERSECTS/WITHIN/DISJOINT still work over the holed table
+    inter = {r.gid for r in sh.shape_box(tri, sh.INTERSECTS, *box).collect()}
+    assert got <= inter
+
+
+def test_contains_polygon_matches_box_on_rect_query(spark, tmp_path):
+    """A rectangular CONTAINS query polygon answers like CONTAINS box."""
+    docs = []
+    for gid in range(25):
+        lat0 = 8.0 + (gid % 5) * 0.7
+        lon0 = 18.0 + (gid % 5) * 0.8
+        lats, lons = _star(gid + 90, 4, base_r=3.5, lat0=lat0, lon0=lon0)
+        docs.append((gid, lats, lons))
+    src = spark.createDataFrame(
+        docs, "gid long, lats array<double>, lons array<double>"
+    )
+    out = str(tmp_path / "cstars")
+    sh.build_shapes(spark, src, out, n_files=2)
+    tri = sh.read_shapes(spark, out)
+    box = (9.13, 9.61, 19.58, 20.42)
+    ring_lats = [box[0], box[0], box[1], box[1], box[0]]
+    ring_lons = [box[2], box[3], box[3], box[2], box[2]]
+    got_b = {r.gid for r in sh.shape_box(tri, sh.CONTAINS, *box).collect()}
+    got_p = {r.gid
+             for r in sh.shape_polygon(tri, sh.CONTAINS, ring_lats,
+                                       ring_lons).collect()}
+    assert got_b == got_p
+    assert got_b  # non-trivial
+
+
+# ------------------------------------------------- line / point shapes
+
+def test_line_shapes_box_relations(spark, tmp_path):
+    """Degenerate (a, b, a) triangles: box INTERSECTS == exact
+    segment-box intersection; WITHIN == bbox containment; CONTAINS is
+    always empty (withinLine can never be CANDIDATE)."""
+    docs, segs = [], {}
+    rng = random.Random(31)
+    for gid in range(60):
+        la0 = rng.uniform(-50, 50)
+        lo0 = rng.uniform(-150, 150)
+        la1 = la0 + rng.uniform(-8, 8)
+        lo1 = lo0 + rng.uniform(-8, 8)
+        docs.append((gid, [la0, la1], [lo0, lo1]))
+        segs[gid] = (
+            (encode_latitude(la0), encode_longitude(lo0)),
+            (encode_latitude(la1), encode_longitude(lo1)),
+        )
+    src = spark.createDataFrame(
+        docs, "gid long, lats array<double>, lons array<double>"
+    )
+    out = str(tmp_path / "lines")
+    sh.build_shape_lines(spark, src, out, n_files=2)
+    tri = sh.read_shapes(spark, out)
+    box = (-20.0, 25.0, -60.0, 40.0)
+    from lucene_spark.operators.spatial import (
+        encode_latitude_ceil, encode_longitude_ceil,
+    )
+    qminy = encode_latitude_ceil(box[0])
+    qmaxy = encode_latitude(box[1])
+    qminx = encode_longitude_ceil(box[2])
+    qmaxx = encode_longitude(box[3])
+    corners = [(qminy, qminx), (qminy, qmaxx), (qmaxy, qmaxx),
+               (qmaxy, qminx)]
+
+    def seg_hits_box(p, q):
+        if (qminy <= p[0] <= qmaxy and qminx <= p[1] <= qmaxx) or (
+                qminy <= q[0] <= qmaxy and qminx <= q[1] <= qmaxx):
+            return True
+        if (max(p[1], q[1]) < qminx or min(p[1], q[1]) > qmaxx
+                or min(p[0], q[0]) > qmaxy or max(p[0], q[0]) < qminy):
+            return False
+        for i in range(4):
+            a, b = corners[i], corners[(i + 1) % 4]
+            o1 = _orient(*p, *q, *a)
+            o2 = _orient(*p, *q, *b)
+            o3 = _orient(*a, *b, *p)
+            o4 = _orient(*a, *b, *q)
+            if o1 * o2 <= 0 and o3 * o4 <= 0:
+                return True
+        return False
+
+    want_inter = {g for g, (p, q) in segs.items() if seg_hits_box(p, q)}
+    want_within = {
+        g for g, (p, q) in segs.items()
+        if all(qminy <= y <= qmaxy and qminx <= x <= qmaxx
+               for y, x in (p, q))
+    }
+    got_inter = {r.gid
+                 for r in sh.shape_box(tri, sh.INTERSECTS, *box).collect()}
+    got_within = {r.gid
+                  for r in sh.shape_box(tri, sh.WITHIN, *box).collect()}
+    got_disj = {r.gid
+                for r in sh.shape_box(tri, sh.DISJOINT, *box).collect()}
+    got_cont = {r.gid
+                for r in sh.shape_box(tri, sh.CONTAINS, *box).collect()}
+    assert got_inter == want_inter
+    assert got_within == want_within
+    assert got_disj == set(segs) - want_inter
+    assert got_cont == set()  # a line never contains a box
+    assert want_within and want_inter - want_within and got_disj
+
+
+def test_point_shapes_box_relations(spark, tmp_path):
+    docs = []
+    rng = random.Random(77)
+    for gid in range(80):
+        docs.append((gid, rng.uniform(-60, 60), rng.uniform(-160, 160)))
+    src = spark.createDataFrame(docs, "gid long, lat double, lon double")
+    out = str(tmp_path / "pts")
+    sh.build_shape_points(spark, src, out, n_files=2)
+    tri = sh.read_shapes(spark, out)
+    box = (-20.0, 25.0, -60.0, 40.0)
+    from lucene_spark.operators.spatial import (
+        encode_latitude_ceil, encode_longitude_ceil,
+    )
+    qminy = encode_latitude_ceil(box[0])
+    qmaxy = encode_latitude(box[1])
+    qminx = encode_longitude_ceil(box[2])
+    qmaxx = encode_longitude(box[3])
+    want = {
+        g for g, la, lo in docs
+        if qminy <= encode_latitude(la) <= qmaxy
+        and qminx <= encode_longitude(lo) <= qmaxx
+    }
+    got = {r.gid for r in sh.shape_box(tri, sh.INTERSECTS, *box).collect()}
+    assert got == want
+    got_w = {r.gid for r in sh.shape_box(tri, sh.WITHIN, *box).collect()}
+    assert got_w == want  # a point is within iff it intersects
+    got_c = {r.gid for r in sh.shape_box(tri, sh.CONTAINS, *box).collect()}
+    assert got_c == set()  # a point never contains a box
+    assert want and len(want) < len(docs)
