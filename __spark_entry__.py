@@ -2396,6 +2396,39 @@ def _q_grouped_topk(spark, sf_dir):
     )
 
 
+def _q_taxonomy_facets(spark, sf_dir):
+    """FacetField lang/source paths + FastTaxonomyFacetCounts rollup:
+    every hit counts toward its leaf path and each ancestor prefix."""
+    df = _searcher(spark, sf_dir).taxonomy_facet_counts(
+        T_HOT, _docs_table(spark, sf_dir), ["lang", "source"],
+        key_col="doc_id",
+    )
+    return df.orderBy("path")
+
+
+def _q_taxonomy_children(spark, sf_dir):
+    """getTopChildren('en'): direct children ordered (count desc,
+    label asc)."""
+    return _searcher(spark, sf_dir).taxonomy_facet_counts(
+        T_HOT, _docs_table(spark, sf_dir), ["lang", "source"],
+        key_col="doc_id", parent=("en",), top_n=5,
+    )
+
+
+def _q_diversified_topk(spark, sf_dir):
+    """DiversifiedTopDocsCollector (order-independent semantics): at
+    most 2 hits per lang in the global top 10."""
+    df = _searcher(spark, sf_dir).diversified_topk(
+        T_HOT, _docs_table(spark, sf_dir), "lang",
+        max_per_key=2, k=10, key_col="doc_id",
+    )
+    return df.select(
+        F.col("gid").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+        F.col("dim"),
+    )
+
+
 # --------------------------------------------- multimodal binary plumbing
 # media payload = UTF-8 bytes of `text` (deterministic fake blobs; the ops
 # treat them as opaque binary exactly as they would real image bytes)
@@ -2620,6 +2653,7 @@ _NEVER_DRIVER_SAMPLED = [
     "shape_holes_box_disjoint", "shape_holes_box_contains",
     "shape_line_box_intersects", "shape_line_box_within",
     "shape_point_box_intersects",
+    "taxonomy_facets", "taxonomy_children", "diversified_topk",
     "simple_parse_topk", "simple_parse_not_topk",
     "simple_parse_must_not_topk",
     "interval_ordered_topk", "interval_unordered_topk",
@@ -2827,6 +2861,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_len": _q_sort_by_len,
         "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
+        "taxonomy_facets": _q_taxonomy_facets,
+        "taxonomy_children": _q_taxonomy_children,
+        "diversified_topk": _q_diversified_topk,
         "drill_sideways": _q_drill_sideways,
         "combined_field_topk": _q_combined_field_topk,
         "word_breaks": _q_word_breaks,
@@ -3089,6 +3126,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY sort_val ASC, doc_id ASC LIMIT 10"
         ),
         "facet_lang": osql.facet_lang_sql(T_HOT),
+        "taxonomy_facets": osql.taxonomy_facet_sql(T_HOT),
+        "taxonomy_children": osql.taxonomy_children_sql(T_HOT, "en", 5),
+        "diversified_topk": osql.diversified_topk_sql(T_HOT, 2, 10),
         "drill_sideways": osql.drill_sideways_sql(
             T_HOT, list(DRILL_LANGS), list(DRILL_SOURCES)
         ),

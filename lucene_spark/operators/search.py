@@ -4652,6 +4652,100 @@ class Searcher:
             .select("dim", "gid", "score", "rn")
         )
 
+    def taxonomy_facet_counts(self, query, dim_df: DataFrame,
+                              path_cols: "list[str]",
+                              key_col: str = "key",
+                              parent: "tuple | None" = None,
+                              top_n: "int | None" = None) -> DataFrame:
+        """Hierarchical facet counts (facet/taxonomy — FacetField paths +
+        FastTaxonomyFacetCounts.java rollup): each matching doc's label
+        path ``a/b/c`` increments EVERY ancestor prefix (``a``, ``a/b``,
+        ``a/b/c``) — the reference walks parent ordinals per hit; here
+        the prefix expansion is one ``transform`` + ``explode`` over the
+        path array, then a single partially-aggregated groupBy(path).
+
+        With ``parent`` set, returns getTopChildren(parent): direct
+        children of that path ordered by (count desc, label asc) —
+        Lucene's value-then-ordinal tie-break expressed on labels, since
+        ordinals here ARE the sorted labels — limited to ``top_n``.
+
+        Docs missing any path component don't count (no facet field).
+        Scale: the dim table broadcast is the taxonomy lookup; counts
+        never materialize per-doc rows beyond the one exploded prefix
+        column (depth × hits rows, map-side combined)."""
+        node = parse_query(query) if isinstance(query, str) else query
+        cand = self.candidates(node, k=_ALL_K, prune=False) \
+            .select("gid").distinct()
+        keyed = cand.join(self.doc_rows().select("gid", "key"), "gid")
+        parts = F.array(*[F.col(c).cast("string") for c in path_cols])
+        dims = dim_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            parts.alias("parts"),
+        )
+        for i in range(len(path_cols)):
+            dims = dims.filter(F.col("parts")[i].isNotNull())
+        pref = (
+            keyed.join(F.broadcast(dims), "key")
+            .select(F.explode(F.expr(
+                "transform(sequence(1, size(parts)), "
+                "i -> array_join(slice(parts, 1, i), '/'))"
+            )).alias("path"))
+        )
+        counts = pref.groupBy("path").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        if parent is None:
+            return counts
+        pp = "/".join(str(p) for p in parent)
+        depth = pp.count("/") + 2  # parent components + 1 child level
+        kids = counts.filter(
+            F.col("path").startswith(pp + "/")
+            & (F.size(F.split(F.col("path"), "/")) == depth)
+        )
+        out = kids.orderBy(F.desc("n"), F.asc("path"))
+        return out.limit(int(top_n)) if top_n else out
+
+    def diversified_topk(self, query, dim_df: DataFrame, dim_col: str,
+                         max_per_key: int = 2, k: int = 10,
+                         key_col: str = "key") -> DataFrame:
+        """Diversity-capped top-k (misc/search/
+        DiversifiedTopDocsCollector.java:48-90): no more than
+        ``max_per_key`` results per key in the final top ``k``.
+
+        The reference streams in doc order with a global PQ plus per-key
+        PQs (insert, java:110-160), but the outcome is ORDER-INDEPENDENT
+        and equals the declarative form computed here — rank within key
+        by (score desc, gid asc), keep rank <= max_per_key, global
+        top-k. Why: per-key queues only ever hold docs currently in the
+        global queue, and once the global queue fills its floor is
+        monotone non-decreasing; a key member freed by global eviction
+        therefore can never readmit a weaker same-key doc (it would
+        have to beat a floor that already exceeds the evicted member).
+        ``tests/test_diversified_taxonomy.py`` replays the reference
+        algorithm and asserts equality.
+
+        Docs with no key row are dropped with the join (the gate data
+        has total keys). One window + one global top-k — both shuffle
+        on the same key column as grouped_topk."""
+        from pyspark.sql import Window
+
+        node = parse_query(query) if isinstance(query, str) else query
+        cand = self.candidates(node, k=_ALL_K, prune=False)
+        keyed = cand.join(self.doc_rows().select("gid", "key"), "gid")
+        dims = dim_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(dim_col).alias("dim"),
+        )
+        w = Window.partitionBy("dim").orderBy(F.desc("score"), F.asc("gid"))
+        return (
+            keyed.join(F.broadcast(dims), "key")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(max_per_key))
+            .orderBy(F.desc("score"), F.asc("gid"))
+            .limit(int(k))
+            .select("gid", "score", "dim")
+        )
+
 
 def _has_payload_check(node) -> bool:
     if isinstance(node, SpanPayloadCheckQ):

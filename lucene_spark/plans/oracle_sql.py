@@ -1728,6 +1728,56 @@ SELECT dim, doc_id, score, rn::INT AS rn
 FROM r WHERE rn <= {k_per_group} ORDER BY dim, rn"""
 
 
+def taxonomy_facet_sql(term: str) -> str:
+    """TaxonomyFacetCounts twin over the lang/source 2-level hierarchy:
+    every matching doc increments its leaf path AND each ancestor
+    prefix (FastTaxonomyFacetCounts walks parent ordinals)."""
+    return f"""WITH {base_ctes()},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{term}'),
+w AS (
+  SELECT m.doc_id, d.lang, d.source
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+)
+SELECT lang AS path, count(*)::BIGINT AS n FROM w GROUP BY lang
+UNION ALL
+SELECT lang || '/' || source, count(*)::BIGINT
+FROM w GROUP BY lang, source
+ORDER BY path"""
+
+
+def taxonomy_children_sql(term: str, parent: str, top_n: int) -> str:
+    """getTopChildren(parent) twin: direct children of the parent path,
+    (count desc, label asc)."""
+    return f"""WITH {base_ctes()},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{term}'),
+w AS (
+  SELECT d.lang, d.source
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+)
+SELECT '{parent}' || '/' || source AS path, count(*)::BIGINT AS n
+FROM w WHERE lang = '{parent}'
+GROUP BY source
+ORDER BY n DESC, path ASC LIMIT {top_n}"""
+
+
+def diversified_topk_sql(term: str, max_per_key: int, k: int) -> str:
+    """DiversifiedTopDocsCollector twin (the engine's documented
+    order-independent semantics): rank within key, cap, global top-k."""
+    return f"""WITH {base_ctes()},{scored_term_cte('s', term)},
+r AS (
+  SELECT s.doc_id, s.score, d.lang AS dim,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, score, dim
+FROM r WHERE rn <= {max_per_key}
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def purge_topk_sql(t1: str, t2: str, mod: int, k: int = 10) -> str:
     """Post-purge-merge oracle: deleted docs are RECLAIMED, so idf, avgdl,
     docCount and norms all re-derive from the survivor corpus (the
