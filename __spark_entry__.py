@@ -2396,6 +2396,24 @@ def _q_grouped_topk(spark, sf_dir):
     )
 
 
+def _q_covering_topk(spark, sf_dir):
+    """CoveringQuery: 3 clauses, per-doc minimumNumberMatch =
+    max(1, 1 + doc_id % 3) from the LongValuesSource analog."""
+    df = _searcher(spark, sf_dir).covering_topk(
+        [T_HOT, T_MID, T_B], F.lit(1) + F.col("gid") % 3, k=10
+    )
+    return df.select(F.col("gid").cast("long").alias("doc_id"), "score")
+
+
+def _q_distance_feature_topk(spark, sf_dir):
+    """LatLonPoint.newDistanceFeatureQuery as a SHOULD boost on a term
+    query: score += f32(w * pivot/(pivot + haversine))."""
+    df = _searcher(spark, sf_dir).distance_feature_topk(
+        T_HOT, 10.0, 20.0, 500_000.0, weight=2.0, k=10
+    )
+    return df.select(F.col("gid").cast("long").alias("doc_id"), "score")
+
+
 def _q_taxonomy_facets(spark, sf_dir):
     """FacetField lang/source paths + FastTaxonomyFacetCounts rollup:
     every hit counts toward its leaf path and each ancestor prefix."""
@@ -2654,6 +2672,7 @@ _NEVER_DRIVER_SAMPLED = [
     "shape_line_box_intersects", "shape_line_box_within",
     "shape_point_box_intersects",
     "taxonomy_facets", "taxonomy_children", "diversified_topk",
+    "covering_topk", "distance_feature_topk",
     "simple_parse_topk", "simple_parse_not_topk",
     "simple_parse_must_not_topk",
     "interval_ordered_topk", "interval_unordered_topk",
@@ -2864,6 +2883,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_facets": _q_taxonomy_facets,
         "taxonomy_children": _q_taxonomy_children,
         "diversified_topk": _q_diversified_topk,
+        "covering_topk": _q_covering_topk,
+        "distance_feature_topk": _q_distance_feature_topk,
         "drill_sideways": _q_drill_sideways,
         "combined_field_topk": _q_combined_field_topk,
         "word_breaks": _q_word_breaks,
@@ -3129,6 +3150,9 @@ def oracle_sql() -> dict[str, str]:
         "taxonomy_facets": osql.taxonomy_facet_sql(T_HOT),
         "taxonomy_children": osql.taxonomy_children_sql(T_HOT, "en", 5),
         "diversified_topk": osql.diversified_topk_sql(T_HOT, 2, 10),
+        "covering_topk": osql.covering_topk_sql([T_HOT, T_MID, T_B]),
+        "distance_feature_topk": osql.distance_feature_sql(
+            T_HOT, 10.0, 20.0, 500_000.0, 2.0),
         "drill_sideways": osql.drill_sideways_sql(
             T_HOT, list(DRILL_LANGS), list(DRILL_SOURCES)
         ),

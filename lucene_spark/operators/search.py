@@ -4652,6 +4652,102 @@ class Searcher:
             .select("dim", "gid", "score", "rn")
         )
 
+    def covering_topk(self, clauses, min_match_col, k: int = 10) -> DataFrame:
+        """CoveringQuery (sandbox/search/CoveringQuery.java +
+        CoveringScorer.java:130-141): a disjunction whose
+        minimumNumberMatch comes from a PER-DOCUMENT LongValuesSource —
+        doc matches iff at least ``max(1, value(doc))`` clauses match
+        (docs with no value never match, CoveringScorer's
+        Long.MAX_VALUE arm); score = the sum of the MATCHING clauses'
+        scores, one float32 cast at the end like any SHOULD sum.
+
+        ``min_match_col``: a Column expression over ``doc_rows()``
+        (gid, key, doc_len, sort_val...) — the LongValuesSource analog.
+
+        Plan: one exhaustive scored scan per clause (each impact-
+        structured like a plain disjunction's), one union + groupBy(gid)
+        with count+sum partial aggregation, one join to the per-doc
+        value. No driver materialization; the per-clause scans dominate
+        exactly as CoveringScorer's sub-scorer advances do."""
+        parts = None
+        for c in clauses:
+            node = parse_query(c) if isinstance(c, str) else c
+            df = self.candidates(node, k=_ALL_K, prune=False) \
+                .select("gid", F.col("score").cast("double").alias("s"))
+            parts = df if parts is None else parts.unionAll(df)
+        agg = parts.groupBy("gid").agg(
+            F.count(F.lit(1)).alias("_nm"),
+            F.sum("s").alias("_sum"),
+        )
+        vals = self.doc_rows().select(
+            "gid", min_match_col.cast("long").alias("_mm")
+        )
+        return (
+            agg.join(vals, "gid")
+            .filter(F.col("_nm") >= F.greatest(F.lit(1), F.col("_mm")))
+            .select(
+                "gid",
+                F.col("_sum").cast("float").cast("double").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("gid"))
+            .limit(int(k))
+        )
+
+    def distance_feature_topk(self, query, origin_lat: float,
+                              origin_lon: float, pivot_m: float,
+                              weight: float = 1.0, k: int = 10,
+                              lat_lon=None) -> DataFrame:
+        """LatLonPoint.newDistanceFeatureQuery combined as a SHOULD
+        clause with a text query (the reference's canonical usage:
+        relevance + proximity boost).
+
+        Per LatLonPointDistanceFeatureQuery.java:129-130 the feature
+        score is ``(float)(weight * (pivot / (pivot + haversinMeters(
+        origin, doc))))``; the boolean sum then adds it to the text
+        score with the usual one-float32-cast discipline. ``lat_lon``:
+        optional (lat_col, lon_col) expressions over ``doc_rows()`` —
+        defaults to the deterministic synthetic per-doc coordinates
+        (gate data; a real deployment passes its own point columns).
+
+        Plan: the text match set (impact-pruned per bucket is unsound
+        under an additive rescore, so the scan is exhaustive like
+        FunctionScore's) + one join to per-doc coordinates + pure
+        column haversine — no kernel, no collect."""
+        from .spatial import LAT_DECODE, LON_DECODE, _haversine_m, \
+            synth_latlon
+
+        node = parse_query(query) if isinstance(query, str) else query
+        cand = self.candidates(node, k=_ALL_K, prune=False)
+        if lat_lon is None:
+            lat, lon = synth_latlon("gid")
+        else:
+            lat, lon = lat_lon
+        # quantize exactly like build_points (the reference reads the
+        # encoded doc values back, so scoring sees DECODED quantized
+        # coordinates)
+        lat_enc = F.least(F.floor(lat / F.lit(LAT_DECODE)),
+                          F.lit((1 << 31) - 1)).cast("long")
+        lon_enc = F.least(F.floor(lon / F.lit(LON_DECODE)),
+                          F.lit((1 << 31) - 1)).cast("long")
+        pts = self.doc_rows().select(
+            "gid", lat_enc.alias("lat_enc"), lon_enc.alias("lon_enc")
+        )
+        d = _haversine_m(F.col("lat_enc"), F.col("lon_enc"),
+                         float(origin_lat), float(origin_lon))
+        boost = (F.lit(float(weight))
+                 * (F.lit(float(pivot_m)) / (F.lit(float(pivot_m)) + d))
+                 ).cast("float")
+        return (
+            cand.join(pts, "gid")
+            .select(
+                "gid",
+                (F.col("score").cast("double") + boost.cast("double"))
+                .cast("float").cast("double").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("gid"))
+            .limit(int(k))
+        )
+
     def taxonomy_facet_counts(self, query, dim_df: DataFrame,
                               path_cols: "list[str]",
                               key_col: str = "key",

@@ -1728,6 +1728,59 @@ SELECT dim, doc_id, score, rn::INT AS rn
 FROM r WHERE rn <= {k_per_group} ORDER BY dim, rn"""
 
 
+def covering_topk_sql(terms: "list[str]", k: int = 10) -> str:
+    """CoveringQuery twin (sandbox/search/CoveringScorer.java:130-141):
+    per-doc minimumNumberMatch = max(1, 1 + doc_id % 3); score = the
+    SHOULD sum over matching clauses (one float32 cast)."""
+    ctes = ",".join(
+        scored_term_cte(f"s{i}", t) for i, t in enumerate(terms)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(len(terms))
+    )
+    return f"""WITH {base_ctes()},{ctes},
+u AS ({union}),
+g AS (
+  SELECT doc_id, count(*) AS nm,
+         CAST(CAST(sum(score) AS FLOAT) AS DOUBLE) AS score
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, score FROM g
+WHERE nm >= GREATEST(1, 1 + doc_id % 3)
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def distance_feature_sql(term: str, qlat: float, qlon: float,
+                         pivot_m: float, weight: float,
+                         k: int = 10) -> str:
+    """LatLonPoint.newDistanceFeatureQuery twin
+    (LatLonPointDistanceFeatureQuery.java:129-130): feature score =
+    f32(weight * pivot / (pivot + haversinMeters)), summed into the
+    text score as a SHOULD clause. Synthetic per-doc coordinates use
+    the same integer-derivation + floor-quantization expression trees
+    as the engine's synth_latlon/build_points."""
+    from .oracle_spatial import (
+        LAT_DECODE_SQL, LON_DECODE_SQL, _haversine_sql,
+    )
+
+    d = _haversine_sql(qlat, qlon)
+    boost = (f"CAST(CAST({weight!r} * ({pivot_m!r} / ({pivot_m!r} + {d}))"
+             f" AS FLOAT) AS DOUBLE)")
+    return f"""WITH {base_ctes()},{scored_term_cte('s', term)},
+p AS (
+  SELECT doc_id,
+    CAST(FLOOR((((doc_id * 7919) % 1700000) / 10000.0 - 85.0)
+               / {LAT_DECODE_SQL}) AS BIGINT) AS lat_enc,
+    CAST(FLOOR((((doc_id * 104729) % 3500000) / 10000.0 - 175.0)
+               / {LON_DECODE_SQL}) AS BIGINT) AS lon_enc
+  FROM documents
+)
+SELECT s.doc_id,
+       CAST(CAST(s.score + {boost} AS FLOAT) AS DOUBLE) AS score
+FROM s JOIN p ON p.doc_id = s.doc_id
+ORDER BY score DESC, s.doc_id ASC LIMIT {k}"""
+
+
 def taxonomy_facet_sql(term: str) -> str:
     """TaxonomyFacetCounts twin over the lang/source 2-level hierarchy:
     every matching doc increments its leaf path AND each ancestor
