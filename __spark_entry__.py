@@ -1656,6 +1656,9 @@ def _shape_table_for(spark: SparkSession, sf_dir: str, kind: str) -> str:
     elif kind == "holes":
         sh.build_shapes(spark, sh.synth_rects_holes(ev, "event_id"), out,
                         holes_col="holes")
+    elif kind == "multi":
+        sh.build_shapes_multi(spark, sh.synth_rects_multi(ev, "event_id"),
+                              out)
     elif kind == "lines":
         sh.build_shape_lines(spark, sh.synth_lines(ev, "event_id"), out)
     elif kind == "points":
@@ -1734,6 +1737,23 @@ def _q_shape_holes_box(rel, box=None):
 
         tri = shapes.read_shapes(
             spark, _shape_table_for(spark, sf_dir, "holes")
+        )
+        return shapes.shape_box(
+            tri, rel, *(box or SHAPE_BOX)
+        ).orderBy("gid")
+
+    return q
+
+
+def _q_shape_multi_box(rel, box=None):
+    def q(spark, sf_dir):
+        """Multipolygon documents (two disjoint components per doc):
+        the same box relations aggregate per-triangle verdicts over all
+        components under one gid."""
+        from lucene_spark.operators import shapes
+
+        tri = shapes.read_shapes(
+            spark, _shape_table_for(spark, sf_dir, "multi")
         )
         return shapes.shape_box(
             tri, rel, *(box or SHAPE_BOX)
@@ -2673,6 +2693,8 @@ _NEVER_DRIVER_SAMPLED = [
     "shape_point_box_intersects",
     "taxonomy_facets", "taxonomy_children", "diversified_topk",
     "covering_topk", "distance_feature_topk",
+    "shape_multi_box_intersects", "shape_multi_box_within",
+    "shape_multi_box_contains",
     "simple_parse_topk", "simple_parse_not_topk",
     "simple_parse_must_not_topk",
     "interval_ordered_topk", "interval_unordered_topk",
@@ -2846,6 +2868,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_line_box_intersects": _q_shape_line_box("intersects"),
         "shape_line_box_within": _q_shape_line_box("within"),
         "shape_point_box_intersects": _q_shape_point_box,
+        "shape_multi_box_intersects": _q_shape_multi_box("intersects"),
+        "shape_multi_box_within": _q_shape_multi_box("within"),
+        "shape_multi_box_contains": _q_shape_multi_box(
+            "contains", SHAPE_CBOX),
         "iodv_index_topk": _q_iodv_index_topk,
         "iodv_dv_topk": _q_iodv_dv_topk,
         "term_vectors": _q_term_vectors,
@@ -3089,6 +3115,12 @@ def oracle_sql() -> dict[str, str]:
             "within", *SHAPE_BOX),
         "shape_point_box_intersects": ospat.shape_point_box_sql(
             *SHAPE_BOX),
+        "shape_multi_box_intersects": ospat.shape_multi_box_sql(
+            "intersects", *SHAPE_BOX),
+        "shape_multi_box_within": ospat.shape_multi_box_sql(
+            "within", *SHAPE_BOX),
+        "shape_multi_box_contains": ospat.shape_multi_box_sql(
+            "contains", *SHAPE_CBOX),
         "geo_polygon_holes": ospat.geo_polygon_sql(
             GEO_POLY_LATS, GEO_POLY_LONS,
             holes=[(GEO_HOLE_LATS, GEO_HOLE_LONS)]),

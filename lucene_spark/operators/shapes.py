@@ -97,8 +97,9 @@ from .spatial import (
 
 __all__ = [
     "tessellate", "tessellate_with_flags", "build_shapes",
-    "build_shape_lines", "build_shape_points", "read_shapes",
-    "synth_rects", "synth_rects_holes", "synth_lines",
+    "build_shapes_multi", "build_shape_lines", "build_shape_points",
+    "read_shapes", "synth_rects", "synth_rects_holes",
+    "synth_rects_multi", "synth_lines",
     "shape_box", "shape_polygon",
     "INTERSECTS", "WITHIN", "DISJOINT", "CONTAINS",
 ]
@@ -488,6 +489,72 @@ def _empty_tri_block() -> "pd.DataFrame":
             dtype=bool if typ == "boolean" else np.int64
         )
     return pd.DataFrame(cols)
+
+
+def build_shapes_multi(
+    spark: SparkSession,
+    src: DataFrame,
+    out_dir: str,
+    id_col: str = "gid",
+    polys_col: str = "polys",
+    n_files: int = 8,
+) -> str:
+    """Multi-component shapes (LatLonShape.createIndexableFields over a
+    Polygon[] — a multipolygon document): every component tessellates
+    independently inside the same Arrow kernel; the doc's triangle rows
+    are simply the concatenation. Query relations need NO multi-
+    component special case — INTERSECTS/WITHIN/DISJOINT/CONTAINS all
+    aggregate per-triangle verdicts over the doc (the reference's
+    SpatialQuery likewise visits every component's triangles under one
+    doc id; a bbox-disjoint component contributes only
+    WithinRelation.DISJOINT rows, which cannot flip a verdict).
+
+    ``polys_col``: ``array<struct<lats: array<double>,
+    lons: array<double>>>`` — one entry per component ring (holes per
+    component go through :func:`build_shapes`'s ``holes_col`` for the
+    single-component case; mixed multi+holes composes the same way)."""
+    rows = src.select(
+        F.col(id_col).cast("long").alias("gid"),
+        F.col(polys_col).alias("polys"),
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for gid, polys in zip(pdf["gid"], pdf["polys"]):
+                for p in polys:
+                    t, f = tessellate_with_flags(
+                        list(p["lats"]), list(p["lons"])
+                    )
+                    out.append(_tri_block(gid, t, f))
+            yield pd.concat(out) if out else _empty_tri_block()
+
+    tri = rows.mapInPandas(kernel, schema=_TRI_SCHEMA)
+    return _write_tri(tri, out_dir, n_files)
+
+
+def synth_rects_multi(src: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Two disjoint per-doc components: the synth_rects rectangle split
+    into a bottom band [lat0, lat0+0.4h] and a top band
+    [lat0+0.6h, lat1] (h = lat1-lat0) — deterministic, mirrored exactly
+    by the DuckDB oracle."""
+    gid = F.col(id_col)
+    lat0, lon0 = synth_latlon(id_col)
+    lat1 = F.least(lat0 + ((gid % 97) / 10.0 + 0.5), F.lit(89.9))
+    lon1 = F.least(lon0 + ((gid % 89) / 10.0 + 0.5), F.lit(179.9))
+    ha = lat0 + (lat1 - lat0) * 0.4
+    hb = lat0 + (lat1 - lat0) * 0.6
+
+    def rect(ylo, yhi):
+        return F.struct(
+            F.array(ylo, ylo, yhi, yhi, ylo).alias("lats"),
+            F.array(lon0, lon1, lon1, lon0, lon0).alias("lons"),
+        )
+
+    return src.select(
+        gid.cast("long").alias("gid"),
+        F.array(rect(lat0, ha), rect(hb, lat1)).alias("polys"),
+    )
 
 
 def build_shapes(

@@ -490,3 +490,66 @@ def shape_point_box_sql(min_lat: float, max_lat: float,
         f"WHERE lat_enc >= {qminy} AND lat_enc <= {qmaxy} "
         f"AND lon_enc >= {qminx} AND lon_enc <= {qmaxx} ORDER BY gid"
     )
+
+
+# the two disjoint per-doc bands of synth_rects_multi, quantized with
+# the same expression trees
+_RECTS_MULTI_CTE = f"""
+rects AS (
+  SELECT
+    event_id AS gid,
+    CAST(FLOOR(lat0 / {LAT_DECODE_SQL}) AS BIGINT) AS aminy,
+    CAST(FLOOR((lat0 + (lat1 - lat0) * 0.4) / {LAT_DECODE_SQL}) AS BIGINT)
+      AS amaxy,
+    CAST(FLOOR((lat0 + (lat1 - lat0) * 0.6) / {LAT_DECODE_SQL}) AS BIGINT)
+      AS bminy,
+    CAST(FLOOR(lat1 / {LAT_DECODE_SQL}) AS BIGINT) AS bmaxy,
+    CAST(FLOOR(lon0 / {LON_DECODE_SQL}) AS BIGINT) AS rminx,
+    CAST(FLOOR(lon1 / {LON_DECODE_SQL}) AS BIGINT) AS rmaxx
+  FROM (
+    SELECT
+      event_id, lat0, lon0,
+      LEAST(lat0 + ((event_id % 97) / 10.0 + 0.5), 89.9) AS lat1,
+      LEAST(lon0 + ((event_id % 89) / 10.0 + 0.5), 179.9) AS lon1
+    FROM (
+      SELECT
+        event_id,
+        ((event_id * 7919) % 1700000) / 10000.0 - 85.0 AS lat0,
+        ((event_id * 104729) % 3500000) / 10000.0 - 175.0 AS lon0
+      FROM events
+    )
+  )
+)
+"""
+
+
+def shape_multi_box_sql(relation: str, min_lat: float, max_lat: float,
+                        min_lon: float, max_lon: float) -> str:
+    """Box relations over two-component (multipolygon) docs by interval
+    algebra: intersects = either band overlaps; within = both bands
+    inside (== the union bbox inside, since the bands span the full
+    rect); contains = box strictly inside ONE band (the other band's
+    triangles are then bbox-disjoint, contributing nothing)."""
+    qminy, qmaxy, qminx, qmaxx = _enc_box(min_lat, max_lat,
+                                          min_lon, max_lon)
+    x_ov = f"rmaxx >= {qminx} AND rminx <= {qmaxx}"
+    a_ov = f"(amaxy >= {qminy} AND aminy <= {qmaxy} AND {x_ov})"
+    b_ov = f"(bmaxy >= {qminy} AND bminy <= {qmaxy} AND {x_ov})"
+    if relation == "intersects":
+        pred = f"({a_ov} OR {b_ov})"
+    elif relation == "within":
+        pred = (f"aminy >= {qminy} AND bmaxy <= {qmaxy} "
+                f"AND rminx >= {qminx} AND rmaxx <= {qmaxx}")
+    elif relation == "disjoint":
+        pred = f"NOT ({a_ov} OR {b_ov})"
+    elif relation == "contains":
+        x_strict = f"rminx < {qminx} AND rmaxx > {qmaxx}"
+        a_in = f"(aminy < {qminy} AND amaxy > {qmaxy} AND {x_strict})"
+        b_in = f"(bminy < {qminy} AND bmaxy > {qmaxy} AND {x_strict})"
+        pred = f"({a_in} OR {b_in})"
+    else:
+        raise ValueError(relation)
+    return (
+        f"WITH {_RECTS_MULTI_CTE} "
+        f"SELECT gid FROM rects WHERE {pred} ORDER BY gid"
+    )

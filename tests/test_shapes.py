@@ -623,3 +623,70 @@ def test_point_shapes_box_relations(spark, tmp_path):
     got_c = {r.gid for r in sh.shape_box(tri, sh.CONTAINS, *box).collect()}
     assert got_c == set()  # a point never contains a box
     assert want and len(want) < len(docs)
+
+
+# ----------------------------------------------------- multipolygon docs
+
+def test_multipolygon_end_to_end(spark, tmp_path):
+    """Two disjoint star components per doc: every relation aggregates
+    per-triangle verdicts across components; CONTAINS vs the exact
+    integer withinTriangle replay over the CONCATENATED triangle set."""
+    docs, tris_py = [], {}
+    for gid in range(30):
+        lat0 = 8.0 + (gid % 5) * 0.8
+        lon0 = 18.0 + (gid % 6) * 0.9
+        a = _star(gid + 200, 3 + gid % 3, base_r=3.0, lat0=lat0,
+                  lon0=lon0)
+        b = _star(gid + 300, 4, base_r=1.5, lat0=lat0 + 11.0,
+                  lon0=lon0 + 7.0)
+        docs.append((gid, [{"lats": a[0], "lons": a[1]},
+                           {"lats": b[0], "lons": b[1]}]))
+        ta, fa = sh.tessellate_with_flags(*a)
+        tb, fb = sh.tessellate_with_flags(*b)
+        import numpy as np
+
+        tris_py[gid] = (np.vstack([ta, tb]), np.vstack([fa, fb]))
+    src = spark.createDataFrame(
+        docs,
+        "gid long, polys array<struct<lats: array<double>, "
+        "lons: array<double>>>",
+    )
+    out = str(tmp_path / "multi")
+    sh.build_shapes_multi(spark, src, out, n_files=2)
+    tri = sh.read_shapes(spark, out)
+    from lucene_spark.operators.spatial import (
+        encode_latitude_ceil, encode_longitude_ceil,
+    )
+    # box around the star field of component A only
+    box = (9.1, 9.6, 19.6, 20.4)
+    qminy = encode_latitude_ceil(box[0])
+    qmaxy = encode_latitude(box[1])
+    qminx = encode_longitude_ceil(box[2])
+    qmaxx = encode_longitude(box[3])
+    want_c = {g for g, (t, f) in tris_py.items()
+              if _brute_within_relation(t, f, qminy, qmaxy, qminx, qmaxx)}
+    got_c = {r.gid for r in sh.shape_box(tri, sh.CONTAINS, *box).collect()}
+    assert got_c == want_c and want_c
+    # intersects: vertex/corner/edge union over BOTH components
+    def brute_inter(t):
+        for row in t:
+            ay, ax, by, bx, cy, cx = (int(v) for v in row)
+            if any(qminy <= y <= qmaxy and qminx <= x <= qmaxx
+                   for y, x in ((ay, ax), (by, bx), (cy, cx))):
+                return True
+            if sh._point_in_tri_i(qminy, qminx, ay, ax, by, bx, cy, cx) \
+               and min(ay, by, cy) <= qminy <= max(ay, by, cy) \
+               and min(ax, bx, cx) <= qminx <= max(ax, bx, cx):
+                return True
+        return False
+    got_i = {r.gid
+             for r in sh.shape_box(tri, sh.INTERSECTS, *box).collect()}
+    # the box is small and inside component A's area: vertex/corner
+    # checks suffice for the sanity subset relation
+    assert {g for g, (t, _) in tris_py.items() if brute_inter(t)} <= got_i
+    # a box covering only component B's area must NOT include docs via
+    # component A and vice versa — disjointness of the verdict sets
+    box_b = (19.5, 20.5, 25.5, 26.5)
+    got_b = {r.gid
+             for r in sh.shape_box(tri, sh.INTERSECTS, *box_b).collect()}
+    assert got_b  # some B components overlap it
