@@ -2416,6 +2416,14 @@ def _q_grouped_topk(spark, sf_dir):
     )
 
 
+def _q_shingle_counts(spark, sf_dir):
+    """ShingleFilter bigrams corpus-wide: reference hole semantics
+    (capped fillers, leading holes filled, all-filler skipped)."""
+    from lucene_spark.operators.textops import shingle_counts
+
+    return shingle_counts(spark, sf_dir, size=2, top_k=20)
+
+
 def _q_covering_topk(spark, sf_dir):
     """CoveringQuery: 3 clauses, per-doc minimumNumberMatch =
     max(1, 1 + doc_id % 3) from the LongValuesSource analog."""
@@ -2694,7 +2702,7 @@ _NEVER_DRIVER_SAMPLED = [
     "taxonomy_facets", "taxonomy_children", "diversified_topk",
     "covering_topk", "distance_feature_topk",
     "shape_multi_box_intersects", "shape_multi_box_within",
-    "shape_multi_box_contains",
+    "shape_multi_box_contains", "shingle_counts",
     "simple_parse_topk", "simple_parse_not_topk",
     "simple_parse_must_not_topk",
     "interval_ordered_topk", "interval_unordered_topk",
@@ -2911,6 +2919,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": _q_diversified_topk,
         "covering_topk": _q_covering_topk,
         "distance_feature_topk": _q_distance_feature_topk,
+        "shingle_counts": _q_shingle_counts,
         "drill_sideways": _q_drill_sideways,
         "combined_field_topk": _q_combined_field_topk,
         "word_breaks": _q_word_breaks,
@@ -3183,6 +3192,7 @@ def oracle_sql() -> dict[str, str]:
         "taxonomy_children": osql.taxonomy_children_sql(T_HOT, "en", 5),
         "diversified_topk": osql.diversified_topk_sql(T_HOT, 2, 10),
         "covering_topk": osql.covering_topk_sql([T_HOT, T_MID, T_B]),
+        "shingle_counts": osql.shingle_counts_sql(20),
         "distance_feature_topk": osql.distance_feature_sql(
             T_HOT, 10.0, 20.0, 500_000.0, 2.0),
         "drill_sideways": osql.drill_sideways_sql(

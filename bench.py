@@ -435,6 +435,27 @@ def main() -> None:
             min_lon=-30.0, max_lon=-10.0).count()
     times["q_geo_box"] = round(time.time() - t0, 3)
 
+    # indexed shapes — tessellated triangle table (late-r5): build wall
+    # (Arrow ear-clip kernel + z-order sort) and the two relation
+    # shapes: INTERSECTS (bbox-pruned scan + distinct) and CONTAINS
+    # (flag-driven withinTriangle + groupBy verdict rollup)
+    from lucene_spark.operators.shapes import (
+        build_shapes, read_shapes, shape_box, synth_rects,
+    )
+
+    shp = "/tmp/lucene_bench_shapes"
+    if not os.path.exists(os.path.join(shp, "_SUCCESS")):
+        t0 = time.time()
+        build_shapes(spark, synth_rects(docs, "doc_id"), shp)
+        times["shape_build"] = round(time.time() - t0, 3)
+    tri = read_shapes(spark, shp)
+    t0 = time.time()
+    shape_box(tri, "intersects", -20.0, 25.0, -40.0, 30.0).count()
+    times["q_shape_intersects"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    shape_box(tri, "contains", -12.55, -12.34, 12.05, 12.26).count()
+    times["q_shape_contains"] = round(time.time() - t0, 3)
+
     # block-max WAND effectiveness: decoded-vs-scanned block counts on the
     # OR/AND queries under a scale-shaped searcher (bucket/seed knobs sized
     # so this small SF runs the same multi-bucket + seeded-theta plan a

@@ -472,3 +472,73 @@ def analyze_batch(
         tok_terms_pa=flat,
         tok_positions=positions,
     )
+
+
+FILLER_TOKEN = "_"  # ShingleFilter.DEFAULT_FILLER_TOKEN
+
+
+def shingle_batch(batch: AnalyzedBatch, size: int = 2):
+    """ShingleFilter (analysis/common/.../shingle/ShingleFilter.java) —
+    fixed-size word n-grams over the analyzed token stream, with the
+    reference's hole semantics:
+
+    - a position increment of ``g > 1`` inserts ``min(g - 1, size - 1)``
+      FILLER tokens ("_") before the carrying token
+      (``getNextToken``, java:356-360 — long holes truncate, because a
+      shingle must contain at least one real token);
+    - leading holes insert fillers too (the first token carries its
+      increment);
+    - trailing holes insert nothing (no later token carries them);
+    - windows that are ALL fillers are skipped (java:291);
+    - tokens join with a single space (TOKEN_SEPARATOR, java:41).
+
+    Returns (doc_idx, shingles): int64 + object numpy arrays, one row
+    per emitted shingle, in stream order. Vectorized: the synthetic
+    filler-expanded stream is built with repeat/cumsum index math, and
+    the window slide is ``size`` strided comparisons — no per-token
+    Python loop.
+    """
+    if size < 2:
+        raise ValueError("shingle size must be >= 2")
+    di = np.asarray(batch.tok_doc_idx, dtype=np.int64)
+    pos = np.asarray(batch.tok_positions, dtype=np.int64)
+    terms = batch.tok_terms
+    if len(di) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object))
+    first = np.empty(len(di), dtype=bool)
+    first[0] = True
+    first[1:] = di[1:] != di[:-1]
+    prev_pos = np.empty_like(pos)
+    prev_pos[0] = -1
+    prev_pos[1:] = pos[:-1]
+    prev_pos[first] = -1
+    gap = pos - prev_pos  # == the token's position increment
+    n_fill = np.clip(gap - 1, 0, size - 1)
+    # synthetic stream: n_fill fillers then the token itself
+    width = n_fill + 1
+    total = int(width.sum())
+    stream_terms = np.empty(total, dtype=object)
+    stream_doc = np.repeat(di, width)
+    stream_is_tok = np.zeros(total, dtype=bool)
+    tok_slots = np.cumsum(width) - 1  # each token lands after its fillers
+    stream_is_tok[tok_slots] = True
+    stream_terms[:] = FILLER_TOKEN
+    stream_terms[tok_slots] = terms
+    # windows of `size` consecutive stream slots, same doc, not all filler
+    n = total - size + 1
+    if n <= 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object))
+    ok = stream_doc[:n] == stream_doc[size - 1:]
+    any_tok = np.zeros(n, dtype=bool)
+    for j in range(size):
+        any_tok |= stream_is_tok[j:j + n]
+    ok &= any_tok
+    idx = np.nonzero(ok)[0]
+    if len(idx) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object))
+    parts = [stream_terms[idx + j] for j in range(size)]
+    out = parts[0].copy()
+    for j in range(1, size):
+        out = np.char.add(np.char.add(out.astype(str), " "),
+                          parts[j].astype(str))
+    return (stream_doc[idx], np.asarray(out, dtype=object))

@@ -1194,3 +1194,37 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(
         F.min("h").alias("fp_min"), F.max("h").alias("fp_max"), F.count("*").alias("n_shingles")
     )
+
+
+def shingle_counts(spark: SparkSession, sf_dir: str, size: int = 2,
+                   top_k: int = 20) -> DataFrame:
+    """ShingleFilter corpus statistics
+    (analysis/common/.../shingle/ShingleFilter.java): analyzed word
+    n-grams with the reference's hole semantics — min(gap-1, size-1)
+    "_" fillers per hole, leading holes filled, trailing holes not,
+    all-filler windows skipped — counted corpus-wide, top_k by
+    (count desc, shingle asc).
+
+    One Arrow kernel over the documents scan (the filler-expanded
+    stream is numpy index math, no per-token loop), then a single
+    partially-aggregated groupBy — the same plan shape as token_counts.
+    """
+    import pandas as pd
+
+    from ..functions.analysis import analyze_batch, shingle_batch
+
+    def kernel(batches):
+        for pdf in batches:
+            b = analyze_batch(pdf["text"])
+            di, sh = shingle_batch(b, size)
+            yield pd.DataFrame({"shingle": sh.astype(str)}) if len(sh) \
+                else pd.DataFrame({"shingle": pd.Series(dtype=str)})
+
+    rows = docs(spark, sf_dir).select("text") \
+        .mapInPandas(kernel, schema="shingle string")
+    return (
+        rows.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("shingle"))
+        .limit(int(top_k))
+    )

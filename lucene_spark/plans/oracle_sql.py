@@ -1728,6 +1728,35 @@ SELECT dim, doc_id, score, rn::INT AS rn
 FROM r WHERE rn <= {k_per_group} ORDER BY dim, rn"""
 
 
+def shingle_counts_sql(top_k: int = 20) -> str:
+    """ShingleFilter bigram twin: adjacent-position pairs join with a
+    space; a position gap > 1 emits 'term _' and '_ next' (the filler
+    run truncates to size-1 == 1 filler for bigrams,
+    ShingleFilter.java:356-360); a leading hole emits '_ first';
+    trailing holes emit nothing; all-filler windows never materialize
+    (every branch contains a real token)."""
+    return f"""WITH {base_ctes()},
+w AS (
+  SELECT doc_id, term, pos,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS npos,
+         min(pos) OVER (PARTITION BY doc_id) AS minpos
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, '_ ' || term AS shingle FROM w
+  WHERE pos = minpos AND pos > 0
+  UNION ALL
+  SELECT doc_id, term || ' ' || nterm FROM w WHERE npos = pos + 1
+  UNION ALL
+  SELECT doc_id, term || ' _' FROM w WHERE npos > pos + 1
+  UNION ALL
+  SELECT doc_id, '_ ' || nterm FROM w WHERE npos > pos + 1
+)
+SELECT shingle, count(*)::BIGINT AS n FROM sh
+GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT {top_k}"""
+
+
 def covering_topk_sql(terms: "list[str]", k: int = 10) -> str:
     """CoveringQuery twin (sandbox/search/CoveringScorer.java:130-141):
     per-doc minimumNumberMatch = max(1, 1 + doc_id % 3); score = the
