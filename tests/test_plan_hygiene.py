@@ -213,3 +213,54 @@ def test_cached_filter_plan_excludes_filter_terms(spark):
     assert qc.hit_count >= 1
     assert "merge" in plan
     assert "window" not in plan and "scan" not in plan, plan
+
+
+def test_shape_contains_bbox_pushes_into_scan(spark):
+    """CONTAINS' bbox-overlap prefilter must reach the triangle-table
+    parquet scan (the BKD inner-node prune, expressed as row-group
+    stats) and the verdict rollup must be a partial aggregation."""
+    import __spark_entry__ as entry
+    from lucene_spark.operators import shapes as sh
+
+    tri = sh.read_shapes(
+        spark, entry._shape_table_for(spark, "/root/testdata/sf0.001",
+                                      "rects")
+    )
+    plan = _explain(sh.shape_box(tri, sh.CONTAINS, *entry.SHAPE_CBOX))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThanOrEqual(max_y" in pushed[0]
+    assert "LessThanOrEqual(min_x" in pushed[0]
+    assert "HashAggregate" in plan  # partial+final verdict rollup
+
+
+def test_taxonomy_dim_join_is_broadcast(spark):
+    import os
+
+    import __spark_entry__ as entry
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, entry._index_for(spark, "/root/testdata/sf0.001"))
+    docs = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet")
+    )
+    plan = _explain(s.taxonomy_facet_counts(
+        entry.T_HOT, docs, ["lang", "source"], key_col="doc_id"
+    ))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_line_shapes_have_no_python_stage(spark):
+    """build_shape_lines is pure column work: the segment explode plan
+    must contain no Python/Arrow eval nodes."""
+    import __spark_entry__ as entry
+    from lucene_spark.operators import shapes as sh
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    seg = sh.synth_lines(ev, "event_id")
+    # reproduce the pre-write plan (everything before the morton UDF)
+    df = seg.select(
+        F.col("gid"),
+        F.transform(F.col("lats"), sh.encode_lat_col).alias("eys"),
+    )
+    plan = _explain(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
