@@ -1309,6 +1309,17 @@ def _q_text_stats(spark, sf_dir):
     return textops.text_stats(spark, sf_dir)
 
 
+def _q_html_extract(spark, sf_dir):
+    """HTML → text extraction through the HTMLStripCharFilter port
+    (functions/html.py; reference charfilter/HTMLStripCharFilter.jflex):
+    deterministic synthetic pages around each doc's text — even doc_ids a
+    clean-profile page (Arrow RE2 fast tier), odd doc_ids entities + a
+    <script> block (Python scanner tier) — stripped back to text."""
+    from lucene_spark.operators import textops
+
+    return textops.html_extract(spark, sf_dir)
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 1.0, "zh": 0.25, "fr": 0.0, "es": 0.75}
 CONTAM_PROBES = [0, 1]
 
@@ -2694,6 +2705,7 @@ def _q_monitor_pairs(spark, sf_dir):
 # similarity/IODV/spatial/facet-range/sorted fine print; everything here
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
+    "html_extract",
     "shape_box_contains", "shape_polygon_contains",
     "shape_holes_box_intersects", "shape_holes_box_within",
     "shape_holes_box_disjoint", "shape_holes_box_contains",
@@ -2766,6 +2778,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_lsh": _q_ngram_jaccard_lsh,
         "simhash": _q_simhash,
         "text_stats": _q_text_stats,
+        "html_extract": _q_html_extract,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -2977,6 +2990,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_lsh": otx.ngram_jaccard_lsh_sql(threshold=JACCARD_THRESHOLD),
         "simhash": otx.simhash_sql(),
         "text_stats": otx.text_stats_sql(),
+        "html_extract": otx.html_extract_sql(),
         "pii_scrub": otx.pii_scrub_sql(),
         "normalize_text": otx.normalize_text_sql(),
         "doc_fingerprints": otx.doc_fingerprints_sql(),

@@ -215,8 +215,17 @@ def invert_segment(
     with_offsets: bool = False,
     with_payloads: bool = False,
     token_filter=None,
+    char_filter: "str | None" = None,
 ) -> "pd.DataFrame | list[pd.DataFrame]":
     """Analyze + invert one segment's docs into union-schema staging rows.
+
+    ``char_filter="html"`` runs HTMLStripCharFilter (``functions/html.py``)
+    ahead of the tokenizer, the initReader position of a CharFilter in the
+    reference's analyzer chain (``core/analysis/Analyzer.java`` initReader;
+    ``HTMLStripCharFilter.jflex``). With ``with_offsets`` the per-token
+    offsets are mapped through the filter's BaseCharFilter correction map,
+    so stored offsets point into the ORIGINAL html — what the reference's
+    offset-based highlighting does over char-filtered fields.
 
     ``token_filter``: optional per-term mapping (e.g. the Porter stem of
     ``functions/stem.py``) applied at the VOCABULARY level — the batch is
@@ -248,9 +257,47 @@ def invert_segment(
         raise ValueError("with_offsets requires with_positions")
     if with_payloads and not with_positions:
         raise ValueError("with_payloads requires with_positions")
+    if char_filter is not None:
+        if char_filter != "html":
+            raise ValueError(f"unknown char_filter: {char_filter!r}")
+        from ..functions.html import html_strip_batch, html_strip_offsets
+
+        if with_offsets:
+            # per-doc strip with the BaseCharFilter correction map; token
+            # offsets are mapped back into the original html below
+            vals = (
+                texts.astype("string").fillna("").tolist()
+                if isinstance(texts, pd.Series)
+                else ["" if v is None else str(v) for v in list(texts)]
+            )
+            corr_maps = []
+            stripped = []
+            for v in vals:
+                s_out, cpos, cdiff = html_strip_offsets(v)
+                stripped.append(s_out)
+                corr_maps.append((cpos, cdiff))
+            texts = pd.Series(stripped, dtype="string")
+        else:
+            texts = html_strip_batch(texts)
     batch = analyze_batch(
         texts, with_offsets=with_offsets, payload_delim=with_payloads
     )
+    if char_filter is not None and with_offsets and len(batch.tok_doc_idx):
+        # correctOffset per token: corrected = off + diff of the last map
+        # entry at position <= off (monotone, so delta encoding stays valid)
+        st = batch.tok_starts.astype(np.int64)
+        en = batch.tok_ends.astype(np.int64)
+        for d in np.unique(batch.tok_doc_idx):
+            cpos, cdiff = corr_maps[int(d)]
+            if not len(cpos):
+                continue
+            sel = batch.tok_doc_idx == d
+            ix = np.searchsorted(cpos, st[sel], side="right") - 1
+            st[sel] += np.where(ix >= 0, cdiff[np.maximum(ix, 0)], 0)
+            ix = np.searchsorted(cpos, en[sel], side="right") - 1
+            en[sel] += np.where(ix >= 0, cdiff[np.maximum(ix, 0)], 0)
+        batch.tok_starts = st
+        batch.tok_ends = en
     doc_lens = batch.doc_lens.astype(np.int64)
     norms_by_doc = int_to_byte4_np(doc_lens)
 
@@ -625,8 +672,13 @@ def build_index(
     sort_by: "str | None" = None,
     sort_ascending: bool = True,
     token_filter=None,
+    char_filter: "str | None" = None,
 ) -> dict:
     """Build (or resume) the index. Returns summary metrics.
+
+    ``char_filter="html"``: run HTMLStripCharFilter over ``text_col`` (and
+    every extra field) before tokenization — index web pages straight off
+    the raw html column. See ``invert_segment``.
 
     ``direct_write``: workers write each segment's parquet files directly
     via pyarrow (one atomic-renamed file per row_type) and return only
@@ -693,6 +745,11 @@ def build_index(
             raise ValueError(
                 "with_payloads must match the existing index (IndexOptions "
                 "are fixed per field at creation, FieldInfos)"
+            )
+        if _prior_stats.get("char_filter") != char_filter:
+            raise ValueError(
+                "char_filter must match the existing index (the analyzer "
+                "chain is fixed at creation)"
             )
         if prior_sort is not None and (
             prior_sort.get("field") != sort_by
@@ -793,6 +850,7 @@ def build_index(
                 with_positions=with_positions, as_frames=as_frames,
                 sort_vals=sv, with_offsets=with_offsets,
                 with_payloads=with_payloads, token_filter=token_filter,
+                char_filter=char_filter,
             )
             frames = frames if as_frames else [frames]
             for f in fields:
@@ -800,7 +858,7 @@ def build_index(
                     seg, gids, keys, pdf[f"xf_{f}"],
                     with_positions=with_positions, field=f, as_frames=as_frames,
                     with_offsets=with_offsets, with_payloads=with_payloads,
-                    token_filter=token_filter,
+                    token_filter=token_filter, char_filter=char_filter,
                 )
                 frames.extend(more if as_frames else [more])
             return frames
@@ -878,7 +936,7 @@ def build_index(
             raise RuntimeError(f"injected failure after batch {bi}")
 
     finalize_index(spark, index_dir)
-    if sort_by is not None or with_offsets or with_payloads:
+    if sort_by is not None or with_offsets or with_payloads or char_filter:
         with open(stats_path) as f:
             stats = json.load(f)
         if sort_by is not None:
@@ -889,6 +947,8 @@ def build_index(
             stats["with_offsets"] = True
         if with_payloads:
             stats["with_payloads"] = True
+        if char_filter:
+            stats["char_filter"] = char_filter
         with open(stats_path, "w") as f:
             json.dump(stats, f)
     return {

@@ -810,6 +810,54 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction through the HTMLStripCharFilter port
+    (``functions/html.py``; reference
+    ``analysis/common/.../charfilter/HTMLStripCharFilter.jflex``).
+
+    Each doc's text is framed as a deterministic synthetic web page —
+    even doc_ids get a clean-profile page (exercises the Arrow RE2
+    fast-path tier), odd doc_ids a page with ``&nbsp;`` entities and a
+    ``<script>`` block whose body contains markup (exercises the Python
+    scanner tier) — then the real kernel recovers the text.
+
+    Scale shape: one projection builds the html column, one ``mapInPandas``
+    Arrow kernel strips it — no shuffle, no driver-resident data; at 100 TB
+    this is the extraction stage of the crawl pipeline, embarrassingly
+    parallel over pages.
+    """
+    d = docs(spark, sf_dir)
+    even = F.concat(
+        F.lit("<html><head><title>t</title></head><body><p>"),
+        F.regexp_replace(F.col("text"), " ", "</p><p>"),
+        F.lit("</p></body></html>"),
+    )
+    odd = F.concat(
+        F.lit("<html><body><p>"),
+        F.regexp_replace(F.col("text"), " ", "&nbsp;</p>\n<p>"),
+        F.lit('</p><script>var x = "<p>";</script></body></html>'),
+    )
+    page = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd).alias("html"),
+    )
+
+    def kern(batches):
+        import pandas as pd
+
+        from ..functions.html import html_strip_batch
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = html_strip_batch(pdf["html"])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "extracted": out.to_pandas()}
+            )
+
+    return page.mapInPandas(kern, schema="doc_id long, extracted string")
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Within-document repetition metrics (Gopher/RefinedWeb-style quality
     rules): duplicate k-gram fraction and top-k-gram mass per doc. High

@@ -370,6 +370,30 @@ SELECT doc_id, norm_text, md5(norm_text) AS norm_md5
 FROM n ORDER BY doc_id"""
 
 
+def html_extract_sql() -> str:
+    """HTML-extraction twin: the synthetic page framing is invertible, so
+    the oracle states the expected stripped output directly from `text`
+    (the Spark side runs the real HTMLStripCharFilter kernel, NOT this
+    formula — the comparison is the check).
+
+    Even docs: <html><head><title>t</title></head><body><p> … strips to
+    3 newlines + 't' + 4 newlines; each space became </p><p> (2 newlines);
+    tail </p></body></html> is 3 newlines.  Odd docs: 3 leading newlines,
+    each space became '&nbsp;</p>\\n<p>' (space + 3 newlines), tail
+    </p><script>…</script></body></html> is 4 newlines (script content is
+    elided, the element substitutes one newline)."""
+    return """SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0
+            THEN repeat(chr(10), 3) || 't' || repeat(chr(10), 4)
+                 || replace(text, ' ', repeat(chr(10), 2))
+                 || repeat(chr(10), 3)
+            ELSE repeat(chr(10), 3)
+                 || replace(text, ' ', ' ' || repeat(chr(10), 3))
+                 || repeat(chr(10), 4)
+       END AS extracted
+FROM documents ORDER BY doc_id"""
+
+
 def doc_fingerprints_sql(k: int = 5) -> str:
     return f"""WITH {TOKS_CTE},{shingle_cte('sh', k)},
 shh AS (SELECT doc_id, {md5i('sh')} AS h FROM sh)
