@@ -2572,6 +2572,111 @@ def _index_for_english(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+_SYNONYM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _synonym_map():
+    from lucene_spark.functions.synonyms import SynonymMap
+
+    # outputs chosen OUTSIDE the corpus vocabulary so the expanded terms'
+    # statistics are exactly the originals' (the oracle lever below)
+    return SynonymMap({
+        "merge": "zsynmerge",
+        "scan": "zsynscan",
+        "table scan": "tblscan",
+    })
+
+
+def _index_for_synonyms(spark: SparkSession, sf_dir: str) -> str:
+    """Index built with index-time synonym expansion (SynonymGraphFilter +
+    flatten semantics, functions/synonyms.py)."""
+    from lucene_spark.operators.indexer import build_index
+
+    if sf_dir in _SYNONYM_INDEX_CACHE:
+        return _SYNONYM_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    index_dir = f"/tmp/lucene_spark_idx_{INDEX_FORMAT_VERSION}_syn_{tag}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    build_index(
+        spark, docs, index_dir,
+        key_col="doc_id", text_col="text", gid_col="doc_id",
+        n_segments=max(2, min(8, n // 250)), synonyms=_synonym_map(),
+    )
+    _SYNONYM_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _q_synonym_index_topk(spark, sf_dir):
+    """Index-time synonyms (functions/synonyms.py; reference
+    SynonymGraphFilter + flatten): 'zsynmerge' is stacked at every 'merge'
+    position with overlap-discounted norms, so its BM25 top-10 must equal
+    the plain index's for 'merge' — the oracle IS the plain topk SQL."""
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_synonyms(spark, sf_dir))
+    pdf = s.search("zsynmerge", k=10, with_keys=False)
+    out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return spark.createDataFrame(out, schema="doc_id long, score double")
+
+
+def _q_synonym_phrase_match(spark, sf_dir):
+    """Phrase evaluation THROUGH a stacked synonym: "table zsynscan" matches
+    exactly where "table scan" does (same positions, same freqs) — proves
+    injected tokens carry the match position, not just the term."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lucene_spark.operators.search import (
+        Searcher,
+        _positional_candidates,
+        decode_term_blocks,
+        phrase_freqs,
+    )
+    from lucene_spark.plans.query import PhraseQ
+
+    s = Searcher(spark, _index_for_synonyms(spark, sf_dir))
+    node = PhraseQ(terms=("table", "zsynscan"), offsets=(0, 1))
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "freq": pd.Series(dtype="int64")}
+    )
+
+    def kernel(key, pdf):
+        postings = {
+            t: decode_term_blocks(grp, need_positions=True)
+            for t, grp in pdf.groupby("term", sort=False)
+        }
+        c = _positional_candidates(node, postings)
+        if c is None:
+            return empty
+        tps, gids, idxs = c
+        freqs = phrase_freqs(tps, idxs, node.offsets)
+        hit = freqs > 0
+        return pd.DataFrame({"doc_id": gids[hit], "freq": freqs[hit]})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("freq", T.LongType())]
+    )
+    scan = s._postings_df().select(
+        "seg", "term", "first_gid", "gids", "freqs", "norms", "positions"
+    ).filter(F.col("term").isin(["table", "zsynscan"]))
+    return scan.groupBy("seg").applyInPandas(kernel, schema=schema)
+
+
+def _q_synonym_multiword_postings(spark, sf_dir):
+    """Multi-token synonym INPUT ("table scan" -> tblscan): the injected
+    term's postings carry one occurrence per position-consecutive bigram —
+    the oracle is the positional phrase join."""
+    from lucene_spark.operators.search import Searcher
+
+    s = Searcher(spark, _index_for_synonyms(spark, sf_dir))
+    return s.postings("tblscan").select(
+        F.col("gid").alias("doc_id"), F.col("freq").cast("long").alias("freq")
+    )
+
+
 def _q_english_topk(spark, sf_dir):
     """End-to-end EnglishAnalyzer: the index stems at invert time
     (build_index token_filter), the query maps through the same chain
@@ -2706,6 +2811,8 @@ def _q_monitor_pairs(spark, sf_dir):
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
     "html_extract",
+    "synonym_index_topk", "synonym_phrase_match",
+    "synonym_multiword_postings",
     "shape_box_contains", "shape_polygon_contains",
     "shape_holes_box_intersects", "shape_holes_box_within",
     "shape_holes_box_disjoint", "shape_holes_box_contains",
@@ -2842,6 +2949,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monitor_pairs": _q_monitor_pairs,
         "porter_stems": _q_porter_stems,
         "english_topk": _q_english_topk,
+        "synonym_index_topk": _q_synonym_index_topk,
+        "synonym_phrase_match": _q_synonym_phrase_match,
+        "synonym_multiword_postings": _q_synonym_multiword_postings,
         "ascii_fold": _q_ascii_fold,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_free_text": _q_suggest_free_text,
@@ -3066,6 +3176,11 @@ def oracle_sql() -> dict[str, str]:
             PORTER_MAP[T_HOT], term_map=PORTER_MAP
         ),
         "ascii_fold": osql.ascii_fold_sql(ASCII_SYNTH_FROM, ASCII_SYNTH_TO),
+        # synonym outputs are out-of-vocabulary, so the expanded terms carry
+        # exactly the originals' statistics: the plain-text oracles apply
+        "synonym_index_topk": osql.topk_single_sql(T_HOT),
+        "synonym_phrase_match": osql.phrase_match_sql(*PHRASE),
+        "synonym_multiword_postings": osql.phrase_match_sql(*PHRASE),
         "suggest_fuzzy": osql.suggest_fuzzy_sql(
             SUGG_FUZZY_KEY, SUGG_FUZZY_KEY
         ),

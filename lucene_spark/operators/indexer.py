@@ -216,8 +216,15 @@ def invert_segment(
     with_payloads: bool = False,
     token_filter=None,
     char_filter: "str | None" = None,
+    synonyms=None,
 ) -> "pd.DataFrame | list[pd.DataFrame]":
     """Analyze + invert one segment's docs into union-schema staging rows.
+
+    ``synonyms``: optional ``functions/synonyms.SynonymMap`` — index-time
+    synonym expansion (SynonymGraphFilter + flatten semantics: outputs
+    stacked at the match's start position, norms overlap-discounted).
+    Applied BEFORE ``token_filter`` (synonyms on surface forms, stemming
+    over the union — the usual EnglishAnalyzer chain order).
 
     ``char_filter="html"`` runs HTMLStripCharFilter (``functions/html.py``)
     ahead of the tokenizer, the initReader position of a CharFilter in the
@@ -298,6 +305,10 @@ def invert_segment(
             en[sel] += np.where(ix >= 0, cdiff[np.maximum(ix, 0)], 0)
         batch.tok_starts = st
         batch.tok_ends = en
+    if synonyms is not None:
+        from ..functions.synonyms import expand_synonyms
+
+        batch = expand_synonyms(batch, synonyms)
     doc_lens = batch.doc_lens.astype(np.int64)
     norms_by_doc = int_to_byte4_np(doc_lens)
 
@@ -673,12 +684,17 @@ def build_index(
     sort_ascending: bool = True,
     token_filter=None,
     char_filter: "str | None" = None,
+    synonyms=None,
 ) -> dict:
     """Build (or resume) the index. Returns summary metrics.
 
     ``char_filter="html"``: run HTMLStripCharFilter over ``text_col`` (and
     every extra field) before tokenization — index web pages straight off
     the raw html column. See ``invert_segment``.
+
+    ``synonyms``: a ``functions/synonyms.SynonymMap`` applied at invert
+    time (index-time SynonymGraphFilter); its fingerprint is recorded in
+    stats.json and appends must present the same map (analyzer contract).
 
     ``direct_write``: workers write each segment's parquet files directly
     via pyarrow (one atomic-renamed file per row_type) and return only
@@ -749,6 +765,12 @@ def build_index(
         if _prior_stats.get("char_filter") != char_filter:
             raise ValueError(
                 "char_filter must match the existing index (the analyzer "
+                "chain is fixed at creation)"
+            )
+        _syn_fp = synonyms.fingerprint() if synonyms is not None else None
+        if _prior_stats.get("synonyms_fp") != _syn_fp:
+            raise ValueError(
+                "synonyms must match the existing index (the analyzer "
                 "chain is fixed at creation)"
             )
         if prior_sort is not None and (
@@ -850,7 +872,7 @@ def build_index(
                 with_positions=with_positions, as_frames=as_frames,
                 sort_vals=sv, with_offsets=with_offsets,
                 with_payloads=with_payloads, token_filter=token_filter,
-                char_filter=char_filter,
+                char_filter=char_filter, synonyms=synonyms,
             )
             frames = frames if as_frames else [frames]
             for f in fields:
@@ -859,6 +881,7 @@ def build_index(
                     with_positions=with_positions, field=f, as_frames=as_frames,
                     with_offsets=with_offsets, with_payloads=with_payloads,
                     token_filter=token_filter, char_filter=char_filter,
+                    synonyms=synonyms,
                 )
                 frames.extend(more if as_frames else [more])
             return frames
@@ -936,7 +959,8 @@ def build_index(
             raise RuntimeError(f"injected failure after batch {bi}")
 
     finalize_index(spark, index_dir)
-    if sort_by is not None or with_offsets or with_payloads or char_filter:
+    if (sort_by is not None or with_offsets or with_payloads or char_filter
+            or synonyms is not None):
         with open(stats_path) as f:
             stats = json.load(f)
         if sort_by is not None:
@@ -949,6 +973,8 @@ def build_index(
             stats["with_payloads"] = True
         if char_filter:
             stats["char_filter"] = char_filter
+        if synonyms is not None:
+            stats["synonyms_fp"] = synonyms.fingerprint()
         with open(stats_path, "w") as f:
             json.dump(stats, f)
     return {
