@@ -2718,6 +2718,35 @@ def _q_porter_stems(spark, sf_dir):
     return toks.select("term", stem_udf("term").alias("stem")).orderBy("term")
 
 
+def _q_edge_ngrams(spark, sf_dir):
+    """EdgeNGramTokenFilter(2, 4, preserveOriginal) over the corpus
+    vocabulary (analysis/common/.../ngram/EdgeNGramTokenFilter.java →
+    functions/ngram.py): (term, ord, gram) rows per distinct post-stop
+    token — prefixes in ascending length, the preserved original last."""
+    from pyspark.sql.functions import pandas_udf, posexplode
+
+    from lucene_spark.functions.analysis import ENGLISH_STOP_WORDS
+
+    @pandas_udf("array<string>")
+    def grams_udf(ser: pd.Series) -> pd.Series:
+        from lucene_spark.functions.ngram import EdgeNGramFilter
+
+        f = EdgeNGramFilter(2, 4, preserve_original=True)
+        u = {t: f.grams(t) for t in ser.unique()}
+        return ser.map(u)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .where(~F.col("term").isin(*sorted(ENGLISH_STOP_WORDS)))
+        .distinct()
+    )
+    return toks.select(
+        "term", posexplode(grams_udf("term")).alias("ord", "gram")
+    ).select("term", F.col("ord").cast("long").alias("ord"), "gram")
+
+
 ASCII_SYNTH_FROM = "aeion"
 ASCII_SYNTH_TO = "áéîöñ"
 
@@ -2812,7 +2841,7 @@ def _q_monitor_pairs(spark, sf_dir):
 _NEVER_DRIVER_SAMPLED = [
     "html_extract",
     "synonym_index_topk", "synonym_phrase_match",
-    "synonym_multiword_postings",
+    "synonym_multiword_postings", "edge_ngrams",
     "shape_box_contains", "shape_polygon_contains",
     "shape_holes_box_intersects", "shape_holes_box_within",
     "shape_holes_box_disjoint", "shape_holes_box_contains",
@@ -2952,6 +2981,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_index_topk": _q_synonym_index_topk,
         "synonym_phrase_match": _q_synonym_phrase_match,
         "synonym_multiword_postings": _q_synonym_multiword_postings,
+        "edge_ngrams": _q_edge_ngrams,
         "ascii_fold": _q_ascii_fold,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_free_text": _q_suggest_free_text,
@@ -3181,6 +3211,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_index_topk": osql.topk_single_sql(T_HOT),
         "synonym_phrase_match": osql.phrase_match_sql(*PHRASE),
         "synonym_multiword_postings": osql.phrase_match_sql(*PHRASE),
+        "edge_ngrams": otx.edge_ngrams_sql(2, 4),
         "suggest_fuzzy": osql.suggest_fuzzy_sql(
             SUGG_FUZZY_KEY, SUGG_FUZZY_KEY
         ),

@@ -217,6 +217,7 @@ def invert_segment(
     token_filter=None,
     char_filter: "str | None" = None,
     synonyms=None,
+    stream_filter=None,
 ) -> "pd.DataFrame | list[pd.DataFrame]":
     """Analyze + invert one segment's docs into union-schema staging rows.
 
@@ -309,6 +310,10 @@ def invert_segment(
         from ..functions.synonyms import expand_synonyms
 
         batch = expand_synonyms(batch, synonyms)
+    if stream_filter is not None:
+        # stream-level token filter (e.g. functions/ngram.NGramFilter):
+        # any object with .apply(AnalyzedBatch) -> AnalyzedBatch
+        batch = stream_filter.apply(batch)
     doc_lens = batch.doc_lens.astype(np.int64)
     norms_by_doc = int_to_byte4_np(doc_lens)
 
@@ -685,8 +690,14 @@ def build_index(
     token_filter=None,
     char_filter: "str | None" = None,
     synonyms=None,
+    stream_filter=None,
 ) -> dict:
     """Build (or resume) the index. Returns summary metrics.
+
+    ``stream_filter``: a stream-level token filter applied after synonyms
+    (e.g. ``functions/ngram.NGramFilter`` / ``EdgeNGramFilter``); must
+    expose ``.apply(AnalyzedBatch)`` and ``.fingerprint()`` (recorded in
+    stats.json; appends must present the same filter).
 
     ``char_filter="html"``: run HTMLStripCharFilter over ``text_col`` (and
     every extra field) before tokenization — index web pages straight off
@@ -771,6 +782,12 @@ def build_index(
         if _prior_stats.get("synonyms_fp") != _syn_fp:
             raise ValueError(
                 "synonyms must match the existing index (the analyzer "
+                "chain is fixed at creation)"
+            )
+        _sf_fp = stream_filter.fingerprint() if stream_filter is not None else None
+        if _prior_stats.get("stream_filter_fp") != _sf_fp:
+            raise ValueError(
+                "stream_filter must match the existing index (the analyzer "
                 "chain is fixed at creation)"
             )
         if prior_sort is not None and (
@@ -873,6 +890,7 @@ def build_index(
                 sort_vals=sv, with_offsets=with_offsets,
                 with_payloads=with_payloads, token_filter=token_filter,
                 char_filter=char_filter, synonyms=synonyms,
+                stream_filter=stream_filter,
             )
             frames = frames if as_frames else [frames]
             for f in fields:
@@ -881,7 +899,7 @@ def build_index(
                     with_positions=with_positions, field=f, as_frames=as_frames,
                     with_offsets=with_offsets, with_payloads=with_payloads,
                     token_filter=token_filter, char_filter=char_filter,
-                    synonyms=synonyms,
+                    synonyms=synonyms, stream_filter=stream_filter,
                 )
                 frames.extend(more if as_frames else [more])
             return frames
@@ -960,7 +978,7 @@ def build_index(
 
     finalize_index(spark, index_dir)
     if (sort_by is not None or with_offsets or with_payloads or char_filter
-            or synonyms is not None):
+            or synonyms is not None or stream_filter is not None):
         with open(stats_path) as f:
             stats = json.load(f)
         if sort_by is not None:
@@ -975,6 +993,8 @@ def build_index(
             stats["char_filter"] = char_filter
         if synonyms is not None:
             stats["synonyms_fp"] = synonyms.fingerprint()
+        if stream_filter is not None:
+            stats["stream_filter_fp"] = stream_filter.fingerprint()
         with open(stats_path, "w") as f:
             json.dump(stats, f)
     return {

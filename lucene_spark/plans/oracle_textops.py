@@ -370,6 +370,33 @@ SELECT doc_id, norm_text, md5(norm_text) AS norm_md5
 FROM n ORDER BY doc_id"""
 
 
+def edge_ngrams_sql(min_g: int = 2, max_g: int = 4) -> str:
+    """EdgeNGram(min, max, preserveOriginal=True) vocabulary twin: the
+    filter's gram list is pure prefix algebra, stated directly in SQL."""
+    return f"""WITH t AS (
+  SELECT DISTINCT tok AS term FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> '' AND tok NOT IN ({STOPLIST_SQL})
+),
+short AS (
+  SELECT term, 0 AS ord, term AS gram FROM t WHERE length(term) < {min_g}
+),
+pre AS (
+  SELECT term, g - {min_g} AS ord, substr(term, 1, g::INT) AS gram
+  FROM t, generate_series({min_g}, {max_g}) AS gs(g)
+  WHERE length(term) >= {min_g} AND g <= least({max_g}, length(term))
+),
+orig AS (
+  SELECT term, least({max_g}, length(term)) - {min_g} + 1 AS ord,
+         term AS gram
+  FROM t WHERE length(term) > {max_g}
+)
+SELECT term, ord::BIGINT AS ord, gram
+FROM (SELECT * FROM short UNION ALL SELECT * FROM pre
+      UNION ALL SELECT * FROM orig)
+ORDER BY term, ord"""
+
+
 def html_extract_sql() -> str:
     """HTML-extraction twin: the synthetic page framing is invertible, so
     the oracle states the expected stripped output directly from `text`
