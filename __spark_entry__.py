@@ -1639,6 +1639,7 @@ SHAPES_FORMAT = "s2"
 # box over the dense mid-latitudes: splits the synthetic rect population
 # into nonempty intersects / within / disjoint sets at every sf
 SHAPE_BOX = (-20.0, 25.0, -40.0, 30.0)
+SHAPE_MQ_BOXES = [(-20.0, 25.0, -40.0, 30.0), (30.0, 75.0, 60.0, 130.0)]
 # small box for CONTAINS: strictly inside several synthetic rects, apart
 # from / astride their holes depending on the per-doc hole position
 # (picked so both contains gates are nonempty at sf0.01: 9 docs each)
@@ -1769,6 +1770,20 @@ def _q_shape_multi_box(rel, box=None):
         return shapes.shape_box(
             tri, rel, *(box or SHAPE_BOX)
         ).orderBy("gid")
+
+    return q
+
+
+def _q_shape_mq(rel):
+    def q(spark, sf_dir):
+        """Multi-component QUERY geometry (ComponentTree,
+        core/geo/ComponentTree.java): two query boxes with any-component
+        delegation per triangle (operators/shapes.shape_multi_query)."""
+        from lucene_spark.operators import shapes
+
+        tri = shapes.read_shapes(spark, _shapes_for(spark, sf_dir))
+        comps = [("box", b) for b in SHAPE_MQ_BOXES]
+        return shapes.shape_multi_query(tri, rel, comps).orderBy("gid")
 
     return q
 
@@ -1985,6 +2000,43 @@ def _q_span_not_topk(spark, sf_dir):
         spark, sf_dir,
         SpanNotQ(T_HOT, T_MID, pre=SPAN_NOT_DIST, post=SPAN_NOT_DIST),
     )
+
+
+SPAN_POS_RANGE = (2, 9)
+SPAN_CONTAIN_BIG = ("table", "scan")
+SPAN_CONTAIN_SLOP = 6
+SPAN_CONTAIN_LITTLE = "value"
+
+
+def _q_span_pos_range_topk(spark, sf_dir):
+    """SpanPositionRangeQuery (SpanPositionRangeQuery.java acceptPosition):
+    term spans with start <= pos <= end-1; SpanFirst generalized."""
+    from lucene_spark.plans.query import SpanPositionRangeQ
+
+    return _topk_df(spark, sf_dir, SpanPositionRangeQ(T_MID, *SPAN_POS_RANGE))
+
+
+def _q_span_containing_topk(spark, sf_dir):
+    """SpanContainingQuery (SpanContainingQuery.java): ordered near spans
+    of big that contain a little term span, via the reference's streaming
+    ContainSpans cursor; idf over the distinct union of both sides."""
+    from lucene_spark.plans.query import SpanContainingQ, SpanNearQ
+
+    node = SpanContainingQ(
+        SpanNearQ(SPAN_CONTAIN_BIG, SPAN_CONTAIN_SLOP), SPAN_CONTAIN_LITTLE
+    )
+    return _topk_df(spark, sf_dir, node)
+
+
+def _q_span_within_topk(spark, sf_dir):
+    """SpanWithinQuery (SpanWithinQuery.java): little term spans contained
+    in an ordered near span of big."""
+    from lucene_spark.plans.query import SpanNearQ, SpanWithinQ
+
+    node = SpanWithinQ(
+        SpanNearQ(SPAN_CONTAIN_BIG, SPAN_CONTAIN_SLOP), SPAN_CONTAIN_LITTLE
+    )
+    return _topk_df(spark, sf_dir, node)
 
 
 SPAN_NEAR_SLOP = 4
@@ -2842,6 +2894,8 @@ _NEVER_DRIVER_SAMPLED = [
     "html_extract",
     "synonym_index_topk", "synonym_phrase_match",
     "synonym_multiword_postings", "edge_ngrams",
+    "shape_mq_intersects", "shape_mq_within", "shape_mq_disjoint",
+    "span_pos_range_topk", "span_containing_topk", "span_within_topk",
     "shape_box_contains", "shape_polygon_contains",
     "shape_holes_box_intersects", "shape_holes_box_within",
     "shape_holes_box_disjoint", "shape_holes_box_contains",
@@ -3033,6 +3087,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_multi_box_within": _q_shape_multi_box("within"),
         "shape_multi_box_contains": _q_shape_multi_box(
             "contains", SHAPE_CBOX),
+        "shape_mq_intersects": _q_shape_mq("intersects"),
+        "shape_mq_within": _q_shape_mq("within"),
+        "shape_mq_disjoint": _q_shape_mq("disjoint"),
         "iodv_index_topk": _q_iodv_index_topk,
         "iodv_dv_topk": _q_iodv_dv_topk,
         "term_vectors": _q_term_vectors,
@@ -3046,6 +3103,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_boost_topk": _q_phrase_boost_topk,
         "multiphrase_topk": _q_multiphrase_topk,
         "span_first_topk": _q_span_first_topk,
+        "span_pos_range_topk": _q_span_pos_range_topk,
+        "span_containing_topk": _q_span_containing_topk,
+        "span_within_topk": _q_span_within_topk,
         "span_not_topk": _q_span_not_topk,
         "span_or_topk": _q_span_or_topk,
         "span_near_topk": _q_span_near_topk,
@@ -3290,6 +3350,12 @@ def oracle_sql() -> dict[str, str]:
             "within", *SHAPE_BOX),
         "shape_multi_box_contains": ospat.shape_multi_box_sql(
             "contains", *SHAPE_CBOX),
+        "shape_mq_intersects": ospat.shape_multi_query_box_sql(
+            "intersects", SHAPE_MQ_BOXES),
+        "shape_mq_within": ospat.shape_multi_query_box_sql(
+            "within", SHAPE_MQ_BOXES),
+        "shape_mq_disjoint": ospat.shape_multi_query_box_sql(
+            "disjoint", SHAPE_MQ_BOXES),
         "geo_polygon_holes": ospat.geo_polygon_sql(
             GEO_POLY_LATS, GEO_POLY_LONS,
             holes=[(GEO_HOLE_LATS, GEO_HOLE_LONS)]),
@@ -3325,6 +3391,12 @@ def oracle_sql() -> dict[str, str]:
             PHRASE[0], PHRASE[1]),
         "interval_atleast_topk": osql.interval_atleast2_sql(list(SLOPPY3)),
         "span_near_topk": osql.span_near_topk_sql(SLOPPY3, SPAN_NEAR_SLOP),
+        "span_pos_range_topk": osql.span_pos_range_topk_sql(
+            T_MID, *SPAN_POS_RANGE),
+        "span_containing_topk": osql.span_containing_topk_sql(
+            list(SPAN_CONTAIN_BIG), SPAN_CONTAIN_SLOP, SPAN_CONTAIN_LITTLE),
+        "span_within_topk": osql.span_within_topk_sql(
+            list(SPAN_CONTAIN_BIG), SPAN_CONTAIN_SLOP, SPAN_CONTAIN_LITTLE),
         "span_near_unordered_topk": osql.span_near_unordered_topk_sql(
             SLOPPY3, SPAN_NEAR_SLOP
         ),

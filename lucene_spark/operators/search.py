@@ -82,6 +82,9 @@ from ..plans.query import (
     SpanFirstQ,
     SpanNearQ,
     SpanPayloadCheckQ,
+    SpanPositionRangeQ,
+    SpanContainingQ,
+    SpanWithinQ,
     FunctionScoreQ,
     IntervalQ,
     IntervalExprQ,
@@ -459,6 +462,10 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_multiphrase(node, postings, ctx)
     if isinstance(node, SpanFirstQ):
         return _eval_span_first(node, postings, ctx)
+    if isinstance(node, SpanPositionRangeQ):
+        return _eval_span_pos_range(node, postings, ctx)
+    if isinstance(node, (SpanContainingQ, SpanWithinQ)):
+        return _eval_span_contain(node, postings, ctx)
     if isinstance(node, SpanNotQ):
         return _eval_span_not(node, postings, ctx)
     if isinstance(node, SpanOrQ):
@@ -572,6 +579,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
                                     ctx.sim, ctx.aux_for(child.term))
     _PHRASE_LIKE = (PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SpanNearQ,
                     SpanFirstQ, SpanNotQ, SpanOrQ, SpanPayloadCheckQ,
+                    SpanPositionRangeQ, SpanContainingQ, SpanWithinQ,
                     IntervalQ, IntervalExprQ)
     if isinstance(child, _PHRASE_LIKE + (SynonymQ, BlendedQ)):
         # temporarily rebind the child's weight to the boosted one
@@ -1426,6 +1434,144 @@ def _eval_span_first(node: SpanFirstQ, postings: dict,
     return _score_positional(node, tp.gids, freqs, tp.norms, ctx)
 
 
+def _eval_span_pos_range(node: SpanPositionRangeQ, postings: dict,
+                         ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """SpanPositionRangeQuery (acceptPosition: start <= pos and pos+1 <=
+    end for a width-0 term span); SpanFirst generalized with a lower
+    bound. freq = accepted count as float32; weight = the term's idf."""
+    tp = postings.get(node.term)
+    if tp is None or not len(tp.gids):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    idx = np.arange(len(tp.gids), dtype=np.int64)
+    pos, cand = _gather_positions(tp, idx)
+    keep = (pos >= node.start) & (pos <= node.end - 1)
+    freqs = np.bincount(cand[keep], minlength=len(tp.gids))
+    return _score_positional(node, tp.gids, freqs, tp.norms, ctx)
+
+
+def _span_side_docs(sub, postings) -> "np.ndarray | None":
+    """Docs where a span source can match: term -> its postings docs;
+    ordered near -> conjunction of members; or -> union of members."""
+    if isinstance(sub, str):
+        tp = postings.get(sub)
+        return None if tp is None or not len(tp.gids) else tp.gids
+    if isinstance(sub, SpanOrQ):
+        gs = [postings[t].gids for t in sub.terms
+              if postings.get(t) is not None and len(postings[t].gids)]
+        return np.unique(np.concatenate(gs)) if gs else None
+    if isinstance(sub, SpanNearQ):
+        if not sub.in_order:
+            raise NotImplementedError(
+                "SpanContaining/Within accept ordered near spans only"
+            )
+        out = None
+        for t in sub.terms:
+            tp = postings.get(t)
+            if tp is None or not len(tp.gids):
+                return None
+            out = tp.gids if out is None else np.intersect1d(out, tp.gids)
+        return out if out is not None and len(out) else None
+    raise TypeError(f"unsupported span source {sub!r}")
+
+
+def _span_side_spans(sub, postings, cands: np.ndarray):
+    """(start_keys, end_keys, widths) of ``sub``'s spans over candidate
+    ordinals, in emission (start) order. All supported sources emit
+    monotone (start, end) sequences — the property that makes the
+    reference's forward-only ContainSpans cursor replayable with one
+    searchsorted (see SpanContainingQ docstring)."""
+    if isinstance(sub, str):
+        tp = postings[sub]
+        loc = np.minimum(np.searchsorted(tp.gids, cands), len(tp.gids) - 1)
+        pres = tp.gids[loc] == cands
+        ords = np.nonzero(pres)[0]
+        pos, c = _gather_positions(tp, loc[pres])
+        keys = (ords[c] << _POS_SHIFT) + pos + _POS_PAD
+        return keys, keys + 1, np.zeros(len(keys), np.int64)
+    if isinstance(sub, SpanOrQ):
+        parts = []
+        for t in sub.terms:
+            tp = postings.get(t)
+            if tp is None or not len(tp.gids):
+                continue
+            loc = np.minimum(np.searchsorted(tp.gids, cands), len(tp.gids) - 1)
+            pres = tp.gids[loc] == cands
+            ords = np.nonzero(pres)[0]
+            pos, c = _gather_positions(tp, loc[pres])
+            parts.append((ords[c] << _POS_SHIFT) + pos + _POS_PAD)
+        keys = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        return keys, keys + 1, np.zeros(len(keys), np.int64)
+    # ordered SpanNearQ: the first-at-or-after chain of span_near_freqs,
+    # keeping each accepted span's extent instead of folding to freq
+    tps = [postings[t] for t in sub.terms]
+    idxs = [np.searchsorted(tp.gids, cands) for tp in tps]
+    pos0, cand0 = _gather_positions(tps[0], idxs[0])
+    keys = (cand0 << _POS_SHIFT) + pos0 + _POS_PAD
+    q = keys.copy()
+    alive = np.ones(len(keys), dtype=bool)
+    for tp, idx in zip(tps[1:], idxs[1:]):
+        p2, c2 = _gather_positions(tp, idx)
+        k2 = (c2 << _POS_SHIFT) + p2 + _POS_PAD
+        if not len(k2):
+            return (np.empty(0, np.int64),) * 3
+        loc = np.searchsorted(k2, q + 1)
+        ok = loc < len(k2)
+        loc_c = np.minimum(loc, len(k2) - 1)
+        alive &= ok & ((k2[loc_c] >> _POS_SHIFT) == (keys >> _POS_SHIFT))
+        q = np.where(alive, k2[loc_c], q)
+    width = (q - keys) - (len(tps) - 1)
+    good = alive & (width <= sub.slop)
+    return keys[good], q[good] + 1, width[good]
+
+
+def _eval_span_contain(node, postings: dict,
+                       ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """SpanContainingQuery / SpanWithinQuery — the reference's streaming
+    ContainSpans matchers (see the plan nodes' docstrings for the exact
+    cursor semantics replayed here)."""
+    bd = _span_side_docs(node.big, postings)
+    ld = _span_side_docs(node.little, postings)
+    if bd is None or ld is None:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    cands = np.intersect1d(bd, ld)
+    if not len(cands):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    b_s, b_e, b_w = _span_side_spans(node.big, postings, cands)
+    l_s, l_e, l_w = _span_side_spans(node.little, postings, cands)
+    if not len(b_s) or not len(l_s):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    if isinstance(node, SpanContainingQ):
+        # little cursor: first little with start >= big.start (same doc)
+        j = np.searchsorted(l_s, b_s)
+        ok = j < len(l_s)
+        jc = np.minimum(j, len(l_s) - 1)
+        acc = ok & ((l_s[jc] >> _POS_SHIFT) == (b_s >> _POS_SHIFT)) \
+            & (b_e >= l_e[jc])
+        emit_keys, emit_w = b_s[acc], b_w[acc]
+    else:
+        # big cursor: first big with end >= little.end (same doc)
+        j = np.searchsorted(b_e, l_e)
+        ok = j < len(b_e)
+        jc = np.minimum(j, len(b_e) - 1)
+        acc = ok & ((b_e[jc] >> _POS_SHIFT) == (l_e >> _POS_SHIFT)) \
+            & (b_s[jc] <= l_s)
+        emit_keys, emit_w = l_s[acc], l_w[acc]
+    freqs = np.zeros(len(cands), dtype=np.float32)
+    if len(emit_keys):
+        w = (1.0 / (1.0 + emit_w.astype(np.float64))).astype(np.float32)
+        np.add.at(freqs, emit_keys >> _POS_SHIFT, w)
+    # per-candidate field norms from any present term (identical per doc)
+    norms = np.zeros(len(cands), dtype=np.uint8)
+    for t in node.terms:
+        tp = postings.get(t)
+        if tp is None or not len(tp.gids):
+            continue
+        loc = np.minimum(np.searchsorted(tp.gids, cands), len(tp.gids) - 1)
+        pres = tp.gids[loc] == cands
+        norms[pres] = tp.norms[loc[pres]]
+    return _score_positional(node, cands, freqs, norms, ctx)
+
+
 def _eval_span_not(node: SpanNotQ, postings: dict,
                    ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
     """SpanNotQuery over term spans: include positions with no exclude
@@ -1711,10 +1857,23 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         # unless the child provably matches nothing
         b = _plan_upper_bound(node.child, term_maxes, ctx)
         return b if b == float("-inf") else float("inf")
-    if isinstance(node, (SpanFirstQ, SpanNotQ)):
+    if isinstance(node, (SpanFirstQ, SpanNotQ, SpanPositionRangeQ)):
         # span freq <= the include term's tf, so its max score bounds ours
         if node.terms[0] not in term_maxes:
             return float("-inf")
+        return float("inf")
+    if isinstance(node, (SpanContainingQ, SpanWithinQ)):
+        # both sides must be able to match the doc
+        for sub in (node.big, node.little):
+            req = {sub} if isinstance(sub, str) else (
+                set() if isinstance(sub, SpanOrQ) else set(sub.terms)
+            )
+            if any(t not in term_maxes for t in req):
+                return float("-inf")
+            if isinstance(sub, SpanOrQ) and not any(
+                t in term_maxes for t in sub.terms
+            ):
+                return float("-inf")
         return float("inf")
     if isinstance(node, SpanOrQ):
         if not any(t in term_maxes for t in node.terms):
@@ -1892,8 +2051,18 @@ def _req_terms(node) -> set:
     if isinstance(node, MultiPhraseQ):
         # only single-alternative slots are required in every match
         return {slot[0] for slot in node.termss if len(slot) == 1}
-    if isinstance(node, (SpanFirstQ, SpanNotQ)):
+    if isinstance(node, (SpanFirstQ, SpanNotQ, SpanPositionRangeQ)):
         return {node.terms[0]}
+    if isinstance(node, (SpanContainingQ, SpanWithinQ)):
+        out: set = set()
+        for sub in (node.big, node.little):
+            if isinstance(sub, str):
+                out.add(sub)
+            elif isinstance(sub, SpanNearQ):
+                out |= set(sub.terms)
+            elif len(sub.terms) == 1:
+                out |= set(sub.terms)
+        return out
     if isinstance(node, SpanOrQ):
         return set(node.terms) if len(node.terms) == 1 else set()
     if isinstance(node, BoolQ):
@@ -2600,6 +2769,7 @@ class Searcher:
             node,
             (TermQ, PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SynonymQ,
              SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ, SpanPayloadCheckQ,
+             SpanPositionRangeQ, SpanContainingQ, SpanWithinQ,
              IntervalQ, MatchAllQ, TermInSetQ, TermSetRefQ,
              BlendedQ, DocValuesRangeQ),
         ):
@@ -2803,6 +2973,8 @@ class Searcher:
                 elif isinstance(n.child, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                                           SpanNearQ, SpanFirstQ, SpanNotQ,
                                           SpanOrQ, SpanPayloadCheckQ,
+                                          SpanPositionRangeQ,
+                                          SpanContainingQ, SpanWithinQ,
                                           IntervalQ, IntervalExprQ)):
                     base = phrase_weights.get(n.child, np.float32(0.0))
                 elif isinstance(n.child, SynonymQ):
@@ -2845,7 +3017,22 @@ class Searcher:
                     for t in n.terms if t in tstats
                 )
                 phrase_weights[n] = np.float32(s)
-            elif isinstance(n, (SpanFirstQ, SpanNotQ)):
+            elif isinstance(n, (SpanContainingQ, SpanWithinQ)):
+                # getTermStates merges both sides' term maps (a Map keyed
+                # by Term), so duplicates between big and little count
+                # ONCE in the summed idf (SpanContainQuery.java:93-96)
+                uniq = list(dict.fromkeys(n.terms))
+                if aux_of is not None:
+                    phrase_weights[n] = np.float32(1.0)
+                    phrase_aux[n] = tuple(
+                        term_aux(t) for t in uniq if t in tstats
+                    )
+                else:
+                    phrase_weights[n] = np.float32(sum(
+                        float(_idf(tstats[t][0], doc_count_of(t)))
+                        for t in uniq if t in tstats
+                    ))
+            elif isinstance(n, (SpanFirstQ, SpanNotQ, SpanPositionRangeQ)):
                 # SpanWeight.buildSimWeight over the match side's term
                 # states only — the exclude side scores nothing
                 t = n.terms[0]
@@ -4862,7 +5049,9 @@ def _has_phrase(node) -> bool:
     # SpanOrQ needs no positions: width-0 spans make freq == Σ member tfs
     if isinstance(node, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                          SpanFirstQ, SpanNotQ, SpanNearQ,
-                         SpanPayloadCheckQ, IntervalQ, IntervalExprQ)):
+                         SpanPayloadCheckQ, SpanPositionRangeQ,
+                         SpanContainingQ, SpanWithinQ,
+                         IntervalQ, IntervalExprQ)):
         return True
     if isinstance(node, BoolQ):
         return any(_has_phrase(c) for c in node.must + node.should + node.must_not)

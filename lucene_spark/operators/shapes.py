@@ -1031,3 +1031,96 @@ def shape_polygon(
     if relation == DISJOINT:
         return shapes.select("gid").distinct().join(inter, "gid", "left_anti")
     raise ValueError(f"unsupported relation {relation!r}")
+
+
+def shape_multi_query(
+    shapes: DataFrame,
+    relation: str,
+    components: "list[tuple]",
+) -> DataFrame:
+    """LatLonShape.newGeometryQuery with SEVERAL query geometries — the
+    reference wraps them in a ComponentTree (``core/geo/ComponentTree.java``)
+    whose triangle relations delegate with ANY-component semantics:
+
+    - INTERSECTS / contains: any component matches
+      (``ComponentTree.java:130-155, 78-95``).
+    - WITHIN: a triangle is contained iff ANY single component contains it
+      (``containsTriangle``, java:192-220) — note the reference quirk that
+      a triangle spanning two adjacent components is NOT contained by
+      either, preserved here.
+    - CONTAINS: ``ComponentTree.withinTriangle`` throws for more than one
+      component (java:251-269); so do we, with the same contract.
+
+    ``components``: list of ``("box", (min_lat, max_lat, min_lon, max_lon))``
+    or ``("polygon", (lats, lons))``.
+
+    Scale shape: INTERSECTS/DISJOINT run one bbox-pruned scan per
+    component (each pruned to its own region — tighter than a single scan
+    with an OR'd prefilter) and union doc ids; WITHIN is a single scan
+    with the per-triangle any-component expression and one bool_and
+    groupBy. Nothing driver-resident.
+    """
+    if not components:
+        raise ValueError("empty component list")
+
+    def _single(comp, rel):
+        kind, args = comp
+        if kind == "box":
+            return shape_box(shapes, rel, *args)
+        if kind == "polygon":
+            return shape_polygon(shapes, rel, *args)
+        raise ValueError(f"unknown component kind {kind!r}")
+
+    if relation == CONTAINS:
+        if len(components) == 1:
+            return _single(components[0], relation)
+        raise ValueError(
+            "withinTriangle is not supported for shapes with more than one "
+            "component"
+        )
+    if relation in (INTERSECTS, DISJOINT):
+        inter = _single(components[0], INTERSECTS)
+        for comp in components[1:]:
+            inter = inter.union(_single(comp, INTERSECTS))
+        inter = inter.distinct()
+        if relation == INTERSECTS:
+            return inter
+        return shapes.select("gid").distinct().join(inter, "gid", "left_anti")
+    if relation == WITHIN:
+        from .spatial import _polygon_edges, _ring_contains
+
+        d = _tri_dec()
+        ok_any = F.lit(False)
+        for kind, args in components:
+            if kind == "box":
+                min_lat, max_lat, min_lon, max_lon = args
+                if min_lon > max_lon:
+                    raise ValueError(
+                        "dateline-crossing box: query two boxes and union"
+                    )
+                ok = (
+                    (F.col("min_y") >= encode_latitude_ceil(min_lat))
+                    & (F.col("max_y") <= encode_latitude(max_lat))
+                    & (F.col("min_x") >= encode_longitude_ceil(min_lon))
+                    & (F.col("max_x") <= encode_longitude(max_lon))
+                )
+            else:
+                lats, lons = args
+                edges = _polygon_edges(lats, lons)
+
+                def contains(y, x, _lats=lats, _lons=lons):
+                    return _ring_contains(_lats, _lons, y=y, x=x)
+
+                ok = (
+                    contains(d["ay"], d["ax"]) & contains(d["by"], d["bx"])
+                    & contains(d["cy"], d["cx"])
+                    & ~_crosses_tri(d, edges, include_boundary=False)
+                )
+            ok_any = ok_any | ok
+        return (
+            shapes.groupBy("gid")
+            .agg(F.min(ok_any.cast("int")).alias("all_in"))
+            .filter(F.col("all_in") == 1)
+            .select("gid")
+        )
+    raise ValueError(f"unsupported relation {relation!r}")

@@ -211,6 +211,43 @@ def shape_box_sql(relation: str, min_lat: float, max_lat: float,
     )
 
 
+def shape_multi_query_box_sql(relation: str, boxes) -> str:
+    """Multi-component QUERY geometry twin (ComponentTree any-component
+    delegation) over the synthetic rectangle shapes: a rect's two
+    tessellation triangles share the full rect bbox, so per-triangle
+    any-component containment reduces to per-RECT any-box algebra —
+    INTERSECTS = any box intersects, WITHIN = inside some box, DISJOINT =
+    no box intersects."""
+    from ..operators.spatial import (
+        encode_latitude, encode_latitude_ceil,
+        encode_longitude, encode_longitude_ceil,
+    )
+
+    inters, withins = [], []
+    for (min_lat, max_lat, min_lon, max_lon) in boxes:
+        qminy = encode_latitude_ceil(min_lat)
+        qmaxy = encode_latitude(max_lat)
+        qminx = encode_longitude_ceil(min_lon)
+        qmaxx = encode_longitude(max_lon)
+        inters.append(f"(rmaxy >= {qminy} AND rminy <= {qmaxy} "
+                      f"AND rmaxx >= {qminx} AND rminx <= {qmaxx})")
+        withins.append(f"(rminy >= {qminy} AND rmaxy <= {qmaxy} "
+                       f"AND rminx >= {qminx} AND rmaxx <= {qmaxx})")
+    any_inter = " OR ".join(inters)
+    if relation == "intersects":
+        pred = any_inter
+    elif relation == "within":
+        pred = " OR ".join(withins)
+    elif relation == "disjoint":
+        pred = f"NOT ({any_inter})"
+    else:
+        raise ValueError(relation)
+    return (
+        f"WITH {_RECTS_CTE} "
+        f"SELECT gid FROM rects WHERE {pred} ORDER BY gid"
+    )
+
+
 def shape_polygon_sql(relation: str, lats: "list[float]",
                       lons: "list[float]") -> str:
     """Doc-level polygon relation over the synthetic rectangle shapes —

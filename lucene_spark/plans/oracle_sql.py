@@ -773,6 +773,86 @@ def span_first_topk_sql(term: str, end: int, k: int = 10) -> str:
     return _span_score_sql([_term_idf(term)], cte, k)
 
 
+def span_pos_range_topk_sql(term: str, start: int, end: int,
+                            k: int = 10) -> str:
+    """SpanPositionRangeQuery oracle (acceptPosition: start <= pos and
+    pos+1 <= end for width-0 term spans); weight = the term's idf."""
+    cte = f"""nf AS (
+  SELECT doc_id, count(*)::BIGINT AS freq
+  FROM toks
+  WHERE term = '{term}' AND pos >= {int(start)} AND pos <= {int(end) - 1}
+  GROUP BY doc_id
+)"""
+    return _span_score_sql([_term_idf(term)], cte, k)
+
+
+def _ordered_near_spans_cte(terms: "list[str]", slop: int) -> str:
+    """Accepted ordered-near spans as (doc_id, bs, be, w32) — the greedy
+    chain shared by the span-near oracle, span extents kept."""
+    n = len(terms)
+    inner = f"SELECT doc_id, pos AS q0 FROM toks WHERE term = '{terms[0]}'"
+    for i in range(1, n):
+        inner = f"""SELECT t{i}.*, (
+      SELECT min(b.pos) FROM toks b
+      WHERE b.doc_id = t{i}.doc_id AND b.term = '{terms[i]}'
+        AND b.pos >= t{i}.q{i - 1} + 1
+    ) AS q{i} FROM ({inner}) t{i}"""
+    width = f"(q{n - 1} - q0 - {n - 1})"
+    w32 = _f4(f"1.0 / (1.0 + CAST({width} AS DOUBLE))")
+    return f"""bigspans AS (
+  SELECT doc_id, q0 AS bs, q{n - 1} + 1 AS be, CAST({w32} AS FLOAT) AS w
+  FROM ({inner})
+  WHERE q{n - 1} IS NOT NULL AND {width} <= {int(slop)}
+)"""
+
+
+def span_containing_topk_sql(big_terms: "list[str]", slop: int,
+                             little: str, k: int = 10) -> str:
+    """SpanContainingQuery(big=ordered near, little=term) oracle — the
+    ContainSpans streaming cursor (SpanContainingQuery.java): for each big
+    span the first little position >= big.start must END within the big
+    span; accepted bigs fold 1/(1+width) float32 in start order. Weight =
+    idf over the DISTINCT union of both sides' terms."""
+    uniq = list(dict.fromkeys([*big_terms, little]))
+    cte = f"""{_ordered_near_spans_cte(big_terms, slop)},
+acc AS (
+  SELECT g.doc_id, g.bs, g.be, g.w,
+         (SELECT min(l.pos) FROM toks l
+          WHERE l.doc_id = g.doc_id AND l.term = '{little}'
+            AND l.pos >= g.bs) AS l0
+  FROM bigspans g
+),
+nf AS (
+  SELECT doc_id,
+         list_reduce(
+           list(w ORDER BY bs),
+           (a, x) -> CAST(CAST(a AS DOUBLE) + CAST(x AS DOUBLE) AS FLOAT)
+         ) AS freq
+  FROM acc WHERE l0 IS NOT NULL AND l0 + 1 <= be GROUP BY doc_id
+)"""
+    return _span_score_sql([_term_idf(t) for t in uniq], cte, k)
+
+
+def span_within_topk_sql(big_terms: "list[str]", slop: int,
+                         little: str, k: int = 10) -> str:
+    """SpanWithinQuery(big=ordered near, little=term) oracle: for each
+    little span the big cursor stops at the first big span with end >=
+    little.end (= min start among them — accepted near-span ends are
+    monotone in starts); accepted iff that big's start <= little.start.
+    Little spans are width 0, so freq = accepted count."""
+    uniq = list(dict.fromkeys([*big_terms, little]))
+    cte = f"""{_ordered_near_spans_cte(big_terms, slop)},
+nf AS (
+  SELECT l.doc_id, count(*)::BIGINT AS freq
+  FROM toks l
+  WHERE l.term = '{little}'
+    AND (SELECT min(g.bs) FROM bigspans g
+         WHERE g.doc_id = l.doc_id AND g.be >= l.pos + 1) <= l.pos
+  GROUP BY l.doc_id
+)"""
+    return _span_score_sql([_term_idf(t) for t in uniq], cte, k)
+
+
 def span_not_topk_sql(include: str, exclude: str, pre: int = 0,
                       post: int = 0, k: int = 10) -> str:
     """SpanNotQuery oracle: include positions with no exclude position in

@@ -29,6 +29,7 @@ __all__ = [
     "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "TermSetRefQ",
     "BlendedQ", "FunctionScoreQ", "DocValuesRangeQ",
     "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ", "SpanPayloadCheckQ",
+    "SpanPositionRangeQ", "SpanContainingQ", "SpanWithinQ",
     "IntervalQ",
     "IntervalExprQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
@@ -93,6 +94,71 @@ class SpanFirstQ:
     @property
     def terms(self) -> tuple[str, ...]:
         return (self.term,)
+
+
+@dataclass(frozen=True)
+class SpanPositionRangeQ:
+    """SpanPositionRangeQuery over a term span
+    (queries/spans/SpanPositionRangeQuery.java acceptPosition): accepted
+    spans have startPosition >= start AND endPosition <= end — for a
+    width-0 term span, start <= pos <= end-1. SpanFirstQuery is the
+    start=0 special case. freq = accepted count (SpanScorer 1/(1+0) per
+    span); weight = the match term's idf (SpanPositionCheckQuery wraps
+    only the match side)."""
+
+    term: str
+    start: int
+    end: int
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return (self.term,)
+
+
+def _span_sub_terms(sub) -> tuple[str, ...]:
+    return (sub,) if isinstance(sub, str) else tuple(sub.terms)
+
+
+@dataclass(frozen=True)
+class SpanContainingQ:
+    """SpanContainingQuery (queries/spans/SpanContainingQuery.java):
+    spans from ``big`` that contain at least one span from ``little`` —
+    with the reference's STREAMING cursor semantics
+    (ContainSpans/twoPhaseCurrentDocMatches): for each big span in start
+    order, the little cursor advances to the first little span with
+    start >= big.start, and the big span is accepted iff that span's end
+    <= big.end (the cursor never rewinds; an alternative later little is
+    NOT consulted). freq folds 1/(1+big.width) per accepted big span;
+    the sim weight sums idf over the DISTINCT union of both sides' terms
+    (getTermStates merges both weights' term maps).
+
+    ``big``/``little``: a term (str), an ordered SpanNearQ, or a SpanOrQ
+    — all span sources whose emitted (start, end) sequences are
+    monotone, which is what makes the cursor replay state-free."""
+
+    big: object
+    little: object
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return _span_sub_terms(self.big) + _span_sub_terms(self.little)
+
+
+@dataclass(frozen=True)
+class SpanWithinQ:
+    """SpanWithinQuery (queries/spans/SpanWithinQuery.java): spans from
+    ``little`` contained in a span from ``big`` — streaming semantics
+    mirrored from the reference matcher: for each little span in start
+    order, the big cursor advances to the first big span with end >=
+    little.end; accepted iff that big's start <= little.start. freq folds
+    1/(1+little.width); weight as in SpanContainingQ."""
+
+    big: object
+    little: object
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return _span_sub_terms(self.big) + _span_sub_terms(self.little)
 
 
 @dataclass(frozen=True)
@@ -992,8 +1058,12 @@ def map_terms(node, fn):
         node = parse_query(node)
     if isinstance(node, TermQ):
         return TermQ(fn(node.term))
-    if isinstance(node, SpanFirstQ):
+    if isinstance(node, (SpanFirstQ, SpanPositionRangeQ)):
         return _dc.replace(node, term=fn(node.term))
+    if isinstance(node, (SpanContainingQ, SpanWithinQ)):
+        def _sub(s):
+            return fn(s) if isinstance(s, str) else map_terms(s, fn)
+        return _dc.replace(node, big=_sub(node.big), little=_sub(node.little))
     if isinstance(node, (PhraseQ, SloppyQ, NearQ, IntervalQ, SpanNearQ,
                          SpanOrQ, SynonymQ, BlendedQ, SpanPayloadCheckQ)):
         return _dc.replace(node, terms=tuple(fn(t) for t in node.terms))
@@ -1078,6 +1148,15 @@ def qualify_node(node, field: str):
         )
     if isinstance(node, SpanFirstQ):
         return SpanFirstQ(term=qualify(field, node.term), end=node.end)
+    if isinstance(node, SpanPositionRangeQ):
+        return SpanPositionRangeQ(
+            term=qualify(field, node.term), start=node.start, end=node.end
+        )
+    if isinstance(node, (SpanContainingQ, SpanWithinQ)):
+        def _subq(s):
+            return qualify(field, s) if isinstance(s, str) \
+                else qualify_node(s, field)
+        return type(node)(big=_subq(node.big), little=_subq(node.little))
     if isinstance(node, SpanNotQ):
         return SpanNotQ(
             include=qualify(field, node.include),
@@ -1182,7 +1261,9 @@ def query_terms(node) -> set[str]:
         return {node.term}
     if isinstance(node, (PhraseQ, MultiPhraseQ, SynonymQ, NearQ, SloppyQ,
                          BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ,
-                         SpanPayloadCheckQ, IntervalQ, IntervalExprQ)):
+                         SpanPayloadCheckQ, SpanPositionRangeQ,
+                         SpanContainingQ, SpanWithinQ,
+                         IntervalQ, IntervalExprQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):
         out: set[str] = set()

@@ -1,0 +1,190 @@
+"""SpanPositionRangeQuery / SpanContainingQuery / SpanWithinQuery.
+
+Oracle: a direct Python replay of the reference matchers —
+SpanPositionRangeQuery.acceptPosition and ContainSpans'
+twoPhaseCurrentDocMatches/nextStartPosition cursor loops
+(queries/spans/SpanContainingQuery.java, SpanWithinQuery.java) — over the
+raw token streams, scored with the engine's own BM25 pieces.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.functions.analysis import ENGLISH_STOP_WORDS
+from lucene_spark.operators import indexer
+from lucene_spark.operators.search import Searcher
+from lucene_spark.plans.query import (
+    SpanContainingQ,
+    SpanFirstQ,
+    SpanNearQ,
+    SpanOrQ,
+    SpanPositionRangeQ,
+    SpanWithinQ,
+)
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "open", "close", "mid"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(6, 60)))
+        for _ in range(N_DOCS)
+    ]
+    return pd.DataFrame({
+        "gid": np.arange(N_DOCS, dtype=np.int64),
+        "url": [f"u{i}" for i in range(N_DOCS)],
+        "text": texts,
+    })
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus_pdf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_contain"))
+    indexer.build_index(
+        spark, spark.createDataFrame(corpus_pdf), d,
+        key_col="url", text_col="text", gid_col="gid", n_segments=3,
+    )
+    return d
+
+
+# ------------------------------------------------------------- brute spans
+
+def _positions(text):
+    out = {}
+    for p, t in enumerate(text.split()):
+        if t and t not in ENGLISH_STOP_WORDS:
+            out.setdefault(t, []).append(p)
+    return out
+
+
+def _sub_spans(sub, pos_of):
+    """Emitted (start, end, width) spans of a span source, start order."""
+    if isinstance(sub, str):
+        return [(p, p + 1, 0) for p in pos_of.get(sub, [])]
+    if isinstance(sub, SpanOrQ):
+        ps = sorted(p for t in sub.terms for p in pos_of.get(t, []))
+        return [(p, p + 1, 0) for p in ps]
+    assert isinstance(sub, SpanNearQ) and sub.in_order
+    plists = [pos_of.get(t, []) for t in sub.terms]
+    if any(not pl for pl in plists):
+        return []
+    spans = []
+    for p0 in plists[0]:
+        q = p0
+        ok = True
+        for pl in plists[1:]:
+            nxt = [p for p in pl if p >= q + 1]
+            if not nxt:
+                ok = False
+                break
+            q = nxt[0]
+        if ok:
+            width = q - p0 - (len(plists) - 1)
+            if width <= sub.slop:
+                spans.append((p0, q + 1, width))
+    return spans
+
+
+def _contain_matches(big_spans, little_spans, within):
+    """ContainSpans cursor replay: returns accepted (start, width) list."""
+    acc = []
+    if within:
+        bi = 0
+        for (ls, le, lw) in little_spans:
+            while bi < len(big_spans) and big_spans[bi][1] < le:
+                bi += 1
+            if bi >= len(big_spans):
+                break
+            if big_spans[bi][0] <= ls:
+                acc.append((ls, lw))
+    else:
+        li = 0
+        for (bs, be, bw) in big_spans:
+            while li < len(little_spans) and little_spans[li][0] < bs:
+                li += 1
+            if li >= len(little_spans):
+                break
+            if be >= little_spans[li][1]:
+                acc.append((bs, bw))
+    return acc
+
+
+def _brute_scores(corpus_pdf, node):
+    """Per-doc float32 freq via the matcher replay; scored with the
+    engine's own BM25 pieces (idf summed over the DISTINCT union of both
+    sides' terms, SmallFloat-quantized length norm)."""
+    from lucene_spark.functions.bm25 import avgdl, idf, norm_cache
+    from lucene_spark.functions.smallfloat import int_to_byte4
+
+    n_docs = len(corpus_pdf)
+    dls, dfs, tok_lists = [], {}, []
+    for text in corpus_pdf["text"]:
+        pos_of = _positions(text)
+        tok_lists.append(pos_of)
+        dls.append(sum(len(v) for v in pos_of.values()))
+        for t in pos_of:
+            dfs[t] = dfs.get(t, 0) + 1
+    cache = norm_cache(avgdl(sum(dls), n_docs))
+    uniq = list(dict.fromkeys(node.terms))
+    w = np.float32(sum(
+        float(idf(dfs[t], n_docs)) for t in uniq if t in dfs
+    ))
+    out = {}
+    for gid, pos_of, dl in zip(corpus_pdf["gid"], tok_lists, dls):
+        if isinstance(node, SpanPositionRangeQ):
+            spans = [(p, 0) for p in pos_of.get(node.term, [])
+                     if node.start <= p <= node.end - 1]
+        else:
+            bigs = _sub_spans(node.big, pos_of)
+            littles = _sub_spans(node.little, pos_of)
+            spans = _contain_matches(
+                bigs, littles, isinstance(node, SpanWithinQ)
+            )
+        if not spans:
+            continue
+        freq = np.float32(0.0)
+        for _, width in spans:
+            freq = np.float32(
+                freq + np.float32(1.0 / np.float64(1.0 + width))
+            )
+        norm_inv = cache[int_to_byte4(dl)]
+        score = w - w / (np.float32(1.0) + np.float32(freq) * norm_inv)
+        out[int(gid)] = float(np.float32(score))
+    return out
+
+
+def _got(spark, d, node, k=200):
+    pdf = Searcher(spark, d).search(node, k=k, with_keys=False)
+    return {int(g): float(s) for g, s in zip(pdf["gid"], pdf["score"])}
+
+
+CASES = [
+    SpanPositionRangeQ("alpha", 2, 9),
+    SpanPositionRangeQ("beta", 0, 4),
+    SpanContainingQ(SpanNearQ(("open", "close"), slop=6), "mid"),
+    SpanWithinQ(SpanNearQ(("open", "close"), slop=6), "mid"),
+    SpanContainingQ(SpanNearQ(("alpha", "beta"), slop=4),
+                    SpanOrQ(("gamma", "delta"))),
+    SpanWithinQ(SpanNearQ(("alpha", "gamma"), slop=8),
+                SpanOrQ(("beta", "delta"))),
+    SpanContainingQ(SpanNearQ(("open", "mid", "close"), slop=10), "beta"),
+]
+
+
+@pytest.mark.parametrize("node", CASES, ids=range(len(CASES)))
+def test_vs_matcher_replay(spark, corpus_pdf, index_dir, node):
+    want = _brute_scores(corpus_pdf, node)
+    got = _got(spark, index_dir, node)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=0.0), g
+
+
+def test_span_first_is_position_range_zero(spark, corpus_pdf, index_dir):
+    a = _got(spark, index_dir, SpanPositionRangeQ("alpha", 0, 5))
+    b = _got(spark, index_dir, SpanFirstQ("alpha", 5))
+    assert a == b and a
