@@ -1309,6 +1309,15 @@ def _q_text_stats(spark, sf_dir):
     return textops.text_stats(spark, sf_dir)
 
 
+def _q_mapping_filter(spark, sf_dir):
+    """MappingCharFilter / NormalizeCharMap (functions/charfilter.py;
+    reference charfilter/MappingCharFilter.java): greedy longest-match
+    normalization over the corpus text, replacements not re-scanned."""
+    from lucene_spark.operators import textops
+
+    return textops.mapping_filter(spark, sf_dir)
+
+
 def _q_html_extract(spark, sf_dir):
     """HTML → text extraction through the HTMLStripCharFilter port
     (functions/html.py; reference charfilter/HTMLStripCharFilter.jflex):
@@ -2891,7 +2900,7 @@ def _q_monitor_pairs(spark, sf_dir):
 # similarity/IODV/spatial/facet-range/sorted fine print; everything here
 # is green in the committed all-gate local artifact.
 _NEVER_DRIVER_SAMPLED = [
-    "html_extract",
+    "html_extract", "mapping_filter",
     "synonym_index_topk", "synonym_phrase_match",
     "synonym_multiword_postings", "edge_ngrams",
     "shape_mq_intersects", "shape_mq_within", "shape_mq_disjoint",
@@ -2969,6 +2978,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "text_stats": _q_text_stats,
         "html_extract": _q_html_extract,
+        "mapping_filter": _q_mapping_filter,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -3191,6 +3201,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": otx.simhash_sql(),
         "text_stats": otx.text_stats_sql(),
         "html_extract": otx.html_extract_sql(),
+        "mapping_filter": otx.mapping_filter_sql(),
         "pii_scrub": otx.pii_scrub_sql(),
         "normalize_text": otx.normalize_text_sql(),
         "doc_fingerprints": otx.doc_fingerprints_sql(),

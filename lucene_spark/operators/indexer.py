@@ -203,6 +203,42 @@ def write_segment_parquet(frames: "list[pd.DataFrame]", out_path: str, seg: int)
     return total
 
 
+def _resolve_char_filters(char_filter):
+    """Normalize the ``char_filter`` argument into a chain of
+    (single-doc-with-offsets unavailable? no —) triples
+    ``(fingerprint, strip_offsets_fn, strip_batch_fn)``.
+
+    Accepted: ``"html"`` (HTMLStripCharFilter, ``functions/html.py``), a
+    ``functions/charfilter.NormalizeCharMap`` (MappingCharFilter), or a
+    list/tuple chaining them in application order (the reference nests
+    CharFilters the same way — initReader wraps readers outermost-last).
+    """
+    from ..functions.charfilter import NormalizeCharMap
+    from ..functions.html import html_strip_batch, html_strip_offsets
+
+    items = (
+        list(char_filter) if isinstance(char_filter, (list, tuple))
+        else [char_filter]
+    )
+    out = []
+    for it in items:
+        if it == "html":
+            out.append(("html", html_strip_offsets, html_strip_batch))
+        elif isinstance(it, NormalizeCharMap):
+            out.append((f"map:{it.fingerprint()}", it.strip_offsets,
+                        it.strip_batch))
+        else:
+            raise ValueError(f"unknown char_filter: {it!r}")
+    return out
+
+
+def char_filter_fingerprint(char_filter) -> "str | None":
+    """Stable id of a char_filter chain for stats.json / append guard."""
+    if char_filter is None:
+        return None
+    return "+".join(fp for fp, _o, _b in _resolve_char_filters(char_filter))
+
+
 def invert_segment(
     seg_id: int,
     gids: np.ndarray,
@@ -266,13 +302,10 @@ def invert_segment(
     if with_payloads and not with_positions:
         raise ValueError("with_payloads requires with_positions")
     if char_filter is not None:
-        if char_filter != "html":
-            raise ValueError(f"unknown char_filter: {char_filter!r}")
-        from ..functions.html import html_strip_batch, html_strip_offsets
-
+        filters = _resolve_char_filters(char_filter)
         if with_offsets:
-            # per-doc strip with the BaseCharFilter correction map; token
-            # offsets are mapped back into the original html below
+            # per-doc strips with BaseCharFilter correction maps (one per
+            # filter, composed right-to-left on the token offsets below)
             vals = (
                 texts.astype("string").fillna("").tolist()
                 if isinstance(texts, pd.Series)
@@ -281,29 +314,35 @@ def invert_segment(
             corr_maps = []
             stripped = []
             for v in vals:
-                s_out, cpos, cdiff = html_strip_offsets(v)
-                stripped.append(s_out)
-                corr_maps.append((cpos, cdiff))
+                maps = []
+                for _, strip_off, _b in filters:
+                    v, cpos, cdiff = strip_off(v)
+                    maps.append((cpos, cdiff))
+                stripped.append(v)
+                corr_maps.append(maps)
             texts = pd.Series(stripped, dtype="string")
         else:
-            texts = html_strip_batch(texts)
+            for _, _o, strip_batch in filters:
+                texts = strip_batch(texts)
     batch = analyze_batch(
         texts, with_offsets=with_offsets, payload_delim=with_payloads
     )
     if char_filter is not None and with_offsets and len(batch.tok_doc_idx):
         # correctOffset per token: corrected = off + diff of the last map
-        # entry at position <= off (monotone, so delta encoding stays valid)
+        # entry at position <= off (monotone, so delta encoding stays
+        # valid); with a filter chain, maps compose innermost-first
+        # (reversed application order), the nested-CharFilter semantics
         st = batch.tok_starts.astype(np.int64)
         en = batch.tok_ends.astype(np.int64)
         for d in np.unique(batch.tok_doc_idx):
-            cpos, cdiff = corr_maps[int(d)]
-            if not len(cpos):
-                continue
             sel = batch.tok_doc_idx == d
-            ix = np.searchsorted(cpos, st[sel], side="right") - 1
-            st[sel] += np.where(ix >= 0, cdiff[np.maximum(ix, 0)], 0)
-            ix = np.searchsorted(cpos, en[sel], side="right") - 1
-            en[sel] += np.where(ix >= 0, cdiff[np.maximum(ix, 0)], 0)
+            for cpos, cdiff in reversed(corr_maps[int(d)]):
+                if not len(cpos):
+                    continue
+                ix = np.searchsorted(cpos, st[sel], side="right") - 1
+                st[sel] += np.where(ix >= 0, cdiff[np.maximum(ix, 0)], 0)
+                ix = np.searchsorted(cpos, en[sel], side="right") - 1
+                en[sel] += np.where(ix >= 0, cdiff[np.maximum(ix, 0)], 0)
         batch.tok_starts = st
         batch.tok_ends = en
     if synonyms is not None:
@@ -773,7 +812,7 @@ def build_index(
                 "with_payloads must match the existing index (IndexOptions "
                 "are fixed per field at creation, FieldInfos)"
             )
-        if _prior_stats.get("char_filter") != char_filter:
+        if _prior_stats.get("char_filter") != char_filter_fingerprint(char_filter):
             raise ValueError(
                 "char_filter must match the existing index (the analyzer "
                 "chain is fixed at creation)"
@@ -990,7 +1029,7 @@ def build_index(
         if with_payloads:
             stats["with_payloads"] = True
         if char_filter:
-            stats["char_filter"] = char_filter
+            stats["char_filter"] = char_filter_fingerprint(char_filter)
         if synonyms is not None:
             stats["synonyms_fp"] = synonyms.fingerprint()
         if stream_filter is not None:

@@ -858,6 +858,39 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.mapInPandas(kern, schema="doc_id long, extracted string")
 
 
+def mapping_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MappingCharFilter over the corpus (``functions/charfilter.py``;
+    reference charfilter/MappingCharFilter.java + NormalizeCharMap): a
+    fixed normalization map applied with greedy longest-match,
+    replacements not re-scanned. One ``mapInPandas`` projection — no
+    shuffle, no driver state."""
+    d = docs(spark, sf_dir)
+
+    def kern(batches):
+        import pandas as pd
+
+        from ..functions.charfilter import (
+            NormalizeCharMap, mapping_char_filter_batch,
+        )
+
+        # patterns chosen mutually non-overlapping (no suffix of one is a
+        # prefix of another) with pattern-free outputs, so the DuckDB
+        # sequential-replace twin is exactly the scanner's single pass
+        cmap = NormalizeCharMap({
+            "scan": "sweep", "merge": "combine", "window": "pane",
+        })
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = mapping_char_filter_batch(pdf["text"], cmap)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "mapped": out.to_pandas()})
+
+    return d.select("doc_id", "text").mapInPandas(
+        kern, schema="doc_id long, mapped string"
+    )
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Within-document repetition metrics (Gopher/RefinedWeb-style quality
     rules): duplicate k-gram fraction and top-k-gram mass per doc. High

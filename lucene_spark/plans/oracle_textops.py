@@ -397,6 +397,17 @@ FROM (SELECT * FROM short UNION ALL SELECT * FROM pre
 ORDER BY term, ord"""
 
 
+def mapping_filter_sql() -> str:
+    """MappingCharFilter twin: the gate's patterns are mutually
+    non-overlapping with pattern-free outputs, so sequential global
+    replaces equal the greedy longest-match single pass."""
+    return """SELECT doc_id,
+       replace(replace(replace(text,
+           'scan', 'sweep'), 'merge', 'combine'), 'window', 'pane')
+           AS mapped
+FROM documents ORDER BY doc_id"""
+
+
 def html_extract_sql() -> str:
     """HTML-extraction twin: the synthetic page framing is invertible, so
     the oracle states the expected stripped output directly from `text`
