@@ -85,6 +85,7 @@ from ..plans.query import (
     SpanPositionRangeQ,
     SpanContainingQ,
     SpanWithinQ,
+    SpanMultiQ,
     FunctionScoreQ,
     IntervalQ,
     IntervalExprQ,
@@ -2769,7 +2770,7 @@ class Searcher:
             node,
             (TermQ, PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SynonymQ,
              SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ, SpanPayloadCheckQ,
-             SpanPositionRangeQ, SpanContainingQ, SpanWithinQ,
+             SpanPositionRangeQ,
              IntervalQ, MatchAllQ, TermInSetQ, TermSetRefQ,
              BlendedQ, DocValuesRangeQ),
         ):
@@ -2779,6 +2780,33 @@ class Searcher:
             if root2 is node.root:
                 return node
             return IntervalExprQ(root=root2, pivot=node.pivot)
+        if isinstance(node, SpanMultiQ):
+            # SpanMultiTermQueryWrapper SCORING_SPAN_QUERY_REWRITE: expand
+            # the pattern against the dictionary into a SpanOrQuery;
+            # maxClauseCount-guarded (an unbounded driver term list is the
+            # scale anti-pattern this engine refuses), top_terms=k for the
+            # TopTermsSpanBooleanQueryRewrite variant
+            terms = self.expand_terms(node.pattern,
+                                      capped=node.top_terms is None)
+            if node.top_terms is not None:
+                terms = terms[: node.top_terms]
+            if not terms:
+                return BoolQ()
+            if len(terms) == 1:
+                return TermQ(terms[0])
+            return SpanOrQ(terms=tuple(terms))
+        if isinstance(node, (SpanContainingQ, SpanWithinQ)):
+            big = (self.rewrite(node.big)
+                   if isinstance(node.big, SpanMultiQ) else node.big)
+            little = (self.rewrite(node.little)
+                      if isinstance(node.little, SpanMultiQ) else node.little)
+            if isinstance(big, BoolQ) or isinstance(little, BoolQ):
+                return BoolQ()  # an empty side matches nothing
+            big = big.term if isinstance(big, TermQ) else big
+            little = little.term if isinstance(little, TermQ) else little
+            if big is not node.big or little is not node.little:
+                return type(node)(big=big, little=little)
+            return node
         if isinstance(node, FuzzyQ):
             pairs = self._fuzzy_candidates(node)
             if not pairs:

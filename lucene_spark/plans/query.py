@@ -29,7 +29,7 @@ __all__ = [
     "SloppyQ", "ConstScoreQ", "MatchAllQ", "TermInSetQ", "TermSetRefQ",
     "BlendedQ", "FunctionScoreQ", "DocValuesRangeQ",
     "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ", "SpanPayloadCheckQ",
-    "SpanPositionRangeQ", "SpanContainingQ", "SpanWithinQ",
+    "SpanPositionRangeQ", "SpanContainingQ", "SpanWithinQ", "SpanMultiQ",
     "IntervalQ",
     "IntervalExprQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
@@ -159,6 +159,26 @@ class SpanWithinQ:
     @property
     def terms(self) -> tuple[str, ...]:
         return _span_sub_terms(self.big) + _span_sub_terms(self.little)
+
+
+@dataclass(frozen=True)
+class SpanMultiQ:
+    """SpanMultiTermQueryWrapper (queries/spans/SpanMultiTermQueryWrapper
+    .java): wraps a multi-term pattern (PrefixQ/WildcardQ/RegexpQ/RangeQ)
+    as a span source. The Searcher rewrites it to a SpanOrQuery over the
+    dictionary's matching terms — SCORING_SPAN_QUERY_REWRITE — with a
+    1024-term guard (an unbounded driver term list is the scale-killer
+    this engine refuses everywhere); ``top_terms=k`` selects the
+    TopTermsSpanBooleanQueryRewrite(k) variant (first k in term order —
+    the reference's priority queue tie-breaks constant-boost terms
+    lexicographically)."""
+
+    pattern: object
+    top_terms: "int | None" = None
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return ()  # unknown until dictionary rewrite
 
 
 @dataclass(frozen=True)

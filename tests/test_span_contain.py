@@ -188,3 +188,56 @@ def test_span_first_is_position_range_zero(spark, corpus_pdf, index_dir):
     a = _got(spark, index_dir, SpanPositionRangeQ("alpha", 0, 5))
     b = _got(spark, index_dir, SpanFirstQ("alpha", 5))
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# SpanMultiTermQueryWrapper
+# ---------------------------------------------------------------------------
+
+def test_span_multi_rewrites_to_span_or(spark, corpus_pdf, index_dir):
+    from lucene_spark.plans.query import PrefixQ, SpanMultiQ
+
+    s = Searcher(spark, index_dir)
+    # vocab terms starting 'de': delta; 'o': open; multi: 'al','be','ga'...
+    node = SpanMultiQ(PrefixQ("g"))
+    a = s.search(node, k=20, with_keys=False)
+    b = s.search(SpanOrQ(("gamma",)), k=20, with_keys=False)
+    # single expansion collapses to the term query == SpanOr of one
+    assert a.values.tolist() == b.values.tolist()
+    # multi-term expansion == explicit SpanOr over the matched vocabulary
+    node2 = SpanMultiQ(PrefixQ("de"))
+    got = s.search(node2, k=50, with_keys=False)
+    want = s.search(SpanOrQ(("delta",)), k=50, with_keys=False)
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_span_multi_inside_contain(spark, corpus_pdf, index_dir):
+    from lucene_spark.plans.query import PrefixQ, SpanMultiQ
+
+    s = Searcher(spark, index_dir)
+    node = SpanContainingQ(
+        SpanNearQ(("open", "close"), slop=6), SpanMultiQ(PrefixQ("m"))
+    )
+    want_node = SpanContainingQ(SpanNearQ(("open", "close"), slop=6), "mid")
+    a = s.search(node, k=50, with_keys=False)
+    b = s.search(want_node, k=50, with_keys=False)
+    assert a.values.tolist() == b.values.tolist() and len(a)
+
+
+def test_span_multi_top_terms(spark, index_dir):
+    from lucene_spark.plans.query import PrefixQ, SpanMultiQ
+
+    s = Searcher(spark, index_dir)
+    # alpha, (no 'ab'..), vs top_terms=1 keeps the term-order head
+    full = s.rewrite(SpanMultiQ(PrefixQ("")))
+    top1 = s.rewrite(SpanMultiQ(PrefixQ(""), top_terms=1))
+    from lucene_spark.plans.query import SpanOrQ as _SO, TermQ as _TQ
+    assert isinstance(full, _SO) and len(full.terms) >= 5
+    assert isinstance(top1, _TQ) and top1.term == min(full.terms)
+
+
+def test_span_multi_empty_expansion(spark, index_dir):
+    from lucene_spark.plans.query import PrefixQ, SpanMultiQ
+
+    s = Searcher(spark, index_dir)
+    assert len(s.search(SpanMultiQ(PrefixQ("zzz")), k=5, with_keys=False)) == 0
