@@ -422,6 +422,84 @@ def main() -> None:
     fuzzy_lookup(spark, sugg, "mierge fast", n=10).collect()
     times["q_suggest_fuzzy"] = round(time.time() - t0, 3)
 
+    # round-5 final pass: HTMLStripCharFilter measured, not just gated —
+    # (a) extraction throughput over rich Common-Crawl-style pages (the
+    # html->text stage of the crawl pipeline; pages mix the Arrow RE2
+    # fast tier with scanner-tier entity/script pages), (b) indexing
+    # straight off the raw html column (char_filter="html") vs the
+    # pre-extracted text column — the charfilter's inline cost.
+    from lucene_spark.sources.webtext import pages_df
+
+    n_rich = int(os.environ.get("SPARK_GRAFT_RICH_DOCS", "20000"))
+    rich = pages_df(spark, n_rich, seed=7, n_partitions=2 * CPUS, rich=True)
+    rich_path = "/tmp/lucene_bench_rich_pages"
+    if not os.path.exists(os.path.join(rich_path, "_SUCCESS")):
+        rich.write.mode("overwrite").parquet(rich_path)
+    rich_pages = spark.read.parquet(rich_path)
+    html_bytes = rich_pages.agg(
+        F.sum(F.length(F.col("html"))).alias("b")
+    ).collect()[0]["b"]
+
+    def _strip_kernel(batches):
+        import pandas as pd
+
+        from lucene_spark.functions.html import html_strip_batch
+
+        for pdf in batches:
+            out = html_strip_batch(
+                pdf["html"].map(lambda b: b.decode("utf-8"))
+            )
+            yield pd.DataFrame({"n": [int(len(out))]})
+
+    t0 = time.time()
+    rich_pages.select("html").mapInPandas(
+        _strip_kernel, schema="n long"
+    ).agg(F.sum("n")).collect()
+    times["html_strip"] = round(time.time() - t0, 3)
+    times["html_strip_mb_per_s"] = round(
+        html_bytes / 1e6 / max(times["html_strip"], 1e-9), 1
+    )
+    # the same kernel on clean-profile markup (no entities/script): every
+    # page takes the three-RE2-replace Arrow tier — the common-crawl
+    # corpus mix lands between these two rates
+    clean_html = docs.select(
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.regexp_replace("text", " ", "</p><p>"),
+            F.lit("</p></body></html>"),
+        ).alias("h")
+    )
+    clean_bytes = clean_html.agg(
+        F.sum(F.length("h")).alias("b")
+    ).collect()[0]["b"]
+
+    def _strip_clean(batches):
+        import pandas as pd
+
+        from lucene_spark.functions.html import html_strip_batch
+
+        for pdf in batches:
+            yield pd.DataFrame({"n": [int(len(html_strip_batch(pdf["h"])))]})
+
+    t0 = time.time()
+    clean_html.mapInPandas(_strip_clean, schema="n long").agg(
+        F.sum("n")
+    ).collect()
+    times["html_strip_fast_tier"] = round(time.time() - t0, 3)
+    times["html_strip_fast_mb_per_s"] = round(
+        clean_bytes / 1e6 / max(times["html_strip_fast_tier"], 1e-9), 1
+    )
+    htmlidx = "/tmp/lucene_bench_idx_html"
+    shutil.rmtree(htmlidx, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        spark,
+        rich_pages.withColumn("html_str", F.decode(F.col("html"), "UTF-8")),
+        htmlidx, key_col="url", text_col="html_str",
+        n_segments=max(4, min(64, n_rich // 500)), char_filter="html",
+    )
+    times["index_from_html"] = round(time.time() - t0, 3)
+
     # spatial — LatLonPoint box over the z-ordered point table
     from lucene_spark.operators.spatial import (
         build_points, geo_box, read_points,
