@@ -704,6 +704,28 @@ def _q_lm_dirichlet_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_dfr_config(bm, ae, nz):
+    def q(spark, sf_dir):
+        """DFRSimilarity matrix combination (BasicModel x AfterEffect x
+        Normalization per core/search/similarities/*.java) through the
+        pluggable protocol, impact-pruning bounds included."""
+        from lucene_spark.functions.similarity import DFRSim
+        from lucene_spark.operators.search import Searcher
+
+        s = Searcher(
+            spark, _index_for(spark, sf_dir),
+            similarity=DFRSim(basic_model=bm, after_effect=ae,
+                              normalization=nz),
+        )
+        pdf = s.search(T_HOT, k=10, with_keys=False)
+        out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["score"] = out["score"].astype("float64")
+        return spark.createDataFrame(out, schema="doc_id long, score double")
+
+    return q
+
+
 def _q_dfr_topk(spark, sf_dir):
     """DFRSimilarity(BasicModelG, AfterEffectL, NormalizationH2) —
     divergence-from-randomness scoring through the pluggable Similarity
@@ -2904,6 +2926,7 @@ _NEVER_DRIVER_SAMPLED = [
     "synonym_index_topk", "synonym_phrase_match",
     "synonym_multiword_postings", "edge_ngrams",
     "shape_mq_intersects", "shape_mq_within", "shape_mq_disjoint",
+    "dfr_ine_b_h1_topk", "dfr_if_l_z_topk",
     "span_pos_range_topk", "span_containing_topk", "span_within_topk",
     "shape_box_contains", "shape_polygon_contains",
     "shape_holes_box_intersects", "shape_holes_box_within",
@@ -3034,6 +3057,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_sim_topk": _q_classic_sim_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         "dfr_topk": _q_dfr_topk,
+        "dfr_ine_b_h1_topk": _q_dfr_config("Ine", "B", "H1"),
+        "dfr_if_l_z_topk": _q_dfr_config("IF", "L", "Z"),
         "ib_topk": _q_ib_topk,
         "dfi_topk": _q_dfi_topk,
         "axiomatic_topk": _q_axiomatic_topk,
@@ -3264,6 +3289,10 @@ def oracle_sql() -> dict[str, str]:
         "classic_sim_topk": osql.classic_sim_topk_sql(T_HOT),
         "lm_dirichlet_topk": osql.lm_dirichlet_topk_sql(T_HOT),
         "dfr_topk": osql.dfr_topk_sql(T_HOT),
+        "dfr_ine_b_h1_topk": osql.dfr_config_topk_sql(
+            T_HOT, "Ine", "B", "H1"),
+        "dfr_if_l_z_topk": osql.dfr_config_topk_sql(
+            T_HOT, "IF", "L", "Z"),
         "ib_topk": osql.ib_topk_sql(T_HOT),
         "dfi_topk": osql.dfi_topk_sql(T_HOT),
         "axiomatic_topk": osql.axiomatic_topk_sql(T_HOT),

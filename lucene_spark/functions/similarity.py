@@ -255,70 +255,138 @@ class LMDirichletSim:
 
 @dataclass(frozen=True)
 class DFRSim:
-    """DFRSimilarity(BasicModelG, AfterEffectL, NormalizationH2(c)) — the
-    divergence-from-randomness framework's javadoc-recommended combination
-    (core/search/similarities/DFRSimilarity.java:60-75 usage note;
-    BasicModelG.java:36-51, AfterEffectL.java [scoreTimes1pTfn == 1],
-    NormalizationH2.java:39-42).
+    """DFRSimilarity — the full divergence-from-randomness matrix
+    (core/search/similarities/DFRSimilarity.java): BasicModel {G, IF,
+    In, Ine} x AfterEffect {L, B} x Normalization {H1, H2, H3, Z}.
+    Defaults to the javadoc-recommended (G, L, H2(c)) combination.
 
-    Exact JVM op points (all DOUBLE, one float cast at the end —
-    SimilarityBase.BasicSimScorer.score):
-      avgfl = sumTotalTermFreq / (double) docCount   (fillBasicStats)
-      tfn   = freq * log2(1 + c * avgfl / docLen)    (H2; docLen = the
-              SmallFloat-decoded length; log2 = ln(x)/ln(2), the
-              SimilarityBase.log2 formulation, not a fused log2)
-      F = ttf + 1;  N = docCount;  lambda = F / (N + F)
-      A = log2(lambda + 1);  B = log2((1 + lambda) / lambda)
-      score = f32( boost * (B - (B - A) / (1 + tfn)) )
-              [G's score rewritten so it is non-decreasing in tfn, times
-               L's aeTimes1pTfn == 1]
+    Exact JVM op points (all DOUBLE unless noted, one float cast at the
+    end — SimilarityBase.BasicSimScorer.score; log2 = ln(x)/ln(2)):
+      avgfl = sumTotalTermFreq / (double) docCount     (fillBasicStats)
+      tfn   = H1: tf * c * (avgfl / len)               (NormalizationH1)
+              H2: tf * log2(1 + c * avgfl / len)       (NormalizationH2)
+              H3: (tf + mu*r) / (len + mu) * mu with
+                  r = FLOAT32((ttf + 1f) / (sttf + 1f)) and mu a float —
+                  the reference mixes float here (NormalizationH3.java)
+              Z:  tf * (avgfl / len) ** z              (NormalizationZ)
+      ae    = L: 1.0;  B: (F' + 1) / n' with F' = ttf + 1, n' = df + 1
+              (aeTimes1pTfn, AfterEffectL/B.java)
+      base  = G:  (B - (B - A) / (1 + tfn)) * ae, A = log2(lambda + 1),
+                  B = log2((1 + lambda) / lambda), lambda = F / (N + F),
+                  F = ttf + 1                       (BasicModelG.java)
+              IF: A * ae * (1 - 1 / (1 + tfn)), A = log2(1 + (N+1)/(F+0.5)),
+                  F = ttf                          (BasicModelIF.java)
+              In: same with A = log2((N+1)/(n+0.5)), n = df
+              Ine: same with A = log2((N+1)/(ne+0.5)),
+                  ne = N * (1 - ((N-1)/N)**F), F = ttf
+      score = f32( boost * base )
 
-    Protocol mapping follows the LM sims: idf = 1 (weight slot carries
-    boost), aux = (A, B, avgfl) per term, norm_table = decoded lengths.
-    Monotone in freq (up: B >= A) and docLen (down: tfn shrinks) → the
-    impact frontiers and block-max pruning stay valid. Score < boost * B
-    but B is unbounded as lambda -> 0, so weight_bounded stays False and
-    composite folds use SimilarityBase's MultiSimScorer sum.
+    Every combination is non-decreasing in tfn by construction (the
+    reference rewrites each basic model exactly so this holds — see the
+    source comments) and tfn is non-increasing in docLen for all four
+    normalizations, so the impact frontiers and block-max pruning stay
+    valid. Protocol mapping follows the LM sims: idf = 1 (weight slot
+    carries boost), aux = (A, B_or_nan, ae, avgfl, h3_r), norm_table =
+    decoded lengths.
     """
 
     weight_bounded = False
 
-    c: float = 1.0  # NormalizationH2's hyper-parameter
+    c: float = 1.0            # H1/H2 hyper-parameter
+    basic_model: str = "G"    # G | IF | In | Ine
+    after_effect: str = "L"   # L | B
+    normalization: str = "H2"  # H1 | H2 | H3 | Z
+    mu: float = 800.0         # H3 (float in the reference ctor)
+    z: float = 0.30           # Z  (float; ctor requires 0 < z < 0.5)
 
     def __post_init__(self):
-        # NormalizationH2's ctor requires c > 0
-        if not (self.c > 0 and math.isfinite(self.c)):
+        if self.basic_model not in ("G", "IF", "In", "Ine"):
+            raise ValueError(f"unknown basic model {self.basic_model!r}")
+        if self.after_effect not in ("L", "B"):
+            raise ValueError(f"unknown after effect {self.after_effect!r}")
+        if self.normalization not in ("H1", "H2", "H3", "Z"):
+            raise ValueError(f"unknown normalization {self.normalization!r}")
+        if self.normalization in ("H1", "H2") and not (
+            self.c > 0 and math.isfinite(self.c)
+        ):
             raise ValueError(f"c must be > 0, got {self.c}")
+        if self.normalization == "H3" and not self.mu > 0:
+            raise ValueError(f"illegal mu value: {self.mu}, must be > 0")
+        if self.normalization == "Z" and not (0.0 < self.z < 0.5):
+            raise ValueError(
+                f"illegal z value: {self.z}, must be in the range (0, 0.5)"
+            )
 
     def idf(self, doc_freq: int, doc_count: int) -> np.float32:
         return np.float32(1.0)
 
     def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
             sum_total_term_freq: int) -> tuple:
-        F = float(total_term_freq) + 1.0
         N = float(doc_count)
-        lam = F / (N + F)
-        A = math.log(lam + 1.0) / _LOG2
-        B = math.log((1.0 + lam) / lam) / _LOG2
+        if self.basic_model == "G":
+            F = float(total_term_freq) + 1.0
+            lam = F / (N + F)
+            A = math.log(lam + 1.0) / _LOG2
+            B = math.log((1.0 + lam) / lam) / _LOG2
+        else:
+            if self.basic_model == "IF":
+                A = math.log(
+                    1.0 + (doc_count + 1) / (total_term_freq + 0.5)
+                ) / _LOG2
+            elif self.basic_model == "In":
+                A = math.log((doc_count + 1) / (doc_freq + 0.5)) / _LOG2
+            else:  # Ine
+                ne = N * (1.0 - ((N - 1.0) / N) ** float(total_term_freq))
+                A = math.log((doc_count + 1) / (ne + 0.5)) / _LOG2
+            B = float("nan")
+        if self.after_effect == "L":
+            ae = 1.0
+        else:  # B: (F + 1.0) / n with F = ttf + 1, n = df + 1
+            ae = (float(total_term_freq + 1) + 1.0) / float(doc_freq + 1)
         avgfl = float(sum_total_term_freq) / float(doc_count)
-        return (A, B, avgfl)
+        # NormalizationH3 mixes float32: (ttf + 1F) / (sttf + 1F)
+        h3_r = float(np.float32(
+            np.float32(np.float32(total_term_freq) + np.float32(1.0))
+            / np.float32(np.float32(sum_total_term_freq) + np.float32(1.0))
+        ))
+        return (A, B, ae, avgfl, h3_r)
 
     def norm_table(self, avg_dl: np.float32) -> np.ndarray:
         return LENGTH_TABLE.astype(np.float32)
 
+    def _tfn(self, freqs: np.ndarray, norm_vals: np.ndarray,
+             avgfl: float, h3_r: float) -> np.ndarray:
+        tf = freqs.astype(np.float64)
+        ln = norm_vals.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            if self.normalization == "H1":
+                # tf * c * (avgfl / len); c is a float in the reference
+                return tf * np.float64(np.float32(self.c)) * (avgfl / ln)
+            if self.normalization == "H2":
+                return tf * (
+                    np.log(1.0 + float(np.float32(self.c)) * avgfl / ln)
+                    / _LOG2
+                )
+            if self.normalization == "H3":
+                mur = np.float64(
+                    np.float32(np.float32(self.mu) * np.float32(h3_r))
+                )
+                mu = np.float64(np.float32(self.mu))
+                return (tf + mur) / (ln + mu) * mu
+            # Z: tf * (avgfl / len) ** z, z a float
+            return tf * np.power(avgfl / ln, np.float64(np.float32(self.z)))
+
     def score(self, freqs: np.ndarray, weight: np.float32,
               norm_vals: np.ndarray, aux=None) -> np.ndarray:
         if aux is None:
-            raise ValueError("DFRSim.score needs the (A, B, avgfl) aux")
-        A, B, avgfl = aux
-        with np.errstate(divide="ignore"):
-            # length 0 -> c*avgfl/len = inf -> tfn = inf -> score -> w*B,
-            # exactly the Java double arithmetic's limit
-            tfn = freqs.astype(np.float64) * (
-                np.log(1.0 + float(self.c) * avgfl
-                       / norm_vals.astype(np.float64)) / _LOG2
-            )
-        s = np.float64(weight) * (B - (B - A) / (1.0 + tfn))
+            raise ValueError("DFRSim.score needs the (A, B, ae, ...) aux")
+        A, B, ae, avgfl, h3_r = aux
+        tfn = self._tfn(freqs, norm_vals, avgfl, h3_r)
+        if self.basic_model == "G":
+            base = (B - (B - A) / (1.0 + tfn)) * ae
+        else:
+            base = A * ae * (1.0 - 1.0 / (1.0 + tfn))
+        s = np.float64(weight) * base
         return s.astype(np.float32)
 
 

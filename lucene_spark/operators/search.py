@@ -4264,29 +4264,59 @@ class Searcher:
                 ("score", 1.0),
             ]
         elif isinstance(self.sim, DFRSim):
-            # DFRSimilarity.explain: normalization (H2 tfn with its
-            # leaves), BasicModelG (raw A + B*tfn — the explain divides
-            # the after-effect back out), AfterEffectL
-            aux = self.sim.aux(df, n_docs, ttf, sttf)
-            A, B, avgfl = aux
-            c = float(self.sim.c)
-            tfn = float(freq) * (
-                np.log(1.0 + c * avgfl / np.float64(dl)) / np.log(2.0)
-            )
-            lamG = (ttf + 1.0) / (n_docs + ttf + 1.0)
-            sc = np.float64(1.0) * (B - (B - A) / (1.0 + tfn))
-            rows = [
-                ("tfn, normalized term frequency", float(f32(tfn))),
-                ("c, hyper-parameter", c),
+            # DFRSimilarity.explain across the matrix: normalization tfn
+            # with its hyper-parameter leaves, the basic model's RAW value
+            # (each reference BasicModel.explain divides the after-effect
+            # back out: score * (1 + tfn) / aeTimes1pTfn), the after
+            # effect as ae / (1 + tfn)
+            sim = self.sim
+            aux = sim.aux(df, n_docs, ttf, sttf)
+            A, B, ae, avgfl, h3_r = aux
+            tfn = float(sim._tfn(
+                np.array([freq], dtype=np.int64),
+                np.array([dl], dtype=np.float64), avgfl, h3_r,
+            )[0])
+            if sim.basic_model == "G":
+                base = (B - (B - A) / (1.0 + tfn)) * ae
+                raw = A + B * tfn
+                lamG = (ttf + 1.0) / (n_docs + ttf + 1.0)
+                model_rows = [
+                    ("lambda, computed as F / (N + F)", float(f32(lamG))),
+                    ("basic model G, computed as log2(lambda + 1) + tfn * "
+                     "log2((1 + lambda) / lambda)", float(f32(raw))),
+                ]
+            else:
+                base = A * ae * (1.0 - 1.0 / (1.0 + tfn))
+                raw = A * tfn
+                label = {
+                    "IF": ("basic model IF, computed as tfn * "
+                           "log2(1 + (N + 1) / (F + 0.5))"),
+                    "In": ("basic model I(n), computed as tfn * "
+                           "log2((N + 1) / (n + 0.5))"),
+                    "Ine": ("basic model I(ne), computed as tfn * "
+                            "log2((N + 1) / (ne + 0.5))"),
+                }[sim.basic_model]
+                model_rows = [(label, float(f32(raw)))]
+            norm_rows = [("tfn, normalized term frequency", float(f32(tfn)))]
+            if sim.normalization in ("H1", "H2"):
+                norm_rows.append(("c, hyper-parameter", float(sim.c)))
+            elif sim.normalization == "H3":
+                norm_rows.append(("mu, smoothing parameter", float(sim.mu)))
+            else:
+                norm_rows.append(("z, relative document length", float(sim.z)))
+            norm_rows += [
                 ("avgfl, average field length", float(avgfl)),
                 ("fl, field length", float(dl)),
-                ("lambda, computed as F / (N + F)", float(f32(lamG))),
-                ("basic model G, computed as log2(lambda + 1) + tfn * "
-                 "log2((1 + lambda) / lambda)", float(f32(A + B * tfn))),
-                ("after effect L, computed as 1 / (tfn + 1)",
-                 float(f32(1.0 / (1.0 + tfn)))),
-                ("score", float(f32(sc))),
             ]
+            ae_row = (
+                ("after effect L, computed as 1 / (tfn + 1)",
+                 float(f32(1.0 / (1.0 + tfn))))
+                if sim.after_effect == "L"
+                else ("after effect B, computed as (F + 1) / (n * (tfn + 1))",
+                      float(f32(ae / (1.0 + tfn))))
+            )
+            sc = np.float64(1.0) * base
+            rows = norm_rows + model_rows + [ae_row, ("score", float(f32(sc)))]
         elif isinstance(self.sim, DFISim):
             # DFISimilarity.explain: expected with F/dl/T leaves, measure
             # (independence.score(freq, expected)), boost, root = score

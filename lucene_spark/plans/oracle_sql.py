@@ -2518,6 +2518,64 @@ WHERE tf.term = '{term}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def dfr_config_topk_sql(term: str, basic_model: str, after_effect: str,
+                        normalization: str, c: float = 1.0,
+                        z: float = 0.30, k: int = 10) -> str:
+    """DFRSimilarity for any (BasicModel, AfterEffect, Normalization)
+    combination with H1/H2/Z normalizations (H3 mixes float32 division
+    the SQL twin cannot double-round-safely reproduce — pytest covers it)
+    — op points per functions/similarity.DFRSim."""
+    import numpy as np
+
+    ttf = f"(SELECT sum(freq) FROM tf WHERE term = '{term}')"
+    dfq = f"(SELECT count(*) FROM tf WHERE term = '{term}')"
+    n = "(SELECT doc_count FROM cstats)"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    avgfl = f"(CAST({sttf} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    dl = "CAST(norm_tab.dec AS DOUBLE)"
+    tf = "CAST(tf.freq AS DOUBLE)"
+    c32 = float(np.float32(c))
+    z32 = float(np.float32(z))
+    if normalization == "H1":
+        tfn = f"({tf} * {c32!r} * ({avgfl} / {dl}))"
+    elif normalization == "H2":
+        tfn = f"({tf} * (ln(1.0 + {c32!r} * {avgfl} / {dl}) / ln(2.0)))"
+    elif normalization == "Z":
+        tfn = f"({tf} * POWER({avgfl} / {dl}, {z32!r}))"
+    else:
+        raise ValueError(f"no SQL twin for normalization {normalization!r}")
+    ae = (
+        "1.0" if after_effect == "L"
+        else f"((CAST({ttf} + 1 AS DOUBLE) + 1.0) / CAST({dfq} + 1 AS DOUBLE))"
+    )
+    if basic_model == "G":
+        lam = f"(({ttf} + 1.0) / (CAST({n} AS DOUBLE) + {ttf} + 1.0))"
+        a = f"(ln({lam} + 1.0) / ln(2.0))"
+        b = f"(ln((1.0 + {lam}) / {lam}) / ln(2.0))"
+        base = f"(({b} - ({b} - {a}) / (1.0 + {tfn})) * {ae})"
+    else:
+        if basic_model == "IF":
+            a = (f"(ln(1.0 + ({n} + 1) / ({ttf} + 0.5)) / ln(2.0))")
+        elif basic_model == "In":
+            a = f"(ln(({n} + 1) / ({dfq} + 0.5)) / ln(2.0))"
+        elif basic_model == "Ine":
+            ne = (f"(CAST({n} AS DOUBLE) * (1.0 - POWER("
+                  f"(CAST({n} AS DOUBLE) - 1.0) / CAST({n} AS DOUBLE), "
+                  f"CAST({ttf} AS DOUBLE))))")
+            a = f"(ln(({n} + 1) / ({ne} + 0.5)) / ln(2.0))"
+        else:
+            raise ValueError(f"unknown basic model {basic_model!r}")
+        base = f"({a} * {ae} * (1.0 - 1.0 / (1.0 + {tfn})))"
+    score = f"CAST({base} AS FLOAT)"
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM tf
+JOIN dn ON dn.doc_id = tf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+WHERE tf.term = '{term}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
 def function_score_topk_sql(term: str, value: str = "log1p_len",
                             k: int = 10) -> str:
     """FunctionScoreQuery.boostByValue oracle: the child's float32 BM25

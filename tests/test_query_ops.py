@@ -959,7 +959,10 @@ def test_dfr_similarity(spark):
     order = sorted(zip(post["gid"], sc), key=lambda r: (-r[1], r[0]))[:10]
     assert list(zip(got["gid"], got["score"])) == order
     # matches the sim's own aux (bit-identical constants)
-    assert sim.aux(len(post), max(dc, 1), ttf, sttf) == (A, B, avgfl)
+    # aux now carries the full matrix context (A, B, ae, avgfl, h3_r);
+    # the default (G, L, H2) components must stay bit-identical
+    got_aux = sim.aux(len(post), max(dc, 1), ttf, sttf)
+    assert got_aux[:2] == (A, B) and got_aux[2] == 1.0 and got_aux[3] == avgfl
     # pruning under the swapped similarity never changes results
     node = BoolQ(should=(TermQ("merge"), TermQ("scan")))
     pruned = s.search(node, k=10, with_keys=False)
@@ -1290,3 +1293,46 @@ def test_range_facet_semantics(searcher):
 def test_range_facet_validates(searcher):
     with pytest.raises(ValueError, match="non-empty"):
         searcher.range_facet_counts(TermQ("merge"), [])
+
+
+def test_dfr_matrix(spark):
+    """The full DFR matrix (BasicModel x AfterEffect x Normalization):
+    every combination scores, pruned == exhaustive (the swapped bounds
+    stay exact under each model's monotone rewrite), and the ctor
+    validations mirror the reference's."""
+    import pytest as _pt
+
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import DFRSim
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    for bm in ("G", "IF", "In", "Ine"):
+        for ae in ("L", "B"):
+            for nz in ("H1", "H3", "Z"):
+                s = Searcher(
+                    spark, idx,
+                    similarity=DFRSim(basic_model=bm, after_effect=ae,
+                                      normalization=nz),
+                )
+                a = s.search("merge OR window", k=10, with_keys=False)
+                b = s.search("merge OR window", k=10, with_keys=False,
+                             prune=False)
+                assert a.values.tolist() == b.values.tolist(), (bm, ae, nz)
+                assert len(a) == 10
+    # explain renders for a non-default combination with exact leaf values
+    s = Searcher(spark, idx, similarity=DFRSim(
+        basic_model="Ine", after_effect="B", normalization="H1"))
+    exp = s.explain("merge", int(s.search("merge", k=1,
+                                          with_keys=False)["gid"][0]))
+    txt = str(exp)
+    assert "I(ne)" in txt or "basic model" in txt.lower()
+    # ctor validation mirrors the reference
+    with _pt.raises(ValueError, match="basic model"):
+        DFRSim(basic_model="X")
+    with _pt.raises(ValueError, match="after effect"):
+        DFRSim(after_effect="Q")
+    with _pt.raises(ValueError, match="z value"):
+        DFRSim(normalization="Z", z=0.7)
+    with _pt.raises(ValueError, match="mu"):
+        DFRSim(normalization="H3", mu=0.0)
