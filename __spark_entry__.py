@@ -704,6 +704,28 @@ def _q_lm_dirichlet_topk(spark, sf_dir):
     return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
+def _q_ib_config(dist, lo, nz):
+    def q(spark, sf_dir):
+        """IBSimilarity matrix combination (Distribution x Lambda x
+        Normalization per core/search/similarities/*.java) through the
+        pluggable protocol, impact-pruning bounds included."""
+        from lucene_spark.functions.similarity import IBSim
+        from lucene_spark.operators.search import Searcher
+
+        s = Searcher(
+            spark, _index_for(spark, sf_dir),
+            similarity=IBSim(distribution=dist, lambda_of=lo,
+                             normalization=nz),
+        )
+        pdf = s.search(T_HOT, k=10, with_keys=False)
+        out = pdf[["gid", "score"]].rename(columns={"gid": "doc_id"})
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["score"] = out["score"].astype("float64")
+        return spark.createDataFrame(out, schema="doc_id long, score double")
+
+    return q
+
+
 def _q_dfr_config(bm, ae, nz):
     def q(spark, sf_dir):
         """DFRSimilarity matrix combination (BasicModel x AfterEffect x
@@ -2926,7 +2948,7 @@ _NEVER_DRIVER_SAMPLED = [
     "synonym_index_topk", "synonym_phrase_match",
     "synonym_multiword_postings", "edge_ngrams",
     "shape_mq_intersects", "shape_mq_within", "shape_mq_disjoint",
-    "dfr_ine_b_h1_topk", "dfr_if_l_z_topk",
+    "dfr_ine_b_h1_topk", "dfr_if_l_z_topk", "ib_spl_ttf_h1_topk",
     "span_pos_range_topk", "span_containing_topk", "span_within_topk",
     "shape_box_contains", "shape_polygon_contains",
     "shape_holes_box_intersects", "shape_holes_box_within",
@@ -3059,6 +3081,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_topk": _q_dfr_topk,
         "dfr_ine_b_h1_topk": _q_dfr_config("Ine", "B", "H1"),
         "dfr_if_l_z_topk": _q_dfr_config("IF", "L", "Z"),
+        "ib_spl_ttf_h1_topk": _q_ib_config("SPL", "TTF", "H1"),
         "ib_topk": _q_ib_topk,
         "dfi_topk": _q_dfi_topk,
         "axiomatic_topk": _q_axiomatic_topk,
@@ -3293,6 +3316,8 @@ def oracle_sql() -> dict[str, str]:
             T_HOT, "Ine", "B", "H1"),
         "dfr_if_l_z_topk": osql.dfr_config_topk_sql(
             T_HOT, "IF", "L", "Z"),
+        "ib_spl_ttf_h1_topk": osql.ib_config_topk_sql(
+            T_HOT, "SPL", "TTF", "H1"),
         "ib_topk": osql.ib_topk_sql(T_HOT),
         "dfi_topk": osql.dfi_topk_sql(T_HOT),
         "axiomatic_topk": osql.axiomatic_topk_sql(T_HOT),

@@ -253,6 +253,27 @@ class LMDirichletSim:
         return np.maximum(s, 0.0).astype(np.float32)
 
 
+def _norm_tfn(normalization: str, c: float, mu: float, z: float,
+              freqs: np.ndarray, norm_vals: np.ndarray,
+              avgfl: float, h3_r: float) -> np.ndarray:
+    """Shared DFR/IB normalized term frequency (NormalizationH1/H2/H3/Z
+    op points — see DFRSim's docstring for the exact arithmetic)."""
+    tf = freqs.astype(np.float64)
+    ln = norm_vals.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        if normalization == "H1":
+            return tf * np.float64(np.float32(c)) * (avgfl / ln)
+        if normalization == "H2":
+            return tf * (
+                np.log(1.0 + float(np.float32(c)) * avgfl / ln) / _LOG2
+            )
+        if normalization == "H3":
+            mur = np.float64(np.float32(np.float32(mu) * np.float32(h3_r)))
+            mu64 = np.float64(np.float32(mu))
+            return (tf + mur) / (ln + mu64) * mu64
+        return tf * np.power(avgfl / ln, np.float64(np.float32(z)))
+
+
 @dataclass(frozen=True)
 class DFRSim:
     """DFRSimilarity — the full divergence-from-randomness matrix
@@ -356,25 +377,8 @@ class DFRSim:
 
     def _tfn(self, freqs: np.ndarray, norm_vals: np.ndarray,
              avgfl: float, h3_r: float) -> np.ndarray:
-        tf = freqs.astype(np.float64)
-        ln = norm_vals.astype(np.float64)
-        with np.errstate(divide="ignore"):
-            if self.normalization == "H1":
-                # tf * c * (avgfl / len); c is a float in the reference
-                return tf * np.float64(np.float32(self.c)) * (avgfl / ln)
-            if self.normalization == "H2":
-                return tf * (
-                    np.log(1.0 + float(np.float32(self.c)) * avgfl / ln)
-                    / _LOG2
-                )
-            if self.normalization == "H3":
-                mur = np.float64(
-                    np.float32(np.float32(self.mu) * np.float32(h3_r))
-                )
-                mu = np.float64(np.float32(self.mu))
-                return (tf + mur) / (ln + mu) * mu
-            # Z: tf * (avgfl / len) ** z, z a float
-            return tf * np.power(avgfl / ln, np.float64(np.float32(self.z)))
+        return _norm_tfn(self.normalization, self.c, self.mu, self.z,
+                         freqs, norm_vals, avgfl, h3_r)
 
     def score(self, freqs: np.ndarray, weight: np.float32,
               norm_vals: np.ndarray, aux=None) -> np.ndarray:
@@ -623,42 +627,75 @@ class AxiomaticF3LOGSim(AxiomaticF3EXPSim):
 
 @dataclass(frozen=True)
 class IBSim:
-    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c)) — the
-    information-based framework, log-logistic distribution
-    (core/search/similarities/IBSimilarity.java:60-75,
-    DistributionLL.java:30-33, LambdaDF.java:32-39,
-    NormalizationH2.java:39-42).
+    """IBSimilarity — the information-based framework matrix
+    (core/search/similarities/IBSimilarity.java): Distribution {LL, SPL}
+    x Lambda {DF, TTF} x Normalization {H1, H2, H3, Z}.  Defaults to the
+    (DistributionLL, LambdaDF, NormalizationH2(c)) combination.
 
     Exact JVM op points:
-      lambda = f32((docFreq + 1.0) / (N + 1.0)); Math.nextDown if == 1
-               (LambdaDF returns FLOAT — the one f32 rounding point)
-      tfn    = freq * log2(1 + c * avgfl / docLen)   (H2, all double,
-               log2 = ln(x)/ln(2) per SimilarityBase.log2)
-      score  = f32( boost * -ln(lambda / (tfn + lambda)) )  [double]
+      lambda = f32((docFreq + 1.0) / (N + 1.0))        (LambdaDF; FLOAT —
+               the one f32 rounding point; nextDown if == 1)
+               f32((ttf + 1.0) / (N + 1.0))            (LambdaTTF; nextUp
+               if == 1)
+      tfn    = the shared NormalizationH1/H2/H3/Z op points (_norm_tfn)
+      LL:    score = f32( boost * -ln(lambda / (tfn + lambda)) )
+      SPL:   q = 1 - 1/(tfn + 1) (nextDown(1.0) if == 1);
+             pow = lambda ** q (nextUp/nextDown(lambda) if == lambda);
+             score = f32( boost * -log2((pow - lambda) / (1 - lambda)) )
+             (DistributionSPL.java:30-55, including both rounding guards)
 
     Protocol mapping matches :class:`DFRSim`: idf = 1, aux =
-    (lambda_f32, avgfl), norm_table = decoded lengths. Monotone in freq
-    (up) and docLen (down); unbounded in freq → weight_bounded False.
+    (lambda_f32, avgfl, h3_r), norm_table = decoded lengths. Monotone in
+    freq (up) and docLen (down); unbounded in freq -> weight_bounded
+    False.
     """
 
     weight_bounded = False
 
-    c: float = 1.0  # NormalizationH2's hyper-parameter
+    c: float = 1.0             # H1/H2 hyper-parameter
+    distribution: str = "LL"   # LL | SPL
+    lambda_of: str = "DF"      # DF | TTF
+    normalization: str = "H2"  # H1 | H2 | H3 | Z
+    mu: float = 800.0          # H3
+    z: float = 0.30            # Z
 
     def __post_init__(self):
-        if not (self.c > 0 and math.isfinite(self.c)):
+        if self.distribution not in ("LL", "SPL"):
+            raise ValueError(f"unknown distribution {self.distribution!r}")
+        if self.lambda_of not in ("DF", "TTF"):
+            raise ValueError(f"unknown lambda {self.lambda_of!r}")
+        if self.normalization not in ("H1", "H2", "H3", "Z"):
+            raise ValueError(f"unknown normalization {self.normalization!r}")
+        if self.normalization in ("H1", "H2") and not (
+            self.c > 0 and math.isfinite(self.c)
+        ):
             raise ValueError(f"c must be > 0, got {self.c}")
+        if self.normalization == "H3" and not self.mu > 0:
+            raise ValueError(f"illegal mu value: {self.mu}, must be > 0")
+        if self.normalization == "Z" and not (0.0 < self.z < 0.5):
+            raise ValueError(
+                f"illegal z value: {self.z}, must be in the range (0, 0.5)"
+            )
 
     def idf(self, doc_freq: int, doc_count: int) -> np.float32:
         return np.float32(1.0)
 
     def aux(self, doc_freq: int, doc_count: int, total_term_freq: int,
             sum_total_term_freq: int) -> tuple:
-        lam = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
-        if lam == np.float32(1.0):
-            lam = np.nextafter(np.float32(1.0), np.float32(0.0))
+        if self.lambda_of == "DF":
+            lam = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
+            if lam == np.float32(1.0):
+                lam = np.nextafter(np.float32(1.0), np.float32(0.0))
+        else:  # TTF
+            lam = np.float32((total_term_freq + 1.0) / (doc_count + 1.0))
+            if lam == np.float32(1.0):
+                lam = np.nextafter(np.float32(1.0), np.float32(2.0))
         avgfl = float(sum_total_term_freq) / float(doc_count)
-        return (float(lam), avgfl)
+        h3_r = float(np.float32(
+            np.float32(np.float32(total_term_freq) + np.float32(1.0))
+            / np.float32(np.float32(sum_total_term_freq) + np.float32(1.0))
+        ))
+        return (float(lam), avgfl, h3_r)
 
     def norm_table(self, avg_dl: np.float32) -> np.ndarray:
         return LENGTH_TABLE.astype(np.float32)
@@ -666,12 +703,23 @@ class IBSim:
     def score(self, freqs: np.ndarray, weight: np.float32,
               norm_vals: np.ndarray, aux=None) -> np.ndarray:
         if aux is None:
-            raise ValueError("IBSim.score needs the (lambda, avgfl) aux")
-        lam, avgfl = aux
-        with np.errstate(divide="ignore"):
-            tfn = freqs.astype(np.float64) * (
-                np.log(1.0 + float(self.c) * avgfl
-                       / norm_vals.astype(np.float64)) / _LOG2
-            )
-        s = np.float64(weight) * -np.log(lam / (tfn + lam))
+            raise ValueError("IBSim.score needs the (lambda, avgfl, r) aux")
+        lam, avgfl, h3_r = aux
+        tfn = _norm_tfn(self.normalization, self.c, self.mu, self.z,
+                        freqs, norm_vals, avgfl, h3_r)
+        if self.distribution == "LL":
+            base = -np.log(lam / (tfn + lam))
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = 1.0 - 1.0 / (tfn + 1.0)
+                q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+                powv = np.power(lam, q)
+                if lam < 1.0:
+                    powv = np.where(powv == lam,
+                                    np.nextafter(lam, np.inf), powv)
+                else:
+                    powv = np.where(powv == lam,
+                                    np.nextafter(lam, -np.inf), powv)
+                base = -(np.log((powv - lam) / (1.0 - lam)) / _LOG2)
+        s = np.float64(weight) * base
         return s.astype(np.float32)

@@ -4434,24 +4434,47 @@ class Searcher:
                 ("score", float(f32(sc))),
             ]
         elif isinstance(self.sim, IBSim):
-            # IBSimilarity.explain: normalization (H2), LambdaDF with its
-            # n/N leaves, DistributionLL
-            aux = self.sim.aux(df, n_docs, ttf, sttf)
-            lam, avgfl = aux
-            c = float(self.sim.c)
-            tfn = float(freq) * (
-                np.log(1.0 + c * avgfl / np.float64(dl)) / np.log(2.0)
+            # IBSimilarity.explain across the matrix: normalization tfn,
+            # the lambda with its n-or-F/N leaves, the distribution
+            sim = self.sim
+            aux = sim.aux(df, n_docs, ttf, sttf)
+            lam, avgfl, h3_r = aux
+            from ..functions.similarity import _norm_tfn
+
+            tfn = float(_norm_tfn(
+                sim.normalization, sim.c, sim.mu, sim.z,
+                np.array([freq], dtype=np.int64),
+                np.array([dl], dtype=np.float64), avgfl, h3_r,
+            )[0])
+            sc = float(sim.score(
+                np.array([freq], dtype=np.int64), np.float32(1.0),
+                np.array([dl], dtype=np.float64), aux,
+            )[0])
+            if sim.lambda_of == "DF":
+                lam_rows = [
+                    ("n, number of documents containing term", float(df)),
+                    ("N, total number of documents with field",
+                     float(n_docs)),
+                    ("lambda(w), computed as (n + 1) / (N + 1)", float(lam)),
+                ]
+            else:
+                lam_rows = [
+                    ("F, total number of occurrences of term across all "
+                     "documents", float(ttf)),
+                    ("N, total number of documents with field",
+                     float(n_docs)),
+                    ("lambda(w), computed as (F + 1) / (N + 1)", float(lam)),
+                ]
+            dist_row = (
+                ("distribution LL, computed as -log(lambda / (tfn + lambda))",
+                 float(f32(sc)))
+                if sim.distribution == "LL"
+                else ("distribution SPL, computed as -log2((lambda^(tfn / "
+                      "(tfn + 1)) - lambda) / (1 - lambda))", float(f32(sc)))
             )
-            sc = np.float64(1.0) * -np.log(lam / (tfn + lam))
             rows = [
                 ("tfn, normalized term frequency", float(f32(tfn))),
-                ("n, number of documents containing term", float(df)),
-                ("N, total number of documents with field", float(n_docs)),
-                ("lambda(w), computed as (n + 1) / (N + 1)", float(lam)),
-                ("distribution LL, computed as -log(lambda / (tfn + lambda))",
-                 float(f32(sc))),
-                ("score", float(f32(sc))),
-            ]
+            ] + lam_rows + [dist_row, ("score", float(f32(sc)))]
         else:
             raise NotImplementedError(
                 "explain() has no tree for custom similarity "

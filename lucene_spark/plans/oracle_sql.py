@@ -2576,6 +2576,53 @@ WHERE tf.term = '{term}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def ib_config_topk_sql(term: str, distribution: str, lambda_of: str,
+                       normalization: str, c: float = 1.0,
+                       z: float = 0.30, k: int = 10) -> str:
+    """IBSimilarity for any (Distribution, Lambda, Normalization with
+    H1/H2/Z) combination — op points per functions/similarity.IBSim
+    (lambda = f32 of a double division on both sides, so CAST AS FLOAT
+    is bit-faithful; the SPL rounding guards cannot fire at gate scale)."""
+    import numpy as np
+
+    ttf = f"(SELECT sum(freq) FROM tf WHERE term = '{term}')"
+    dfq = f"(SELECT count(*) FROM tf WHERE term = '{term}')"
+    n = "(SELECT doc_count FROM cstats)"
+    sttf = "(SELECT sum_ttf FROM cstats)"
+    avgfl = f"(CAST({sttf} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    dl = "CAST(norm_tab.dec AS DOUBLE)"
+    tf = "CAST(tf.freq AS DOUBLE)"
+    c32 = float(np.float32(c))
+    z32 = float(np.float32(z))
+    if normalization == "H1":
+        tfn = f"({tf} * {c32!r} * ({avgfl} / {dl}))"
+    elif normalization == "H2":
+        tfn = f"({tf} * (ln(1.0 + {c32!r} * {avgfl} / {dl}) / ln(2.0)))"
+    elif normalization == "Z":
+        tfn = f"({tf} * POWER({avgfl} / {dl}, {z32!r}))"
+    else:
+        raise ValueError(f"no SQL twin for normalization {normalization!r}")
+    num = ttf if lambda_of == "TTF" else dfq
+    lam = (f"CAST(CAST(({num} + 1.0) / (CAST({n} AS DOUBLE) + 1.0) AS FLOAT)"
+           " AS DOUBLE)")
+    if distribution == "LL":
+        base = f"(-ln({lam} / ({tfn} + {lam})))"
+    elif distribution == "SPL":
+        q = f"(1.0 - 1.0 / ({tfn} + 1.0))"
+        powv = f"POWER({lam}, {q})"
+        base = f"(-(ln(({powv} - {lam}) / (1.0 - {lam})) / ln(2.0)))"
+    else:
+        raise ValueError(f"unknown distribution {distribution!r}")
+    score = f"CAST({base} AS FLOAT)"
+    return f"""WITH {base_ctes()}
+SELECT tf.doc_id, CAST({score} AS DOUBLE) AS score
+FROM tf
+JOIN dn ON dn.doc_id = tf.doc_id
+JOIN norm_tab ON norm_tab.b = dn.norm_b
+WHERE tf.term = '{term}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
 def function_score_topk_sql(term: str, value: str = "log1p_len",
                             k: int = 10) -> str:
     """FunctionScoreQuery.boostByValue oracle: the child's float32 BM25

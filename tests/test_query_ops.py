@@ -1336,3 +1336,38 @@ def test_dfr_matrix(spark):
         DFRSim(normalization="Z", z=0.7)
     with _pt.raises(ValueError, match="mu"):
         DFRSim(normalization="H3", mu=0.0)
+
+
+def test_ib_matrix(spark):
+    """The full IB matrix (Distribution x Lambda x Normalization): every
+    combination scores with pruned == exhaustive, and ctor validation
+    mirrors the reference."""
+    import pytest as _pt
+
+    import __spark_entry__ as entry
+    from lucene_spark.functions.similarity import IBSim
+    from lucene_spark.operators.search import Searcher
+
+    idx = entry._index_for(spark, "/root/testdata/sf0.001")
+    for dist in ("LL", "SPL"):
+        for lo in ("DF", "TTF"):
+            for nz in ("H1", "H3", "Z"):
+                s = Searcher(
+                    spark, idx,
+                    similarity=IBSim(distribution=dist, lambda_of=lo,
+                                     normalization=nz),
+                )
+                a = s.search("merge OR window", k=10, with_keys=False)
+                b = s.search("merge OR window", k=10, with_keys=False,
+                             prune=False)
+                assert a.values.tolist() == b.values.tolist(), (dist, lo, nz)
+                assert len(a) == 10
+    # explain renders a non-default combination
+    s = Searcher(spark, idx, similarity=IBSim(
+        distribution="SPL", lambda_of="TTF", normalization="H1"))
+    ex = s.explain("merge").set_index("component")["value"]
+    assert any("SPL" in c for c in ex.index)
+    with _pt.raises(ValueError, match="distribution"):
+        IBSim(distribution="X")
+    with _pt.raises(ValueError, match="lambda"):
+        IBSim(lambda_of="Q")
