@@ -132,3 +132,28 @@ def test_stream_filter_append_guard(spark, corpus_pdf, edge_index):
             spark, df, edge_index, key_col="url", text_col="text",
             gid_col="gid", n_segments=2, append=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# LengthFilter (miscellaneous/LengthFilter.java)
+# ---------------------------------------------------------------------------
+
+def test_length_filter_basic():
+    from lucene_spark.functions.tokenfilters import LengthFilter
+
+    b = analyze_batch(["ab abc abcd abcde x"])
+    out = LengthFilter(3, 4).apply(b)
+    assert _stream(out) == [(0, 1, "abc"), (0, 2, "abcd")]  # holes kept
+    assert out.doc_lens.tolist() == [2]
+    # all-kept short-circuits to the same batch
+    assert LengthFilter(1, 10).apply(b) is b
+
+
+def test_length_filter_validation():
+    from lucene_spark.functions.tokenfilters import LengthFilter
+
+    with pytest.raises(ValueError, match="greater than or equal to zero"):
+        LengthFilter(-1, 3)
+    with pytest.raises(ValueError, match="not be greater"):
+        LengthFilter(5, 3)
+    assert LengthFilter(1, 2).fingerprint() != LengthFilter(1, 3).fingerprint()
