@@ -86,6 +86,7 @@ from ..plans.query import (
     SpanContainingQ,
     SpanWithinQ,
     SpanMultiQ,
+    SpanNearSpansQ,
     FunctionScoreQ,
     IntervalQ,
     IntervalExprQ,
@@ -467,6 +468,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_span_pos_range(node, postings, ctx)
     if isinstance(node, (SpanContainingQ, SpanWithinQ)):
         return _eval_span_contain(node, postings, ctx)
+    if isinstance(node, SpanNearSpansQ):
+        return _eval_span_near_spans(node, postings, ctx)
     if isinstance(node, SpanNotQ):
         return _eval_span_not(node, postings, ctx)
     if isinstance(node, SpanOrQ):
@@ -581,6 +584,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
     _PHRASE_LIKE = (PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SpanNearQ,
                     SpanFirstQ, SpanNotQ, SpanOrQ, SpanPayloadCheckQ,
                     SpanPositionRangeQ, SpanContainingQ, SpanWithinQ,
+                    SpanNearSpansQ,
                     IntervalQ, IntervalExprQ)
     if isinstance(child, _PHRASE_LIKE + (SynonymQ, BlendedQ)):
         # temporarily rebind the child's weight to the boosted one
@@ -1472,6 +1476,16 @@ def _span_side_docs(sub, postings) -> "np.ndarray | None":
                 return None
             out = tp.gids if out is None else np.intersect1d(out, tp.gids)
         return out if out is not None and len(out) else None
+    if isinstance(sub, SpanNearSpansQ):
+        out = None
+        for c in sub.clauses:
+            if isinstance(c, tuple) and c and c[0] == "gap":
+                continue  # gaps match everywhere
+            d = _span_side_docs(c, postings)
+            if d is None:
+                return None
+            out = d if out is None else np.intersect1d(out, d)
+        return out if out is not None and len(out) else None
     raise TypeError(f"unsupported span source {sub!r}")
 
 
@@ -1502,6 +1516,8 @@ def _span_side_spans(sub, postings, cands: np.ndarray):
             parts.append((ords[c] << _POS_SHIFT) + pos + _POS_PAD)
         keys = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         return keys, keys + 1, np.zeros(len(keys), np.int64)
+    if isinstance(sub, SpanNearSpansQ):
+        return _near_spans_chain(sub, postings, cands)
     # ordered SpanNearQ: the first-at-or-after chain of span_near_freqs,
     # keeping each accepted span's extent instead of folding to freq
     tps = [postings[t] for t in sub.terms]
@@ -1523,6 +1539,67 @@ def _span_side_spans(sub, postings, cands: np.ndarray):
     width = (q - keys) - (len(tps) - 1)
     good = alive & (width <= sub.slop)
     return keys[good], q[good] + 1, width[good]
+
+
+def _near_spans_chain(node: SpanNearSpansQ, postings: dict,
+                      cands: np.ndarray):
+    """NearSpansOrdered.stretchToOrder over span clauses, state-free:
+    (start_keys, end_keys, widths) of accepted matches in start order.
+    matchWidth sums the inter-clause gaps only (NearSpansOrdered.java:
+    48-77); a ("gap", n) clause contributes start = prev_end,
+    end = prev_end + n (GapSpans.skipToPosition)."""
+    first = node.clauses[0]
+    if isinstance(first, tuple) and first and first[0] == "gap":
+        raise ValueError("a gap cannot be the first clause (the reference "
+                         "Builder also rejects leading gaps)")
+    s0, e0, _w0 = _span_side_spans(first, postings, cands)
+    if not len(s0):
+        return (np.empty(0, np.int64),) * 3
+    starts = s0
+    q_end = e0.copy()
+    width = np.zeros(len(s0), dtype=np.int64)
+    alive = np.ones(len(s0), dtype=bool)
+    for c in node.clauses[1:]:
+        if isinstance(c, tuple) and c and c[0] == "gap":
+            q_end = q_end + int(c[1])
+            continue
+        cs, ce, _cw = _span_side_spans(c, postings, cands)
+        if not len(cs):
+            return (np.empty(0, np.int64),) * 3
+        j = np.searchsorted(cs, q_end)
+        ok = j < len(cs)
+        jc = np.minimum(j, len(cs) - 1)
+        same = (cs[jc] >> _POS_SHIFT) == (starts >> _POS_SHIFT)
+        alive &= ok & same
+        width = np.where(alive, width + (cs[jc] - q_end), width)
+        q_end = np.where(alive, ce[jc], q_end)
+    good = alive & (width <= node.slop)
+    return starts[good], q_end[good], width[good]
+
+
+def _eval_span_near_spans(node: SpanNearSpansQ, postings: dict,
+                          ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """General ordered SpanNearQuery over span clauses (see the plan
+    node's docstring); freq folds 1/(1+matchWidth) float32 per accepted
+    match in start order (SpanScorer.java:106)."""
+    docs = _span_side_docs(node, postings)
+    if docs is None or not len(docs):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    cands = docs
+    st, en, width = _near_spans_chain(node, postings, cands)
+    freqs = np.zeros(len(cands), dtype=np.float32)
+    if len(st):
+        w = (1.0 / (1.0 + width.astype(np.float64))).astype(np.float32)
+        np.add.at(freqs, st >> _POS_SHIFT, w)
+    norms = np.zeros(len(cands), dtype=np.uint8)
+    for t in node.terms:
+        tp = postings.get(t)
+        if tp is None or not len(tp.gids):
+            continue
+        loc = np.minimum(np.searchsorted(tp.gids, cands), len(tp.gids) - 1)
+        pres = tp.gids[loc] == cands
+        norms[pres] = tp.norms[loc[pres]]
+    return _score_positional(node, cands, freqs, norms, ctx)
 
 
 def _eval_span_contain(node, postings: dict,
@@ -1863,6 +1940,20 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         if node.terms[0] not in term_maxes:
             return float("-inf")
         return float("inf")
+    if isinstance(node, SpanNearSpansQ):
+        for sub in node.clauses:
+            if isinstance(sub, tuple) and sub and sub[0] == "gap":
+                continue
+            req = {sub} if isinstance(sub, str) else (
+                set() if isinstance(sub, SpanOrQ) else set(sub.terms)
+            )
+            if any(t not in term_maxes for t in req):
+                return float("-inf")
+            if isinstance(sub, SpanOrQ) and not any(
+                t in term_maxes for t in sub.terms
+            ):
+                return float("-inf")
+        return float("inf")
     if isinstance(node, (SpanContainingQ, SpanWithinQ)):
         # both sides must be able to match the doc
         for sub in (node.big, node.little):
@@ -2061,6 +2152,20 @@ def _req_terms(node) -> set:
                 out.add(sub)
             elif isinstance(sub, SpanNearQ):
                 out |= set(sub.terms)
+            elif len(sub.terms) == 1:
+                out |= set(sub.terms)
+        return out
+    if isinstance(node, SpanNearSpansQ):
+        out: set = set()
+        for sub in node.clauses:
+            if isinstance(sub, str):
+                out.add(sub)
+            elif isinstance(sub, tuple):
+                continue
+            elif isinstance(sub, SpanNearQ):
+                out |= set(sub.terms)
+            elif isinstance(sub, SpanNearSpansQ):
+                out |= _req_terms(sub)
             elif len(sub.terms) == 1:
                 out |= set(sub.terms)
         return out
@@ -2795,6 +2900,18 @@ class Searcher:
             if len(terms) == 1:
                 return TermQ(terms[0])
             return SpanOrQ(terms=tuple(terms))
+        if isinstance(node, SpanNearSpansQ):
+            def _rw_clause(c):
+                if isinstance(c, SpanMultiQ):
+                    return self.rewrite(c)
+                return c
+            cls = tuple(_rw_clause(c) for c in node.clauses)
+            if any(isinstance(c, BoolQ) for c in cls):
+                return BoolQ()  # an empty clause matches nothing
+            cls = tuple(c.term if isinstance(c, TermQ) else c for c in cls)
+            if cls != node.clauses:
+                return SpanNearSpansQ(clauses=cls, slop=node.slop)
+            return node
         if isinstance(node, (SpanContainingQ, SpanWithinQ)):
             big = (self.rewrite(node.big)
                    if isinstance(node.big, SpanMultiQ) else node.big)
@@ -3045,10 +3162,11 @@ class Searcher:
                     for t in n.terms if t in tstats
                 )
                 phrase_weights[n] = np.float32(s)
-            elif isinstance(n, (SpanContainingQ, SpanWithinQ)):
-                # getTermStates merges both sides' term maps (a Map keyed
-                # by Term), so duplicates between big and little count
-                # ONCE in the summed idf (SpanContainQuery.java:93-96)
+            elif isinstance(n, (SpanContainingQ, SpanWithinQ,
+                                SpanNearSpansQ)):
+                # getTermStates merges the clauses' term maps (a Map keyed
+                # by Term), so duplicate terms count ONCE in the summed
+                # idf (SpanContainQuery.java:93-96 / SpanWeight)
                 uniq = list(dict.fromkeys(n.terms))
                 if aux_of is not None:
                     phrase_weights[n] = np.float32(1.0)
@@ -5131,7 +5249,7 @@ def _has_phrase(node) -> bool:
     if isinstance(node, (PhraseQ, MultiPhraseQ, NearQ, SloppyQ,
                          SpanFirstQ, SpanNotQ, SpanNearQ,
                          SpanPayloadCheckQ, SpanPositionRangeQ,
-                         SpanContainingQ, SpanWithinQ,
+                         SpanContainingQ, SpanWithinQ, SpanNearSpansQ,
                          IntervalQ, IntervalExprQ)):
         return True
     if isinstance(node, BoolQ):

@@ -853,6 +853,40 @@ nf AS (
     return _span_score_sql([_term_idf(t) for t in uniq], cte, k)
 
 
+def span_near_or_topk_sql(or_terms: "list[str]", term2: str, slop: int,
+                          k: int = 10) -> str:
+    """General NearSpansOrdered with a SpanOr first clause
+    (SpanNearSpansQ((SpanOrQ(or_terms), term2), slop)): first-clause
+    spans = the union of the or-terms' positions; for each, the second
+    clause advances to its first position >= end (= p0 + 1); matchWidth =
+    that position − (p0 + 1); accepted matches fold 1/(1+width) float32
+    in start order. Weight = idf over the distinct union of clause terms
+    (SpanWeight's term-states map)."""
+    ors = ", ".join(f"'{t}'" for t in or_terms)
+    uniq = list(dict.fromkeys([*or_terms, term2]))
+    inner = f"""SELECT a.doc_id, a.pos AS p0, (
+      SELECT min(b.pos) FROM toks b
+      WHERE b.doc_id = a.doc_id AND b.term = '{term2}'
+        AND b.pos >= a.pos + 1
+    ) AS q1 FROM toks a WHERE a.term IN ({ors})"""
+    width = "(q1 - (p0 + 1))"
+    w32 = _f4(f"1.0 / (1.0 + CAST({width} AS DOUBLE))")
+    cte = f"""spans AS (
+  SELECT doc_id, p0, CAST({w32} AS FLOAT) AS w
+  FROM ({inner})
+  WHERE q1 IS NOT NULL AND {width} <= {int(slop)}
+),
+nf AS (
+  SELECT doc_id,
+         list_reduce(
+           list(w ORDER BY p0),
+           (a, x) -> CAST(CAST(a AS DOUBLE) + CAST(x AS DOUBLE) AS FLOAT)
+         ) AS freq
+  FROM spans GROUP BY doc_id
+)"""
+    return _span_score_sql([_term_idf(t) for t in uniq], cte, k)
+
+
 def span_not_topk_sql(include: str, exclude: str, pre: int = 0,
                       post: int = 0, k: int = 10) -> str:
     """SpanNotQuery oracle: include positions with no exclude position in

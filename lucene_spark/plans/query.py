@@ -30,6 +30,7 @@ __all__ = [
     "BlendedQ", "FunctionScoreQ", "DocValuesRangeQ",
     "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ", "SpanPayloadCheckQ",
     "SpanPositionRangeQ", "SpanContainingQ", "SpanWithinQ", "SpanMultiQ",
+    "SpanNearSpansQ",
     "IntervalQ",
     "IntervalExprQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
@@ -159,6 +160,40 @@ class SpanWithinQ:
     @property
     def terms(self) -> tuple[str, ...]:
         return _span_sub_terms(self.big) + _span_sub_terms(self.little)
+
+
+@dataclass(frozen=True)
+class SpanNearSpansQ:
+    """SpanNearQuery(inOrder=true) over arbitrary span CLAUSES — the
+    general NearSpansOrdered (queries/spans/NearSpansOrdered.java:48-77):
+    each clause is a term (str), a SpanOrQ, an ordered SpanNearQ, a
+    nested SpanNearSpansQ, or a fixed-length gap ``("gap", n)``
+    (SpanNearQuery.Builder.addGap / GapSpans.skipToPosition).
+
+    stretchToOrder semantics replayed state-free: clause i advances to
+    its first span with start >= clause i-1's END; matchWidth sums the
+    GAPS (start_i − prev_end — sub-span internal widths do NOT count);
+    the match spans [clause_0.start, clause_last.end) and folds
+    1/(1+matchWidth) into freq per accepted match. Every supported
+    clause emits monotone (start, end) sequences, which is what makes
+    the reference's forward-only cursors equal one searchsorted per
+    clause. Sim weight = idf over the DISTINCT union of clause terms
+    (SpanWeight's Map<Term, TermStates>)."""
+
+    clauses: tuple
+    slop: int = 0
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        out: list[str] = []
+        for c in self.clauses:
+            if isinstance(c, str):
+                out.append(c)
+            elif isinstance(c, tuple) and c and c[0] == "gap":
+                continue
+            else:
+                out.extend(c.terms)
+        return tuple(out)
 
 
 @dataclass(frozen=True)
@@ -1084,6 +1119,14 @@ def map_terms(node, fn):
         def _sub(s):
             return fn(s) if isinstance(s, str) else map_terms(s, fn)
         return _dc.replace(node, big=_sub(node.big), little=_sub(node.little))
+    if isinstance(node, SpanNearSpansQ):
+        def _subc(c):
+            if isinstance(c, str):
+                return fn(c)
+            if isinstance(c, tuple) and c and c[0] == "gap":
+                return c
+            return map_terms(c, fn)
+        return _dc.replace(node, clauses=tuple(_subc(c) for c in node.clauses))
     if isinstance(node, (PhraseQ, SloppyQ, NearQ, IntervalQ, SpanNearQ,
                          SpanOrQ, SynonymQ, BlendedQ, SpanPayloadCheckQ)):
         return _dc.replace(node, terms=tuple(fn(t) for t in node.terms))
@@ -1177,6 +1220,16 @@ def qualify_node(node, field: str):
             return qualify(field, s) if isinstance(s, str) \
                 else qualify_node(s, field)
         return type(node)(big=_subq(node.big), little=_subq(node.little))
+    if isinstance(node, SpanNearSpansQ):
+        def _subqc(c):
+            if isinstance(c, str):
+                return qualify(field, c)
+            if isinstance(c, tuple) and c and c[0] == "gap":
+                return c
+            return qualify_node(c, field)
+        return SpanNearSpansQ(
+            clauses=tuple(_subqc(c) for c in node.clauses), slop=node.slop
+        )
     if isinstance(node, SpanNotQ):
         return SpanNotQ(
             include=qualify(field, node.include),
@@ -1282,7 +1335,7 @@ def query_terms(node) -> set[str]:
     if isinstance(node, (PhraseQ, MultiPhraseQ, SynonymQ, NearQ, SloppyQ,
                          BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ,
                          SpanPayloadCheckQ, SpanPositionRangeQ,
-                         SpanContainingQ, SpanWithinQ,
+                         SpanContainingQ, SpanWithinQ, SpanNearSpansQ,
                          IntervalQ, IntervalExprQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):

@@ -241,3 +241,106 @@ def test_span_multi_empty_expansion(spark, index_dir):
 
     s = Searcher(spark, index_dir)
     assert len(s.search(SpanMultiQ(PrefixQ("zzz")), k=5, with_keys=False)) == 0
+
+
+# ---------------------------------------------------------------------------
+# SpanNearSpansQ — general ordered near over span clauses (+ gaps)
+# ---------------------------------------------------------------------------
+
+from lucene_spark.plans.query import SpanNearSpansQ
+
+
+def _clause_spans(c, pos_of):
+    if isinstance(c, SpanNearSpansQ):
+        return _near_spans_replay(c, pos_of)
+    return _sub_spans(c, pos_of)
+
+
+def _near_spans_replay(node, pos_of):
+    """NearSpansOrdered over clauses, stateful-cursor replay in Python.
+    Returns (start, end, width) triples so nested clauses compose."""
+    spans = []
+    firsts = _clause_spans(node.clauses[0], pos_of)
+    for (s0, e0, _w) in firsts:
+        q, width, ok = e0, 0, True
+        for c in node.clauses[1:]:
+            if isinstance(c, tuple) and c[0] == "gap":
+                q += c[1]
+                continue
+            nxt = [sp for sp in _clause_spans(c, pos_of) if sp[0] >= q]
+            if not nxt:
+                ok = False
+                break
+            width += nxt[0][0] - q
+            q = nxt[0][1]
+        if ok and width <= node.slop:
+            spans.append((s0, q, width))
+    return spans
+
+
+def _brute_near_spans(corpus_pdf, node):
+    from lucene_spark.functions.bm25 import avgdl, idf, norm_cache
+    from lucene_spark.functions.smallfloat import int_to_byte4
+
+    n_docs = len(corpus_pdf)
+    dls, dfs, tok_lists = [], {}, []
+    for text in corpus_pdf["text"]:
+        pos_of = _positions(text)
+        tok_lists.append(pos_of)
+        dls.append(sum(len(v) for v in pos_of.values()))
+        for t in pos_of:
+            dfs[t] = dfs.get(t, 0) + 1
+    cache = norm_cache(avgdl(sum(dls), n_docs))
+    uniq = list(dict.fromkeys(node.terms))
+    w = np.float32(sum(float(idf(dfs[t], n_docs)) for t in uniq if t in dfs))
+    out = {}
+    for gid, pos_of, dl in zip(corpus_pdf["gid"], tok_lists, dls):
+        spans = _near_spans_replay(node, pos_of)
+        if not spans:
+            continue
+        freq = np.float32(0.0)
+        for _, _e, width in spans:
+            freq = np.float32(freq + np.float32(1.0 / np.float64(1.0 + width)))
+        score = w - w / (np.float32(1.0) + np.float32(freq)
+                         * cache[int_to_byte4(dl)])
+        out[int(gid)] = float(np.float32(score))
+    return out
+
+
+NEAR_SPANS_CASES = [
+    SpanNearSpansQ((SpanOrQ(("alpha", "beta")), "gamma"), slop=4),
+    SpanNearSpansQ(("open", SpanOrQ(("mid", "beta")), "close"), slop=8),
+    SpanNearSpansQ((SpanNearQ(("alpha", "beta"), slop=3), "delta"), slop=6),
+    SpanNearSpansQ(("open", ("gap", 2), "close"), slop=5),
+    SpanNearSpansQ(
+        (SpanNearSpansQ(("alpha", "gamma"), slop=5), SpanOrQ(("mid", "delta"))),
+        slop=9,
+    ),
+]
+
+
+@pytest.mark.parametrize("node", NEAR_SPANS_CASES,
+                         ids=range(len(NEAR_SPANS_CASES)))
+def test_near_spans_vs_replay(spark, corpus_pdf, index_dir, node):
+    want = _brute_near_spans(corpus_pdf, node)
+    got = _got(spark, index_dir, node)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=0.0), g
+
+
+def test_near_spans_term_clauses_equal_span_near(spark, index_dir):
+    """Pure-term clauses: the general matcher's gap-sum width equals the
+    classic chain's q_last - p0 - (n-1), so scores are float32-identical
+    to SpanNearQ (idf dedup aside: terms here are distinct)."""
+    a = _got(spark, index_dir,
+             SpanNearSpansQ(("open", "mid", "close"), slop=7))
+    b = _got(spark, index_dir, SpanNearQ(("open", "mid", "close"), slop=7))
+    assert a == b and a
+
+
+def test_near_spans_leading_gap_rejected(spark, index_dir):
+    s = Searcher(spark, index_dir)
+    with pytest.raises(Exception, match="gap"):
+        s.search(SpanNearSpansQ((("gap", 1), "open"), slop=3), k=5,
+                 with_keys=False)
