@@ -523,3 +523,64 @@ class TestEndToEnd:
         ex = searcher.search(q, k=10, with_keys=False, prune=False)
         assert list(pr.gid) == list(ex.gid)
         assert list(pr.score) == list(ex.score)
+
+
+class TestMultiTermSources:
+    """IPrefix/IWildcard leaves (MultiTermIntervalsSource.java:63-77):
+    the Searcher rewrite expands them against the dictionary into an
+    or-source (zero matches -> INoMatch, one -> the term, else IOr),
+    throwing past max_expansions."""
+
+    @pytest.fixture(scope="class")
+    def searcher(self, spark):
+        import __spark_entry__ as entry
+
+        from lucene_spark.operators.search import Searcher
+
+        return Searcher(spark, entry._index_for(spark, "/root/testdata/sf0.001"))
+
+    def _s_terms(self, searcher):
+        from lucene_spark.plans.query import PrefixQ
+
+        return sorted(searcher.expand_terms(PrefixQ("s")))
+
+    def test_prefix_equals_explicit_or(self, searcher):
+        terms = self._s_terms(searcher)
+        assert len(terms) >= 2, terms
+        a = searcher.search(
+            IntervalExprQ(IV.ordered(IV.prefix("s"), "table")),
+            k=20, with_keys=False,
+        )
+        b = searcher.search(
+            IntervalExprQ(IV.ordered(IV.or_(*terms), "table")),
+            k=20, with_keys=False,
+        )
+        assert a.values.tolist() == b.values.tolist() and len(a)
+
+    def test_wildcard_equals_prefix(self, searcher):
+        a = searcher.search(IntervalExprQ(IV.wildcard("s*")), k=20,
+                            with_keys=False)
+        b = searcher.search(IntervalExprQ(IV.prefix("s")), k=20,
+                            with_keys=False)
+        assert a.values.tolist() == b.values.tolist() and len(a)
+
+    def test_single_expansion_collapses_to_term(self, searcher):
+        a = searcher.search(IntervalExprQ(IV.prefix("tab")), k=10,
+                            with_keys=False)
+        b = searcher.search(IntervalExprQ(IV.term("table")), k=10,
+                            with_keys=False)
+        assert a.values.tolist() == b.values.tolist() and len(a)
+
+    def test_no_match_source(self, searcher):
+        r = searcher.search(
+            IntervalExprQ(IV.ordered(IV.prefix("zzz"), "table")),
+            k=5, with_keys=False,
+        )
+        assert len(r) == 0
+
+    def test_max_expansions_throws(self, searcher):
+        with pytest.raises(Exception, match="[Ee]xpansions|expand"):
+            searcher.search(
+                IntervalExprQ(IV.prefix("s", max_expansions=1)),
+                k=5, with_keys=False,
+            )
