@@ -157,3 +157,56 @@ def test_length_filter_validation():
     with pytest.raises(ValueError, match="not be greater"):
         LengthFilter(5, 3)
     assert LengthFilter(1, 2).fingerprint() != LengthFilter(1, 3).fingerprint()
+
+
+# ---------------------------------------------------------------------------
+# StemRepeatFilter (KeywordRepeat + stemmer + RemoveDuplicates)
+# ---------------------------------------------------------------------------
+
+def test_stem_repeat_stream():
+    from lucene_spark.functions.stem import porter_stem
+    from lucene_spark.functions.tokenfilters import StemRepeatFilter
+
+    b = analyze_batch(["running tables fast"])
+    out = StemRepeatFilter(porter_stem).apply(b)
+    assert _stream(out) == [
+        (0, 0, "run"), (0, 0, "running"),
+        (0, 1, "tabl"), (0, 1, "tables"),
+        (0, 2, "fast"),
+    ]
+    assert out.doc_lens.tolist() == [3]  # stems are discounted overlaps
+    # all-stable vocab short-circuits
+    b2 = analyze_batch(["fast sort"])
+    assert StemRepeatFilter(porter_stem).apply(b2) is b2
+
+
+def test_stem_repeat_index_e2e(spark, tmp_path_factory):
+    """Surface queries stay exact; stem queries match the stemmed family;
+    surface-form scores are UNCHANGED by the repeats (overlap norms)."""
+    from lucene_spark.functions.stem import porter_stem
+    from lucene_spark.functions.tokenfilters import StemRepeatFilter
+
+    pdf = pd.DataFrame({
+        "gid": np.arange(4, dtype=np.int64),
+        "url": [f"u{i}" for i in range(4)],
+        "text": ["running fast", "runs fast", "run fast", "walk slow"],
+    })
+    d = str(tmp_path_factory.mktemp("idx_stemrep"))
+    indexer.build_index(
+        spark, spark.createDataFrame(pdf), d, key_col="url",
+        text_col="text", gid_col="gid", n_segments=2,
+        stream_filter=StemRepeatFilter(porter_stem),
+    )
+    d2 = str(tmp_path_factory.mktemp("idx_plain_stemrep"))
+    indexer.build_index(
+        spark, spark.createDataFrame(pdf), d2, key_col="url",
+        text_col="text", gid_col="gid", n_segments=2,
+    )
+    s, sp = Searcher(spark, d), Searcher(spark, d2)
+    # stem query matches the whole family
+    got = set(s.search("run", k=10, with_keys=False)["gid"].astype(int))
+    assert got == {0, 1, 2}
+    # surface query: same docs as the plain index
+    a = s.search("running", k=10, with_keys=False)
+    b = sp.search("running", k=10, with_keys=False)
+    assert list(a["gid"]) == list(b["gid"])
