@@ -2097,6 +2097,16 @@ SPAN_NS_T2 = "scan"
 SPAN_NS_SLOP = 6
 
 
+def _q_span_not_or_topk(spark, sf_dir):
+    """General SpanNotQuery over span clauses (SpanNotSpansQ,
+    SpanNotQuery.java FilterSpans.accept): a SpanOr include filtered by a
+    term exclude with a pre/post window."""
+    from lucene_spark.plans.query import SpanNotSpansQ, SpanOrQ
+
+    node = SpanNotSpansQ(SpanOrQ(SPAN_NS_OR), SPAN_NS_T2, pre=1, post=1)
+    return _topk_df(spark, sf_dir, node)
+
+
 def _q_span_near_or_topk(spark, sf_dir):
     """General NearSpansOrdered over span CLAUSES (SpanNearSpansQ,
     queries/spans/NearSpansOrdered.java stretchToOrder): a SpanOr first
@@ -2966,7 +2976,7 @@ _NEVER_DRIVER_SAMPLED = [
     "shape_mq_intersects", "shape_mq_within", "shape_mq_disjoint",
     "dfr_ine_b_h1_topk", "dfr_if_l_z_topk", "ib_spl_ttf_h1_topk",
     "span_pos_range_topk", "span_containing_topk", "span_within_topk",
-    "span_near_or_topk",
+    "span_near_or_topk", "span_not_or_topk",
     "shape_box_contains", "shape_polygon_contains",
     "shape_holes_box_intersects", "shape_holes_box_within",
     "shape_holes_box_disjoint", "shape_holes_box_contains",
@@ -3180,6 +3190,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_topk": _q_span_first_topk,
         "span_pos_range_topk": _q_span_pos_range_topk,
         "span_near_or_topk": _q_span_near_or_topk,
+        "span_not_or_topk": _q_span_not_or_topk,
         "span_containing_topk": _q_span_containing_topk,
         "span_within_topk": _q_span_within_topk,
         "span_not_topk": _q_span_not_topk,
@@ -3478,6 +3489,8 @@ def oracle_sql() -> dict[str, str]:
             T_MID, *SPAN_POS_RANGE),
         "span_near_or_topk": osql.span_near_or_topk_sql(
             list(SPAN_NS_OR), SPAN_NS_T2, SPAN_NS_SLOP),
+        "span_not_or_topk": osql.span_not_or_topk_sql(
+            list(SPAN_NS_OR), SPAN_NS_T2, pre=1, post=1),
         "span_containing_topk": osql.span_containing_topk_sql(
             list(SPAN_CONTAIN_BIG), SPAN_CONTAIN_SLOP, SPAN_CONTAIN_LITTLE),
         "span_within_topk": osql.span_within_topk_sql(

@@ -87,6 +87,7 @@ from ..plans.query import (
     SpanWithinQ,
     SpanMultiQ,
     SpanNearSpansQ,
+    SpanNotSpansQ,
     FunctionScoreQ,
     IntervalQ,
     IntervalExprQ,
@@ -470,6 +471,8 @@ def eval_plan(node, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarr
         return _eval_span_contain(node, postings, ctx)
     if isinstance(node, SpanNearSpansQ):
         return _eval_span_near_spans(node, postings, ctx)
+    if isinstance(node, SpanNotSpansQ):
+        return _eval_span_not_spans(node, postings, ctx)
     if isinstance(node, SpanNotQ):
         return _eval_span_not(node, postings, ctx)
     if isinstance(node, SpanOrQ):
@@ -584,7 +587,7 @@ def _eval_boost(node: BoostQ, postings: dict, ctx: ScoreCtx) -> tuple[np.ndarray
     _PHRASE_LIKE = (PhraseQ, MultiPhraseQ, NearQ, SloppyQ, SpanNearQ,
                     SpanFirstQ, SpanNotQ, SpanOrQ, SpanPayloadCheckQ,
                     SpanPositionRangeQ, SpanContainingQ, SpanWithinQ,
-                    SpanNearSpansQ,
+                    SpanNearSpansQ, SpanNotSpansQ,
                     IntervalQ, IntervalExprQ)
     if isinstance(child, _PHRASE_LIKE + (SynonymQ, BlendedQ)):
         # temporarily rebind the child's weight to the boosted one
@@ -1602,6 +1605,59 @@ def _eval_span_near_spans(node: SpanNearSpansQ, postings: dict,
     return _score_positional(node, cands, freqs, norms, ctx)
 
 
+def _eval_span_not_spans(node: SpanNotSpansQ, postings: dict,
+                         ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
+    """General SpanNotQuery (FilterSpans.accept replay, SpanNotQuery.java:
+    110-158): include spans survive unless the first exclude span with
+    end > include.start − pre has start < include.end + post. Candidates
+    come from the include side alone; with no exclude spans in a doc the
+    include passes through untouched (getSpans null handling)."""
+    docs = _span_side_docs(node.include, postings)
+    if docs is None or not len(docs):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    cands = docs
+    i_s, i_e, i_w = _span_side_spans(node.include, postings, cands)
+    if not len(i_s):
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    ex_docs = _span_side_docs(node.exclude, postings)
+    keep = np.ones(len(i_s), dtype=bool)
+    if ex_docs is not None and len(ex_docs):
+        # exclude sources may be absent from some include docs: enumerate
+        # their spans over the PRESENT subset, then remap candidate
+        # ordinals back into the include candidate space
+        loc = np.minimum(np.searchsorted(ex_docs, cands), len(ex_docs) - 1)
+        present = ex_docs[loc] == cands
+        sub_cands = cands[present]
+        ord_map = np.nonzero(present)[0]
+        e_s, e_e, _ = _span_side_spans(node.exclude, postings, sub_cands)
+        if len(e_s):
+            shift_fix = (ord_map[e_s >> _POS_SHIFT]
+                         - (e_s >> _POS_SHIFT)) << _POS_SHIFT
+            e_s = e_s + shift_fix
+            e_e = e_e + shift_fix
+            # first exclude with end > include.start - pre (key space;
+            # exclude ends are monotone for every supported source)
+            j = np.searchsorted(e_e, i_s - int(node.pre), side="right")
+            ok = j < len(e_s)
+            jc = np.minimum(j, len(e_s) - 1)
+            same = (e_e[jc] >> _POS_SHIFT) == (i_s >> _POS_SHIFT)
+            overlapping = ok & same & (e_s[jc] < i_e + int(node.post))
+            keep = ~overlapping
+    freqs = np.zeros(len(cands), dtype=np.float32)
+    if keep.any():
+        w = (1.0 / (1.0 + i_w[keep].astype(np.float64))).astype(np.float32)
+        np.add.at(freqs, i_s[keep] >> _POS_SHIFT, w)
+    norms = np.zeros(len(cands), dtype=np.uint8)
+    for t in node.include_terms:
+        tp = postings.get(t)
+        if tp is None or not len(tp.gids):
+            continue
+        loc = np.minimum(np.searchsorted(tp.gids, cands), len(tp.gids) - 1)
+        pres = tp.gids[loc] == cands
+        norms[pres] = tp.norms[loc[pres]]
+    return _score_positional(node, cands, freqs, norms, ctx)
+
+
 def _eval_span_contain(node, postings: dict,
                        ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
     """SpanContainingQuery / SpanWithinQuery — the reference's streaming
@@ -1940,6 +1996,18 @@ def _plan_upper_bound(node, term_maxes: dict, ctx: ScoreCtx) -> float:
         if node.terms[0] not in term_maxes:
             return float("-inf")
         return float("inf")
+    if isinstance(node, SpanNotSpansQ):
+        sub = node.include
+        req = {sub} if isinstance(sub, str) else (
+            set() if isinstance(sub, SpanOrQ) else set(sub.terms)
+        )
+        if any(t not in term_maxes for t in req):
+            return float("-inf")
+        if isinstance(sub, SpanOrQ) and not any(
+            t in term_maxes for t in sub.terms
+        ):
+            return float("-inf")
+        return float("inf")
     if isinstance(node, SpanNearSpansQ):
         for sub in node.clauses:
             if isinstance(sub, tuple) and sub and sub[0] == "gap":
@@ -2155,6 +2223,15 @@ def _req_terms(node) -> set:
             elif len(sub.terms) == 1:
                 out |= set(sub.terms)
         return out
+    if isinstance(node, SpanNotSpansQ):
+        sub = node.include
+        if isinstance(sub, str):
+            return {sub}
+        if isinstance(sub, (SpanNearQ,)):
+            return set(sub.terms)
+        if isinstance(sub, SpanNearSpansQ):
+            return _req_terms(sub)
+        return set(sub.terms) if len(sub.terms) == 1 else set()
     if isinstance(node, SpanNearSpansQ):
         out: set = set()
         for sub in node.clauses:
@@ -2912,6 +2989,21 @@ class Searcher:
             if cls != node.clauses:
                 return SpanNearSpansQ(clauses=cls, slop=node.slop)
             return node
+        if isinstance(node, SpanNotSpansQ):
+            inc = (self.rewrite(node.include)
+                   if isinstance(node.include, SpanMultiQ) else node.include)
+            exc = (self.rewrite(node.exclude)
+                   if isinstance(node.exclude, SpanMultiQ) else node.exclude)
+            if isinstance(inc, BoolQ):
+                return BoolQ()          # empty include matches nothing
+            inc = inc.term if isinstance(inc, TermQ) else inc
+            if isinstance(exc, BoolQ):  # empty exclude: include unfiltered
+                exc = SpanOrQ(terms=())
+            exc = exc.term if isinstance(exc, TermQ) else exc
+            if inc is not node.include or exc is not node.exclude:
+                return SpanNotSpansQ(include=inc, exclude=exc,
+                                     pre=node.pre, post=node.post)
+            return node
         if isinstance(node, (SpanContainingQ, SpanWithinQ)):
             big = (self.rewrite(node.big)
                    if isinstance(node.big, SpanMultiQ) else node.big)
@@ -3162,6 +3254,20 @@ class Searcher:
                     for t in n.terms if t in tstats
                 )
                 phrase_weights[n] = np.float32(s)
+            elif isinstance(n, SpanNotSpansQ):
+                # only the include side's term states score
+                # (SpanNotQuery.extractTermStates)
+                uniq = list(dict.fromkeys(n.include_terms))
+                if aux_of is not None:
+                    phrase_weights[n] = np.float32(1.0)
+                    phrase_aux[n] = tuple(
+                        term_aux(t) for t in uniq if t in tstats
+                    )
+                else:
+                    phrase_weights[n] = np.float32(sum(
+                        float(_idf(tstats[t][0], doc_count_of(t)))
+                        for t in uniq if t in tstats
+                    ))
             elif isinstance(n, (SpanContainingQ, SpanWithinQ,
                                 SpanNearSpansQ)):
                 # getTermStates merges the clauses' term maps (a Map keyed
@@ -5250,6 +5356,7 @@ def _has_phrase(node) -> bool:
                          SpanFirstQ, SpanNotQ, SpanNearQ,
                          SpanPayloadCheckQ, SpanPositionRangeQ,
                          SpanContainingQ, SpanWithinQ, SpanNearSpansQ,
+                         SpanNotSpansQ,
                          IntervalQ, IntervalExprQ)):
         return True
     if isinstance(node, BoolQ):

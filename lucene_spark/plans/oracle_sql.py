@@ -887,6 +887,28 @@ nf AS (
     return _span_score_sql([_term_idf(t) for t in uniq], cte, k)
 
 
+def span_not_or_topk_sql(include_terms: "list[str]", exclude: str,
+                         pre: int = 0, post: int = 0, k: int = 10) -> str:
+    """General SpanNotQuery with a SpanOr include
+    (SpanNotSpansQ(SpanOrQ(include_terms), exclude, pre, post)): for
+    width-0 include spans the FilterSpans window test reduces to "no
+    exclude position in [p - pre, p + post]"; only the include side's
+    idfs weigh in (SpanNotQuery.extractTermStates)."""
+    ins = ", ".join(f"'{t}'" for t in include_terms)
+    uniq = list(dict.fromkeys(include_terms))
+    cte = f"""nf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM toks a
+  WHERE a.term IN ({ins}) AND NOT EXISTS (
+    SELECT 1 FROM toks b
+    WHERE b.doc_id = a.doc_id AND b.term = '{exclude}'
+      AND b.pos BETWEEN a.pos - {int(pre)} AND a.pos + {int(post)}
+  )
+  GROUP BY a.doc_id
+)"""
+    return _span_score_sql([_term_idf(t) for t in uniq], cte, k)
+
+
 def span_not_topk_sql(include: str, exclude: str, pre: int = 0,
                       post: int = 0, k: int = 10) -> str:
     """SpanNotQuery oracle: include positions with no exclude position in

@@ -30,7 +30,7 @@ __all__ = [
     "BlendedQ", "FunctionScoreQ", "DocValuesRangeQ",
     "SpanFirstQ", "SpanNotQ", "SpanOrQ", "SpanNearQ", "SpanPayloadCheckQ",
     "SpanPositionRangeQ", "SpanContainingQ", "SpanWithinQ", "SpanMultiQ",
-    "SpanNearSpansQ",
+    "SpanNearSpansQ", "SpanNotSpansQ",
     "IntervalQ",
     "IntervalExprQ",
     "parse_query", "parse_multi_field", "query_terms", "qualify_node",
@@ -194,6 +194,32 @@ class SpanNearSpansQ:
             else:
                 out.extend(c.terms)
         return tuple(out)
+
+
+@dataclass(frozen=True)
+class SpanNotSpansQ:
+    """SpanNotQuery over span CLAUSES (queries/spans/SpanNotQuery.java
+    FilterSpans.accept, the general form of the term-level SpanNotQ):
+    include spans survive unless an exclude span overlaps the widened
+    window — replaying the reference cursor: advance exclude while
+    exclude.end <= include.start − pre; reject iff that exclude's start
+    < include.end + post. Only the include side's term states score
+    (extractTermStates, SpanNotQuery.java:97-99); freq folds
+    1/(1+include_width). Sides: term / SpanOrQ / ordered SpanNearQ /
+    SpanNearSpansQ."""
+
+    include: object
+    exclude: object
+    pre: int = 0
+    post: int = 0
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return _span_sub_terms(self.include) + _span_sub_terms(self.exclude)
+
+    @property
+    def include_terms(self) -> tuple[str, ...]:
+        return _span_sub_terms(self.include)
 
 
 @dataclass(frozen=True)
@@ -1119,6 +1145,11 @@ def map_terms(node, fn):
         def _sub(s):
             return fn(s) if isinstance(s, str) else map_terms(s, fn)
         return _dc.replace(node, big=_sub(node.big), little=_sub(node.little))
+    if isinstance(node, SpanNotSpansQ):
+        def _subn(c):
+            return fn(c) if isinstance(c, str) else map_terms(c, fn)
+        return _dc.replace(node, include=_subn(node.include),
+                           exclude=_subn(node.exclude))
     if isinstance(node, SpanNearSpansQ):
         def _subc(c):
             if isinstance(c, str):
@@ -1220,6 +1251,13 @@ def qualify_node(node, field: str):
             return qualify(field, s) if isinstance(s, str) \
                 else qualify_node(s, field)
         return type(node)(big=_subq(node.big), little=_subq(node.little))
+    if isinstance(node, SpanNotSpansQ):
+        def _subqn(c):
+            return qualify(field, c) if isinstance(c, str) \
+                else qualify_node(c, field)
+        return SpanNotSpansQ(include=_subqn(node.include),
+                             exclude=_subqn(node.exclude),
+                             pre=node.pre, post=node.post)
     if isinstance(node, SpanNearSpansQ):
         def _subqc(c):
             if isinstance(c, str):
@@ -1336,6 +1374,7 @@ def query_terms(node) -> set[str]:
                          BlendedQ, SpanFirstQ, SpanNotQ, SpanOrQ, SpanNearQ,
                          SpanPayloadCheckQ, SpanPositionRangeQ,
                          SpanContainingQ, SpanWithinQ, SpanNearSpansQ,
+                         SpanNotSpansQ,
                          IntervalQ, IntervalExprQ)):
         return set(node.terms)
     if isinstance(node, BoolQ):

@@ -344,3 +344,87 @@ def test_near_spans_leading_gap_rejected(spark, index_dir):
     with pytest.raises(Exception, match="gap"):
         s.search(SpanNearSpansQ((("gap", 1), "open"), slop=3), k=5,
                  with_keys=False)
+
+
+# ---------------------------------------------------------------------------
+# SpanNotSpansQ — general SpanNot over span clauses
+# ---------------------------------------------------------------------------
+
+from lucene_spark.plans.query import SpanNotQ, SpanNotSpansQ
+
+
+def _not_spans_replay(node, pos_of):
+    """FilterSpans.accept replay: include spans survive unless the first
+    exclude span with end > s - pre starts before e + post."""
+    inc = _clause_spans(node.include, pos_of)
+    exc = _clause_spans(node.exclude, pos_of)
+    out = []
+    for (s, e, w) in inc:
+        ei = 0
+        while ei < len(exc) and exc[ei][1] <= s - node.pre:
+            ei += 1
+        if ei < len(exc) and exc[ei][0] < e + node.post:
+            continue
+        out.append((s, e, w))
+    return out
+
+
+def _brute_not_spans(corpus_pdf, node):
+    from lucene_spark.functions.bm25 import avgdl, idf, norm_cache
+    from lucene_spark.functions.smallfloat import int_to_byte4
+
+    n_docs = len(corpus_pdf)
+    dls, dfs, tok_lists = [], {}, []
+    for text in corpus_pdf["text"]:
+        pos_of = _positions(text)
+        tok_lists.append(pos_of)
+        dls.append(sum(len(v) for v in pos_of.values()))
+        for t in pos_of:
+            dfs[t] = dfs.get(t, 0) + 1
+    cache = norm_cache(avgdl(sum(dls), n_docs))
+    uniq = list(dict.fromkeys(node.include_terms))
+    w = np.float32(sum(float(idf(dfs[t], n_docs)) for t in uniq if t in dfs))
+    out = {}
+    for gid, pos_of, dl in zip(corpus_pdf["gid"], tok_lists, dls):
+        spans = _not_spans_replay(node, pos_of)
+        if not spans:
+            continue
+        freq = np.float32(0.0)
+        for _s, _e, width in spans:
+            freq = np.float32(freq + np.float32(1.0 / np.float64(1.0 + width)))
+        score = w - w / (np.float32(1.0) + np.float32(freq)
+                         * cache[int_to_byte4(dl)])
+        out[int(gid)] = float(np.float32(score))
+    return out
+
+
+NOT_SPANS_CASES = [
+    SpanNotSpansQ(SpanNearQ(("open", "close"), slop=8), "mid"),
+    SpanNotSpansQ(SpanOrQ(("alpha", "beta")), SpanNearQ(("gamma", "delta"),
+                                                        slop=4), pre=1, post=1),
+    SpanNotSpansQ("alpha", SpanOrQ(("beta", "gamma")), pre=2, post=2),
+    SpanNotSpansQ(SpanNearSpansQ((SpanOrQ(("open", "alpha")), "close"),
+                                 slop=6), "mid", post=1),
+]
+
+
+@pytest.mark.parametrize("node", NOT_SPANS_CASES,
+                         ids=range(len(NOT_SPANS_CASES)))
+def test_not_spans_vs_replay(spark, corpus_pdf, index_dir, node):
+    want = _brute_not_spans(corpus_pdf, node)
+    got = _got(spark, index_dir, node)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=0.0), g
+
+
+def test_not_spans_term_sides_equal_span_not(spark, index_dir):
+    a = _got(spark, index_dir, SpanNotSpansQ("alpha", "beta", pre=1, post=2))
+    b = _got(spark, index_dir, SpanNotQ("alpha", "beta", pre=1, post=2))
+    assert a == b and a
+
+
+def test_not_spans_absent_exclude_passthrough(spark, index_dir):
+    a = _got(spark, index_dir, SpanNotSpansQ("alpha", "zzzmissing"))
+    b = _got(spark, index_dir, SpanOrQ(("alpha",)))
+    assert a == b and a
