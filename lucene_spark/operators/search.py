@@ -1785,9 +1785,12 @@ def span_near_unordered_freqs(tps: "list[TermPostings]",
     at each state minStart = that merged position, every term's current
     position = its first position >= minStart, and the running
     maxEndPosition = 1 + max of those currents (cursors only move
-    forward). Match iff maxEnd - minStart - n <= slop (totalSpanLength =
-    n for width-1 term spans); accepted states fold 1/(1+width) as
-    float32 in state order (SpanScorer.java:106). Distinct terms assumed.
+    forward). Match iff maxEnd - minStart - n <= slop (atMatch,
+    totalSpanLength = n for width-1 term spans); accepted states fold
+    1/(1 + WIDTH) as float32 in state order where width = maxEnd -
+    minStart — NearSpansUnordered.width() does NOT subtract
+    totalSpanLength, only the slop test does (NearSpansUnordered.java
+    width() vs atMatch; SpanScorer.java:106). Distinct terms assumed.
     """
     ncand = len(idxs[0])
     n = len(tps)
@@ -1814,11 +1817,11 @@ def span_near_unordered_freqs(tps: "list[TermPostings]",
         # state because states stop at the earliest term-final position
         cur = k[np.searchsorted(k, states)]
         maxcur = cur if maxcur is None else np.maximum(maxcur, cur)
-    width = (maxcur - states) + 1 - n
-    good = width <= slop
+    span_w = (maxcur - states) + 1          # width() = maxEnd - minStart
+    good = (span_w - n) <= slop             # atMatch subtracts totalSpanLength
     acc = np.zeros(ncand, dtype=np.float32)
     if good.any():
-        w = (1.0 / (1.0 + width[good].astype(np.float64))).astype(np.float32)
+        w = (1.0 / (1.0 + span_w[good].astype(np.float64))).astype(np.float32)
         np.add.at(acc, states[good] >> _POS_SHIFT, w)
     return acc
 

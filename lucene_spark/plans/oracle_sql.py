@@ -979,8 +979,11 @@ def span_near_unordered_topk_sql(terms: "list[str]", slop: int,
             AND b.pos >= s.minstart) AS c{i}"""
         for i, t in enumerate(terms)
     )
-    width = f"(greatest({', '.join(f'c{i}' for i in range(n))}) + 1 - minstart - {n})"
-    w32 = _f4(f"1.0 / (1.0 + CAST({width} AS DOUBLE))")
+    # width() = maxEnd - minStart (NearSpansUnordered.width does not
+    # subtract totalSpanLength); the atMatch slop test DOES subtract it
+    span_w = f"(greatest({', '.join(f'c{i}' for i in range(n))}) + 1 - minstart)"
+    width = f"({span_w} - {n})"
+    w32 = _f4(f"1.0 / (1.0 + CAST({span_w} AS DOUBLE))")
     cte = f"""pres AS (
   SELECT doc_id, term, max(pos) AS maxp FROM toks
   WHERE term IN ({lst}) GROUP BY doc_id, term

@@ -283,8 +283,11 @@ class SpanNearQ:
     minStart = the k-th merged position, maxEnd = 1 + max over terms of
     their first position ≥ minStart (the running max end equals the
     current max because per-term cursors only move forward), and
-    totalSpanLength = n for width-1 term spans. Distinct terms only (two
-    subspans sharing one postings cursor need Lucene's repeat handling).
+    totalSpanLength = n for width-1 term spans; accepted states fold
+    1/(1 + width()) where width() = maxEnd − minStart (the slop test
+    subtracts totalSpanLength; ``NearSpansUnordered.width()`` does NOT).
+    Distinct terms only (two subspans sharing one postings cursor need
+    Lucene's repeat handling).
     """
 
     terms: tuple[str, ...]

@@ -523,10 +523,12 @@ def test_span_near_unordered_kernel_brute_force():
             freq = np.float32(0.0)
             while True:
                 minstart = heap[0][0]
-                width = max_end - minstart - nterms
-                if width <= slop:
+                # atMatch subtracts totalSpanLength; width() does NOT
+                # (NearSpansUnordered.java width vs atMatch)
+                if (max_end - minstart - nterms) <= slop:
+                    span_w = max_end - minstart
                     freq = np.float32(
-                        freq + np.float32(1.0 / (1.0 + float(width)))
+                        freq + np.float32(1.0 / (1.0 + float(span_w)))
                     )
                 _, i, ptr = heapq.heappop(heap)
                 if ptr + 1 == len(plists[i][d]):
