@@ -1580,15 +1580,83 @@ def _near_spans_chain(node: SpanNearSpansQ, postings: dict,
     return starts[good], q_end[good], width[good]
 
 
+def _near_spans_unordered_freqs(node: SpanNearSpansQ, postings: dict,
+                                cands: np.ndarray) -> np.ndarray:
+    """NearSpansUnordered over span CLAUSES, state-free: states are the
+    merged clause spans in (start, end) pop order up to (and including)
+    each doc's first clause-final span; at a state every clause's
+    current = its first span >=lex the state (forward-only cursors +
+    monotone emission), maxEnd = max current end (ends are monotone per
+    clause, so the running max equals the current max), totalSpanLength
+    = sum of current lengths. Match iff maxEnd - minStart -
+    totalSpanLength <= slop (atMatch); freq folds 1/(1 + width()) with
+    width() = maxEnd - minStart (NearSpansUnordered.java width vs
+    atMatch)."""
+    sides = [_span_side_spans(c, postings, cands) for c in node.clauses]
+    if any(not len(s) for s, _e, _w in sides):
+        return np.zeros(len(cands), np.float32)
+    flags = []
+    for s, _e, _w in sides:
+        cid = s >> _POS_SHIFT
+        last = np.empty(len(s), dtype=bool)
+        last[:-1] = cid[1:] != cid[:-1]
+        last[-1] = True
+        flags.append(last)
+    all_s = np.concatenate([s for s, _e, _w in sides])
+    all_e = np.concatenate([e for _s, e, _w in sides])
+    all_f = np.concatenate(flags)
+    order = np.lexsort((all_e, all_s))
+    ms, mf = all_s[order], all_f[order]
+    mc = ms >> _POS_SHIFT
+    # in-doc pops up to (inclusive) the first clause-final span
+    csum = np.cumsum(mf)
+    doc_start = np.empty(len(ms), dtype=bool)
+    doc_start[0] = True
+    doc_start[1:] = mc[1:] != mc[:-1]
+    seg = np.cumsum(doc_start) - 1
+    before = csum - mf
+    prior = before - before[np.nonzero(doc_start)[0]][seg]
+    st_s = ms[prior == 0]
+    if not len(st_s):
+        return np.zeros(len(cands), np.float32)
+    max_end = None
+    tot_len = None
+    for s, e, _w in sides:
+        j = np.minimum(np.searchsorted(s, st_s), len(s) - 1)
+        ce, cs_ = e[j], s[j]
+        max_end = ce if max_end is None else np.maximum(max_end, ce)
+        ln = ce - cs_
+        tot_len = ln if tot_len is None else tot_len + ln
+    span_w = max_end - st_s
+    good = (span_w - tot_len) <= node.slop
+    acc = np.zeros(len(cands), dtype=np.float32)
+    if good.any():
+        w = (1.0 / (1.0 + span_w[good].astype(np.float64))).astype(np.float32)
+        np.add.at(acc, st_s[good] >> _POS_SHIFT, w)
+    return acc
+
+
 def _eval_span_near_spans(node: SpanNearSpansQ, postings: dict,
                           ctx: ScoreCtx) -> tuple[np.ndarray, np.ndarray]:
-    """General ordered SpanNearQuery over span clauses (see the plan
-    node's docstring); freq folds 1/(1+matchWidth) float32 per accepted
-    match in start order (SpanScorer.java:106)."""
+    """General SpanNearQuery over span clauses (see the plan node's
+    docstring); ordered folds 1/(1+matchWidth), unordered 1/(1+width())
+    per accepted state, float32 in start order (SpanScorer.java:106)."""
     docs = _span_side_docs(node, postings)
     if docs is None or not len(docs):
         return np.empty(0, np.int64), np.empty(0, np.float32)
     cands = docs
+    if not node.in_order:
+        freqs = _near_spans_unordered_freqs(node, postings, cands)
+        norms = np.zeros(len(cands), dtype=np.uint8)
+        for t in node.terms:
+            tp = postings.get(t)
+            if tp is None or not len(tp.gids):
+                continue
+            loc = np.minimum(np.searchsorted(tp.gids, cands),
+                             len(tp.gids) - 1)
+            pres = tp.gids[loc] == cands
+            norms[pres] = tp.norms[loc[pres]]
+        return _score_positional(node, cands, freqs, norms, ctx)
     st, en, width = _near_spans_chain(node, postings, cands)
     freqs = np.zeros(len(cands), dtype=np.float32)
     if len(st):

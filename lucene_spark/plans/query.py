@@ -182,6 +182,15 @@ class SpanNearSpansQ:
 
     clauses: tuple
     slop: int = 0
+    in_order: bool = True
+
+    def __post_init__(self):
+        if not self.in_order and any(
+            isinstance(c, tuple) and c and c[0] == "gap"
+            for c in self.clauses
+        ):
+            # SpanNearQuery.Builder: gaps only on ordered queries
+            raise ValueError("Gaps can only be added to ordered near queries")
 
     @property
     def terms(self) -> tuple[str, ...]:

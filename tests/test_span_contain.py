@@ -428,3 +428,104 @@ def test_not_spans_absent_exclude_passthrough(spark, index_dir):
     a = _got(spark, index_dir, SpanNotSpansQ("alpha", "zzzmissing"))
     b = _got(spark, index_dir, SpanOrQ(("alpha",)))
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# SpanNearSpansQ unordered (NearSpansUnordered over clauses)
+# ---------------------------------------------------------------------------
+
+import heapq
+
+
+def _unordered_replay(node, pos_of):
+    """The actual priority-queue algorithm (NearSpansUnordered.java):
+    pops by (start, end); maxEnd/totalSpanLength maintained; accepted
+    states fold 1/(1+width()) with width() = maxEnd - minStart."""
+    clause_spans = [_clause_spans(c, pos_of) for c in node.clauses]
+    if any(not cs for cs in clause_spans):
+        return []
+    heap = []
+    max_end = -1
+    tot_len = 0
+    for i, cs in enumerate(clause_spans):
+        s, e, _w = cs[0]
+        heapq.heappush(heap, (s, e, i, 0))
+        max_end = max(max_end, e)
+        tot_len += e - s
+    acc = []
+    while True:
+        s, e, i, ptr = heap[0]
+        if (max_end - s - tot_len) <= node.slop:
+            acc.append(max_end - s)          # width()
+        heapq.heappop(heap)
+        if ptr + 1 == len(clause_spans[i]):
+            return acc
+        s2, e2, _w2 = clause_spans[i][ptr + 1]
+        tot_len += (e2 - s2) - (e - s)
+        max_end = max(max_end, e2)
+        heapq.heappush(heap, (s2, e2, i, ptr + 1))
+
+
+def _brute_unordered(corpus_pdf, node):
+    from lucene_spark.functions.bm25 import avgdl, idf, norm_cache
+    from lucene_spark.functions.smallfloat import int_to_byte4
+
+    n_docs = len(corpus_pdf)
+    dls, dfs, tok_lists = [], {}, []
+    for text in corpus_pdf["text"]:
+        pos_of = _positions(text)
+        tok_lists.append(pos_of)
+        dls.append(sum(len(v) for v in pos_of.values()))
+        for t in pos_of:
+            dfs[t] = dfs.get(t, 0) + 1
+    cache = norm_cache(avgdl(sum(dls), n_docs))
+    uniq = list(dict.fromkeys(node.terms))
+    w = np.float32(sum(float(idf(dfs[t], n_docs)) for t in uniq if t in dfs))
+    out = {}
+    for gid, pos_of, dl in zip(corpus_pdf["gid"], tok_lists, dls):
+        widths = _unordered_replay(node, pos_of)
+        if not widths:
+            continue
+        freq = np.float32(0.0)
+        for sw in widths:
+            freq = np.float32(freq + np.float32(1.0 / np.float64(1.0 + sw)))
+        if freq == np.float32(0.0):
+            continue
+        score = w - w / (np.float32(1.0) + np.float32(freq)
+                         * cache[int_to_byte4(dl)])
+        out[int(gid)] = float(np.float32(score))
+    return out
+
+
+UNORDERED_CASES = [
+    SpanNearSpansQ((SpanOrQ(("alpha", "beta")), "gamma"), slop=4,
+                   in_order=False),
+    SpanNearSpansQ(("close", SpanOrQ(("mid", "delta")), "open"), slop=8,
+                   in_order=False),
+    SpanNearSpansQ((SpanNearQ(("alpha", "beta"), slop=3), "delta"), slop=6,
+                   in_order=False),
+    SpanNearSpansQ(("gamma", "open"), slop=2, in_order=False),
+]
+
+
+@pytest.mark.parametrize("node", UNORDERED_CASES,
+                         ids=range(len(UNORDERED_CASES)))
+def test_unordered_spans_vs_replay(spark, corpus_pdf, index_dir, node):
+    want = _brute_unordered(corpus_pdf, node)
+    got = _got(spark, index_dir, node)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=0.0), g
+
+
+def test_unordered_spans_term_clauses_equal_span_near(spark, index_dir):
+    a = _got(spark, index_dir,
+             SpanNearSpansQ(("open", "mid", "close"), slop=7, in_order=False))
+    b = _got(spark, index_dir,
+             SpanNearQ(("open", "mid", "close"), slop=7, in_order=False))
+    assert a == b and a
+
+
+def test_unordered_gap_rejected():
+    with pytest.raises(ValueError, match="ordered near"):
+        SpanNearSpansQ(("a", ("gap", 1), "b"), slop=3, in_order=False)
